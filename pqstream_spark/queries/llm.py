@@ -1,0 +1,453 @@
+"""Beyond-reference LLM-data-pipeline operators (SURVEY.md §7 M5):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + cluster-pruned ANN), and text
+analysis (language-ID, quality, token counting, fingerprinting).
+
+All are expressed with JVM-side built-ins (higher-order array
+functions, window functions, hash-partitioned self-joins) — no Python
+UDFs in any hot path. MinHash signatures use lexicographic min of
+md5(seed || shingle) so the Spark and DuckDB formulations are
+bit-identical (both engines ship the same md5).
+
+Scale notes (the 100 TB story):
+- MinHash LSH: the band-bucket self-join is the scale path — candidate
+  generation is a shuffle on the bucket key, never an O(n²) cross join.
+  At production scale, cap bucket width (drop buckets with > K members:
+  they are boilerplate/templates, not near-dups worth pairing).
+- Brute-force cosine is the *baseline*; the ANN variant prunes
+  candidates to the query's cluster (label = a precomputed IVF cell),
+  turning the scan into a partition-pruned fraction of the corpus.
+- Everything per-doc (simhash, fingerprints, quality) is a narrow map —
+  embarrassingly parallel, whole-stage-codegen'd.
+
+The synthetic corpus for dup queries = documents ∪ deterministic
+near-copies (truncated tail) ∪ exact copies, so results are non-trivial
+at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+
+def _sql(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# --- shared text-normalization fragments, per engine -------------------------
+
+# Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
+TOK_SPARK = (
+    "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' '), x -> x <> '')"
+)
+TOK_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),"
+    " x -> x <> '')"
+)
+
+SHINGLE_SPARK = (
+    "CASE WHEN size(tok) >= 3 THEN transform(sequence(1, size(tok) - 2),"
+    " i -> concat_ws(' ', element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2)))"
+    " ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+SHINGLE_DUCK = (
+    "CASE WHEN len(tok) >= 3 THEN list_transform(range(1, len(tok) - 1),"
+    " i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])"
+    " ELSE CAST([] AS VARCHAR[]) END"
+)
+
+# near-copy corpus: original ∪ tail-truncated copy (near-dup, +100000)
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 7, 1)) AS text
+  FROM documents
+)
+"""
+
+# exact-copy corpus for exact dedup (+200000)
+EXACT_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents
+)
+"""
+
+
+# --- dedup: exact (hash groupBy) ----------------------------------------------
+
+SQL_DEDUP_EXACT = f"""
+WITH {EXACT_CORPUS_CTE.strip()}
+SELECT md5(text) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM corpus
+GROUP BY md5(text)
+"""
+
+
+# --- dedup: MinHash + LSH candidate pairs --------------------------------------
+
+def _minhash_sql(tok_expr: str, shingle_expr: str, array_min: str) -> str:
+    seeds = [str(j) for j in range(8)]
+    mins = ", ".join(
+        f"{array_min}(transform_sh_{j}) AS h{j}" for j in seeds
+    )
+    # inline the per-seed transformed arrays
+    transforms = ", ".join(
+        f"{'transform' if array_min == 'array_min' else 'list_transform'}"
+        f"(sh, s -> md5('{j}' || s)) AS transform_sh_{j}"
+        for j in seeds
+    )
+    bands = ", ".join(
+        f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS bucket FROM bands" for b in range(4)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {tok_expr} AS tok FROM corpus),
+sh_t AS (SELECT doc_id, {shingle_expr} AS sh FROM toks),
+tr AS (SELECT doc_id, {transforms} FROM sh_t),
+mh AS (SELECT doc_id, {mins} FROM tr),
+bands AS (SELECT doc_id, {bands} FROM mh),
+eb AS ({band_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM eb a JOIN eb b
+  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_DUCK = _minhash_sql(TOK_DUCK, SHINGLE_DUCK, "list_min")
+
+
+def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, single-pass.
+
+    Spark CTEs are inlined, so a self-join formulation would recompute
+    the md5-heavy signature pipeline once per join side per band. This
+    version computes signatures ONCE, explodes to (band, bucket) keys,
+    and generates pairs inside a groupBy(bucket) — one shuffle on the
+    bucket key, which is exactly the LSH scale path at 100 TB (plus a
+    bucket-width cap there; buckets wider than ~50 docs are template
+    clusters, not near-dup candidates worth O(k²) pairing).
+    """
+    from pyspark.sql import functions as F
+
+    docs = register_views(spark, sf_dir)["documents"]
+    corpus = docs.selectExpr("doc_id", "text").unionAll(
+        docs.selectExpr(
+            "doc_id + 100000 AS doc_id",
+            "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+        )
+    )
+    sig = corpus.selectExpr(
+        "doc_id", f"{TOK_SPARK} AS tok"
+    ).selectExpr(
+        "doc_id", f"{SHINGLE_SPARK} AS sh"
+    ).selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(sh, s -> md5('{j}' || s))) AS h{j}"
+            for j in range(8)
+        ],
+    ).selectExpr(
+        "doc_id",
+        *[f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4)],
+    )
+    eb = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({b} AS band_idx, b{b} AS bucket)" for b in range(4)
+                )
+                + ")"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.bucket")
+    pairs = (
+        eb.filter(F.col("bucket").isNotNull())
+        .groupBy("band_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), b ->"
+                    " struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return pairs
+
+
+# --- dedup: n-gram Jaccard on original↔near-copy pairs --------------------------
+
+def _jaccard_sql(tok_expr: str, shingle_expr: str, spark: bool) -> str:
+    distinct = "array_distinct" if spark else "list_distinct"
+    intersect = "array_intersect" if spark else "list_intersect"
+    size = "size" if spark else "len"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {tok_expr} AS tok FROM corpus),
+sh_t AS (SELECT doc_id, {distinct}({shingle_expr}) AS sh FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM sh_t a JOIN sh_t b ON b.doc_id = a.doc_id + 100000
+)
+SELECT doc_a, doc_b,
+  CASE WHEN {size}(sh_a) + {size}(sh_b) - {size}({intersect}(sh_a, sh_b)) = 0 THEN NULL
+       ELSE round(CAST({size}({intersect}(sh_a, sh_b)) AS DOUBLE)
+            / ({size}(sh_a) + {size}(sh_b) - {size}({intersect}(sh_a, sh_b))), 6)
+  END AS jaccard
+FROM pairs
+"""
+
+
+SQL_JACCARD_SPARK = _jaccard_sql(TOK_SPARK, SHINGLE_SPARK, True)
+SQL_JACCARD_DUCK = _jaccard_sql(TOK_DUCK, SHINGLE_DUCK, False)
+
+
+# --- dedup: SimHash fingerprint --------------------------------------------------
+# 64-bit simhash over distinct tokens; bit i comes from bit (3 - i%4) of
+# hex nibble i//4 of md5(token). Output as a 64-char bitstring so both
+# engines render identically.
+
+SQL_SIMHASH_SPARK = f"""
+WITH toks AS (SELECT doc_id, array_distinct({TOK_SPARK}) AS tok FROM documents)
+SELECT doc_id,
+  concat_ws('', transform(sequence(0, 63), i ->
+    CASE WHEN aggregate(tok, 0, (acc, t) -> acc +
+      CASE WHEN (shiftright(instr('0123456789abcdef', substring(md5(t), (i div 4) + 1, 1)) - 1,
+                 3 - (i % 4)) & 1) = 1 THEN 1 ELSE -1 END) > 0
+    THEN '1' ELSE '0' END)) AS simhash
+FROM toks
+"""
+
+SQL_SIMHASH_DUCK = f"""
+WITH toks AS (SELECT doc_id, list_distinct({TOK_DUCK}) AS tok FROM documents)
+SELECT doc_id,
+  array_to_string(list_transform(range(0, 64), i ->
+    CASE WHEN COALESCE(list_sum(list_transform(tok, t ->
+      CASE WHEN (((strpos('0123456789abcdef', substring(md5(t), (i // 4) + 1, 1)) - 1)
+                 >> (3 - (i % 4))) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+    THEN '1' ELSE '0' END), '') AS simhash
+FROM toks
+"""
+
+
+# --- embedding cosine helpers ------------------------------------------------------
+
+def _cos_spark(a: str, b: str) -> str:
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    nb = (
+        f"aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _cos_duck(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = f"list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = f"list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _nn_label_sql(cos: str) -> str:
+    """Per-vector nearest neighbour within its label cluster (embedding
+    near-dup detection: flag if cosine >= 0.8)."""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
+         {cos.format(a="a.embedding", b="b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, label, nn_vec_id, cos AS nn_cos, cos >= 0.8 AS near_dup
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_vec_id) rn
+      FROM pairs)
+WHERE rn = 1
+"""
+
+
+def _topk_sql(cos: str, cluster_pruned: bool) -> str:
+    extra = "AND q.label = c.label" if cluster_pruned else ""
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         {cos.format(a="q.q_emb", b="c.embedding")} AS cos
+  FROM q JOIN embeddings c ON q.q_id <> c.vec_id {extra}
+)
+SELECT q_id, c_id, cos, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn FROM s)
+WHERE rn <= 5
+"""
+
+
+class _Fmt(str):
+    def format(self, a: str, b: str) -> str:  # type: ignore[override]
+        return str(self).replace("{A}", a).replace("{B}", b)
+
+
+COS_SPARK = _Fmt(_cos_spark("{A}", "{B}"))
+COS_DUCK = _Fmt(_cos_duck("{A}", "{B}"))
+
+
+# --- text analysis -----------------------------------------------------------------
+
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "los", "y", "es", "una"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def _langid_sql(tok_expr: str, spark: bool) -> str:
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+    scores = ", ".join(
+        f"{size}({flt}(tok, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)  # alphabetical tie-break priority
+    pred_cases = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{other}" for other in langs if other != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {tok_expr} AS tok FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM toks)
+SELECT doc_id, lang AS actual_lang,
+  CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
+  s_de, s_en, s_es, s_fr, s_zh
+FROM scored
+"""
+
+
+SQL_LANGID_SPARK = _langid_sql(TOK_SPARK, True)
+SQL_LANGID_DUCK = _langid_sql(TOK_DUCK, False)
+
+
+def _quality_sql(tok_expr: str, spark: bool) -> str:
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+    agg_len = (
+        "aggregate(tok, 0, (acc, t) -> acc + length(t))"
+        if spark
+        else "COALESCE(list_sum(list_transform(tok, t -> length(t))), 0)"
+    )
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z]', ''))"
+        if spark
+        else "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    )
+    stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
+    return f"""
+WITH toks AS (SELECT doc_id, text, {tok_expr} AS tok FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars,
+  {size}(tok) AS n_tokens,
+  CASE WHEN {size}(tok) = 0 THEN NULL
+       ELSE round(CAST({agg_len} AS DOUBLE) / {size}(tok), 6) END AS avg_token_len,
+  round(CAST({alpha} AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  CASE WHEN {size}(tok) = 0 THEN NULL
+       ELSE round(CAST({stop} AS DOUBLE) / {size}(tok), 6) END AS stopword_ratio,
+  round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
+        + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+FROM toks
+"""
+
+
+SQL_QUALITY_SPARK = _quality_sql(TOK_SPARK, True)
+SQL_QUALITY_DUCK = _quality_sql(TOK_DUCK, False)
+
+
+def _tokens_sql(tok_expr: str, spark: bool) -> str:
+    size = "size" if spark else "len"
+    bpe = (
+        "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+        if spark
+        else "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, text, {tok_expr} AS tok FROM documents)
+SELECT doc_id, {size}(tok) AS ws_tokens, {bpe} AS bpe_ish_tokens,
+  CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate
+FROM toks
+"""
+
+
+SQL_TOKENS_SPARK = _tokens_sql(TOK_SPARK, True)
+SQL_TOKENS_DUCK = _tokens_sql(TOK_DUCK, False)
+
+
+def _fingerprint_sql(tok_expr: str, shingle_expr: str, spark: bool) -> str:
+    amin = "array_min" if spark else "list_min"
+    join = (
+        "concat_ws(' ', tok)"
+        if spark
+        else "array_to_string(tok, ' ')"
+    )
+    tmap = "transform" if spark else "list_transform"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_expr} AS tok FROM documents),
+sh_t AS (SELECT doc_id, tok, {shingle_expr} AS sh FROM toks)
+SELECT doc_id,
+  md5({join}) AS norm_fingerprint,
+  {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash
+FROM sh_t
+"""
+
+
+SQL_FP_SPARK = _fingerprint_sql(TOK_SPARK, SHINGLE_SPARK, True)
+SQL_FP_DUCK = _fingerprint_sql(TOK_DUCK, SHINGLE_DUCK, False)
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["dedup_minhash_lsh"] = q_minhash_spark
+    oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
+    entries = [
+        ("dedup_exact", SQL_DEDUP_EXACT, SQL_DEDUP_EXACT),
+        ("dedup_ngram_jaccard", SQL_JACCARD_SPARK, SQL_JACCARD_DUCK),
+        ("dedup_simhash", SQL_SIMHASH_SPARK, SQL_SIMHASH_DUCK),
+        ("dedup_embedding_nn", _nn_label_sql(COS_SPARK), _nn_label_sql(COS_DUCK)),
+        ("sim_topk_cosine", _topk_sql(COS_SPARK, False), _topk_sql(COS_DUCK, False)),
+        ("sim_ann_cluster_pruned", _topk_sql(COS_SPARK, True), _topk_sql(COS_DUCK, True)),
+        ("text_langid", SQL_LANGID_SPARK, SQL_LANGID_DUCK),
+        ("text_quality_score", SQL_QUALITY_SPARK, SQL_QUALITY_DUCK),
+        ("text_token_count", SQL_TOKENS_SPARK, SQL_TOKENS_DUCK),
+        ("text_fingerprint", SQL_FP_SPARK, SQL_FP_DUCK),
+    ]
+    for name, spark_sql, duck_sql in entries:
+        queries[name] = _sql(spark_sql)
+        oracles[name] = duck_sql

@@ -1,0 +1,60 @@
+"""SparkSession factory for the pqstream-spark engine.
+
+One place to set the configs that matter for both local testing
+(local[N], one JVM) and a real cluster (1000 executors, ~100 TB):
+
+- AQE on: runtime re-planning (partition coalescing, skew-join split,
+  broadcast demotion/promotion) is the single highest-leverage knob at
+  scale and costs nothing locally.
+- shuffle.partitions sized to cores locally; on a cluster AQE's
+  coalescePartitions makes the static number mostly irrelevant as long
+  as the initial value is high enough.
+- UTC session timezone so results compare bit-for-bit with the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled: every pandas UDF / mapInPandas path is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "pqstream_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and convert in the loader (micro-aligned
+        # in the testdata, so no precision loss vs the DuckDB oracle)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

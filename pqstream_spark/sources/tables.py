@@ -1,0 +1,65 @@
+"""Batch table loaders for the driver-generated synthetic star schema.
+
+Parquet is self-describing; we read without schema inference cost and
+register temp views so operators can be written in either the DataFrame
+or SQL API (same Catalyst plan either way).
+
+At 100 TB these reads become partitioned scans of a table layout
+(date/seq-partitioned directories); nothing here assumes a single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-cardinality; supplier/part/customer grow with
+# SF but stay << fact tables — broadcast decisions for those are left to
+# AQE, which sees actual sizes at runtime).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong — convert to a real timestamp
+    # (values are micro-aligned; integer div loses nothing).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The testdata ships one small parquet file per table → Spark plans a
+    # single input partition, serializing CPU-heavy per-row work (md5
+    # shingling, simhash bit math). A production layout has thousands of
+    # splits; emulate that locally by spreading the compute-dense tables
+    # across the cores. Cheap (tables are KBs→MBs) and narrow-downstream.
+    if name in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view named after the table."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
