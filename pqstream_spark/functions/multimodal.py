@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched operators over mapInPandas (north-star requirement;
+SURVEY.md §7 M5).
+
+The Spark-side plumbing — schema, batch shape, partition behavior — is
+real and tested. The *codec* step is stubbed: this container ships no
+image/audio libraries, so `decode_image_meta` parses only the
+deterministic fake header produced by `encode_fake_image` and raises
+NotImplementedError for real formats. Swapping in Pillow/librosa means
+replacing ONE pure function inside the batch loop; nothing about the
+Spark plan changes.
+
+Scale design: media bytes never leave the executor (mapInPandas
+processes Arrow record batches in place); metadata-only projections
+(`width`, `duration`) are separate columns so Catalyst prunes the
+binary column away for queries that don't touch pixels — at 100 TB the
+scan reads KBs of metadata, not TBs of media.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_MAGIC = b"FIMG"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = (
+    "media_id long, width int, height int, channels int, n_bytes long"
+)
+
+
+def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake codec: 4-byte magic + packed dims + payload
+    bytes derived from media_id. Stands in for a real JPEG/PNG."""
+    header = FAKE_MAGIC + struct.pack("<III", width, height, channels)
+    body = bytes((media_id + i) % 256 for i in range(min(width * height, 64)))
+    return header + body
+
+
+def _decode_one(content: bytes) -> tuple[int, int, int]:
+    if content is None or len(content) < 16 or content[:4] != FAKE_MAGIC:
+        raise NotImplementedError(
+            "real image decoding requires an image library not present "
+            "in this container; only the FIMG fake codec is supported"
+        )
+    w, h, c = struct.unpack("<III", content[4:16])
+    return w, h, c
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """BINARY content → (width, height, channels) via mapInPandas.
+
+    Arrow-batched: each pandas batch is decoded in a tight loop without
+    per-row serialization. Undecodable rows yield NULL dims rather than
+    failing the job (poison-pill tolerance — at 100 TB there WILL be
+    corrupt files)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "channels": [], "n_bytes": []}
+            for content in pdf["content"]:
+                try:
+                    w, h, c = _decode_one(content)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                except NotImplementedError:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                out["n_bytes"].append(len(content) if content is not None else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
+    """Resize-to-fit: recompute dims, re-encode with the fake codec.
+    The real implementation swaps the two marked lines for a PIL call."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, _c = _decode_one(content)
+                except NotImplementedError:
+                    rows.append((mid, None, None, None))
+                    continue
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                new_content = encode_fake_image(int(mid), nw, nh)  # ← PIL here
+                rows.append((mid, nw, nh, new_content))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return df.select("media_id", "content").mapInPandas(op, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video: emit one row per sampled frame index.
+    Frame *extraction* is the stubbed codec step; the fan-out shape
+    (1 video row → k frame rows) is the part that matters to the plan."""
+    n_frames = (F.length("content") / F.lit(16)).cast("int")
+    return (
+        df.withColumn("n_frames", n_frames)
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames"), F.lit(every_n))).alias(
+                "frame_idx"
+            ),
+        )
+    )

@@ -71,8 +71,13 @@ def build_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow (no shuffle): one projection over the scan, so at 100 TB this
     is embarrassingly parallel and whole-stage-codegen'd end to end.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return changelog_from_events(load_table(spark, sf_dir, "events"))
 
+
+def changelog_from_events(ev: DataFrame) -> DataFrame:
+    """The pure transform — works identically on a batch DataFrame and a
+    Structured Streaming one (batch/stream unification: the streaming
+    wrapper in streaming/source.py feeds this the readStream frame)."""
     k = F.get_json_object("props", "$.k").cast("int")
     val = F.col("value").cast("decimal(10,2)")
 

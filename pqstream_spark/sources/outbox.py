@@ -1,0 +1,183 @@
+"""Capture side: Postgres triggers → outbox table → incremental reads
+(SURVEY.md §2 S1/S3/S4/S5, §7 M2).
+
+The reference's trigger serializes each mutated row to JSON and
+pg_notify's it (`/root/reference/queries.go:10-53`) — fire-and-forget,
+lost on disconnect. Ours writes to an append-only **outbox** table with
+a monotonic `seq bigserial`; the streaming side reads `seq >
+last_committed` per micro-batch and checkpoints the high-water mark:
+at-least-once with replay, strictly better delivery than the
+reference's at-most-once (documented divergence, SURVEY.md §7).
+
+Design split:
+- SQL text generation: pure functions, unit-tested without a database.
+- Execution: any DB-API connection (psycopg2 etc.) injected by the
+  caller; no import of a driver here. No Spark involvement — DDL setup
+  is a utility, exactly as in the reference (daemon startup,
+  cmd/pqsd/main.go:95-102).
+- Incremental read: `OutboxPoller.read_batch(spark)` issues a bounded
+  JDBC read per micro-batch, for use inside foreachBatch or a custom
+  DataSourceStreamReader.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+OUTBOX_TABLE = "pqstream_outbox"
+
+# mirrors the notification envelope built at queries.go:26-32, plus seq/ts
+CREATE_OUTBOX_SQL = f"""
+CREATE TABLE IF NOT EXISTS {OUTBOX_TABLE} (
+  seq         BIGSERIAL PRIMARY KEY,
+  ts          TIMESTAMPTZ NOT NULL DEFAULT now(),
+  schema_name TEXT NOT NULL,
+  table_name  TEXT NOT NULL,
+  op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),
+  id          TEXT,
+  payload     JSONB,
+  previous    JSONB
+)
+""".strip()
+
+# Trigger function: same OLD/NEW selection as the reference trigger —
+# payload is NEW for INSERT/UPDATE and OLD for DELETE (queries.go:17-21),
+# previous is OLD only for UPDATE (queries.go:22-24), id is the text of
+# the row's id field if present (queries.go:30). No 8 KB degradation:
+# the outbox has no NOTIFY size cap (S2 kept as an optional transform).
+TRIGGER_FUNCTION_SQL = f"""
+CREATE OR REPLACE FUNCTION pqstream_outbox_capture() RETURNS TRIGGER AS $$
+DECLARE
+  row_json JSONB;
+  prev_json JSONB;
+BEGIN
+  IF TG_OP = 'DELETE' THEN
+    row_json := to_jsonb(OLD);
+  ELSE
+    row_json := to_jsonb(NEW);
+  END IF;
+  IF TG_OP = 'UPDATE' THEN
+    prev_json := to_jsonb(OLD);
+  END IF;
+  INSERT INTO {OUTBOX_TABLE} (schema_name, table_name, op, id, payload, previous)
+  VALUES (TG_TABLE_SCHEMA, TG_TABLE_NAME, TG_OP, row_json ->> 'id', row_json, prev_json);
+  RETURN NULL;
+END;
+$$ LANGUAGE plpgsql
+""".strip()
+
+DISCOVER_TABLES_SQL = """
+SELECT table_name FROM information_schema.tables
+WHERE table_schema = 'public' AND table_type = 'BASE TABLE'
+""".strip()
+
+
+def _check_ident(table: str) -> str:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    return table
+
+
+def install_trigger_sql(table: str) -> str:
+    """Idempotent per-table install — parity with installTrigger
+    (server.go:128-147 / queries.go:57-61)."""
+    t = _check_ident(table)
+    return (
+        f'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "{t}"; '
+        f'CREATE TRIGGER pqstream_outbox_trigger '
+        f'AFTER INSERT OR UPDATE OR DELETE ON "{t}" '
+        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_outbox_capture()"
+    )
+
+
+def remove_trigger_sql(table: str) -> str:
+    t = _check_ident(table)
+    return f'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "{t}"'
+
+
+def filter_tables(names: list[str], table_regexp: str | None) -> list[str]:
+    """Server-level table filter (server.go:149-166): which tables get
+    capture triggers at all — pushdown to capture time."""
+    if table_regexp is None:
+        return list(names)
+    pat = re.compile(table_regexp)
+    return [n for n in names if pat.search(n)]
+
+
+class CaptureManager:
+    """Trigger lifecycle over an injected DB-API connection.
+
+    Mirrors pqsd startup: RemoveTriggers() then InstallTriggers()
+    (cmd/pqsd/main.go:95-102); install with zero matching tables is an
+    error (server.go:136-139)."""
+
+    def __init__(self, conn, table_regexp: str | None = None) -> None:
+        self.conn = conn
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        cur = self.conn.cursor()
+        cur.execute(DISCOVER_TABLES_SQL)
+        names = [r[0] for r in cur.fetchall()]
+        return filter_tables(names, self.table_regexp)
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        cur = self.conn.cursor()
+        cur.execute(CREATE_OUTBOX_SQL)
+        cur.execute(TRIGGER_FUNCTION_SQL)
+        for t in tables:
+            cur.execute(install_trigger_sql(t))
+        self.conn.commit()
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        cur = self.conn.cursor()
+        for t in tables:
+            cur.execute(remove_trigger_sql(t))
+        self.conn.commit()
+        return tables
+
+
+@dataclass
+class OutboxPoller:
+    """Bounded incremental JDBC reads of the outbox.
+
+    Each call reads (last_seq, last_seq + max_rows] — rate limiting by
+    construction (the micro-batch analog of maxOffsetsPerTrigger),
+    which replaces the reference's unbuffered-channel backpressure
+    (server.go:291) with bounded batches. The caller persists
+    `last_seq` in its checkpoint (foreachBatch epoch store)."""
+
+    url: str
+    max_rows: int = 100_000
+    last_seq: int = 0
+    properties: dict | None = None
+
+    def read_batch(self, spark):
+        lo, hi = self.last_seq, self.last_seq + self.max_rows
+        query = (
+            f"SELECT seq, ts, schema_name, table_name, op, id, "
+            f"payload::text AS payload_json, previous::text AS previous_json "
+            f"FROM {OUTBOX_TABLE} WHERE seq > {lo} AND seq <= {hi}"
+        )
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", query)
+        )
+        for k, v in (self.properties or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        return df
+
+    def advance(self, df) -> int:
+        """Move the high-water mark after a successful batch commit."""
+        mx = df.agg({"seq": "max"}).first()[0]
+        if mx is not None:
+            self.last_seq = int(mx)
+        return self.last_seq

@@ -1,0 +1,61 @@
+"""Streaming sources (SURVEY.md §2 S1/S5, §7 M1).
+
+The reference ingests `pg_notify` notifications over a persistent
+connection with reconnect/keepalive (`/root/reference/server.go:98-109,
+258-281`) and loses events while disconnected (at-most-once). Our
+engine upgrades that to at-least-once replay: the capture side writes
+an append-only outbox ordered by `seq` (see sources/outbox.py), and
+Structured Streaming's checkpoint tracks the read position — restart
+resumes, nothing is lost.
+
+For local testing the outbox is a directory of parquet files (the file
+source IS the micro-batch driver loop: new files = new notifications);
+swap `readStream.parquet` for the JDBC outbox poller or a Kafka topic
+in production without touching the downstream pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.changelog import changelog_from_events
+
+# schema of the driver's events.parquet, as the file source needs it
+# declared up front (ts is TIMESTAMP(NANOS) → read as long, converted)
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over an events-shaped parquet directory."""
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    ev = reader.parquet(path)
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_changelog(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming RawEvent frame — the unbounded analog of
+    sources/changelog.build_changelog, same transform, same schema."""
+    return changelog_from_events(
+        stream_events(spark, path, max_files_per_trigger)
+    )

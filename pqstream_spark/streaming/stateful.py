@@ -1,0 +1,75 @@
+"""Streaming stateful operators: watermarked windows, streaming dedup,
+session windows (SURVEY.md §2.2 — absent from the reference, required
+of the engine; §7 M5).
+
+All built on Structured Streaming's own state store — no custom state
+management. Watermarks bound state size, which is the 100 TB
+requirement: an unbounded groupBy on a stream is a memory leak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    raw: DataFrame,
+    keys: tuple[str, ...] = ("seq",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop replayed events by seq.
+    dropDuplicatesWithinWatermark keeps state only inside the watermark
+    horizon — bounded state at any scale (vs dropDuplicates, which
+    accumulates keys forever on a stream)."""
+    return raw.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization — the built-in session_window operator
+    (the batch equivalent is the gaps-and-islands query `sessionize` in
+    queries/relational.py)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )

@@ -1,0 +1,183 @@
+"""Structured Streaming layer: batch/stream unification, subscription
+manager lifecycle, sinks, stateful ops. Uses the file source (a
+directory of parquet files = the notification stream) + memory sink +
+processAllAvailable() for synchronous micro-batch tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pqstream_spark.pipeline import handle_events
+from pqstream_spark.sources.changelog import build_changelog
+from pqstream_spark.sources.tables import load_table
+from pqstream_spark.streaming.source import stream_changelog, stream_events
+from pqstream_spark.streaming.subscribe import SubscriptionManager
+from pqstream_spark.streaming.sinks import jsonl_dir_writer, callback_sink
+from pqstream_spark.streaming.stateful import (
+    session_windows,
+    stream_dedup,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events.parquet split into 3 files in a monitored directory,
+    raw (long-nanos ts) as the file source expects."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_matches_batch(spark, events_dir):
+    """The same handle_events pipeline over readStream produces exactly
+    the batch result — the batch/stream unification invariant."""
+    stream_ev = handle_events(stream_changelog(spark, events_dir))
+    q = (
+        stream_ev.writeStream.format("memory")
+        .queryName("unified")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    # to_json: set ops can't compare MAP columns directly
+    got = spark.sql(
+        "SELECT seq, op, payload_json, to_json(changes) AS changes_json FROM unified"
+    )
+    want = handle_events(build_changelog(spark, SF)).select(
+        "seq", "op", "payload_json", F.to_json("changes").alias("changes_json")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_subscription_manager_fanout_and_isolation(spark, events_dir):
+    mgr = SubscriptionManager(lambda: stream_changelog(spark, events_dir))
+    q_users = mgr.listen("sub_users", "^users$")
+    q_all = mgr.listen("sub_all", ".*")
+    try:
+        q_users.processAllAvailable()
+        q_all.processAllAvailable()
+        n_users = spark.sql("SELECT count(*) c FROM sub_users").first()["c"]
+        n_all = spark.sql("SELECT count(*) c FROM sub_all").first()["c"]
+        batch = build_changelog(spark, SF)
+        assert n_users == batch.filter("table_name = 'users'").count()
+        assert n_all == batch.count()
+        assert n_users < n_all
+        # dynamic unsubscribe leaves the other subscriber alive (F1)
+        mgr.stop("sub_users")
+        assert mgr.active() == ["sub_all"]
+    finally:
+        mgr.stop_all()
+    assert mgr.active() == []
+
+
+def test_bad_regexp_rejected_before_start(spark, events_dir):
+    mgr = SubscriptionManager(lambda: stream_changelog(spark, events_dir))
+    with pytest.raises(Exception):
+        mgr.listen("bad", "([unclosed")
+    assert mgr.active() == []
+
+
+def test_jsonl_sink_seq_ordered(spark, events_dir, tmp_path):
+    out = str(tmp_path / "jsonl")
+    ev = handle_events(stream_changelog(spark, events_dir))
+    q = ev.writeStream.foreachBatch(jsonl_dir_writer(out)).start()
+    drain(q)
+    lines = []
+    for fn in sorted(os.listdir(out)):
+        with open(os.path.join(out, fn)) as f:
+            lines.extend(json.loads(line) for line in f)
+    assert len(lines) == build_changelog(spark, SF).count()
+    first = lines[0]
+    assert set(first) >= {"schema", "table", "op", "id"}
+    upd = next(line for line in lines if line["op"] == "UPDATE")
+    assert "payload" in upd
+
+
+def test_callback_sink(spark, events_dir):
+    got: list[dict] = []
+    ev = handle_events(stream_changelog(spark, events_dir))
+    q = ev.writeStream.foreachBatch(
+        callback_sink(lambda row: (got.append(row), True)[1])
+    ).start()
+    drain(q)
+    assert len(got) == build_changelog(spark, SF).count()
+    seqs = [r["seq"] for r in got]
+    assert seqs == sorted(seqs)  # seq order within the batch
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = windowed_counts(stream_events(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    got = spark.sql("SELECT * FROM win")
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch truth
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    w = {(r["window_start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert g
+    for k, v in g.items():
+        assert w[k] == v
+
+
+def test_stream_dedup(spark, tmp_path):
+    d = str(tmp_path / "dup_events")
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    raw.coalesce(1).write.mode("overwrite").parquet(d)
+    # replay the same rows again (at-least-once) as a second file
+    raw.coalesce(1).write.mode("append").parquet(d)
+    deduped = stream_dedup(stream_changelog(spark, d), keys=("seq",))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    n = spark.sql("SELECT count(*) c FROM dedup").first()["c"]
+    assert n == raw.count()  # duplicates dropped
+
+
+def test_session_windows_stream(spark, events_dir):
+    sess = session_windows(stream_events(spark, events_dir))
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .start()
+    )
+    drain(q)
+    got = spark.sql("SELECT * FROM sess")
+    assert got.count() > 0
+    # append mode only emits sessions closed by the final watermark —
+    # the per-user tail sessions stay in state, so emitted totals are
+    # slightly below the event count, never above
+    total = load_table(spark, SF, "events").count()
+    emitted = got.agg(F.sum("n_events")).first()[0]
+    assert 0.9 * total <= emitted <= total
+    # every emitted session respects the 30-minute gap definition
+    assert got.filter("session_end < session_start").count() == 0
