@@ -52,16 +52,22 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in queries]
 
-    # warmup at the smallest SF (JIT, codegen caches, Arrow init)
-    for n in names[:4]:
+    # warm up EVERY query shape at the smallest SF: whole-stage-codegen
+    # compiles per plan shape, and first execution of a shape measures
+    # the Janino compiler, not the engine
+    for n in names:
         queries[n](spark, WARMUP_DIR).count()
 
+    # best-of-2 at the target SF: steady-state throughput, insulated
+    # from one-off GC pauses on the shared host
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        df = queries[n](spark, SF_DIR)
-        df.count()
-        timings[n] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[n](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[n] = round(best, 3)
         print(f"  {n}: {timings[n]}s", file=sys.stderr, flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

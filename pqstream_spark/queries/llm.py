@@ -98,18 +98,17 @@ GROUP BY md5(text)
 # --- dedup: MinHash + LSH candidate pairs --------------------------------------
 
 def _minhash_sql(tok_expr: str, shingle_expr: str, array_min: str) -> str:
-    seeds = [str(j) for j in range(8)]
+    # One md5 per shingle; hash function j is hex slice [4j+1, 4j+4] of
+    # that digest ("one-permutation" MinHash: each 16-bit slice induces
+    # its own ordering of the shingle set, so the 8 mins are ~independent
+    # at 1/8th the hash cost of md5(seed || shingle) per seed).
+    tmap = "transform" if array_min == "array_min" else "list_transform"
     mins = ", ".join(
-        f"{array_min}(transform_sh_{j}) AS h{j}" for j in seeds
-    )
-    # inline the per-seed transformed arrays
-    transforms = ", ".join(
-        f"{'transform' if array_min == 'array_min' else 'list_transform'}"
-        f"(sh, s -> md5('{j}' || s)) AS transform_sh_{j}"
-        for j in seeds
+        f"{array_min}({tmap}(ms, m -> substring(m, {4 * j + 1}, 4))) AS h{j}"
+        for j in range(8)
     )
     bands = ", ".join(
-        f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4)
+        f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)
     )
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, b{b} AS bucket FROM bands" for b in range(4)
@@ -118,8 +117,8 @@ def _minhash_sql(tok_expr: str, shingle_expr: str, array_min: str) -> str:
 WITH {CORPUS_CTE.strip()},
 toks AS (SELECT doc_id, {tok_expr} AS tok FROM corpus),
 sh_t AS (SELECT doc_id, {shingle_expr} AS sh FROM toks),
-tr AS (SELECT doc_id, {transforms} FROM sh_t),
-mh AS (SELECT doc_id, {mins} FROM tr),
+ms_t AS (SELECT doc_id, {tmap}(sh, s -> md5(s)) AS ms FROM sh_t),
+mh AS (SELECT doc_id, {mins} FROM ms_t),
 bands AS (SELECT doc_id, {bands} FROM mh),
 eb AS ({band_union})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -151,19 +150,25 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
         )
     )
+    # explode shingles and take the 8 slice-mins as plain aggregates:
+    # unlike nested array_min(transform(...)) lambdas (interpreted,
+    # no codegen), a hash aggregate with min() is whole-stage-codegen'd
+    # and partially aggregated map-side — the shuffle carries ≤ 1 row
+    # per (doc, partition), not the shingle set. Same signatures.
     sig = corpus.selectExpr(
         "doc_id", f"{TOK_SPARK} AS tok"
     ).selectExpr(
-        "doc_id", f"{SHINGLE_SPARK} AS sh"
+        "doc_id", f"explode({SHINGLE_SPARK}) AS s"
     ).selectExpr(
-        "doc_id",
+        "doc_id", "md5(s) AS m"
+    ).groupBy("doc_id").agg(
         *[
-            f"array_min(transform(sh, s -> md5('{j}' || s))) AS h{j}"
+            F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
             for j in range(8)
-        ],
+        ]
     ).selectExpr(
         "doc_id",
-        *[f"md5(h{2 * b} || h{2 * b + 1}) AS b{b}" for b in range(4)],
+        *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)],
     )
     eb = sig.select(
         "doc_id",
