@@ -1,0 +1,132 @@
+"""Streaming queries for the driver catalog — each entry runs a REAL
+Structured Streaming query (readStream file source → transform →
+memory sink) to completion and returns the sink contents.
+
+These prove the streaming layer in the correctness gate, not just in
+unit tests: where the result is SQL-expressible the DuckDB oracle
+hash-checks it exactly (a stateless pipeline or a complete-mode window
+aggregate over a finite input equals its batch formulation); genuinely
+non-batch behavior (session close timing) is registered rows-only.
+
+Scale notes: the file source here is the local stand-in for the
+outbox/Kafka source (sources/outbox.py); every transform is the same
+batch-tested function (batch/stream unification), and all state is
+bounded by watermarks (streaming/stateful.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.changelog import ORACLE_CHANGELOG_CTE
+from ..streaming.source import stream_changelog, stream_events
+from ..streaming.stateful import session_windows, stream_dedup, windowed_counts
+
+_sink_ids = itertools.count()
+
+
+def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+    """Start df against a memory sink, drain all available input, stop,
+    and return the sink table (frozen after stop)."""
+    name = f"pq_stream_sink_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _events_path(sf_dir: str) -> str:
+    return sf_dir.rstrip("/") + "/events.parquet"
+
+
+# --- streaming CDC pipeline (S5 + P1 under readStream) ------------------------
+
+def q_stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope chain as a streaming query. Stateless → append-mode
+    output over a finite input is exactly the batch result, so the P1
+    oracle applies verbatim."""
+    ev = stream_changelog(spark, _events_path(sf_dir))
+    out = ev.selectExpr(
+        "seq", "ts", "schema_name", "table_name", "op", "id",
+        "element_at(payload, 'note') AS note",
+        "element_at(payload, 'val') AS val",
+    )
+    return _run_to_completion(out, "append")
+
+
+ORACLE_STREAM_CHANGELOG = "WITH " + ORACLE_CHANGELOG_CTE + """
+SELECT seq, ts, schema_name, table_name, op, id,
+       new_note AS note, new_val AS val
+FROM changelog_rows
+"""
+
+
+# --- watermarked tumbling-window aggregate ------------------------------------
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 2-hour watermark, complete-mode
+    memory sink: over a finite input, equals the batch GROUP BY
+    date_trunc('hour') — which is the oracle."""
+    ev = stream_events(spark, _events_path(sf_dir))
+    out = windowed_counts(ev, window="1 hour", watermark="2 hours")
+    return _run_to_completion(out, "complete")
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- streaming dedup (effectively-once over an at-least-once source) ----------
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay simulation: the source delivered twice (union of two
+    readStreams of the same files) → dropDuplicatesWithinWatermark(seq)
+    → each event exactly once, which the single-copy oracle checks."""
+    a = stream_changelog(spark, _events_path(sf_dir))
+    b = stream_changelog(spark, _events_path(sf_dir))
+    deduped = stream_dedup(a.unionAll(b), keys=("seq",), watermark="1 hour")
+    out = deduped.selectExpr("seq", "table_name", "op", "id")
+    return _run_to_completion(out, "append")
+
+
+ORACLE_STREAM_DEDUP = "WITH " + ORACLE_CHANGELOG_CTE + """
+SELECT seq, table_name, op, id FROM changelog_rows
+"""
+
+
+# --- streaming session windows (rows-only: close timing is stream-semantic) ---
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) over the event stream, complete mode.
+    Registered WITHOUT an oracle: Spark's session merge produces
+    [first_ts, last_ts + gap) windows whose end-time semantics have no
+    first-class DuckDB analog worth hand-replicating; the driver's
+    rows-only check still pins row count and schema."""
+    ev = stream_events(spark, _events_path(sf_dir))
+    out = session_windows(ev, gap="30 minutes", watermark="1 hour")
+    return _run_to_completion(out, "complete")
+
+
+def register(queries: dict, oracles: dict) -> None:
+    queries["stream_changelog_pipeline"] = q_stream_changelog
+    oracles["stream_changelog_pipeline"] = ORACLE_STREAM_CHANGELOG
+    queries["stream_windowed_counts"] = q_stream_windowed
+    oracles["stream_windowed_counts"] = ORACLE_STREAM_WINDOWED
+    queries["stream_dedup_replay"] = q_stream_dedup
+    oracles["stream_dedup_replay"] = ORACLE_STREAM_DEDUP
+    queries["stream_session_windows"] = q_stream_sessions

@@ -41,10 +41,17 @@ def stream_events(
     path: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """readStream over an events-shaped parquet directory."""
+    """readStream over an events-shaped parquet directory (or a single
+    parquet file — the file source requires a directory basePath, so a
+    file path becomes parent-dir + pathGlobFilter)."""
+    import os
+
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     ev = reader.parquet(path)
     return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
