@@ -334,6 +334,138 @@ GROUP BY p.event_id
 """
 
 
+# --- q4: order priority via EXISTS (semi-join through a subquery) --------------
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+# --- q6: forecast revenue (tight filter + global agg; pushdown showcase) --------
+SQL_Q6 = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+# --- q7: volume shipping between a nation pair (disjunctive join filter) --------
+SQL_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year, {REV} AS vol
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# --- q10: returned items, top 20 customers by lost revenue ----------------------
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, CAST(SUM({REV}) AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# --- q14: promo revenue share (conditional aggregation with FILTER) -------------
+SQL_Q14 = f"""
+SELECT
+  CAST(SUM({REV}) FILTER (WHERE p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
+  CAST(SUM({REV}) AS DOUBLE) AS total_revenue,
+  round(CAST(SUM({REV}) FILTER (WHERE p_type = 'PROMO') AS DOUBLE)
+        / CAST(SUM({REV}) AS DOUBLE), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+# --- q18: large-volume orders (IN + GROUP BY HAVING subquery) -------------------
+SQL_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS {DEC})) > CAST(250 AS {DEC}))
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+"""
+
+# --- q19: disjunction of conjunctive predicates across a join -------------------
+SQL_Q19 = f"""
+SELECT CAST(SUM({REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size >= 10 AND p_size <= 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size >= 20 AND p_size <= 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+# --- q22: idle customers (NOT EXISTS anti-join + uncorrelated scalar subquery) --
+# threshold = SUM/COUNT in DECIMAL then one double divide: DuckDB's
+# AVG(DECIMAL) returns an order-dependent DOUBLE, so avg is spelled out.
+SQL_Q22 = f"""
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*)
+      FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+) idle
+GROUP BY cntrycode
+"""
+
+# --- correlated scalar subquery: parts priced far above their brand average -----
+SQL_CORR_SCALAR = f"""
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > 1.04 * (
+  SELECT CAST(SUM(CAST(p2.p_retailprice AS {DEC})) AS DOUBLE) / COUNT(*)
+  FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+# --- CUBE with GROUPING() markers ----------------------------------------------
+SQL_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
     for name, sql in [
         ("q1_pricing_summary", SQL_Q1),
@@ -344,6 +476,16 @@ def register(queries: dict, oracles: dict) -> None:
         ("agg_distinct", SQL_DISTINCT),
         ("setops", SQL_SETOPS),
         ("events_hourly_agg", SQL_EVENTS_HOURLY),
+        ("q4_order_priority_exists", SQL_Q4),
+        ("q6_revenue_forecast", SQL_Q6),
+        ("q7_volume_shipping", SQL_Q7),
+        ("q10_returned_items", SQL_Q10),
+        ("q14_promo_share", SQL_Q14),
+        ("q18_large_volume_in_having", SQL_Q18),
+        ("q19_disjunctive_join", SQL_Q19),
+        ("q22_idle_customers", SQL_Q22),
+        ("corr_scalar_subquery", SQL_CORR_SCALAR),
+        ("agg_cube_grouping", SQL_CUBE),
     ]:
         queries[name] = _sql(sql)
         oracles[name] = sql
