@@ -1,0 +1,90 @@
+"""Plan-quality gates — the 100 TB story, asserted.
+
+Correctness tests prove results; these prove the PLANS stay the ones
+that survive a 1000-executor scale-up: filters reach the parquet scan,
+small dims broadcast (no giant shuffle joins), the CDC pipeline stays
+narrow (zero exchanges), and aggregates are partially aggregated
+map-side. A regression here is a performance bug even when every
+result still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pqstream_spark.queries import build_catalog
+from pqstream_spark.sources.changelog import build_changelog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    q, _ = build_catalog()
+    return q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, catalog):
+    """q6's shipdate/discount/quantity filters must be pushed into the
+    parquet scan, not evaluated post-scan over full rows."""
+    plan = _plan(catalog["q6_revenue_forecast"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, catalog):
+    """q6 touches 4 of lineitem's 11 columns; the scan schema must not
+    include the rest (e.g. l_comment-class payload columns)."""
+    plan = _plan(catalog["q6_revenue_forecast"](spark, SF_DIR))
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read
+    assert "l_returnflag" not in read
+
+
+def test_small_dims_broadcast(spark, catalog):
+    """q5's nation/region (and at this SF every dim) must join by
+    broadcast — a shuffle join on a fixed-25-row table is wrong at any
+    scale."""
+    plan = _plan(catalog["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_changelog_pipeline_is_narrow(spark):
+    """The CDC envelope chain is a pure projection — any Exchange in it
+    would shuffle 100 TB for nothing."""
+    plan = _plan(build_changelog(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_aggregate_is_partial(spark, catalog):
+    """q1 must partially aggregate map-side (two HashAggregate levels)
+    so the shuffle carries group rows, not raw lineitem; the final
+    (post-AQE) plan must be whole-stage-codegen'd."""
+    df = catalog["q1_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    df.count()  # AQE finalizes (and codegens) the plan only on execution
+    final = _plan(df)
+    assert "WholeStageCodegen" in final
+
+
+def test_exists_becomes_semi_join(spark, catalog):
+    """q4's EXISTS must plan as a semi join, never a full join +
+    dedup."""
+    plan = _plan(catalog["q4_order_priority_exists"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_topk_avoids_global_sort(spark, catalog):
+    """ORDER BY ... LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), not a full global sort of the table."""
+    plan = _plan(catalog["sort_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
