@@ -10,6 +10,8 @@ result still matches.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pqstream_spark.queries import build_catalog
@@ -70,10 +72,11 @@ def test_aggregate_is_partial(spark, catalog):
     (post-AQE) plan must be whole-stage-codegen'd."""
     df = catalog["q1_pricing_summary"](spark, SF_DIR)
     plan = _plan(df)
+    assert "partial_sum" in plan  # map-side combine before the exchange
     assert plan.count("HashAggregate") >= 2
-    df.count()  # AQE finalizes (and codegens) the plan only on execution
-    final = _plan(df)
-    assert "WholeStageCodegen" in final
+    df.collect()  # AQE finalizes (and codegens) the plan only on execution
+    # the "*(n)" prefix marks a whole-stage-codegen'd operator span
+    assert re.search(r"\*\(\d+\) HashAggregate", _plan(df))
 
 
 def test_exists_becomes_semi_join(spark, catalog):
