@@ -16,10 +16,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def build_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import reference, relational, llm, streaming_q
+    from . import reference, relational, llm, streaming_q, functions_q
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (reference, relational, llm, streaming_q):
+    for mod in (reference, relational, llm, streaming_q, functions_q):
         mod.register(queries, oracles)
     return queries, oracles
