@@ -247,7 +247,27 @@ FROM changelog_rows
 """
 
 
+# --- CDC materialization: changelog → current state (operators/materialize.py) -
+
+def q_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.materialize import materialize_current_state
+
+    return materialize_current_state(build_changelog(spark, sf_dir))
+
+
+ORACLE_MATERIALIZE = WITH_CHANGELOG + """
+SELECT table_name, id, seq, op, payload_json FROM (
+  SELECT table_name, id, seq, op,
+         '{"id":"' || id || '","note":"' || new_note || '","val":"' || new_val || '"}' AS payload_json,
+         ROW_NUMBER() OVER (PARTITION BY table_name, id ORDER BY seq DESC) AS rn
+  FROM changelog_rows
+) latest WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["cdc_materialize_state"] = q_cdc_materialize
+    oracles["cdc_materialize_state"] = ORACLE_MATERIALIZE
     queries["p1_parse_envelope"] = q_p1_parse
     oracles["p1_parse_envelope"] = ORACLE_P1
     queries["p2_merge_patch"] = q_p2_merge_patch

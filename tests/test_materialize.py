@@ -1,0 +1,107 @@
+"""CDC materialization: batch fold + applyInPandasWithState streaming
+fold (operators/materialize.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pqstream_spark.operators.materialize import (
+    materialize_current_state,
+    materialize_current_state_stream,
+)
+from pqstream_spark.sources.changelog import build_changelog
+from pqstream_spark.streaming.source import stream_changelog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_batch_materialize_latest_wins(spark):
+    cur = materialize_current_state(build_changelog(spark, SF_DIR))
+    rows = cur.collect()
+    # one row per live (table, id)
+    assert len(rows) == len({(r["table_name"], r["id"]) for r in rows})
+    assert all(r["op"] != "DELETE" for r in rows)
+    # spot-check: the materialized seq is the max non-stale seq for its key
+    chg = build_changelog(spark, SF_DIR).collect()
+    by_key: dict = {}
+    for e in sorted(chg, key=lambda e: e["seq"]):
+        by_key[(e["table_name"], e["id"])] = e
+    expected_live = {
+        k: e["seq"] for k, e in by_key.items() if e["op"] != "DELETE"
+    }
+    got = {(r["table_name"], r["id"]): r["seq"] for r in rows}
+    assert got == expected_live
+
+
+def test_stream_materialize_two_batches(spark, tmp_path):
+    """File 1 then file 2 arriving later: state carries across
+    micro-batches; DELETE emits a tombstone and clears state."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    write_batch(ev.orderBy("event_id").limit(200), "b1")
+
+    out = materialize_current_state_stream(stream_changelog(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mat_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["table_name"], r["id"]): r
+            for r in spark.sql("select * from mat_state").collect()
+        }
+        # batch 2: the remaining events (later seqs for the same keys)
+        write_batch(ev.orderBy("event_id").offset(200).limit(300), "b2")
+        q.processAllAvailable()
+        all_rows = spark.sql("select * from mat_state").collect()
+    finally:
+        q.stop()
+
+    # update-mode memory sink appends each batch's emissions; the final
+    # state per key is the last emission
+    final: dict = {}
+    for r in all_rows:
+        k = (r["table_name"], r["id"])
+        if k not in final or r["seq"] >= final[k]["seq"]:
+            final[k] = r
+
+    # oracle: batch fold over the same 500 events
+    full = spark.createDataFrame(ev.orderBy("event_id").limit(500).collect())
+    from pqstream_spark.sources.changelog import changelog_from_events
+
+    chg = changelog_from_events(full).collect()
+    by_key: dict = {}
+    for e in sorted(chg, key=lambda e: e["seq"]):
+        by_key[(e["table_name"], e["id"])] = e
+
+    for k, e in by_key.items():
+        assert k in final, f"missing key {k}"
+        got = final[k]
+        assert got["seq"] == e["seq"]
+        if e["op"] == "DELETE":
+            assert got["op"] == "DELETE" and got["payload_json"] is None
+        else:
+            assert json.loads(got["payload_json"]) == json.loads(e["payload_json"])
+
+    # state actually carried across batches: some key updated in batch 2
+    # must supersede its batch-1 value
+    superseded = [
+        k for k in final
+        if k in first and final[k]["seq"] > first[k]["seq"]
+    ]
+    assert superseded, "no key was updated across micro-batches"
