@@ -324,6 +324,52 @@ COS_SPARK = _Fmt(_cos_spark("{A}", "{B}"))
 COS_DUCK = _Fmt(_cos_duck("{A}", "{B}"))
 
 
+# --- similarity: random-hyperplane LSH (sign-bit bucketing) -------------------------
+# The 100 TB ANN path that needs no precomputed labels: 8 deterministic
+# integer-valued hyperplanes (component (j,i) = ((j*73 + i*37) % 19) - 9,
+# exact in IEEE double in both engines), sign-bit signature per vector,
+# candidates = same 8-bit bucket, exact cosine re-rank inside the bucket.
+# One shuffle on the bucket key; candidate sets are corpus/256 on average.
+
+def _hyperplane_sig_spark() -> str:
+    bits = []
+    for j in range(8):
+        dot = (
+            f"aggregate(transform(sequence(1, size(embedding)), i -> "
+            f"CAST(element_at(embedding, i) AS DOUBLE) * "
+            f"CAST(({j} * 73 + (i - 1) * 37) % 19 - 9 AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _hyperplane_sig_duck() -> str:
+    bits = []
+    for j in range(8):
+        dot = (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * "
+            f"CAST(({j} * 73 + (i - 1) * 37) % 19 - 9 AS DOUBLE)))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bits) + ")"
+
+
+def _lsh_hyperplane_sql(sig: str, cos: str) -> str:
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {cos.format(a="q.embedding", b="c.embedding")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           {cos.format(a="q.embedding", b="c.embedding")} DESC, c.vec_id) AS rn
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) ranked WHERE rn <= 3
+"""
+
+
 # --- text analysis -----------------------------------------------------------------
 
 STOPWORDS = {
@@ -448,6 +494,11 @@ def register(queries: dict, oracles: dict) -> None:
         ("dedup_embedding_nn", _nn_label_sql(COS_SPARK), _nn_label_sql(COS_DUCK)),
         ("sim_topk_cosine", _topk_sql(COS_SPARK, False), _topk_sql(COS_DUCK, False)),
         ("sim_ann_cluster_pruned", _topk_sql(COS_SPARK, True), _topk_sql(COS_DUCK, True)),
+        (
+            "sim_lsh_hyperplane",
+            _lsh_hyperplane_sql(_hyperplane_sig_spark(), COS_SPARK),
+            _lsh_hyperplane_sql(_hyperplane_sig_duck(), COS_DUCK),
+        ),
         ("text_langid", SQL_LANGID_SPARK, SQL_LANGID_DUCK),
         ("text_quality_score", SQL_QUALITY_SPARK, SQL_QUALITY_DUCK),
         ("text_token_count", SQL_TOKENS_SPARK, SQL_TOKENS_DUCK),
