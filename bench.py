@@ -39,7 +39,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_cosine",
+    "sim_lsh_hyperplane",
     "text_quality_score",
+    "cdc_materialize_state",
+    "q6_revenue_forecast",
+    "q18_large_volume_in_having",
 ]
 
 
