@@ -151,6 +151,34 @@ FROM documents
 """
 
 
+# --- statistics: exact order-independent formulations ---------------------------
+# stddev/avg over raw doubles is FP-order-dependent across engines; the
+# moments are computed from exact DECIMAL sums, and only the final
+# sqrt/divide happens in double (deterministic both sides). Median via
+# linear interpolation (Spark percentile ≡ DuckDB quantile_cont on the
+# same multiset).
+
+_QD = "CAST(l_quantity AS DECIMAL(18,2))"
+
+_STATS_BODY = f"""
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM({_QD}) AS DOUBLE) AS sum_qty,
+  round(CAST(SUM({_QD}) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
+  round(sqrt((CAST(SUM({_QD} * {_QD}) AS DOUBLE)
+              - CAST(SUM({_QD}) AS DOUBLE) * CAST(SUM({_QD}) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)), 6) AS sd_qty,
+  round({{median}}, 6) AS median_qty,
+  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+SQL_STATS_SPARK = _STATS_BODY.format(median="percentile(l_quantity, 0.5)")
+SQL_STATS_DUCK = _STATS_BODY.format(median="quantile_cont(l_quantity, 0.5)")
+
+
 def register(queries: dict, oracles: dict) -> None:
     entries = [
         ("fn_string", SQL_STRING, SQL_STRING),
@@ -159,6 +187,7 @@ def register(queries: dict, oracles: dict) -> None:
         ("fn_array_hof", SQL_ARRAY_SPARK, SQL_ARRAY_DUCK),
         ("fn_conditional", SQL_COND, SQL_COND),
         ("fn_hash_encode", SQL_HASH_SPARK, SQL_HASH_DUCK),
+        ("fn_stats_moments", SQL_STATS_SPARK, SQL_STATS_DUCK),
     ]
     for name, spark_sql, duck_sql in entries:
         queries[name] = _sql(spark_sql)
