@@ -91,3 +91,66 @@ class SubscriptionManager:
     def stop_all(self) -> None:
         for name in list(self._queries):
             self.stop(name)
+
+
+class Dispatcher:
+    """Single-query fan-out — the reference's exact topology (one event
+    loop, N subscribers, `/root/reference/server.go:249-267`) as one
+    StreamingQuery + a foreachBatch dispatcher.
+
+    Trade-off vs per-query subscriptions (SubscriptionManager): the
+    source is read ONCE per micro-batch regardless of subscriber count
+    (cheaper at high fan-out), but subscribers share the batch cadence
+    — a slow callback delays the next micro-batch for everyone, which
+    is precisely the reference's head-of-line blocking (server.go:291).
+    Use this for many cheap subscribers, per-query isolation for few
+    expensive ones.
+
+    A callback returning False unsubscribes (subscription.fn parity,
+    server.go:30-33). Registration/removal is effective from the next
+    micro-batch.
+    """
+
+    def __init__(self, events: DataFrame) -> None:
+        self._events = events
+        self._subs: dict[str, tuple] = {}
+        self._query: StreamingQuery | None = None
+
+    def subscribe(self, name: str, table_regexp: str, callback) -> None:
+        import re
+
+        pattern = re.compile(compile_or_raise(table_regexp))
+        self._subs[name] = (pattern, callback)
+
+    def unsubscribe(self, name: str) -> None:
+        self._subs.pop(name, None)
+
+    def subscribers(self) -> list[str]:
+        return sorted(self._subs)
+
+    def start(self, trigger: dict | None = None) -> StreamingQuery:
+        def dispatch(batch_df: DataFrame, epoch_id: int) -> None:
+            if not self._subs:
+                return
+            rows = [r.asDict() for r in batch_df.orderBy("seq").collect()]
+            if not rows:
+                return
+            for name, (pattern, cb) in list(self._subs.items()):
+                for row in rows:
+                    if not pattern.search(row["table_name"] or ""):
+                        continue
+                    if not cb(row):
+                        self.unsubscribe(name)  # False → unsubscribe
+                        break
+
+        writer = self._events.writeStream.foreachBatch(dispatch).queryName(
+            "pqstream_dispatcher"
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        self._query = writer.start()
+        return self._query
+
+    def stop(self) -> None:
+        if self._query is not None and self._query.isActive:
+            self._query.stop()

@@ -181,3 +181,52 @@ def test_session_windows_stream(spark, events_dir):
     assert 0.9 * total <= emitted <= total
     # every emitted session respects the 30-minute gap definition
     assert got.filter("session_end < session_start").count() == 0
+
+
+def test_dispatcher_single_query_fanout(spark, tmp_path):
+    """One StreamingQuery, N subscribers: regexp filtering per
+    subscriber, False-return unsubscription, registration live across
+    micro-batches (reference topology, server.go:249-267)."""
+    import os
+    import shutil
+
+    from pqstream_spark.streaming.source import stream_changelog
+    from pqstream_spark.streaming.subscribe import Dispatcher
+
+    src = str(tmp_path / "disp_src")
+    os.makedirs(src)
+
+    def write_batch(df, name):
+        stage = str(tmp_path / ("dstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    write_batch(ev.orderBy("event_id").limit(150), "b1")
+
+    seen_all, seen_orders, seen_limited = [], [], []
+    disp = Dispatcher(stream_changelog(spark, src))
+    disp.subscribe("all", ".*", lambda row: (seen_all.append(row["seq"]), True)[1])
+    disp.subscribe("orders", "^orders$",
+                   lambda row: (seen_orders.append(row["table_name"]), True)[1])
+    disp.subscribe("limited", ".*",
+                   lambda row: (seen_limited.append(row["seq"]), len(seen_limited) < 10)[1])
+    q = disp.start()
+    try:
+        q.processAllAvailable()
+        n1 = len(seen_all)
+        assert n1 == 150
+        assert set(seen_orders) == {"orders"} and 0 < len(seen_orders) < 150
+        # 'limited' returned False at its 10th event -> unsubscribed
+        assert len(seen_limited) == 10
+        assert disp.subscribers() == ["all", "orders"]
+
+        write_batch(ev.orderBy("event_id").offset(150).limit(100), "b2")
+        q.processAllAvailable()
+        assert len(seen_all) == 250
+        assert len(seen_limited) == 10  # stayed unsubscribed
+        # events arrive in seq order within and across batches
+        assert seen_all == sorted(seen_all)
+    finally:
+        disp.stop()
