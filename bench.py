@@ -44,6 +44,9 @@ HEADLINE = [
     "cdc_materialize_state",
     "q6_revenue_forecast",
     "q18_large_volume_in_having",
+    # real StreamingQuery run to completion (source->pipeline->memory
+    # sink): measures streaming micro-batch throughput, not just plan
+    "stream_changelog_pipeline",
 ]
 
 
