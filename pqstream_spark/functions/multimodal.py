@@ -115,6 +115,64 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(op, RESIZE_SCHEMA)
 
 
+FAKE_AUDIO_MAGIC = b"FAUD"
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak int, zero_crossings int"
+)
+
+
+def encode_fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic fake PCM: 4-byte magic + rate + signed-byte samples
+    derived from media_id. Stands in for a real WAV/FLAC."""
+    header = FAKE_AUDIO_MAGIC + struct.pack("<I", sample_rate)
+    body = bytes(
+        (media_id * 31 + i * 7) % 256 for i in range(min(n_samples, 4096))
+    )
+    return header + body
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """BINARY audio → scalar features (rms / peak / zero-crossings) via
+    mapInPandas — the feature-extraction stage of an audio pipeline.
+    A real implementation swaps the sample decode for librosa/soundfile;
+    the batch shape, schema, and poison-pill tolerance are the real
+    engine surface."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_s",
+                "rms", "peak", "zero_crossings")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                if (content is None or len(content) < 8
+                        or content[:4] != FAKE_AUDIO_MAGIC):
+                    for k in ("sample_rate", "n_samples", "duration_s",
+                              "rms", "peak", "zero_crossings"):
+                        out[k].append(None)
+                    continue
+                (rate,) = struct.unpack("<I", content[4:8])
+                samples = [b - 128 for b in content[8:]]
+                n = len(samples)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / rate, 6) if rate else None)
+                out["rms"].append(
+                    round((sum(s * s for s in samples) / n) ** 0.5, 6) if n else None
+                )
+                out["peak"].append(max(abs(s) for s in samples) if n else None)
+                out["zero_crossings"].append(
+                    sum(1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        feats, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video: emit one row per sampled frame index.
     Frame *extraction* is the stubbed codec step; the fan-out shape

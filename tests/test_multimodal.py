@@ -69,3 +69,30 @@ def test_metadata_projection_prunes_binary(spark, media, tmp_path):
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
     assert "content" not in plan  # binary column pruned from the scan
+
+
+def test_audio_features(spark):
+    from pqstream_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake_audio,
+        extract_audio_features,
+    )
+
+    rows = [
+        (i, "audio", encode_fake_audio(i, 16000, 2048), "audio/fake")
+        for i in range(8)
+    ]
+    rows.append((98, "audio", b"RIFF not really wav", "audio/wav"))  # poison
+    rows.append((99, "audio", None, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    r = out[0]
+    assert r["sample_rate"] == 16000 and r["n_samples"] == 2048
+    assert abs(r["duration_s"] - 2048 / 16000) < 1e-9
+    assert r["rms"] is not None and r["peak"] is not None and r["peak"] <= 128
+    assert r["zero_crossings"] > 0
+    # determinism: same media_id -> identical features
+    again = {x["media_id"]: x for x in extract_audio_features(media).collect()}
+    assert again[3] == out[3]
+    # poison and NULL degrade to NULL features, job survives
+    assert out[98]["rms"] is None and out[99]["rms"] is None
