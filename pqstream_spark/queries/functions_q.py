@@ -179,7 +179,26 @@ SQL_STATS_SPARK = _STATS_BODY.format(median="percentile(l_quantity, 0.5)")
 SQL_STATS_DUCK = _STATS_BODY.format(median="quantile_cont(l_quantity, 0.5)")
 
 
+# --- approximate sketches (rows-only: estimates are engine-specific) ------------
+# At 100 TB exact COUNT(DISTINCT) shuffles every key; sketches keep the
+# shuffle at sketch-size per group. DuckDB's approx algorithms differ by
+# design, so these register WITHOUT an oracle (the driver still pins row
+# count + schema) — the exact counterparts are oracle-checked in
+# agg_distinct / fn_stats_moments.
+
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+          approx_count_distinct(user_id) AS approx_users,
+          approx_percentile(value, array(0.5, 0.95, 0.99)) AS value_quantiles,
+          hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users
+        FROM events GROUP BY event_type
+    """)
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["agg_approx_sketch"] = q_approx_sketch
     entries = [
         ("fn_string", SQL_STRING, SQL_STRING),
         ("fn_datetime", SQL_DT_SPARK, SQL_DT_DUCK),

@@ -230,3 +230,62 @@ def test_dispatcher_single_query_fanout(spark, tmp_path):
         assert seen_all == sorted(seen_all)
     finally:
         disp.stop()
+
+
+def test_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
+    """The delivery upgrade over the reference (at-most-once NOTIFY,
+    events lost while disconnected, server.go:98-103): stop the query,
+    let data arrive while DOWN, restart from the checkpoint -> the new
+    data is delivered exactly once, nothing lost, nothing replayed."""
+    import json
+    import os
+    import shutil
+
+    from pqstream_spark.streaming.sinks import jsonl_dir_writer
+    from pqstream_spark.streaming.source import stream_changelog
+
+    src = str(tmp_path / "cp_src")
+    out_dir = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    os.makedirs(src)
+
+    def write_batch(df, name):
+        stage = str(tmp_path / ("cpstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    def start():
+        return (
+            stream_changelog(spark, src)
+            .writeStream.foreachBatch(jsonl_dir_writer(out_dir))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def delivered_seqs():
+        seqs = []
+        for f in sorted(os.listdir(out_dir)):
+            with open(os.path.join(out_dir, f)) as fh:
+                for line in fh:
+                    seqs.append(json.loads(line)["id"])  # id stable per event
+        return seqs
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    write_batch(ev.orderBy("event_id").limit(200), "b1")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n1 = sum(1 for f in os.listdir(out_dir)
+             for _ in open(os.path.join(out_dir, f)))
+    assert n1 == 200
+
+    # data arrives while the engine is DOWN (the reference loses these)
+    write_batch(ev.orderBy("event_id").offset(200).limit(300), "b2")
+
+    q = start()  # restart from checkpoint
+    q.processAllAvailable()
+    q.stop()
+    total = sum(1 for f in os.listdir(out_dir)
+                for _ in open(os.path.join(out_dir, f)))
+    assert total == 500  # 300 new delivered once; 200 old NOT replayed
