@@ -164,9 +164,12 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # l_quantity completes the tiebreak: rows still tied after it have
+    # equal quantities, so the running-sum multiset is deterministic.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -181,7 +184,7 @@ ORACLE_WINDOW_RUNNING = f"""
 SELECT l_suppkey, l_orderkey, l_linenumber,
   CAST(SUM(CAST(l_quantity AS {DEC})) OVER (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
 FROM lineitem
 """
