@@ -457,6 +457,35 @@ WHERE p_retailprice > 1.04 * (
   FROM part p2 WHERE p2.p_brand = p.p_brand)
 """
 
+# --- analytic window functions: lag/lead/first/last/ntile -----------------------
+SQL_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+  lag(o_orderkey) OVER w AS prev_order,
+  lead(o_orderkey) OVER w AS next_order,
+  first_value(o_orderkey) OVER w AS first_order,
+  CAST(o_orderdate = first_value(o_orderdate) OVER w AS BOOLEAN) AS is_first_date,
+  ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# --- lateral explode / unnest with ordinality ------------------------------------
+SQL_EXPLODE_SPARK = """
+SELECT doc_id, pos, tok
+FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents)
+LATERAL VIEW posexplode(toks) AS pos, tok
+WHERE pos < 5
+"""
+
+SQL_EXPLODE_DUCK = """
+SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t.toks[u.i] AS tok
+FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents) t,
+     UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+WHERE u.i <= 5
+"""
+
 # --- CUBE with GROUPING() markers ----------------------------------------------
 SQL_CUBE = f"""
 SELECT l_returnflag, l_linestatus,
@@ -489,6 +518,7 @@ def register(queries: dict, oracles: dict) -> None:
         ("q22_idle_customers", SQL_Q22),
         ("corr_scalar_subquery", SQL_CORR_SCALAR),
         ("agg_cube_grouping", SQL_CUBE),
+        ("window_analytics", SQL_WINDOW_ANALYTICS),
     ]:
         queries[name] = _sql(sql)
         oracles[name] = sql
@@ -507,3 +537,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["asof_join_attribution"] = ORACLE_ASOF
     queries["range_join_purchase_window"] = q_range_join
     oracles["range_join_purchase_window"] = ORACLE_RANGE
+    queries["fn_explode_lateral"] = _sql(SQL_EXPLODE_SPARK)
+    oracles["fn_explode_lateral"] = SQL_EXPLODE_DUCK
