@@ -289,3 +289,66 @@ def test_checkpoint_restart_no_loss_no_dupes(spark, tmp_path):
     total = sum(1 for f in os.listdir(out_dir)
                 for _ in open(os.path.join(out_dir, f)))
     assert total == 500  # 300 new delivered once; 200 old NOT replayed
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Events older than (max ts − watermark) arriving in a later
+    micro-batch are dropped from append-mode windowed aggregation —
+    bounded state is the 100 TB requirement."""
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    from pqstream_spark.streaming.source import stream_events
+    from pqstream_spark.streaming.stateful import windowed_counts
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    base = datetime(2024, 6, 1, 0, 0, 0)
+
+    def us(dt):
+        return int(dt.timestamp() * 1_000_000) * 1000  # ns like events.parquet
+
+    def write_batch(rows, name):
+        stage = str(tmp_path / ("wmstage_" + name))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    # batch 1: hours 0..11 (one event each) -> watermark = 11:00 - 2h = 9:00
+    write_batch(
+        [(i, us(base + timedelta(hours=i)), 1, "click", 1.0, "{}") for i in range(12)],
+        "b1",
+    )
+    out = windowed_counts(
+        stream_events(spark, src), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("wm_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE event at hour 1 (far behind the 9:00
+        # watermark -> dropped) and one at hour 12 (on time)
+        write_batch(
+            [(100, us(base + timedelta(hours=1, minutes=30)), 1, "click", 1.0, "{}"),
+             (101, us(base + timedelta(hours=12)), 1, "click", 1.0, "{}")],
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = {
+            r["window_start"].hour: r["n"]
+            for r in spark.sql("select * from wm_sink").collect()
+        }
+    finally:
+        q.stop()
+    # hour-1 window was emitted when the watermark passed it, with n=1:
+    # the late replay did NOT bump it to 2
+    assert rows.get(1) == 1
+    # windows up to the final watermark (10:00) are closed and emitted
+    assert all(rows[h] == 1 for h in rows)
+    assert max(rows) >= 9
