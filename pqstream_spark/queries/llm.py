@@ -202,6 +202,73 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# --- dedup: cluster resolution (connected components over candidate pairs) ------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate clusters → keeper per doc.
+
+    Iterative min-label propagation (each doc's label = min doc_id
+    reachable); converges in O(log(diameter)) rounds of one shuffle
+    each — the scale path for transitive closure (no driver-side
+    union-find, no recursion depth tied to cluster size). The loop runs
+    until a fixed point, checked with a cheap count per round.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = q_minhash_spark(spark, sf_dir)  # (doc_a, doc_b), doc_a < doc_b
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(10):  # diameter bound; fixed point checked below
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the growing lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.label <> o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_keeper"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _cluster_oracle_sql(pairs_sql: str) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+reach (doc_id, r) AS (
+  SELECT doc_a AS doc_id, doc_a AS r FROM edges
+  UNION
+  SELECT e.doc_a AS doc_id, reach.r
+  FROM edges e JOIN reach ON reach.doc_id = e.doc_b
+)
+SELECT doc_id, MIN(r) AS cluster_keeper, doc_id = MIN(r) AS is_keeper
+FROM reach GROUP BY doc_id
+"""
+
+
 # --- dedup: n-gram Jaccard on original↔near-copy pairs --------------------------
 
 def _jaccard_sql(tok_expr: str, shingle_expr: str, spark: bool) -> str:
@@ -487,6 +554,8 @@ SQL_FP_DUCK = _fingerprint_sql(TOK_DUCK, SHINGLE_DUCK, False)
 def register(queries: dict, oracles: dict) -> None:
     queries["dedup_minhash_lsh"] = q_minhash_spark
     oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
+    queries["dedup_cluster_keeper"] = q_dedup_clusters
+    oracles["dedup_cluster_keeper"] = _cluster_oracle_sql(SQL_MINHASH_DUCK)
     entries = [
         ("dedup_exact", SQL_DEDUP_EXACT, SQL_DEDUP_EXACT),
         ("dedup_ngram_jaccard", SQL_JACCARD_SPARK, SQL_JACCARD_DUCK),

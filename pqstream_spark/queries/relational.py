@@ -418,6 +418,32 @@ WHERE o_orderkey IN (
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
 """
 
+def q_q18_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass q18: the SQL IN-subquery form aggregates lineitem
+    TWICE (once for HAVING, once for the output sum). Aggregating once
+    and joining the survivors halves the heavy scan+shuffle — at 100 TB
+    lineitem is the table you never touch twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > F.lit(250).cast(DEC))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # --- q19: disjunction of conjunctive predicates across a join -------------------
 SQL_Q19 = f"""
 SELECT CAST(SUM({REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
@@ -513,7 +539,6 @@ def register(queries: dict, oracles: dict) -> None:
         ("q7_volume_shipping", SQL_Q7),
         ("q10_returned_items", SQL_Q10),
         ("q14_promo_share", SQL_Q14),
-        ("q18_large_volume_in_having", SQL_Q18),
         ("q19_disjunctive_join", SQL_Q19),
         ("q22_idle_customers", SQL_Q22),
         ("corr_scalar_subquery", SQL_CORR_SCALAR),
@@ -539,3 +564,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["range_join_purchase_window"] = ORACLE_RANGE
     queries["fn_explode_lateral"] = _sql(SQL_EXPLODE_SPARK)
     oracles["fn_explode_lateral"] = SQL_EXPLODE_DUCK
+    queries["q18_large_volume_in_having"] = q_q18_single_pass
+    oracles["q18_large_volume_in_having"] = SQL_Q18
