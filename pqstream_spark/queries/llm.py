@@ -204,24 +204,22 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup: cluster resolution (connected components over candidate pairs) ------
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs → duplicate clusters → keeper per doc.
-
-    Iterative min-label propagation (each doc's label = min doc_id
-    reachable); converges in O(log(diameter)) rounds of one shuffle
-    each — the scale path for transitive closure (no driver-side
-    union-find, no recursion depth tied to cluster size). The loop runs
-    until a fixed point, checked with a cheap count per round.
-    """
+def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Connected components over (doc_a, doc_b) pairs via iterative
+    min-label propagation: each doc's label converges to the min doc_id
+    reachable, in O(log(diameter)) rounds of one shuffle each — the
+    scale path for transitive closure (no driver-side union-find, no
+    recursion depth tied to cluster size). Fixed point is checked with
+    a cheap count per round; localCheckpoint cuts the growing lineage.
+    Returns (doc_id, label)."""
     from pyspark.sql import functions as F
 
-    pairs = q_minhash_spark(spark, sf_dir)  # (doc_a, doc_b), doc_a < doc_b
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(10):  # diameter bound; fixed point checked below
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
@@ -234,7 +232,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # cut the growing lineage
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -244,6 +242,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate clusters → keeper per doc."""
+    from pyspark.sql import functions as F
+
+    pairs = q_minhash_spark(spark, sf_dir)  # (doc_a, doc_b), doc_a < doc_b
+    labels = propagate_min_labels(pairs)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_keeper"),
@@ -266,6 +273,109 @@ reach (doc_id, r) AS (
 )
 SELECT doc_id, MIN(r) AS cluster_keeper, doc_id = MIN(r) AS is_keeper
 FROM reach GROUP BY doc_id
+"""
+
+
+# --- dedup: full pipeline (LSH candidates → Jaccard verify → clusters → corpus) -
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data dedup pipeline in one query:
+
+        corpus → MinHash-LSH candidates → exact 3-gram Jaccard
+        verification (≥ 0.5) → connected components → keep one doc per
+        cluster + every unclustered doc
+
+    This is the composition a 100 TB pretraining pipeline actually
+    runs: LSH bounds candidate generation to one bucket-key shuffle,
+    exact Jaccard runs only on candidates (corpus/256-ish pairs, never
+    O(n²)), components converge in log-diameter label rounds.
+    Returns (doc_id, cluster_keeper, kept)."""
+    from pyspark.sql import functions as F
+
+    docs = register_views(spark, sf_dir)["documents"]
+    corpus = docs.selectExpr("doc_id", "text").unionAll(
+        docs.selectExpr(
+            "doc_id + 100000 AS doc_id",
+            "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+        )
+    )
+    shingles = corpus.selectExpr(
+        "doc_id", f"{TOK_SPARK} AS tok"
+    ).selectExpr("doc_id", f"array_distinct({SHINGLE_SPARK}) AS sh")
+
+    cand = q_minhash_spark(spark, sf_dir)
+    a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_int")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_int")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    labels = propagate_min_labels(verified)
+    return (
+        corpus.join(labels, corpus.doc_id == labels.doc_id, "left")
+        .select(
+            corpus.doc_id,
+            F.col("label").alias("cluster_keeper"),
+            (F.col("label").isNull() | (F.col("label") == corpus.doc_id)).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+def _pipeline_oracle_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(ms, m -> substring(m, {4 * j + 1}, 4))) AS h{j}"
+        for j in range(8)
+    )
+    bands = ", ".join(f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS bucket FROM mbands"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE {CORPUS_CTE.strip()},
+mtoks AS (SELECT doc_id, {TOK_DUCK} AS tok FROM corpus),
+msh AS (SELECT doc_id, {SHINGLE_DUCK} AS sh FROM mtoks),
+mms AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS ms FROM msh),
+mmh AS (SELECT doc_id, {mins} FROM mms),
+mbands AS (SELECT doc_id, {bands} FROM mmh),
+meb AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM meb a JOIN meb b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM msh),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN jsh a ON a.doc_id = c.doc_a
+  JOIN jsh b ON b.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM verified
+),
+reach (doc_id, r) AS (
+  SELECT doc_a AS doc_id, doc_a AS r FROM edges
+  UNION
+  SELECT e.doc_a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.doc_b
+),
+labels AS (SELECT doc_id, MIN(r) AS label FROM reach GROUP BY doc_id)
+SELECT c.doc_id, l.label AS cluster_keeper,
+       (l.label IS NULL OR l.label = c.doc_id) AS kept
+FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
 """
 
 
@@ -556,6 +666,8 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
     queries["dedup_cluster_keeper"] = q_dedup_clusters
     oracles["dedup_cluster_keeper"] = _cluster_oracle_sql(SQL_MINHASH_DUCK)
+    queries["dedup_pipeline_corpus"] = q_dedup_pipeline
+    oracles["dedup_pipeline_corpus"] = _pipeline_oracle_sql()
     entries = [
         ("dedup_exact", SQL_DEDUP_EXACT, SQL_DEDUP_EXACT),
         ("dedup_ngram_jaccard", SQL_JACCARD_SPARK, SQL_JACCARD_DUCK),
