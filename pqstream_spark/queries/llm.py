@@ -217,6 +217,10 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # materialize once: every round re-reads the edge list, and without
+    # this the (possibly expensive) pair-generation upstream re-executes
+    # per round — O(rounds × candidate-generation) instead of O(1)
+    edges = edges.localCheckpoint()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(max_rounds):
@@ -225,22 +229,20 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
             .groupBy(edges.doc_a)
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the change flag in-frame: the fixed-point check is then a
+        # filter over the already-materialized checkpoint, not an extra
+        # shuffle join per round
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("_changed"),
             )
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.label <> o.label")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("doc_id", "label")
+        if new_labels.filter("_changed").limit(1).count() == 0:
             break
     return labels
 
