@@ -37,6 +37,7 @@ HEADLINE = [
     "range_join_purchase_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_pipeline_corpus",
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_lsh_hyperplane",
