@@ -549,6 +549,35 @@ SELECT q_id, c_id, cos, rn FROM (
 """
 
 
+# --- similarity: int8-quantized search ---------------------------------------------
+# Per-vector symmetric quantization (scale = max|v|, q = round(v/scale·127)):
+# 4× memory reduction and integer dot products — the storage/compute
+# format a 100 TB vector corpus actually scans. Ranking by integer qdot
+# is exact in both engines (no FP accumulation at all).
+
+def _quant_topk_sql(spark: bool) -> str:
+    if spark:
+        scale = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        qv = ("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127, 0) AS INT))")
+        qdot = ("aggregate(zip_with(q.qv, c.qv, (x, y) -> CAST(x AS BIGINT) * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    else:
+        scale = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        qv = ("list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127, 0) AS INTEGER))")
+        qdot = ("list_sum(list_transform(range(1, len(q.qv) + 1), "
+                "i -> CAST(q.qv[i] AS BIGINT) * c.qv[i]))")
+    return f"""
+WITH scaled AS (SELECT vec_id, embedding, {scale} AS scale FROM embeddings),
+q8 AS (SELECT vec_id, {qv} AS qv FROM scaled WHERE scale > 0)
+SELECT q_id, c_id, qdot, rn FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {qdot} AS qdot,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {qdot} DESC, c.vec_id) AS rn
+  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) ranked WHERE rn <= 5
+"""
+
+
 # --- text analysis -----------------------------------------------------------------
 
 STOPWORDS = {
@@ -682,6 +711,7 @@ def register(queries: dict, oracles: dict) -> None:
             _lsh_hyperplane_sql(_hyperplane_sig_spark(), COS_SPARK),
             _lsh_hyperplane_sql(_hyperplane_sig_duck(), COS_DUCK),
         ),
+        ("sim_quantized_topk", _quant_topk_sql(True), _quant_topk_sql(False)),
         ("text_langid", SQL_LANGID_SPARK, SQL_LANGID_DUCK),
         ("text_quality_score", SQL_QUALITY_SPARK, SQL_QUALITY_DUCK),
         ("text_token_count", SQL_TOKENS_SPARK, SQL_TOKENS_DUCK),

@@ -78,8 +78,12 @@ def changelog_from_events(ev: DataFrame) -> DataFrame:
     """The pure transform — works identically on a batch DataFrame and a
     Structured Streaming one (batch/stream unification: the streaming
     wrapper in streaming/source.py feeds this the readStream frame)."""
-    k = F.get_json_object("props", "$.k").cast("int")
-    val = F.col("value").cast("decimal(10,2)")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a single
+    # malformed props value would fail the whole job — poison rows must
+    # degrade to NULL instead (the oracle CTE is unaffected: DuckDB's
+    # CAST only ever sees the well-formed synthetic data)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    val = F.expr("try_cast(value AS DECIMAL(10,2))")
 
     base = ev.select(
         F.col("event_id").alias("seq"),
