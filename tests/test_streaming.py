@@ -352,3 +352,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # windows up to the final watermark (10:00) are closed and emitted
     assert all(rows[h] == 1 for h in rows)
     assert max(rows) >= 9
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Rate limiting: maxFilesPerTrigger=1 must process N files in N
+    micro-batches — bounded batches replace the reference's unbuffered-
+    channel backpressure (server.go:291) with flow control that cannot
+    stall upstream."""
+    import os
+    import shutil
+
+    from pqstream_spark.streaming.source import stream_changelog
+
+    src = str(tmp_path / "rate_src")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for i in range(4):
+        stage = str(tmp_path / f"rstage{i}")
+        ev.orderBy("event_id").offset(i * 50).limit(50).coalesce(1) \
+          .write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, f"f{i}.parquet"))
+
+    batch_sizes = []
+    q = (
+        stream_changelog(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            lambda df, epoch: batch_sizes.append(df.count())
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(batch_sizes) == 200
+    assert len(batch_sizes) >= 4          # one file per trigger
+    assert all(s <= 50 for s in batch_sizes)
