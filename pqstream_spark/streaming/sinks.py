@@ -94,6 +94,40 @@ class StompForwarder:
         return write
 
 
+def upsert_parquet_sink(out_dir: str, keys: list[str]) -> Callable[[DataFrame, int], None]:
+    """Streaming materialized view: merge each update-mode micro-batch
+    into a parquet table by key (rows in the batch REPLACE rows with the
+    same key — update-mode aggregates are cumulative, so last write
+    wins).
+
+    This is MERGE-INTO maintenance without a table format: new batch ∪
+    (old table anti-join batch keys), written to a temp dir and swapped
+    in. At production scale the swap becomes a Delta/Iceberg MERGE and
+    the anti-join a key-range rewrite; the dataflow is identical.
+    """
+    import shutil
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()  # detach from the stream plan
+        if os.path.isdir(out_dir):
+            old = spark.read.parquet(out_dir)
+            merged = old.join(batch.select(*keys), keys, "left_anti").unionByName(
+                batch
+            )
+        else:
+            merged = batch
+        tmp = out_dir.rstrip("/") + f".tmp-{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+
+    return write
+
+
 def kafka_writer(df: DataFrame, topic: str, servers: str):
     """Idiomatic K2/F3 replacement at scale: key by table for per-table
     order, value = JSON event. Needs the spark-sql-kafka package on the

@@ -389,3 +389,63 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert sum(batch_sizes) == 200
     assert len(batch_sizes) >= 4          # one file per trigger
     assert all(s <= 50 for s in batch_sizes)
+
+
+def test_upsert_sink_maintains_materialized_aggregate(spark, tmp_path):
+    """update-mode windowed counts + upsert sink across two micro-
+    batches == one batch groupBy over all the data (a streaming-
+    maintained materialized view)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.streaming.sinks import upsert_parquet_sink
+    from pqstream_spark.streaming.source import stream_events
+    from pqstream_spark.streaming.stateful import windowed_counts
+
+    src = str(tmp_path / "up_src")
+    view = str(tmp_path / "agg_view")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def write_batch(df, name):
+        stage = str(tmp_path / ("upstage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    write_batch(ev.orderBy("event_id").limit(400), "b1")
+    q = (
+        windowed_counts(stream_events(spark, src), window="1 hour", watermark="10 days")
+        .writeStream.foreachBatch(
+            upsert_parquet_sink(view, keys=["window_start", "event_type"])
+        )
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(ev.orderBy("event_id").offset(400).limit(600), "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"] or 0, 2))
+        for r in spark.read.parquet(view).collect()
+    }
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"] or 0, 2))
+        for r in ev.limit(1000)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == exp
