@@ -301,11 +301,56 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
         )
     )
-    shingles = corpus.selectExpr(
-        "doc_id", f"{TOK_SPARK} AS tok"
-    ).selectExpr("doc_id", f"array_distinct({SHINGLE_SPARK}) AS sh")
-
-    cand = q_minhash_spark(spark, sf_dir)
+    # tokenize+shingle ONCE, materialized; both the MinHash signature
+    # and the Jaccard verification derive from this frame (running
+    # q_minhash_spark separately would re-tokenize the whole corpus)
+    sh_raw = (
+        corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
+        .selectExpr("doc_id", f"{SHINGLE_SPARK} AS sh")
+        .localCheckpoint()
+    )
+    sig = (
+        sh_raw.selectExpr("doc_id", "explode(sh) AS s")
+        .selectExpr("doc_id", "md5(s) AS m")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        .selectExpr(
+            "doc_id", *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)]
+        )
+    )
+    eb = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(f"struct({b} AS band_idx, b{b} AS bucket)" for b in range(4))
+                + ")"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.bucket")
+    cand = (
+        eb.filter(F.col("bucket").isNotNull())
+        .groupBy("band_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), b ->"
+                    " struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    shingles = sh_raw.selectExpr("doc_id", "array_distinct(sh) AS sh")
     a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
