@@ -737,7 +737,63 @@ SQL_FP_SPARK = _fingerprint_sql(TOK_SPARK, SHINGLE_SPARK, True)
 SQL_FP_DUCK = _fingerprint_sql(TOK_DUCK, SHINGLE_DUCK, False)
 
 
+# --- text curation pipeline: annotate → score → dedup → keep ------------------------
+# The document-side counterpart of dedup_pipeline_corpus: everything a
+# pretraining curation pass computes per document, in ONE narrow scan
+# (language-ID, quality, token budget, fingerprint) plus one shuffle for
+# exact-dup canonicalization. Keep rule: quality floor + token floor +
+# canonical copy of its fingerprint group.
+
+def _curation_sql(spark: bool) -> str:
+    tok = TOK_SPARK if spark else TOK_DUCK
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+    join = "concat_ws(' ', tok)" if spark else "array_to_string(tok, ' ')"
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z]', ''))"
+        if spark
+        else "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    )
+    scores = ", ".join(
+        f"{size}({flt}(tok, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)
+    pred_cases = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{other}" for other in langs if other != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, text, {tok} AS tok FROM documents),
+ann AS (
+  SELECT doc_id, lang, {scores},
+    {size}(tok) AS n_tokens,
+    CASE WHEN {size}(tok) = 0 THEN 0.0
+         ELSE round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
+              + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) END AS quality_score,
+    round(CAST({alpha} AS DOUBLE) / length(text), 6) AS alpha_ratio,
+    md5({join}) AS fp
+  FROM toks
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rank
+  FROM ann
+)
+SELECT doc_id,
+  CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
+  n_tokens, quality_score, alpha_ratio, fp,
+  fp_rank = 1 AS is_canonical,
+  (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept
+FROM dedup
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    queries["text_curation_pipeline"] = _sql(_curation_sql(True))
+    oracles["text_curation_pipeline"] = _curation_sql(False)
     queries["dedup_minhash_lsh"] = q_minhash_spark
     oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
     queries["dedup_cluster_keeper"] = q_dedup_clusters
