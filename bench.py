@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_cosine",
     "sim_lsh_hyperplane",
     "text_quality_score",
+    "text_curation_pipeline",
     "cdc_materialize_state",
     "q6_revenue_forecast",
     "q18_large_volume_in_having",
