@@ -791,9 +791,50 @@ FROM dedup
 """
 
 
+# --- text chunking: sliding token windows (RAG/pretraining prep) --------------------
+# One doc row → ceil((n-overlap)/stride) chunk rows of ≤ chunk_size
+# tokens with `overlap` tokens of context carried between neighbors.
+# Narrow explode — no shuffle; at 100 TB this is the map stage right
+# before tokenizer sharding.
+
+CHUNK_SIZE, CHUNK_STRIDE = 40, 30  # overlap = size - stride = 10
+
+
+def _chunking_sql(spark: bool) -> str:
+    tok = TOK_SPARK if spark else TOK_DUCK
+    size = "size" if spark else "len"
+    if spark:
+        starts = f"sequence(1, greatest({size}(tok) - {CHUNK_SIZE - CHUNK_STRIDE}, 1), {CHUNK_STRIDE})"
+        body = f"""
+WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+chunks AS (
+  SELECT doc_id, tok, explode({starts}) AS start FROM toks WHERE {size}(tok) > 0
+)
+SELECT doc_id, CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+  concat_ws(' ', slice(tok, start, {CHUNK_SIZE})) AS chunk_text,
+  {size}(slice(tok, start, {CHUNK_SIZE})) AS chunk_tokens
+FROM chunks
+"""
+    else:
+        starts = f"range(1, greatest({size}(tok) - {CHUNK_SIZE - CHUNK_STRIDE}, 1) + 1, {CHUNK_STRIDE})"
+        body = f"""
+WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+chunks AS (
+  SELECT doc_id, tok, unnest({starts}) AS start FROM toks WHERE {size}(tok) > 0
+)
+SELECT doc_id, CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+  array_to_string(tok[start:start + {CHUNK_SIZE} - 1], ' ') AS chunk_text,
+  {size}(tok[start:start + {CHUNK_SIZE} - 1]) AS chunk_tokens
+FROM chunks
+"""
+    return body
+
+
 def register(queries: dict, oracles: dict) -> None:
     queries["text_curation_pipeline"] = _sql(_curation_sql(True))
     oracles["text_curation_pipeline"] = _curation_sql(False)
+    queries["text_chunking"] = _sql(_chunking_sql(True))
+    oracles["text_chunking"] = _chunking_sql(False)
     queries["dedup_minhash_lsh"] = q_minhash_spark
     oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
     queries["dedup_cluster_keeper"] = q_dedup_clusters

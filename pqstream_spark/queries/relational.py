@@ -495,6 +495,29 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+# --- RANGE window frame: 30-day trailing spend per customer ---------------------
+# ROWS frames are covered by window_running_sum; RANGE frames bound the
+# window by VALUE distance (here: seconds), the frame type used for
+# time-decayed features. Order key must be numeric for RANGE, so the
+# date becomes epoch seconds.
+
+def _range_frame_sql(epoch: str) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY {epoch}(o_orderdate)
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+"""
+
+
+# parquet dates surface as TIMESTAMP_NTZ, which unix_seconds rejects;
+# the session TZ is UTC so the cast is an identity relabel
+SQL_RANGE_FRAME_SPARK = _range_frame_sql("unix_seconds").replace(
+    "unix_seconds(o_orderdate)", "unix_seconds(CAST(o_orderdate AS TIMESTAMP))"
+)
+SQL_RANGE_FRAME_DUCK = _range_frame_sql("epoch")
+
 # --- lateral explode / unnest with ordinality ------------------------------------
 SQL_EXPLODE_SPARK = """
 SELECT doc_id, pos, tok
@@ -566,3 +589,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["fn_explode_lateral"] = SQL_EXPLODE_DUCK
     queries["q18_large_volume_in_having"] = q_q18_single_pass
     oracles["q18_large_volume_in_having"] = SQL_Q18
+    queries["window_range_frame"] = _sql(SQL_RANGE_FRAME_SPARK)
+    oracles["window_range_frame"] = SQL_RANGE_FRAME_DUCK
