@@ -495,6 +495,19 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+# --- FULL OUTER join with coalesced keys (join-type closure) --------------------
+SQL_OUTER_JOIN = """
+SELECT coalesce(h.c_custkey, r.o_custkey) AS custkey,
+       h.c_acctbal, r.n_recent,
+       h.c_custkey IS NOT NULL AS has_high_balance,
+       r.o_custkey IS NOT NULL AS has_recent_orders
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) h
+FULL JOIN (SELECT o_custkey, COUNT(*) AS n_recent FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+           GROUP BY o_custkey) r
+  ON h.c_custkey = r.o_custkey
+"""
+
 # --- RANGE window frame: 30-day trailing spend per customer ---------------------
 # ROWS frames are covered by window_running_sum; RANGE frames bound the
 # window by VALUE distance (here: seconds), the frame type used for
@@ -591,3 +604,5 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["q18_large_volume_in_having"] = SQL_Q18
     queries["window_range_frame"] = _sql(SQL_RANGE_FRAME_SPARK)
     oracles["window_range_frame"] = SQL_RANGE_FRAME_DUCK
+    queries["join_full_outer"] = _sql(SQL_OUTER_JOIN)
+    oracles["join_full_outer"] = SQL_OUTER_JOIN
