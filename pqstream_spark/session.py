@@ -23,6 +23,30 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# confs the engine REQUIRES and that are runtime-settable — applied
+# defensively to any externally-provided session (the driver passes its
+# own SparkSession to the query catalog; without nanosAsLong every
+# events.parquet read throws PARQUET_TYPE_ILLEGAL, and a non-UTC
+# session TZ breaks timestamp parity with the DuckDB oracle)
+RUNTIME_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine needs to a session we
+    did not create. Idempotent and cheap; called from every loader."""
+    for k, v in RUNTIME_REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf missing in future versions
+            pass
+    return spark
+
+
 def get_spark(
     app_name: str = "pqstream_spark",
     cpus: int | None = None,

@@ -37,6 +37,9 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)  # the session may be the driver's, not ours
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
     # spark.sql.legacy.parquet.nanosAsLong — convert to a real timestamp

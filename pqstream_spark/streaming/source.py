@@ -46,6 +46,9 @@ def stream_events(
     file path becomes parent-dir + pathGlobFilter)."""
     import os
 
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
