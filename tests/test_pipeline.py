@@ -97,3 +97,40 @@ def test_redaction_applies_before_patch(spark, sf_dir):
     for r in upd:
         assert "note" not in (r["payload"] or {})
         assert "note" not in (r["changes"] or {})
+
+
+def test_degrade_boundary_sweep(spark):
+    """Parity with the reference's 8 KB boundary sweeps
+    (server_test.go:211-222: payload sizes stepped across the cap in
+    10-byte increments): the tier must flip at EXACTLY the computed
+    threshold, not somewhere near it."""
+    from pqstream_spark.operators.degrade import degrade_payload
+
+    # envelope overhead: 64 + len('public' + 'notes' + 'UPDATE' + '7')
+    overhead = 64 + len("public" + "notes" + "UPDATE" + "7")
+    rows = []
+    sizes = list(range(3890, 4001, 10)) + list(range(7870, 7901, 10))
+    for i, size in enumerate(sizes):
+        body = "x" * size
+        rows.append((i, size, "public", "notes", "UPDATE", "7",
+                     {"v": body}, {"v": body}, body, body))
+    df = spark.createDataFrame(
+        rows,
+        "seq long, size int, schema_name string, table_name string, "
+        "op string, id string, payload map<string,string>, "
+        "previous map<string,string>, payload_json string, previous_json string",
+    )
+    out = {r["seq"]: r for r in degrade_payload(df).collect()}
+    for i, size in enumerate(sizes):
+        both = overhead + 2 * size      # envelope with payload+previous
+        one = overhead + size           # after dropping previous
+        if both >= 8000 and one >= 8000:
+            expect = 2
+        elif both >= 8000:
+            expect = 1
+        else:
+            expect = 0
+        got = out[i]
+        assert got["degraded_tier"] == expect, (size, expect, got["degraded_tier"])
+        assert (got["previous"] is None) == (expect >= 1)
+        assert (got["payload"] is None) == (expect == 2)
