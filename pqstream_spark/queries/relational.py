@@ -98,6 +98,15 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+# --- explicit grouping sets (asymmetric: by-flag, by-status-pair, grand total) --
+SQL_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+"""
+
 # --- distinct aggregation ------------------------------------------------------
 SQL_DISTINCT = """
 SELECT l_returnflag,
@@ -567,6 +576,7 @@ def register(queries: dict, oracles: dict) -> None:
         ("q5_local_supplier_volume", SQL_Q5),
         ("sort_topk", SQL_TOPK),
         ("agg_rollup", SQL_ROLLUP),
+        ("agg_grouping_sets", SQL_GROUPING_SETS),
         ("agg_distinct", SQL_DISTINCT),
         ("setops", SQL_SETOPS),
         ("events_hourly_agg", SQL_EVENTS_HOURLY),
