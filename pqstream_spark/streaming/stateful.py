@@ -52,6 +52,34 @@ def stream_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by a time-range condition.
+
+    Both sides are watermarked and the join carries `right_ts ∈
+    [left_ts - within, left_ts]` — the range bound plus watermarks is
+    what lets Spark EVICT buffered rows, keeping state finite on an
+    unbounded stream (an unbounded stream-stream join is a memory leak
+    by construction). This is the streaming form of the as-of/range
+    join family (operators/asof.py, operators/rangejoin.py)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - INTERVAL {within}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, how)
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

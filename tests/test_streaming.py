@@ -449,3 +449,66 @@ def test_upsert_sink_maintains_materialized_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream join (clicks ⋈ purchases by user within 1h,
+    watermarked both sides) over a finite input == the same join in
+    batch. The range bound + watermark keeps join state finite — the
+    operator the as-of/range batch joins become on a live stream."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.streaming.source import stream_events
+    from pqstream_spark.streaming.stateful import stream_stream_join
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / "ssj_stage")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "all.parquet"))
+
+    def sides(frame):
+        clicks = frame.filter("event_type = 'click'").select(
+            F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+        purch = frame.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purch
+
+    sc, sp = sides(stream_events(spark, src))
+    joined = stream_stream_join(
+        sc, sp.withColumnRenamed("p_user_id", "user_id"),
+        key="user_id", left_ts="c_ts", right_ts="p_ts", within="1 hour",
+    ).select("c_id", "p_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["c_id"], r["p_id"]) for r in spark.sql("select * from ssj_sink").collect()}
+    finally:
+        q.stop()
+
+    bc, bp = sides(
+        spark.read.parquet(os.path.join(src, "all.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    exp = {
+        (r["c_id"], r["p_id"])
+        for r in bc.join(
+            bp,
+            (bc.user_id == bp.p_user_id)
+            & (bp.p_ts >= F.expr("c_ts - INTERVAL 1 HOUR"))
+            & (bp.p_ts <= bc.c_ts),
+        ).select("c_id", "p_id").collect()
+    }
+    assert got == exp and len(got) > 0
