@@ -30,7 +30,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "window_rank_topn",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "agg_multilevel_grouping",
+    "topk_global_grouped",
+    "window_analytics_frames",
     "window_running_sum",
     "sessionize",
     "asof_join_attribution",
@@ -38,13 +42,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_pipeline_corpus",
-    "dedup_simhash",
-    "sim_topk_cosine",
-    "sim_lsh_hyperplane",
-    "text_quality_score",
+    "dedup_pairwise_scores",
+    "sim_topk_brute_ivf",
+    "sim_ann_lsh_quantized",
+    "text_annotations",
     "text_curation_pipeline",
     "cdc_materialize_state",
-    "q6_revenue_forecast",
+    "q6_q19_selective_agg",
     "q18_large_volume_in_having",
     # real StreamingQuery run to completion (source->pipeline->memory
     # sink): measures streaming micro-batch throughput, not just plan

@@ -16,10 +16,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def build_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    # The driver verifies catalog entries in registration order (and caps
+    # how many it checks), so the catalog is exactly 50 entries, ordered
+    # cheapest-first with the round-1-unverified surface early: reference
+    # ops, scalar-function suites, streaming, LLM-pipeline, relational.
     from . import reference, relational, llm, streaming_q, functions_q
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (reference, relational, llm, streaming_q, functions_q):
+    for mod in (reference, functions_q, streaming_q, llm, relational):
         mod.register(queries, oracles)
     return queries, oracles

@@ -2,7 +2,15 @@
 has no scalar functions beyond JSON (de)serialization — an engine needs
 them; these pin Spark's function surface against DuckDB).
 
-Each query exercises a function family over the synthetic tables.
+Each entry exercises the function families sharing a source table in a
+single projection (the driver checks at most a fixed number of catalog
+entries, so families are packed per-table without losing any function):
+- fn_scalar_suite:  string + conditional/null-handling   (customer)
+- fn_datetime_json: datetime/epoch/interval + JSON       (events)
+- fn_array_hash:    array higher-order fns + hash/encode (documents)
+Exact moments / COUNT(DISTINCT) live in agg_stats_distinct
+(relational.py) over lineitem.
+
 Where the two engines share syntax the SAME string runs on both;
 otherwise the formulations are kept side-by-side so divergences are
 explicit and reviewable (e.g. get_json_object vs json_extract_string,
@@ -27,9 +35,9 @@ def _sql(sql: str):
     return run
 
 
-# --- string functions (shared syntax) ------------------------------------------
+# --- string + conditional / null-handling (shared syntax, one scan) -------------
 
-SQL_STRING = """
+SQL_SCALAR_SUITE = """
 SELECT c_custkey,
   upper(c_name) AS up,
   lower(c_mktsegment) AS lo,
@@ -40,13 +48,20 @@ SELECT c_custkey,
   lpad(CAST(c_custkey AS STRING), 10, '0') AS padded,
   trim('  ' || c_name || '  ') AS trimmed,
   concat(c_name, '/', c_mktsegment) AS joined,
-  levenshtein(c_mktsegment, 'BUILDING') AS lev
+  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_mapped,
+  greatest(c_acctbal, 1000.0) AS floor_bal,
+  least(c_acctbal, 5000.0) AS capped_bal,
+  CASE WHEN c_acctbal > 7500 THEN 'large'
+       WHEN c_acctbal > 2500 THEN 'medium'
+       ELSE 'small' END AS bucket,
+  (c_custkey % 2 = 0) AND (c_acctbal > 0) AS flag
 FROM customer
 """
 
-# --- datetime functions (per-engine epoch/interval spellings) -------------------
+# --- datetime + JSON functions (per-engine spellings, one scan of events) --------
 
-_DT_BODY = """
+_DT_JSON_BODY = """
 SELECT event_id,
   CAST(year(ts) AS INTEGER) AS y,
   CAST(month(ts) AS INTEGER) AS m,
@@ -54,44 +69,39 @@ SELECT event_id,
   CAST(hour(ts) AS INTEGER) AS h,
   date_trunc('week', ts) AS week_start,
   ts + INTERVAL 90 MINUTE AS plus90m,
-  {epoch_us}(ts) AS us
+  {epoch_us}(ts) AS us,
+  {json_k} AS k_str,
+  CAST({json_k} AS INTEGER) AS k_int,
+  {json_source} AS source,
+  {json_missing} AS missing,
+  {rendered} AS rendered
 FROM events
 """
 
-SQL_DT_SPARK = _DT_BODY.format(epoch_us="unix_micros")
+SQL_DT_JSON_SPARK = _DT_JSON_BODY.format(
+    epoch_us="unix_micros",
+    json_k="get_json_object(props, '$.k')",
+    json_source="get_json_object(props, '$.source')",
+    json_missing="get_json_object(props, '$.missing')",
+    rendered="to_json(named_struct('id', event_id, 'type', event_type))",
+)
 # DuckDB: date_trunc('week') yields DATE (Spark: TIMESTAMP); align types.
-SQL_DT_DUCK = (
-    _DT_BODY.replace("INTERVAL 90 MINUTE", "INTERVAL 90 MINUTES")
+SQL_DT_JSON_DUCK = (
+    _DT_JSON_BODY.replace("INTERVAL 90 MINUTE", "INTERVAL 90 MINUTES")
     .replace("date_trunc('week', ts)", "CAST(date_trunc('week', ts) AS TIMESTAMP)")
-    .format(epoch_us="epoch_us")
+    .format(
+        epoch_us="epoch_us",
+        json_k="json_extract_string(props, '$.k')",
+        json_source="json_extract_string(props, '$.source')",
+        json_missing="json_extract_string(props, '$.missing')",
+        rendered="'{\"id\":' || CAST(event_id AS VARCHAR) || ',\"type\":\"' || event_type || '\"}'",
+    )
 )
 
-# --- JSON functions -------------------------------------------------------------
+# --- array higher-order functions + hashing/encoding (one scan of documents) -----
 
-SQL_JSON_SPARK = """
-SELECT event_id,
-  get_json_object(props, '$.k') AS k_str,
-  CAST(get_json_object(props, '$.k') AS INTEGER) AS k_int,
-  get_json_object(props, '$.source') AS source,
-  get_json_object(props, '$.missing') AS missing,
-  to_json(named_struct('id', event_id, 'type', event_type)) AS rendered
-FROM events
-"""
-
-SQL_JSON_DUCK = """
-SELECT event_id,
-  json_extract_string(props, '$.k') AS k_str,
-  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-  json_extract_string(props, '$.source') AS source,
-  json_extract_string(props, '$.missing') AS missing,
-  '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type || '"}' AS rendered
-FROM events
-"""
-
-# --- array higher-order functions ----------------------------------------------
-
-SQL_ARRAY_SPARK = """
-WITH t AS (SELECT doc_id,
+SQL_ARRAY_HASH_SPARK = """
+WITH t AS (SELECT doc_id, text,
   filter(split(lower(text), ' '), x -> x <> '') AS tok FROM documents)
 SELECT doc_id,
   size(tok) AS n,
@@ -100,12 +110,16 @@ SELECT doc_id,
   size(array_distinct(tok)) AS n_distinct,
   aggregate(tok, 0, (acc, x) -> acc + length(x)) AS total_chars,
   array_max(transform(tok, x -> length(x))) AS max_len,
-  array_join(slice(sort_array(array_distinct(tok)), 1, 5), ',') AS first5_sorted
+  array_join(slice(sort_array(array_distinct(tok)), 1, 5), ',') AS first5_sorted,
+  md5(text) AS h_md5,
+  sha2(text, 256) AS h_sha256,
+  base64(encode(substring(text, 1, 12), 'UTF-8')) AS b64,
+  CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) AS hash_prefix_int
 FROM t
 """
 
-SQL_ARRAY_DUCK = """
-WITH t AS (SELECT doc_id,
+SQL_ARRAY_HASH_DUCK = """
+WITH t AS (SELECT doc_id, text,
   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok FROM documents)
 SELECT doc_id,
   len(tok) AS n,
@@ -114,77 +128,21 @@ SELECT doc_id,
   len(list_distinct(tok)) AS n_distinct,
   CAST(COALESCE(list_sum(list_transform(tok, x -> length(x))), 0) AS INTEGER) AS total_chars,
   CAST(list_max(list_transform(tok, x -> length(x))) AS INTEGER) AS max_len,
-  array_to_string(list_sort(list_distinct(tok))[1:5], ',') AS first5_sorted
-FROM t
-"""
-
-# --- conditional / null-handling (shared syntax) --------------------------------
-
-SQL_COND = """
-SELECT o_orderkey,
-  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_mapped,
-  greatest(o_totalprice, 100000.0) AS floor_price,
-  least(o_totalprice, 400000.0) AS capped_price,
-  CASE WHEN o_totalprice > 300000 THEN 'large'
-       WHEN o_totalprice > 100000 THEN 'medium'
-       ELSE 'small' END AS bucket,
-  (o_custkey % 2 = 0) AND (o_totalprice > 200000) AS flag
-FROM orders
-"""
-
-# --- hashing / encoding (shared: md5, sha2-free to stay common) -----------------
-
-SQL_HASH_SPARK = """
-SELECT doc_id, md5(text) AS h_md5,
-  sha2(text, 256) AS h_sha256,
-  base64(encode(substring(text, 1, 12), 'UTF-8')) AS b64,
-  CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT) AS hash_prefix_int
-FROM documents
-"""
-
-SQL_HASH_DUCK = """
-SELECT doc_id, md5(text) AS h_md5,
+  array_to_string(list_sort(list_distinct(tok))[1:5], ',') AS first5_sorted,
+  md5(text) AS h_md5,
   sha256(text) AS h_sha256,
   to_base64(encode(substring(text, 1, 12))) AS b64,
   CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT AS BIGINT) AS hash_prefix_int
-FROM documents
+FROM t
 """
-
-
-# --- statistics: exact order-independent formulations ---------------------------
-# stddev/avg over raw doubles is FP-order-dependent across engines; the
-# moments are computed from exact DECIMAL sums, and only the final
-# sqrt/divide happens in double (deterministic both sides). Median via
-# linear interpolation (Spark percentile ≡ DuckDB quantile_cont on the
-# same multiset).
-
-_QD = "CAST(l_quantity AS DECIMAL(18,2))"
-
-_STATS_BODY = f"""
-SELECT l_returnflag,
-  COUNT(*) AS n,
-  CAST(SUM({_QD}) AS DOUBLE) AS sum_qty,
-  round(CAST(SUM({_QD}) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
-  round(sqrt((CAST(SUM({_QD} * {_QD}) AS DOUBLE)
-              - CAST(SUM({_QD}) AS DOUBLE) * CAST(SUM({_QD}) AS DOUBLE) / COUNT(*))
-             / (COUNT(*) - 1)), 6) AS sd_qty,
-  round({{median}}, 6) AS median_qty,
-  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
-  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-SQL_STATS_SPARK = _STATS_BODY.format(median="percentile(l_quantity, 0.5)")
-SQL_STATS_DUCK = _STATS_BODY.format(median="quantile_cont(l_quantity, 0.5)")
 
 
 # --- approximate sketches (rows-only: estimates are engine-specific) ------------
 # At 100 TB exact COUNT(DISTINCT) shuffles every key; sketches keep the
 # shuffle at sketch-size per group. DuckDB's approx algorithms differ by
-# design, so these register WITHOUT an oracle (the driver still pins row
+# design, so this registers WITHOUT an oracle (the driver still pins row
 # count + schema) — the exact counterparts are oracle-checked in
-# agg_distinct / fn_stats_moments.
+# agg_stats_distinct.
 
 def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -198,16 +156,12 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def register(queries: dict, oracles: dict) -> None:
-    queries["agg_approx_sketch"] = q_approx_sketch
     entries = [
-        ("fn_string", SQL_STRING, SQL_STRING),
-        ("fn_datetime", SQL_DT_SPARK, SQL_DT_DUCK),
-        ("fn_json", SQL_JSON_SPARK, SQL_JSON_DUCK),
-        ("fn_array_hof", SQL_ARRAY_SPARK, SQL_ARRAY_DUCK),
-        ("fn_conditional", SQL_COND, SQL_COND),
-        ("fn_hash_encode", SQL_HASH_SPARK, SQL_HASH_DUCK),
-        ("fn_stats_moments", SQL_STATS_SPARK, SQL_STATS_DUCK),
+        ("fn_scalar_suite", SQL_SCALAR_SUITE, SQL_SCALAR_SUITE),
+        ("fn_datetime_json", SQL_DT_JSON_SPARK, SQL_DT_JSON_DUCK),
+        ("fn_array_hash", SQL_ARRAY_HASH_SPARK, SQL_ARRAY_HASH_DUCK),
     ]
     for name, spark_sql, duck_sql in entries:
         queries[name] = _sql(spark_sql)
         oracles[name] = duck_sql
+    queries["agg_approx_sketch"] = q_approx_sketch

@@ -12,8 +12,9 @@ bit-identical (both engines ship the same md5).
 Scale notes (the 100 TB story):
 - MinHash LSH: the band-bucket self-join is the scale path — candidate
   generation is a shuffle on the bucket key, never an O(n²) cross join.
-  At production scale, cap bucket width (drop buckets with > K members:
-  they are boilerplate/templates, not near-dups worth pairing).
+  Bucket width is capped (LSH_BUCKET_CAP, counted before any list is
+  collected): buckets wider than the cap are boilerplate/templates, not
+  near-dups worth O(k²) pairing, and an uncapped collect would OOM.
 - Brute-force cosine is the *baseline*; the ANN variant prunes
   candidates to the query's cluster (label = a precomputed IVF cell),
   turning the scan into a partition-pruned fraction of the corpus.
@@ -97,6 +98,14 @@ GROUP BY md5(text)
 
 # --- dedup: MinHash + LSH candidate pairs --------------------------------------
 
+# A band bucket wider than this is a boilerplate/template cluster, not a
+# near-dup candidate set: at 100 TB one 10⁶-member bucket would OOM the
+# collect_list AND explode O(k²) candidate pairs. Widths are counted
+# BEFORE any list is collected (count-aggregate, map-side partial), so
+# the cap also bounds executor memory, not just pair count.
+LSH_BUCKET_CAP = 50
+
+
 def _minhash_sql(tok_expr: str, shingle_expr: str, array_min: str) -> str:
     # One md5 per shingle; hash function j is hex slice [4j+1, 4j+4] of
     # that digest ("one-permutation" MinHash: each 16-bit slice induces
@@ -120,56 +129,60 @@ sh_t AS (SELECT doc_id, {shingle_expr} AS sh FROM toks),
 ms_t AS (SELECT doc_id, {tmap}(sh, s -> md5(s)) AS ms FROM sh_t),
 mh AS (SELECT doc_id, {mins} FROM ms_t),
 bands AS (SELECT doc_id, {bands} FROM mh),
-eb AS ({band_union})
+eb AS ({band_union}),
+ebc AS (SELECT doc_id, band_idx, bucket,
+        COUNT(*) OVER (PARTITION BY band_idx, bucket) AS bw FROM eb)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM eb a JOIN eb b
+FROM ebc a JOIN ebc b
   ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.bw <= {LSH_BUCKET_CAP}
 """
 
 
 SQL_MINHASH_DUCK = _minhash_sql(TOK_DUCK, SHINGLE_DUCK, "list_min")
 
 
-def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs, single-pass.
+def _minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, b0..b3) LSH band keys.
 
-    Spark CTEs are inlined, so a self-join formulation would recompute
-    the md5-heavy signature pipeline once per join side per band. This
-    version computes signatures ONCE, explodes to (band, bucket) keys,
-    and generates pairs inside a groupBy(bucket) — one shuffle on the
-    bucket key, which is exactly the LSH scale path at 100 TB (plus a
-    bucket-width cap there; buckets wider than ~50 docs are template
-    clusters, not near-dup candidates worth O(k²) pairing).
-    """
+    Explodes shingles and takes the 8 slice-mins as plain aggregates:
+    unlike nested array_min(transform(...)) lambdas (interpreted, no
+    codegen), a hash aggregate with min() is whole-stage-codegen'd and
+    partially aggregated map-side — the shuffle carries ≤ 1 row per
+    (doc, partition), not the shingle set."""
     from pyspark.sql import functions as F
 
-    docs = register_views(spark, sf_dir)["documents"]
-    corpus = docs.selectExpr("doc_id", "text").unionAll(
-        docs.selectExpr(
-            "doc_id + 100000 AS doc_id",
-            "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+    return (
+        corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
+        .selectExpr("doc_id", f"explode({SHINGLE_SPARK}) AS s")
+        .selectExpr("doc_id", "md5(s) AS m")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        .selectExpr(
+            "doc_id", *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)]
         )
     )
-    # explode shingles and take the 8 slice-mins as plain aggregates:
-    # unlike nested array_min(transform(...)) lambdas (interpreted,
-    # no codegen), a hash aggregate with min() is whole-stage-codegen'd
-    # and partially aggregated map-side — the shuffle carries ≤ 1 row
-    # per (doc, partition), not the shingle set. Same signatures.
-    sig = corpus.selectExpr(
-        "doc_id", f"{TOK_SPARK} AS tok"
-    ).selectExpr(
-        "doc_id", f"explode({SHINGLE_SPARK}) AS s"
-    ).selectExpr(
-        "doc_id", "md5(s) AS m"
-    ).groupBy("doc_id").agg(
-        *[
-            F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
-            for j in range(8)
-        ]
-    ).selectExpr(
-        "doc_id",
-        *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)],
-    )
+
+
+def band_pairs(sig: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """(doc_id, b0..b3) band keys → distinct candidate pairs
+    (doc_a < doc_b), generated inside a groupBy(bucket) — one shuffle on
+    the bucket key, never an O(n²) cross join.
+
+    Bucket widths are counted FIRST (count-only aggregate, map-side
+    partial combine) and buckets outside [2, bucket_cap] are dropped
+    before any doc-id list is collected; the join back to the exploded
+    band rows and the collect_list groupBy hash-partition on the same
+    (band_idx, bucket) key, so the width filter costs no extra exchange
+    of the wide data and every collected list is ≤ bucket_cap entries.
+    bucket_cap=None disables the cap (testing only — never at scale)."""
+    from pyspark.sql import functions as F
+
     eb = sig.select(
         "doc_id",
         F.explode(
@@ -182,11 +195,15 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.bucket")
-    pairs = (
-        eb.filter(F.col("bucket").isNotNull())
+    eb = eb.filter(F.col("bucket").isNotNull())
+    widths = eb.groupBy("band_idx", "bucket").agg(F.count(F.lit(1)).alias("bw"))
+    widths = widths.filter(F.col("bw") >= 2)
+    if bucket_cap is not None:
+        widths = widths.filter(F.col("bw") <= bucket_cap)
+    return (
+        eb.join(widths.select("band_idx", "bucket"), ["band_idx", "bucket"])
         .groupBy("band_idx", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
         .select(
             F.explode(
                 F.expr(
@@ -199,7 +216,28 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir)["documents"]
+    return docs.selectExpr("doc_id", "text").unionAll(
+        docs.selectExpr(
+            "doc_id + 100000 AS doc_id",
+            "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+        )
+    )
+
+
+def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, single-pass.
+
+    Spark CTEs are inlined, so a self-join formulation would recompute
+    the md5-heavy signature pipeline once per join side per band. This
+    version computes signatures ONCE (see _minhash_signatures) and
+    generates pairs inside a width-capped groupBy(bucket) (band_pairs) —
+    one shuffle on the bucket key, which is exactly the LSH scale path
+    at 100 TB."""
+    return band_pairs(_minhash_signatures(_near_dup_corpus(spark, sf_dir)))
 
 
 # --- dedup: cluster resolution (connected components over candidate pairs) ------
@@ -323,33 +361,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)]
         )
     )
-    eb = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array("
-                + ", ".join(f"struct({b} AS band_idx, b{b} AS bucket)" for b in range(4))
-                + ")"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.bucket")
-    cand = (
-        eb.filter(F.col("bucket").isNotNull())
-        .groupBy("band_idx", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)), b ->"
-                    " struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = band_pairs(sig)
     shingles = sh_raw.selectExpr("doc_id", "array_distinct(sh) AS sh")
     a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -396,10 +408,13 @@ mms AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS ms FROM msh),
 mmh AS (SELECT doc_id, {mins} FROM mms),
 mbands AS (SELECT doc_id, {bands} FROM mmh),
 meb AS ({band_union}),
+mebc AS (SELECT doc_id, band_idx, bucket,
+         COUNT(*) OVER (PARTITION BY band_idx, bucket) AS bw FROM meb),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM meb a JOIN meb b
+  FROM mebc a JOIN mebc b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE a.bw <= {LSH_BUCKET_CAP}
 ),
 jsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM msh),
 verified AS (
@@ -449,36 +464,24 @@ FROM pairs
 """
 
 
-SQL_JACCARD_SPARK = _jaccard_sql(TOK_SPARK, SHINGLE_SPARK, True)
-SQL_JACCARD_DUCK = _jaccard_sql(TOK_DUCK, SHINGLE_DUCK, False)
-
-
-# --- dedup: SimHash fingerprint --------------------------------------------------
+# --- SimHash fingerprint expression ----------------------------------------------
 # 64-bit simhash over distinct tokens; bit i comes from bit (3 - i%4) of
 # hex nibble i//4 of md5(token). Output as a 64-char bitstring so both
-# engines render identically.
+# engines render identically. Used as a column of text_annotations.
 
-SQL_SIMHASH_SPARK = f"""
-WITH toks AS (SELECT doc_id, array_distinct({TOK_SPARK}) AS tok FROM documents)
-SELECT doc_id,
-  concat_ws('', transform(sequence(0, 63), i ->
-    CASE WHEN aggregate(tok, 0, (acc, t) -> acc +
+
+def _simhash_expr(dtok: str, spark: bool) -> str:
+    if spark:
+        return f"""concat_ws('', transform(sequence(0, 63), i ->
+    CASE WHEN aggregate({dtok}, 0, (acc, t) -> acc +
       CASE WHEN (shiftright(instr('0123456789abcdef', substring(md5(t), (i div 4) + 1, 1)) - 1,
                  3 - (i % 4)) & 1) = 1 THEN 1 ELSE -1 END) > 0
-    THEN '1' ELSE '0' END)) AS simhash
-FROM toks
-"""
-
-SQL_SIMHASH_DUCK = f"""
-WITH toks AS (SELECT doc_id, list_distinct({TOK_DUCK}) AS tok FROM documents)
-SELECT doc_id,
-  array_to_string(list_transform(range(0, 64), i ->
-    CASE WHEN COALESCE(list_sum(list_transform(tok, t ->
+    THEN '1' ELSE '0' END))"""
+    return f"""array_to_string(list_transform(range(0, 64), i ->
+    CASE WHEN COALESCE(list_sum(list_transform({dtok}, t ->
       CASE WHEN (((strpos('0123456789abcdef', substring(md5(t), (i // 4) + 1, 1)) - 1)
                  >> (3 - (i % 4))) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
-    THEN '1' ELSE '0' END), '') AS simhash
-FROM toks
-"""
+    THEN '1' ELSE '0' END), '')"""
 
 
 # --- embedding cosine helpers ------------------------------------------------------
@@ -634,9 +637,37 @@ STOPWORDS = {
 }
 
 
-def _langid_sql(tok_expr: str, spark: bool) -> str:
+# --- text annotations: language-ID + quality + token counts + fingerprints ------
+# + simhash, in ONE narrow scan of documents (every column is a per-doc
+# map over the same token array — the per-document half of a curation
+# pass; at 100 TB this is one codegen'd projection, no shuffle at all).
+
+
+def _annotations_sql(spark: bool) -> str:
+    tok_expr = TOK_SPARK if spark else TOK_DUCK
+    shingle = SHINGLE_SPARK if spark else SHINGLE_DUCK
     size = "size" if spark else "len"
     flt = "filter" if spark else "list_filter"
+    distinct = "array_distinct" if spark else "list_distinct"
+    tmap = "transform" if spark else "list_transform"
+    amin = "array_min" if spark else "list_min"
+    join = "concat_ws(' ', tok)" if spark else "array_to_string(tok, ' ')"
+    agg_len = (
+        "aggregate(tok, 0, (acc, t) -> acc + length(t))"
+        if spark
+        else "COALESCE(list_sum(list_transform(tok, t -> length(t))), 0)"
+    )
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z]', ''))"
+        if spark
+        else "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    )
+    bpe = (
+        "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+        if spark
+        else "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    )
+    stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
     scores = ", ".join(
         f"{size}({flt}(tok, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
         for lang, ws in STOPWORDS.items()
@@ -649,36 +680,12 @@ def _langid_sql(tok_expr: str, spark: bool) -> str:
         for lang in langs[:-1]
     )
     return f"""
-WITH toks AS (SELECT doc_id, lang, {tok_expr} AS tok FROM documents),
-scored AS (SELECT doc_id, lang, {scores} FROM toks)
+WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM documents),
+pre AS (SELECT doc_id, lang, text, tok,
+        {shingle} AS sh, {distinct}(tok) AS dtok, {scores} FROM toks)
 SELECT doc_id, lang AS actual_lang,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
-  s_de, s_en, s_es, s_fr, s_zh
-FROM scored
-"""
-
-
-SQL_LANGID_SPARK = _langid_sql(TOK_SPARK, True)
-SQL_LANGID_DUCK = _langid_sql(TOK_DUCK, False)
-
-
-def _quality_sql(tok_expr: str, spark: bool) -> str:
-    size = "size" if spark else "len"
-    flt = "filter" if spark else "list_filter"
-    agg_len = (
-        "aggregate(tok, 0, (acc, t) -> acc + length(t))"
-        if spark
-        else "COALESCE(list_sum(list_transform(tok, t -> length(t))), 0)"
-    )
-    alpha = (
-        "length(regexp_replace(lower(text), '[^a-z]', ''))"
-        if spark
-        else "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
-    )
-    stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
-    return f"""
-WITH toks AS (SELECT doc_id, text, {tok_expr} AS tok FROM documents)
-SELECT doc_id,
+  s_de, s_en, s_es, s_fr, s_zh,
   length(text) AS n_chars,
   {size}(tok) AS n_tokens,
   CASE WHEN {size}(tok) = 0 THEN NULL
@@ -687,54 +694,14 @@ SELECT doc_id,
   CASE WHEN {size}(tok) = 0 THEN NULL
        ELSE round(CAST({stop} AS DOUBLE) / {size}(tok), 6) END AS stopword_ratio,
   round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
-        + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
-FROM toks
-"""
-
-
-SQL_QUALITY_SPARK = _quality_sql(TOK_SPARK, True)
-SQL_QUALITY_DUCK = _quality_sql(TOK_DUCK, False)
-
-
-def _tokens_sql(tok_expr: str, spark: bool) -> str:
-    size = "size" if spark else "len"
-    bpe = (
-        "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
-        if spark
-        else "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
-    )
-    return f"""
-WITH toks AS (SELECT doc_id, text, {tok_expr} AS tok FROM documents)
-SELECT doc_id, {size}(tok) AS ws_tokens, {bpe} AS bpe_ish_tokens,
-  CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate
-FROM toks
-"""
-
-
-SQL_TOKENS_SPARK = _tokens_sql(TOK_SPARK, True)
-SQL_TOKENS_DUCK = _tokens_sql(TOK_DUCK, False)
-
-
-def _fingerprint_sql(tok_expr: str, shingle_expr: str, spark: bool) -> str:
-    amin = "array_min" if spark else "list_min"
-    join = (
-        "concat_ws(' ', tok)"
-        if spark
-        else "array_to_string(tok, ' ')"
-    )
-    tmap = "transform" if spark else "list_transform"
-    return f"""
-WITH toks AS (SELECT doc_id, {tok_expr} AS tok FROM documents),
-sh_t AS (SELECT doc_id, tok, {shingle_expr} AS sh FROM toks)
-SELECT doc_id,
+        + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
+  {bpe} AS bpe_ish_tokens,
+  CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
-  {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash
-FROM sh_t
+  {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash,
+  {_simhash_expr("dtok", spark)} AS simhash
+FROM pre
 """
-
-
-SQL_FP_SPARK = _fingerprint_sql(TOK_SPARK, SHINGLE_SPARK, True)
-SQL_FP_DUCK = _fingerprint_sql(TOK_DUCK, SHINGLE_DUCK, False)
 
 
 # --- text curation pipeline: annotate → score → dedup → keep ------------------------
@@ -830,35 +797,79 @@ FROM chunks
     return body
 
 
+# --- merged union entries ----------------------------------------------------------
+# The driver checks a bounded number of catalog entries, so method
+# families over the same inputs are packed into one entry with a
+# `method`/`variant` discriminator column — every method still runs and
+# is oracle-checked, just under one row of the correctness report.
+
+
+def _pairwise_scores_sql(spark: bool) -> str:
+    """n-gram Jaccard (documents near-copy pairs) ∪ per-label embedding
+    nearest neighbour — both emit (method, id_a, id_b, score, near_dup)."""
+    jaccard = _jaccard_sql(
+        TOK_SPARK if spark else TOK_DUCK,
+        SHINGLE_SPARK if spark else SHINGLE_DUCK,
+        spark,
+    )
+    nn = _nn_label_sql(COS_SPARK if spark else COS_DUCK)
+    return f"""
+SELECT 'ngram_jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b, jaccard AS score,
+       CAST(NULL AS BOOLEAN) AS near_dup
+FROM ({jaccard.strip()})
+UNION ALL
+SELECT 'embedding_nn' AS method, CAST(vec_id AS BIGINT) AS id_a,
+       CAST(nn_vec_id AS BIGINT) AS id_b, nn_cos AS score, near_dup
+FROM ({nn.strip()})
+"""
+
+
+def _sim_topk_sql(spark: bool) -> str:
+    """Brute-force cosine top-k (the baseline) ∪ IVF-cell-pruned ANN
+    (the scale path) over the same query vectors."""
+    cos = COS_SPARK if spark else COS_DUCK
+    return f"""
+SELECT 'brute' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(cos, False).strip()})
+UNION ALL
+SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(cos, True).strip()})
+"""
+
+
+def _sim_ann_sql(spark: bool) -> str:
+    """Random-hyperplane LSH (bucketed, exact re-rank) ∪ int8-quantized
+    integer-dot-product top-k — the two label-free ANN scale paths."""
+    cos = COS_SPARK if spark else COS_DUCK
+    sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
+    return f"""
+SELECT 'lsh_hyperplane' AS method, q_id, c_id, cos AS score, rn
+FROM ({_lsh_hyperplane_sql(sig, cos).strip()})
+UNION ALL
+SELECT 'int8_quantized' AS method, q_id, c_id, CAST(qdot AS DOUBLE) AS score, rn
+FROM ({_quant_topk_sql(spark).strip()})
+"""
+
+
 def register(queries: dict, oracles: dict) -> None:
+    # previously-unchecked surface first (annotations, similarity), the
+    # r1-green heavy dedup compositions last
+    queries["text_annotations"] = _sql(_annotations_sql(True))
+    oracles["text_annotations"] = _annotations_sql(False)
+    queries["sim_topk_brute_ivf"] = _sql(_sim_topk_sql(True))
+    oracles["sim_topk_brute_ivf"] = _sim_topk_sql(False)
+    queries["sim_ann_lsh_quantized"] = _sql(_sim_ann_sql(True))
+    oracles["sim_ann_lsh_quantized"] = _sim_ann_sql(False)
+    queries["dedup_pairwise_scores"] = _sql(_pairwise_scores_sql(True))
+    oracles["dedup_pairwise_scores"] = _pairwise_scores_sql(False)
     queries["text_curation_pipeline"] = _sql(_curation_sql(True))
     oracles["text_curation_pipeline"] = _curation_sql(False)
     queries["text_chunking"] = _sql(_chunking_sql(True))
     oracles["text_chunking"] = _chunking_sql(False)
+    queries["dedup_exact"] = _sql(SQL_DEDUP_EXACT)
+    oracles["dedup_exact"] = SQL_DEDUP_EXACT
     queries["dedup_minhash_lsh"] = q_minhash_spark
     oracles["dedup_minhash_lsh"] = SQL_MINHASH_DUCK
     queries["dedup_cluster_keeper"] = q_dedup_clusters
     oracles["dedup_cluster_keeper"] = _cluster_oracle_sql(SQL_MINHASH_DUCK)
     queries["dedup_pipeline_corpus"] = q_dedup_pipeline
     oracles["dedup_pipeline_corpus"] = _pipeline_oracle_sql()
-    entries = [
-        ("dedup_exact", SQL_DEDUP_EXACT, SQL_DEDUP_EXACT),
-        ("dedup_ngram_jaccard", SQL_JACCARD_SPARK, SQL_JACCARD_DUCK),
-        ("dedup_simhash", SQL_SIMHASH_SPARK, SQL_SIMHASH_DUCK),
-        ("dedup_embedding_nn", _nn_label_sql(COS_SPARK), _nn_label_sql(COS_DUCK)),
-        ("sim_topk_cosine", _topk_sql(COS_SPARK, False), _topk_sql(COS_DUCK, False)),
-        ("sim_ann_cluster_pruned", _topk_sql(COS_SPARK, True), _topk_sql(COS_DUCK, True)),
-        (
-            "sim_lsh_hyperplane",
-            _lsh_hyperplane_sql(_hyperplane_sig_spark(), COS_SPARK),
-            _lsh_hyperplane_sql(_hyperplane_sig_duck(), COS_DUCK),
-        ),
-        ("sim_quantized_topk", _quant_topk_sql(True), _quant_topk_sql(False)),
-        ("text_langid", SQL_LANGID_SPARK, SQL_LANGID_DUCK),
-        ("text_quality_score", SQL_QUALITY_SPARK, SQL_QUALITY_DUCK),
-        ("text_token_count", SQL_TOKENS_SPARK, SQL_TOKENS_DUCK),
-        ("text_fingerprint", SQL_FP_SPARK, SQL_FP_DUCK),
-    ]
-    for name, spark_sql, duck_sql in entries:
-        queries[name] = _sql(spark_sql)
-        oracles[name] = duck_sql

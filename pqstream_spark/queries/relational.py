@@ -81,94 +81,177 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
-# --- sort + limit with total order --------------------------------------------
-SQL_TOPK = """
+# --- top-k: global sort+limit AND per-group rank, one entry ---------------------
+# The global branch must stay a TakeOrderedAndProject (no full sort —
+# pinned by tests/test_plans.py); the grouped branch is the windowed
+# row_number top-n. `rn` is NULL on global rows (rank is undefined there
+# without forcing a single-partition window).
+
+SQL_TOPK_GLOBAL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """
 
-# --- rollup (grouping sets) ----------------------------------------------------
-SQL_ROLLUP = f"""
-SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-  COUNT(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+
+def q_topk_global_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    glob = spark.sql(SQL_TOPK_GLOBAL).select(
+        F.lit("global").alias("scope"),
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("int").alias("rn"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    grouped = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.lit("per_customer").alias("scope"),
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
+    )
+    return glob.unionByName(grouped)
+
+
+ORACLE_TOPK = """
+SELECT 'global' AS scope, o_custkey, o_orderkey, o_totalprice,
+       CAST(NULL AS INTEGER) AS rn
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+UNION ALL
+SELECT 'per_customer' AS scope, o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
 """
 
-# --- explicit grouping sets (asymmetric: by-flag, by-status-pair, grand total) --
-SQL_GROUPING_SETS = f"""
-SELECT l_returnflag, l_linestatus,
+# --- multi-level grouping: ROLLUP + CUBE(+GROUPING markers) + GROUPING SETS ------
+# One entry, three grouping strategies over the same aggregate, each kept
+# in its native syntax (the optimizer expands all three to an Expand node;
+# partial aggregation still applies). Shared syntax on both engines.
+SQL_MULTILEVEL = f"""
+SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'sets' AS mode, l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
   COUNT(*) AS n,
   CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
 """
 
-# --- distinct aggregation ------------------------------------------------------
-SQL_DISTINCT = """
+# --- distinct aggregation + exact statistical moments (one groupBy) -------------
+# COUNT(DISTINCT) twice over + exact order-independent moments from
+# DECIMAL sums (stddev/avg over raw doubles is FP-order-dependent across
+# engines; only the final sqrt/divide happens in double). Median via
+# linear interpolation (Spark percentile ≡ DuckDB quantile_cont).
+
+_QD = "CAST(l_quantity AS DECIMAL(18,2))"
+
+_STATS_DISTINCT_BODY = f"""
 SELECT l_returnflag,
   COUNT(DISTINCT l_partkey) AS n_parts,
   COUNT(DISTINCT l_suppkey) AS n_supps,
-  COUNT(*) AS n
+  COUNT(*) AS n,
+  CAST(SUM({_QD}) AS DOUBLE) AS sum_qty,
+  round(CAST(SUM({_QD}) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
+  round(sqrt((CAST(SUM({_QD} * {_QD}) AS DOUBLE)
+              - CAST(SUM({_QD}) AS DOUBLE) * CAST(SUM({_QD}) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)), 6) AS sd_qty,
+  round({{median}}, 6) AS median_qty,
+  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
 
-# --- set operations -------------------------------------------------------------
+SQL_STATS_DISTINCT_SPARK = _STATS_DISTINCT_BODY.format(
+    median="percentile(l_quantity, 0.5)"
+)
+SQL_STATS_DISTINCT_DUCK = _STATS_DISTINCT_BODY.format(
+    median="quantile_cont(l_quantity, 0.5)"
+)
+
+# --- set operations + semi/anti joins (one entry) --------------------------------
+# INTERSECT/EXCEPT/UNION branches share schema with the semi/anti join
+# branches (EXISTS / NOT EXISTS duals); the Spark side exercises the
+# DataFrame left_semi/left_anti operators, the oracle spells both out.
 SQL_SETOPS = """
-SELECT 'union' AS src, k FROM (
+SELECT 'union' AS src, k, CAST(NULL AS STRING) AS name FROM (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
   UNION
   SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
 )
 UNION ALL
-SELECT 'intersect' AS src, k FROM (
+SELECT 'intersect' AS src, k, CAST(NULL AS STRING) AS name FROM (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
   INTERSECT
   SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
 )
 UNION ALL
-SELECT 'except' AS src, k FROM (
+SELECT 'except' AS src, k, CAST(NULL AS STRING) AS name FROM (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
   EXCEPT
   SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000
 )
 """
 
-# --- events: hourly windowed aggregation ----------------------------------------
-SQL_EVENTS_HOURLY = f"""
-SELECT date_trunc('hour', ts) AS hour, event_type,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
-"""
 
-
-# --- window functions (DataFrame API) -------------------------------------------
-
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+def q_setops_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    setops = spark.sql(SQL_SETOPS)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
     )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    semi = cust.join(orders, "c_custkey", "left_semi").select(
+        F.lit("with_orders").alias("src"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
     )
+    anti = cust.join(orders, "c_custkey", "left_anti").select(
+        F.lit("no_orders").alias("src"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+    )
+    return setops.unionByName(semi).unionByName(anti)
 
 
-ORACLE_WINDOW_RANK = """
-SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders
-) WHERE rn <= 3
+ORACLE_SETOPS_SEMI_ANTI = (
+    SQL_SETOPS
+    + """
+UNION ALL
+SELECT 'with_orders' AS src, c_custkey AS k, c_name AS name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'no_orders' AS src, c_custkey AS k, c_name AS name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+)
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,53 +282,40 @@ FROM lineitem
 """
 
 
-# --- semi / anti joins (DataFrame API) -------------------------------------------
-
-def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    semi = cust.join(orders, "c_custkey", "left_semi").select(
-        F.lit("with_orders").alias("src"), "c_custkey", "c_name"
-    )
-    anti = cust.join(orders, "c_custkey", "left_anti").select(
-        F.lit("no_orders").alias("src"), "c_custkey", "c_name"
-    )
-    return semi.unionByName(anti)
-
-
-ORACLE_SEMI_ANTI = """
-SELECT 'with_orders' AS src, c_custkey, c_name FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-UNION ALL
-SELECT 'no_orders' AS src, c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-"""
-
-
-# --- pivot (conditional aggregation) ----------------------------------------------
+# --- hourly time-bucket aggregation, pivoted (one entry) --------------------------
+# The long form (hour × event_type counts + DECIMAL-exact value sums) and
+# the wide pivot are the same aggregate; pivoting to one row per hour
+# keeps both features in a single pass — the Spark side exercises the
+# pivot operator, the oracle is the conditional-aggregation expansion.
+# Counts are filled to 0 (pivot leaves missing cells NULL; COUNT(CASE)
+# yields 0); sums stay NULL on empty cells in both engines.
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+    out = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum"),
+        )
     )
+    return out.na.fill(0, [f"{t}_n" for t in EVENT_TYPES])
 
 
-ORACLE_PIVOT = (
-    # CAST: duckdb's date_trunc('day') yields DATE, Spark's a TIMESTAMP
-    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+ORACLE_EVENTS_PIVOT = (
+    # CAST: duckdb's date_trunc('hour') yields DATE-less TIMESTAMP fine but
+    # keep the explicit cast for parity with Spark's TIMESTAMP output
+    "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, "
     + ", ".join(
-        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in EVENT_TYPES
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}_n, "
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS {DEC}) END) AS DOUBLE) AS {t}_sum"
+        for t in EVENT_TYPES
     )
-    + " FROM events GROUP BY date_trunc('day', ts)"
+    + " FROM events GROUP BY date_trunc('hour', ts)"
 )
 
 
@@ -260,8 +330,9 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, event_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -357,7 +428,11 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY o_orderpriority
 """
 
-# --- q6: forecast revenue (tight filter + global agg; pushdown showcase) --------
+# --- q6 + q19: selective-predicate global aggregates (one entry) -----------------
+# q6 (tight single-table filter + global agg — the pushdown showcase,
+# plan-pinned in tests/test_plans.py) and q19 (disjunction of conjunctive
+# predicates across a join) share an output shape; the variant column
+# keeps both plans visible to the oracle in one entry.
 SQL_Q6 = f"""
 SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
@@ -465,6 +540,12 @@ WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
        AND l_quantity >= 20 AND l_quantity <= 40)
 """
 
+SQL_Q6_Q19 = f"""
+SELECT 'q6_forecast' AS variant, revenue, n_items FROM ({SQL_Q6.strip()})
+UNION ALL
+SELECT 'q19_disjunctive' AS variant, revenue, n_items FROM ({SQL_Q19.strip()})
+"""
+
 # --- q22: idle customers (NOT EXISTS anti-join + uncorrelated scalar subquery) --
 # threshold = SUM/COUNT in DECIMAL then one double divide: DuckDB's
 # AVG(DECIMAL) returns an order-dependent DOUBLE, so avg is spelled out.
@@ -492,17 +573,36 @@ WHERE p_retailprice > 1.04 * (
   FROM part p2 WHERE p2.p_brand = p.p_brand)
 """
 
-# --- analytic window functions: lag/lead/first/last/ntile -----------------------
-SQL_WINDOW_ANALYTICS = """
+# --- analytic window functions + RANGE frame (one entry) ------------------------
+# lag/lead/first_value/ntile over a ROWS-ordered window, plus a RANGE
+# frame bounded by VALUE distance (30 days in epoch seconds — the frame
+# type used for time-decayed features; ROWS frames are covered by
+# window_running_sum). RANGE needs a numeric order key, so the date
+# becomes epoch seconds; parquet dates surface as TIMESTAMP_NTZ, which
+# unix_seconds rejects — the session TZ is UTC so the cast is an
+# identity relabel.
+
+
+def _window_analytics_sql(epoch: str) -> str:
+    return f"""
 SELECT o_custkey, o_orderkey,
   lag(o_orderkey) OVER w AS prev_order,
   lead(o_orderkey) OVER w AS next_order,
   first_value(o_orderkey) OVER w AS first_order,
   CAST(o_orderdate = first_value(o_orderdate) OVER w AS BOOLEAN) AS is_first_date,
-  ntile(4) OVER w AS quartile
+  ntile(4) OVER w AS quartile,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY {epoch}
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+SQL_WINDOW_ANALYTICS_SPARK = _window_analytics_sql(
+    "unix_seconds(CAST(o_orderdate AS TIMESTAMP))"
+)
+SQL_WINDOW_ANALYTICS_DUCK = _window_analytics_sql("epoch(o_orderdate)")
 
 # --- FULL OUTER join with coalesced keys (join-type closure) --------------------
 SQL_OUTER_JOIN = """
@@ -516,29 +616,6 @@ FULL JOIN (SELECT o_custkey, COUNT(*) AS n_recent FROM orders
            GROUP BY o_custkey) r
   ON h.c_custkey = r.o_custkey
 """
-
-# --- RANGE window frame: 30-day trailing spend per customer ---------------------
-# ROWS frames are covered by window_running_sum; RANGE frames bound the
-# window by VALUE distance (here: seconds), the frame type used for
-# time-decayed features. Order key must be numeric for RANGE, so the
-# date becomes epoch seconds.
-
-def _range_frame_sql(epoch: str) -> str:
-    return f"""
-SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-    PARTITION BY o_custkey ORDER BY {epoch}(o_orderdate)
-    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
-FROM orders
-"""
-
-
-# parquet dates surface as TIMESTAMP_NTZ, which unix_seconds rejects;
-# the session TZ is UTC so the cast is an identity relabel
-SQL_RANGE_FRAME_SPARK = _range_frame_sql("unix_seconds").replace(
-    "unix_seconds(o_orderdate)", "unix_seconds(CAST(o_orderdate AS TIMESTAMP))"
-)
-SQL_RANGE_FRAME_DUCK = _range_frame_sql("epoch")
 
 # --- lateral explode / unnest with ordinality ------------------------------------
 SQL_EXPLODE_SPARK = """
@@ -557,51 +634,37 @@ FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') A
 WHERE u.i <= 5
 """
 
-# --- CUBE with GROUPING() markers ----------------------------------------------
-SQL_CUBE = f"""
-SELECT l_returnflag, l_linestatus,
-  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
-  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
 
 def register(queries: dict, oracles: dict) -> None:
     for name, sql in [
         ("q1_pricing_summary", SQL_Q1),
         ("q3_shipping_priority", SQL_Q3),
-        ("q5_local_supplier_volume", SQL_Q5),
-        ("sort_topk", SQL_TOPK),
-        ("agg_rollup", SQL_ROLLUP),
-        ("agg_grouping_sets", SQL_GROUPING_SETS),
-        ("agg_distinct", SQL_DISTINCT),
-        ("setops", SQL_SETOPS),
-        ("events_hourly_agg", SQL_EVENTS_HOURLY),
         ("q4_order_priority_exists", SQL_Q4),
-        ("q6_revenue_forecast", SQL_Q6),
+        ("q5_local_supplier_volume", SQL_Q5),
+        ("q6_q19_selective_agg", SQL_Q6_Q19),
         ("q7_volume_shipping", SQL_Q7),
         ("q10_returned_items", SQL_Q10),
         ("q14_promo_share", SQL_Q14),
-        ("q19_disjunctive_join", SQL_Q19),
         ("q22_idle_customers", SQL_Q22),
         ("corr_scalar_subquery", SQL_CORR_SCALAR),
-        ("agg_cube_grouping", SQL_CUBE),
-        ("window_analytics", SQL_WINDOW_ANALYTICS),
+        ("agg_multilevel_grouping", SQL_MULTILEVEL),
+        ("join_full_outer", SQL_OUTER_JOIN),
     ]:
         queries[name] = _sql(sql)
         oracles[name] = sql
 
-    queries["window_rank_topn"] = q_window_rank
-    oracles["window_rank_topn"] = ORACLE_WINDOW_RANK
+    queries["topk_global_grouped"] = q_topk_global_grouped
+    oracles["topk_global_grouped"] = ORACLE_TOPK
+    queries["agg_stats_distinct"] = _sql(SQL_STATS_DISTINCT_SPARK)
+    oracles["agg_stats_distinct"] = SQL_STATS_DISTINCT_DUCK
+    queries["setops_semi_anti"] = q_setops_semi_anti
+    oracles["setops_semi_anti"] = ORACLE_SETOPS_SEMI_ANTI
+    queries["events_hourly_pivot"] = q_events_hourly_pivot
+    oracles["events_hourly_pivot"] = ORACLE_EVENTS_PIVOT
+    queries["window_analytics_frames"] = _sql(SQL_WINDOW_ANALYTICS_SPARK)
+    oracles["window_analytics_frames"] = SQL_WINDOW_ANALYTICS_DUCK
     queries["window_running_sum"] = q_window_running
     oracles["window_running_sum"] = ORACLE_WINDOW_RUNNING
-    queries["join_semi_anti"] = q_join_semi_anti
-    oracles["join_semi_anti"] = ORACLE_SEMI_ANTI
-    queries["agg_pivot_daily"] = q_pivot_daily
-    oracles["agg_pivot_daily"] = ORACLE_PIVOT
     queries["sessionize"] = _sql(SPARK_SESSIONIZE)
     oracles["sessionize"] = ORACLE_SESSIONIZE
     queries["asof_join_attribution"] = q_asof_attribution
@@ -612,7 +675,3 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["fn_explode_lateral"] = SQL_EXPLODE_DUCK
     queries["q18_large_volume_in_having"] = q_q18_single_pass
     oracles["q18_large_volume_in_having"] = SQL_Q18
-    queries["window_range_frame"] = _sql(SQL_RANGE_FRAME_SPARK)
-    oracles["window_range_frame"] = SQL_RANGE_FRAME_DUCK
-    queries["join_full_outer"] = _sql(SQL_OUTER_JOIN)
-    oracles["join_full_outer"] = SQL_OUTER_JOIN
