@@ -33,19 +33,26 @@ def asof_join(
     filled_names = [f"asof_{c}" for c in value_cols]
 
     rt = F.col(right_time)
+    # the value columns ride in ONE struct, so (a) every value comes from
+    # the SAME most-recent right row (per-column forward-fill could mix
+    # rows when the latest right row holds a legitimate NULL), and (b)
+    # struct non-null IS the match marker — a matched right row whose
+    # value columns are all NULL is still a match for how='inner'
     right_part = right.select(
         F.col(key).alias("_k"),
         rt.alias("_t"),
         F.lit(0).alias("_side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tie"),
-        *[F.col(c).alias(n) for c, n in zip(value_cols, filled_names)],
+        F.struct(
+            *[F.col(c).alias(n) for c, n in zip(value_cols, filled_names)]
+        ).alias("_vals"),
     )
     left_part = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right_part.schema["_tie"].dataType).alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(value_cols, filled_names)],
+        F.lit(None).cast(right_part.schema["_vals"].dataType).alias("_vals"),
         *[F.col(c) for c in left.columns],
     )
     # right rows lacking the left columns
@@ -62,9 +69,12 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in filled_names],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if how == "inner":
-        out = out.filter(F.col(filled_names[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_vals").isNotNull())
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_vals.{n}").alias(n) for n in filled_names],
+    )

@@ -45,22 +45,52 @@ def materialize_current_state(changelog: DataFrame) -> DataFrame:
     )
 
 
-def materialize_current_state_stream(changelog: DataFrame) -> DataFrame:
+def materialize_current_state_stream(
+    changelog: DataFrame,
+    tombstone_ttl_ms: int = 24 * 3600 * 1000,
+    watermark_delay: str = "7 days",
+) -> DataFrame:
     """Streaming fold with explicit state: one state entry per live key.
 
     Emits the key's current row after each micro-batch that touches it
-    (update-mode semantics); a DELETE clears the state and emits a
-    tombstone row with op='DELETE', payload NULL — so a downstream sink
-    can apply removals too."""
+    (update-mode semantics); a DELETE emits a tombstone row with
+    op='DELETE', payload NULL — so a downstream sink can apply removals
+    too.
+
+    DELETE keeps a TOMBSTONE in state (seq, 'DELETE', NULL) rather than
+    removing the entry: under the engine's at-least-once delivery
+    (sources/outbox.py replays from the checkpoint high-water mark), a
+    replayed pre-DELETE event arriving in a later micro-batch would find
+    no state, pass the `seq <= high-water` replay guard, and resurrect
+    the deleted row. The tombstone preserves the seq high-water across
+    the replay horizon and expires via an EVENT-TIME state timeout: it
+    fires once the watermark passes `delete_ts + tombstone_ttl_ms`, so
+    the horizon is measured in stream time (replays deliver OLD event
+    times, which is exactly what the watermark bounds) and an idle
+    query schedules no timer-driven empty micro-batches — a
+    processing-time timer would re-trigger the query forever, burning
+    cluster time and making `processAllAvailable` unusable. State stays
+    bounded at one row per live-or-recently-deleted key; live rows
+    never time out (a stale timer from a deleted-then-reinserted key is
+    ignored when it fires)."""
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            seq, op, payload = state.get if state.exists else (-1, None, None)
+            if op == "DELETE":
+                # tombstone outlived the replay horizon — safe to forget
+                state.remove()
+            # else: stale timer from a key deleted then re-inserted;
+            # the live row stays (timers fire once, nothing to clear)
+            return
         table_name, id_ = key
         if state.exists:
             seq, op, payload = state.get
         else:
             seq, op, payload = -1, None, None
+        ts_ms = -1
         for pdf in pdfs:
             pdf = pdf.sort_values("seq")
             for row in pdf.itertuples(index=False):
@@ -69,10 +99,13 @@ def materialize_current_state_stream(changelog: DataFrame) -> DataFrame:
                 seq = int(row.seq)
                 op = row.op
                 payload = None if row.op == "DELETE" else row.payload_json
-        if op == "DELETE":
-            state.remove()
-        else:
-            state.update((seq, op, payload))
+                ts_ms = int(pd.Timestamp(row.ts).value // 1_000_000)
+        state.update((seq, op, payload))
+        if op == "DELETE" and ts_ms >= 0:
+            # the engine requires the timer to sit beyond the watermark
+            state.setTimeoutTimestamp(
+                max(ts_ms + tombstone_ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 "table_name": [table_name],
@@ -84,13 +117,14 @@ def materialize_current_state_stream(changelog: DataFrame) -> DataFrame:
         )
 
     return (
-        changelog.select("table_name", "id", "seq", "op", "payload_json")
+        changelog.withWatermark("ts", watermark_delay)
+        .select("table_name", "id", "seq", "ts", "op", "payload_json")
         .groupBy("table_name", "id")
         .applyInPandasWithState(
             fold,
             outputStructType=CURRENT_STATE_SCHEMA,
             stateStructType="seq long, op string, payload_json string",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -75,12 +75,21 @@ def redact_fields(df: DataFrame, cfg: FieldRedactions) -> DataFrame:
         scrub(c) if c in ("payload", "previous") else F.col(c)
         for c in df.columns
     ]
-    out = joined.select(*out_cols)
-    # keep the JSON projections consistent with the scrubbed maps
+    out = joined.select(*out_cols, F.col("redacted_fields"))
+    # Keep the JSON projections consistent with the scrubbed maps — but
+    # ONLY on rows of a redacted (schema, table) whose map was actually
+    # scrubbed. Rebuilding unconditionally would replace the original
+    # JSON (which preserves nested/typed fidelity — see model.py) with a
+    # flat map rendering for every row, and null the JSON on rows whose
+    # map is NULL but whose json text was not.
     for map_col, json_col in (("payload", "payload_json"), ("previous", "previous_json")):
         if json_col in out.columns:
             out = out.withColumn(
                 json_col,
-                F.when(F.col(map_col).isNotNull(), F.to_json(F.col(map_col))),
+                F.when(
+                    F.col("redacted_fields").isNotNull()
+                    & F.col(map_col).isNotNull(),
+                    F.to_json(F.col(map_col)),
+                ).otherwise(F.col(json_col)),
             )
-    return out
+    return out.drop("redacted_fields")

@@ -245,11 +245,18 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     """Connected components over (doc_a, doc_b) pairs via iterative
     min-label propagation: each doc's label converges to the min doc_id
-    reachable, in O(log(diameter)) rounds of one shuffle each — the
+    reachable, in O(graph diameter) rounds of one shuffle each — the
     scale path for transitive closure (no driver-side union-find, no
-    recursion depth tied to cluster size). Fixed point is checked with
-    a cheap count per round; localCheckpoint cuts the growing lineage.
-    Returns (doc_id, label)."""
+    recursion depth tied to cluster size). Near-dup clusters are
+    star/clique-shaped (diameter ≤ a few hops), so the default round
+    budget converges with slack; a pathological chain longer than
+    max_rounds hops would exit unconverged, which is WARNED about
+    rather than silently returned (the large-star/small-star variant
+    would make the round count O(log diameter) if such graphs ever
+    appear). Fixed point is checked with a cheap count per round;
+    localCheckpoint cuts the growing lineage. Returns (doc_id, label)."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     edges = pairs.unionAll(
@@ -261,6 +268,7 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     edges = edges.localCheckpoint()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -281,7 +289,16 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         new_labels = new_labels.localCheckpoint()
         labels = new_labels.select("doc_id", "label")
         if new_labels.filter("_changed").limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"propagate_min_labels exhausted max_rounds={max_rounds} with "
+            "labels still changing — cluster assignments may be split; "
+            "raise max_rounds (graph diameter exceeds the budget)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -42,13 +42,17 @@ def jsonl_dir_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = [r.asDict() for r in batch_df.orderBy("seq").collect()]
-        if not rows:
-            return
+        # stream the sorted batch through the driver a partition at a
+        # time (toLocalIterator) — the file is written incrementally, so
+        # driver memory is bounded by one partition, not the micro-batch
         path = os.path.join(out_dir, f"batch-{epoch_id:08d}.jsonl")
+        wrote = False
         with open(path, "w") as f:
-            for r in rows:
-                f.write(event_to_json_line(r) + "\n")
+            for r in batch_df.orderBy("seq").toLocalIterator():
+                f.write(event_to_json_line(r.asDict()) + "\n")
+                wrote = True
+        if not wrote:
+            os.remove(path)
 
     return write
 
@@ -94,36 +98,77 @@ class StompForwarder:
         return write
 
 
-def upsert_parquet_sink(out_dir: str, keys: list[str]) -> Callable[[DataFrame, int], None]:
+def upsert_parquet_sink(
+    out_dir: str, keys: list[str], n_buckets: int = 16
+) -> Callable[[DataFrame, int], None]:
     """Streaming materialized view: merge each update-mode micro-batch
     into a parquet table by key (rows in the batch REPLACE rows with the
     same key — update-mode aggregates are cumulative, so last write
     wins).
 
-    This is MERGE-INTO maintenance without a table format: new batch ∪
-    (old table anti-join batch keys), written to a temp dir and swapped
-    in. At production scale the swap becomes a Delta/Iceberg MERGE and
-    the anti-join a key-range rewrite; the dataflow is identical.
+    The table is laid out as `kbucket=N/` hash partitions of the key
+    (partition column `kbucket = hash(keys) mod n_buckets`), and a batch
+    rewrites ONLY the buckets its keys fall in — untouched partitions'
+    files are never read or rewritten, so per-batch cost tracks batch
+    key-spread, not table size. One Spark job merges all touched buckets
+    (old partitions ∪ batch, anti-joined by key) into a temp dir; each
+    bucket then swaps in via rename old→aside, rename new→in, delete
+    aside — the unrecoverable window is a single atomic rename per
+    bucket, a concurrent reader always sees the bucket present, and a
+    crash leaves at worst one bucket aside (recovered on next batch by
+    preferring the live dir). Epoch replay after a partial swap is
+    idempotent: re-merging the same batch against either the old or the
+    new bucket contents yields the same rows. At production scale the
+    swap becomes a Delta/Iceberg MERGE and the layout its file pruning;
+    the dataflow is identical.
     """
     import shutil
+
+    def _bucket_dir(b: int) -> str:
+        return os.path.join(out_dir, f"kbucket={b}")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()  # detach from the stream plan
-        if os.path.isdir(out_dir):
-            old = spark.read.parquet(out_dir)
+        kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+            "int"
+        )
+        # localCheckpoint: detach from the stream plan AND pin the batch
+        # (it is scanned twice: bucket list + merge)
+        batch = batch_df.withColumn("kbucket", kb).localCheckpoint()
+        touched = sorted(r["kbucket"] for r in batch.select("kbucket").distinct().collect())
+        os.makedirs(out_dir, exist_ok=True)
+
+        existing = [b for b in touched if os.path.isdir(_bucket_dir(b))]
+        if existing:
+            old = (
+                spark.read.option("basePath", out_dir)
+                .parquet(*[_bucket_dir(b) for b in existing])
+                .withColumn("kbucket", F.col("kbucket").cast("int"))
+            )
             merged = old.join(batch.select(*keys), keys, "left_anti").unionByName(
                 batch
             )
         else:
             merged = batch
-        tmp = out_dir.rstrip("/") + f".tmp-{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
+        tmp_root = out_dir.rstrip("/") + f".tmp-{epoch_id}"
+        merged.write.mode("overwrite").partitionBy("kbucket").parquet(tmp_root)
+        for b in touched:
+            live, fresh = _bucket_dir(b), os.path.join(tmp_root, f"kbucket={b}")
+            if not os.path.isdir(fresh):
+                continue  # bucket keyed entirely by anti-joined rows
+            if os.path.isdir(live):
+                # aside dir sits OUTSIDE the table root: if a crash
+                # strands it, partition discovery over out_dir never
+                # sees a malformed `kbucket=N.old-…` entry
+                aside = out_dir.rstrip("/") + f".aside-{epoch_id}-{b}"
+                os.rename(live, aside)
+                os.rename(fresh, live)
+                shutil.rmtree(aside)
+            else:
+                os.rename(fresh, live)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     return write
 

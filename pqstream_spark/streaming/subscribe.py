@@ -132,16 +132,22 @@ class Dispatcher:
         def dispatch(batch_df: DataFrame, epoch_id: int) -> None:
             if not self._subs:
                 return
-            rows = [r.asDict() for r in batch_df.orderBy("seq").collect()]
-            if not rows:
-                return
-            for name, (pattern, cb) in list(self._subs.items()):
-                for row in rows:
+            # toLocalIterator streams the sorted batch one partition at a
+            # time — driver memory is bounded by a partition, not the
+            # micro-batch (collect() here was the classic driver
+            # bottleneck: "many cheap subscribers" routed the full event
+            # stream through one list). Rows arrive in global seq order;
+            # each is multicast to the surviving subscribers — the
+            # reference's event-loop shape (server.go:249-267).
+            for r in batch_df.orderBy("seq").toLocalIterator():
+                if not self._subs:
+                    break
+                row = r.asDict()
+                for name, (pattern, cb) in list(self._subs.items()):
                     if not pattern.search(row["table_name"] or ""):
                         continue
                     if not cb(row):
                         self.unsubscribe(name)  # False → unsubscribe
-                        break
 
         writer = self._events.writeStream.foreachBatch(dispatch).queryName(
             "pqstream_dispatcher"

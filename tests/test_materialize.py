@@ -37,6 +37,54 @@ def test_batch_materialize_latest_wins(spark):
     assert got == expected_live
 
 
+def test_stream_delete_tombstone_blocks_replay(spark, tmp_path):
+    """At-least-once replay: a pre-DELETE event redelivered in a LATER
+    micro-batch must not resurrect the deleted row — the state keeps a
+    (seq, DELETE, NULL) tombstone whose seq high-water rejects the
+    replayed older event (ADVICE r1: state.remove() lost the guard)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ns = 1_700_000_000 * 10**9  # event-time base, nanos (file schema)
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    insert = (10, ns, 5, "signup", 1.0, '{"k": 1}')
+    delete = (20, ns + 10**9, 5, "churn", 1.0, '{"k": 2}')
+    write_events("b1", [insert, delete])
+
+    out = materialize_current_state_stream(stream_changelog(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mat_tomb")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 redelivers the pre-DELETE insert (older seq)
+        write_events("b2", [insert])
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("select * from mat_tomb").collect(), key=lambda r: r["seq"]
+        )
+    finally:
+        q.stop()
+
+    # every emission for the key after the DELETE is still the tombstone
+    last = rows[-1]
+    assert last["op"] == "DELETE" and last["payload_json"] is None
+    assert last["seq"] == 20, "replayed seq=10 must not win over the tombstone"
+
+
 def test_stream_materialize_two_batches(spark, tmp_path):
     """File 1 then file 2 arriving later: state carries across
     micro-batches; DELETE emits a tombstone and clears state."""
