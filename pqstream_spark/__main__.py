@@ -1,0 +1,178 @@
+"""`python -m pqstream_spark` — the daemon entry point.
+
+Mirrors the reference daemon's flag surface (`pqsd`,
+/root/reference/cmd/pqsd/main.go:30-42):
+
+    -connect      → --connect   source: `sqlite:PATH` (local capture
+                                backend: triggers + outbox + poller) or
+                                a changelog parquet directory (file
+                                source micro-batches)
+    -tables       → --tables    server-level table regexp (which tables
+                                get captured / pass the filter)
+    -redactions   → --redactions JSON redaction config, same shape as
+                                the reference's flag (README.md:62-75)
+    -addr         → --out       where events go: a directory (one JSON
+                                per line per micro-batch, K1 parity) or
+                                `-` for stdout — the engine has no gRPC
+                                wire (grpcio absent; see streaming/
+                                sinks.py callback bridge)
+    -remove       → --remove    remove capture triggers and exit
+    (new)           --once      drain available data then exit (smoke/
+                                batch mode; without it the daemon runs
+                                until SIGINT, graceful-stop parity with
+                                main.go:113-118)
+
+Startup order matches pqsd: remove-then-install triggers, then serve
+(cmd/pqsd/main.go:95-112).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pqstream_spark",
+        description="pqstream-spark daemon: capture → transform → fan-out",
+    )
+    p.add_argument(
+        "--connect",
+        required=True,
+        help="source: sqlite:PATH for the local capture backend, or a "
+        "changelog parquet directory for the file source",
+    )
+    p.add_argument("--tables", default=None, help="table name regexp")
+    p.add_argument(
+        "--redactions", default="", help="JSON redaction config or @file"
+    )
+    p.add_argument(
+        "--out", default="-", help="output dir for jsonl batches, or - for stdout"
+    )
+    p.add_argument(
+        "--remove", action="store_true", help="remove capture triggers and exit"
+    )
+    p.add_argument(
+        "--once", action="store_true", help="drain available input, then exit"
+    )
+    p.add_argument(
+        "--poll-interval", type=float, default=1.0,
+        help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
+    )
+    return p
+
+
+def _load_redactions(arg: str):
+    from .operators.redact import decode_redactions
+
+    if not arg:
+        return {}
+    if arg.startswith("@"):
+        with open(arg[1:]) as f:
+            arg = f.read()
+    return decode_redactions(arg)
+
+
+def _emit(batch_df, out: str, epoch: int) -> None:
+    from .streaming.sinks import event_to_json_line, jsonl_dir_writer
+
+    if out == "-":
+        for r in batch_df.orderBy("seq").toLocalIterator():
+            print(event_to_json_line(r.asDict()), flush=True)
+    else:
+        jsonl_dir_writer(out)(batch_df, epoch)
+
+
+def _run_sqlite(args, stop: threading.Event) -> int:
+    import sqlite3
+
+    from .pipeline import handle_events
+    from .session import get_spark
+    from .sources.outbox_local import (
+        LocalCaptureManager,
+        LocalOutboxPoller,
+        raw_events_from_outbox,
+    )
+
+    path = args.connect[len("sqlite:"):]
+    conn = sqlite3.connect(path)
+    cap = LocalCaptureManager(conn, table_regexp=args.tables)
+    cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
+    if args.remove:
+        return 0
+    tables = cap.install()
+    print(f"capturing {len(tables)} tables: {tables}", file=sys.stderr)
+
+    spark = get_spark("pqstream-daemon")
+    redactions = _load_redactions(args.redactions)
+    poller = LocalOutboxPoller(conn)
+    epoch = 0
+    while not stop.is_set():
+        batch = poller.read_batch(spark)
+        events = handle_events(
+            raw_events_from_outbox(batch), redactions=redactions
+        )
+        _emit(events, args.out, epoch)
+        poller.advance()
+        epoch += 1
+        if args.once:
+            if batch.isEmpty():
+                break
+        else:
+            stop.wait(args.poll_interval)
+    return 0
+
+
+def _run_changelog_dir(args, stop: threading.Event) -> int:
+    from .session import get_spark
+    from .streaming.subscribe import SubscriptionManager
+    from .streaming.source import stream_changelog
+
+    spark = get_spark("pqstream-daemon")
+    mgr = SubscriptionManager(
+        lambda: stream_changelog(spark, args.connect),
+        redactions=_load_redactions(args.redactions),
+    )
+    out = args.out
+    q = mgr.listen(
+        "daemon",
+        table_regexp=args.tables or ".*",
+        foreach_batch=lambda df, epoch: _emit(df, out, epoch),
+    )
+    if args.once:
+        q.processAllAvailable()
+    else:
+        while not stop.is_set() and q.isActive:
+            stop.wait(1.0)
+    mgr.stop_all()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    stop = threading.Event()
+
+    # SIGINT → graceful stop (ctxutil/background_signals.go:12-22 parity)
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGINT, lambda *_: stop.set())
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+
+    if args.connect.startswith("sqlite:"):
+        return _run_sqlite(args, stop)
+    if not os.path.isdir(args.connect):
+        print(f"--connect: not a sqlite: URL or directory: {args.connect}",
+              file=sys.stderr)
+        return 2
+    if args.remove:
+        print("--remove only applies to the sqlite capture backend",
+              file=sys.stderr)
+        return 2
+    return _run_changelog_dir(args, stop)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,226 @@
+"""Local (sqlite) capture backend: the full trigger → outbox → poller
+path, executable in-process with no Postgres.
+
+The reference's capture side is only integration-tested against a live
+database (/root/reference/server_test.go:110-257: throwaway DB per
+case, scripted INSERT/UPDATE on a `notes` table, the event loop driven
+under a deadline; DDL lifecycle at :362-406). No Postgres exists in
+this environment, so this module re-creates that layer on sqlite3
+(stdlib): real triggers fire on real writes, rows land in a real outbox
+table ordered by a real autoincrement `seq`, and `LocalOutboxPoller`
+reads bounded `(last_seq, last_seq+max_rows]` batches into a Spark
+DataFrame with the exact schema `streaming/source.stream_changelog`
+produces — so the downstream pipeline (parse → redact → merge-patch →
+fan-out) runs unchanged against either backend.
+
+Semantic parity notes (vs queries.go:10-53):
+- payload is NEW for INSERT/UPDATE, OLD for DELETE (queries.go:17-21);
+  previous is OLD only for UPDATE (queries.go:22-24); id is the text of
+  the row's `id` column if present (queries.go:30).
+- sqlite has no `to_jsonb(row)`, so each trigger enumerates the
+  table's columns into `json_object(...)` — generated from
+  PRAGMA table_info at install time (schema changes need reinstall,
+  same as the reference's trigger lifecycle).
+- sqlite fires one trigger per op, so install emits three triggers per
+  table; remove drops all three. Install/remove are idempotent
+  (DROP IF EXISTS first), mirroring installTrigger/removeTriggers
+  (server.go:128-147,175-192).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .outbox import _check_ident, filter_tables
+
+LOCAL_OUTBOX_TABLE = "pqstream_outbox"
+
+CREATE_LOCAL_OUTBOX_SQL = f"""
+CREATE TABLE IF NOT EXISTS {LOCAL_OUTBOX_TABLE} (
+  seq         INTEGER PRIMARY KEY AUTOINCREMENT,
+  ts          TEXT NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ', 'now')),
+  schema_name TEXT NOT NULL DEFAULT 'main',
+  table_name  TEXT NOT NULL,
+  op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),
+  id          TEXT,
+  payload     TEXT,
+  previous    TEXT
+)
+""".strip()
+
+DISCOVER_LOCAL_TABLES_SQL = f"""
+SELECT name FROM sqlite_master
+WHERE type = 'table' AND name NOT LIKE 'sqlite_%' AND name <> '{LOCAL_OUTBOX_TABLE}'
+""".strip()
+
+# what the poller hands to Spark — identical to the streaming changelog
+# envelope (model.RAW_EVENT_SCHEMA shape) so the pipeline is shared
+OUTBOX_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("previous_json", T.StringType()),
+    ]
+)
+
+
+def _json_object(cols: list[str], rowref: str) -> str:
+    pairs = ", ".join(f"'{c}', {rowref}.\"{c}\"" for c in cols)
+    return f"json_object({pairs})"
+
+
+def _id_expr(cols: list[str], rowref: str) -> str:
+    # queries.go:30: id is the text rendering of the row's id column if
+    # one exists, else NULL
+    return f'CAST({rowref}."id" AS TEXT)' if "id" in cols else "NULL"
+
+
+def local_trigger_sql(table: str, cols: list[str]) -> list[str]:
+    """Three per-op triggers with the reference's OLD/NEW selection."""
+    t = _check_ident(table)
+    new_json = _json_object(cols, "NEW")
+    old_json = _json_object(cols, "OLD")
+    stmts = []
+    for op, payload, previous, idref in (
+        ("INSERT", new_json, "NULL", _id_expr(cols, "NEW")),
+        ("UPDATE", new_json, old_json, _id_expr(cols, "NEW")),
+        ("DELETE", old_json, "NULL", _id_expr(cols, "OLD")),
+    ):
+        name = f"pqstream_outbox_{op.lower()}_{t}"
+        stmts.append(f'DROP TRIGGER IF EXISTS "{name}"')
+        stmts.append(
+            f'CREATE TRIGGER "{name}" AFTER {op} ON "{t}" FOR EACH ROW '
+            f"BEGIN INSERT INTO {LOCAL_OUTBOX_TABLE} "
+            f"(table_name, op, id, payload, previous) "
+            f"VALUES ('{t}', '{op}', {idref}, {payload}, {previous}); END"
+        )
+    return stmts
+
+
+def local_remove_trigger_sql(table: str) -> list[str]:
+    t = _check_ident(table)
+    return [
+        f'DROP TRIGGER IF EXISTS "pqstream_outbox_{op}_{t}"'
+        for op in ("insert", "update", "delete")
+    ]
+
+
+class LocalCaptureManager:
+    """sqlite trigger lifecycle — same contract as CaptureManager:
+    remove-then-install startup (cmd/pqsd/main.go:95-102), install with
+    zero matching tables is an error (server.go:136-139)."""
+
+    def __init__(self, conn, table_regexp: str | None = None) -> None:
+        self.conn = conn
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        cur = self.conn.execute(DISCOVER_LOCAL_TABLES_SQL)
+        names = [r[0] for r in cur.fetchall()]
+        return filter_tables(names, self.table_regexp)
+
+    def _columns(self, table: str) -> list[str]:
+        cur = self.conn.execute(f'PRAGMA table_info("{_check_ident(table)}")')
+        return [r[1] for r in cur.fetchall()]
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        self.conn.execute(CREATE_LOCAL_OUTBOX_SQL)
+        for t in tables:
+            for stmt in local_trigger_sql(t, self._columns(t)):
+                self.conn.execute(stmt)
+        self.conn.commit()
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        for t in tables:
+            for stmt in local_remove_trigger_sql(t):
+                self.conn.execute(stmt)
+        self.conn.commit()
+        return tables
+
+
+def raw_events_from_outbox(df: DataFrame) -> DataFrame:
+    """Outbox batch → RawEvent frame (model.RAW_EVENT_SCHEMA): derive
+    the map<string,string> projections from the JSON text so the shared
+    pipeline (pipeline.handle_events: redact → merge-patch → filter)
+    runs unchanged on outbox-sourced batches. Narrow, codegen'd."""
+    from pyspark.sql import functions as F
+
+    from ..model import MAP_SS
+
+    return df.select(
+        "seq",
+        "ts",
+        "schema_name",
+        "table_name",
+        "op",
+        "id",
+        F.from_json("payload_json", MAP_SS).alias("payload"),
+        F.from_json("previous_json", MAP_SS).alias("previous"),
+        "payload_json",
+        "previous_json",
+    )
+
+
+@dataclass
+class LocalOutboxPoller:
+    """Bounded incremental reads of the sqlite outbox over DB-API.
+
+    The micro-batch contract matches OutboxPoller (sources/outbox.py):
+    each call reads (last_seq, last_seq + max_rows]; the caller commits
+    the batch downstream, then `advance()`s the high-water mark —
+    restart-from-checkpoint is re-creating the poller with the stored
+    `last_seq` (at-least-once: an uncommitted batch is re-read).
+    """
+
+    conn: object
+    max_rows: int = 100_000
+    last_seq: int = 0
+    _pending_hi: int | None = field(default=None, repr=False)
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        lo, hi = self.last_seq, self.last_seq + self.max_rows
+        cur = self.conn.execute(
+            f"SELECT seq, ts, schema_name, table_name, op, id, "
+            f"payload, previous FROM {LOCAL_OUTBOX_TABLE} "
+            f"WHERE seq > ? AND seq <= ? ORDER BY seq",
+            (lo, hi),
+        )
+        from datetime import datetime
+
+        rows = [
+            (
+                int(seq),
+                datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                ),
+                schema_name,
+                table_name,
+                op,
+                id_,
+                payload,
+                previous,
+            )
+            for seq, ts, schema_name, table_name, op, id_, payload, previous in cur.fetchall()
+        ]
+        self._pending_hi = rows[-1][0] if rows else None
+        return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
+
+    def advance(self) -> int:
+        """Commit the high-water mark after the batch is durably sunk."""
+        if self._pending_hi is not None:
+            self.last_seq = self._pending_hi
+            self._pending_hi = None
+        return self.last_seq

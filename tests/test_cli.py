@@ -1,0 +1,102 @@
+"""CLI daemon entry point (`python -m pqstream_spark`) — flag surface
+parity with the reference daemon (/root/reference/cmd/pqsd/main.go:
+30-42) over both backends."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from pqstream_spark.__main__ import build_parser, main
+
+
+def test_parser_flag_surface():
+    p = build_parser()
+    args = p.parse_args(
+        ["--connect", "sqlite:/tmp/x.db", "--tables", "notes",
+         "--redactions", "{}", "--out", "-", "--remove", "--once"]
+    )
+    assert args.connect == "sqlite:/tmp/x.db"
+    assert args.tables == "notes"
+    assert args.remove and args.once
+
+
+def test_cli_sqlite_backend_end_to_end(spark, tmp_path, capsys):
+    # capture was installed by an earlier daemon run; the writes landed
+    # in the outbox while no reader ran — the CLI drains them on start
+    # (outbox persistence is exactly what upgrades the reference's
+    # lossy NOTIFY to at-least-once)
+    from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+    db_path = str(tmp_path / "app.db")
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT, secret TEXT)")
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    conn.execute("INSERT INTO notes VALUES (1, 'hello', 'hunter2')")
+    conn.execute("UPDATE notes SET note = 'world' WHERE id = 1")
+    conn.commit()
+    conn.close()
+
+    redactions = json.dumps({"main": {"notes": ["secret"]}})
+    rc = main(
+        ["--connect", f"sqlite:{db_path}", "--tables", "notes",
+         "--redactions", redactions, "--out", "-", "--once"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    events = [json.loads(l) for l in lines]
+    assert [e["op"] for e in events] == ["INSERT", "UPDATE"]
+    upd = events[1]
+    assert upd["payload"]["note"] == "world"
+    assert upd["changes"] == {"note": "hello"}  # RFC-7386 NEW->OLD
+    assert "secret" not in upd["payload"], "redaction must apply in the CLI path"
+
+
+def test_cli_remove_exits_without_capture(tmp_path):
+    db_path = str(tmp_path / "app.db")
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY)")
+    conn.commit()
+    conn.close()
+    rc = main(["--connect", f"sqlite:{db_path}", "--remove"])
+    assert rc == 0
+    conn = sqlite3.connect(db_path)
+    conn.execute("INSERT INTO notes VALUES (1)")
+    conn.commit()
+    # --remove never installed anything: no outbox table exists
+    with pytest.raises(sqlite3.OperationalError):
+        conn.execute("SELECT COUNT(*) FROM pqstream_outbox")
+    conn.close()
+
+
+def test_cli_changelog_dir_backend(spark, tmp_path):
+    # stage a small events-shaped parquet dir, drain it via --once
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.orderBy("event_id").limit(50).coalesce(1).write.mode("overwrite").parquet(stage)
+    import shutil
+
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+
+    out = str(tmp_path / "out")
+    rc = main(["--connect", src, "--tables", "notes|users", "--out", out, "--once"])
+    assert rc == 0
+    batches = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert batches
+    events = []
+    for b in batches:
+        with open(os.path.join(out, b)) as f:
+            events += [json.loads(l) for l in f if l.strip()]
+    assert events
+    # wire format renders the envelope as schema/table/op/id (K1 parity)
+    assert {e["table"] for e in events} <= {"notes", "users"}
+
+
+def test_cli_bad_connect_is_an_error(tmp_path):
+    assert main(["--connect", str(tmp_path / "nope"), "--once"]) == 2
