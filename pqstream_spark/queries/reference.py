@@ -125,23 +125,31 @@ def q_s2_degrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# mirrors operators/degrade._envelope_len: 64 + len(schema||table||op||id)
-# + payload/previous JSON lengths
+# Derived from the reference trigger, independently of the engine:
+# reconstruct the exact `notification::text` Postgres renders for
+# json_build_object (`{"k" : v, ...}` — space around colons, ", "
+# between pairs, text args quoted, json args verbatim) and apply the
+# two cascading `length(...) >= 8000` checks (queries.go:26-47).
 ORACLE_S2 = """
 WITH raw AS (
   SELECT doc_id AS seq,
-         64 + length('public' || source || 'UPDATE' || CAST(doc_id AS VARCHAR)) AS env_len,
-         length(repeat(text, CAST(doc_id % 30 AS INTEGER))) AS body_len
+         '{"schema" : "public", "table" : "' || source ||
+         '", "op" : "UPDATE", "id" : "' || CAST(doc_id AS VARCHAR) || '"' AS head,
+         repeat(text, CAST(doc_id % 30 AS INTEGER)) AS body
   FROM documents
+), lens AS (
+  SELECT seq,
+         length(head || ', "payload" : ' || body || ', "previous" : ' || body || '}') AS len_full,
+         length(head || ', "payload" : ' || body || '}') AS len_no_prev
+  FROM raw
 )
 SELECT seq,
-       CASE WHEN env_len + body_len + body_len >= 8000
-                 AND env_len + body_len >= 8000 THEN 2
-            WHEN env_len + body_len + body_len >= 8000 THEN 1
+       CASE WHEN len_full >= 8000 AND len_no_prev >= 8000 THEN 2
+            WHEN len_full >= 8000 THEN 1
             ELSE 0 END AS degraded_tier,
-       NOT (env_len + body_len + body_len >= 8000 AND env_len + body_len >= 8000) AS has_payload,
-       env_len + body_len + body_len < 8000 AS has_previous
-FROM raw
+       NOT (len_full >= 8000 AND len_no_prev >= 8000) AS has_payload,
+       len_full < 8000 AS has_previous
+FROM lens
 """
 
 

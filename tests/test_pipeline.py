@@ -99,15 +99,41 @@ def test_redaction_applies_before_patch(spark, sf_dir):
         assert "note" not in (r["changes"] or {})
 
 
+def _pg_notification_text(
+    schema: str, table: str, op: str, id_: str | None,
+    payload_json: str | None, previous_json: str | None,
+    with_payload: bool = True, with_previous: bool = True,
+) -> str:
+    """Independent Python reconstruction of the trigger's
+    `notification::text` (queries.go:26-47): json_build_object renders
+    `{"k" : v, ...}`, text args as JSON strings, json args verbatim,
+    SQL NULL as null; the tier-1 rebuild omits the previous key."""
+    def jstr(s):
+        if s is None:
+            return "null"
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    pairs = [
+        ("schema", jstr(schema)), ("table", jstr(table)),
+        ("op", jstr(op)), ("id", jstr(id_)),
+    ]
+    if with_payload:
+        pairs.append(("payload", payload_json if payload_json is not None else "null"))
+    if with_previous:
+        pairs.append(("previous", previous_json if previous_json is not None else "null"))
+    return "{" + ", ".join(f'"{k}" : {v}' for k, v in pairs) + "}"
+
+
 def test_degrade_boundary_sweep(spark):
     """Parity with the reference's 8 KB boundary sweeps
     (server_test.go:211-222: payload sizes stepped across the cap in
-    10-byte increments): the tier must flip at EXACTLY the computed
-    threshold, not somewhere near it."""
-    from pqstream_spark.operators.degrade import degrade_payload
+    10-byte increments): the tier must flip at EXACTLY the threshold
+    the trigger's own length check would produce — expected values are
+    derived from an independent reconstruction of the trigger's
+    notification text, not from the engine's formula."""
+    from pqstream_spark.operators.degrade import _envelope_text, degrade_payload
+    from pyspark.sql import functions as F
 
-    # envelope overhead: 64 + len('public' + 'notes' + 'UPDATE' + '7')
-    overhead = 64 + len("public" + "notes" + "UPDATE" + "7")
     rows = []
     sizes = list(range(3890, 4001, 10)) + list(range(7870, 7901, 10))
     for i, size in enumerate(sizes):
@@ -120,10 +146,32 @@ def test_degrade_boundary_sweep(spark):
         "op string, id string, payload map<string,string>, "
         "previous map<string,string>, payload_json string, previous_json string",
     )
+
+    # byte-level agreement: the engine's reconstructed envelope text is
+    # identical to the trigger's, character for character
+    env = {
+        r["seq"]: (r["full"], r["noprev"])
+        for r in df.select(
+            "seq",
+            _envelope_text(True, True).alias("full"),
+            _envelope_text(True, False).alias("noprev"),
+        ).collect()
+    }
+    for i, size in enumerate(sizes):
+        body = "x" * size
+        assert env[i][0] == _pg_notification_text(
+            "public", "notes", "UPDATE", "7", body, body
+        ), f"full envelope text diverges at size {size}"
+        assert env[i][1] == _pg_notification_text(
+            "public", "notes", "UPDATE", "7", body, body, with_previous=False
+        ), f"tier-1 envelope text diverges at size {size}"
+
     out = {r["seq"]: r for r in degrade_payload(df).collect()}
     for i, size in enumerate(sizes):
-        both = overhead + 2 * size      # envelope with payload+previous
-        one = overhead + size           # after dropping previous
+        body = "x" * size
+        both = len(_pg_notification_text("public", "notes", "UPDATE", "7", body, body))
+        one = len(_pg_notification_text("public", "notes", "UPDATE", "7", body, body,
+                                        with_previous=False))
         if both >= 8000 and one >= 8000:
             expect = 2
         elif both >= 8000:
