@@ -113,8 +113,12 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     epoch = 0
     while not stop.is_set():
         batch = poller.read_batch(spark)
+        # typed_wire: the CLI is a wire sink — render jsonpb-faithful
+        # typed JSON (numbers/nulls preserved), like the reference pays
+        # serialization cost exactly once at the notify/print boundary
         events = handle_events(
-            raw_events_from_outbox(batch), redactions=redactions
+            raw_events_from_outbox(batch), redactions=redactions,
+            typed_wire=True,
         )
         _emit(events, args.out, epoch)
         poller.advance()
@@ -142,6 +146,7 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
         "daemon",
         table_regexp=args.tables or ".*",
         foreach_batch=lambda df, epoch: _emit(df, out, epoch),
+        typed_wire=True,
     )
     if args.once:
         q.processAllAvailable()

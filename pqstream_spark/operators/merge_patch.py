@@ -98,15 +98,30 @@ def merge_patch_json(a_json: pd.Series, b_json: pd.Series) -> pd.Series:
     return pd.Series([one(x, y) for x, y in zip(a_json, b_json)])
 
 
-def with_changes(df: DataFrame) -> DataFrame:
+def with_changes(df: DataFrame, typed_wire: bool = False) -> DataFrame:
     """RawEvent → Event: attach `changes` for UPDATEs, drop `previous`.
 
     Mirrors handleEvent's Raw→public conversion (server.go:227-241).
-    """
+
+    typed_wire=True additionally computes `changes_json` — the full
+    recursive RFC-7386 patch over the exact JSON text (nested objects,
+    preserved number/null types) — for sinks that must render the
+    reference's wire format byte-for-byte (jsonpb prints typed JSON,
+    cmd/pqs/main.go:66-76). It routes every UPDATE row through the
+    Arrow-batched pandas UDF, so it's off by default: the JVM-side map
+    patch is the hot path; pay the serialization cost only at a wire
+    sink, exactly where the reference pays it."""
     changes = F.when(
         F.col("op") == "UPDATE",
         merge_patch_map(F.col("payload"), F.col("previous")),
     )
-    return df.withColumn("changes", changes).drop(
-        "previous", "previous_json"
-    )
+    out = df.withColumn("changes", changes)
+    if typed_wire:
+        out = out.withColumn(
+            "changes_json",
+            F.when(
+                F.col("op") == "UPDATE",
+                merge_patch_json(F.col("payload_json"), F.col("previous_json")),
+            ),
+        )
+    return out.drop("previous", "previous_json")

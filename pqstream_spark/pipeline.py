@@ -21,6 +21,7 @@ def handle_events(
     raw: DataFrame,
     redactions: FieldRedactions | None = None,
     table_regexp: str | None = None,
+    typed_wire: bool = False,
 ) -> DataFrame:
     """RawEvent stream → public Event stream.
 
@@ -33,7 +34,7 @@ def handle_events(
     df = raw
     if redactions:
         df = redact_fields(df, redactions)
-    df = with_changes(df)
+    df = with_changes(df, typed_wire=typed_wire)
     if table_regexp:
         df = filter_tables(df, table_regexp)
     return df

@@ -18,20 +18,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sorted_obj(v):
+    """Recursively sort object keys — jsonpb marshals protobuf Struct
+    maps in sorted key order (README.md:55-58 transcript)."""
+    if isinstance(v, dict):
+        return {k: _sorted_obj(v[k]) for k in sorted(v)}
+    if isinstance(v, list):
+        return [_sorted_obj(x) for x in v]
+    return v
+
+
 def event_to_json_line(row: dict) -> str:
-    """Render one Event the way the pqs CLI prints it (jsonpb-ish:
-    envelope fields + payload/changes objects, no nulls for absent)."""
-    out: dict = {
-        "schema": row.get("schema_name"),
-        "table": row.get("table_name"),
-        "op": row.get("op"),
-        "id": row.get("id"),
-    }
-    if row.get("payload") is not None:
-        out["payload"] = row["payload"]
-    if row.get("changes") is not None:
-        out["changes"] = row["changes"]
-    return json.dumps(out, separators=(",", ":"), sort_keys=True)
+    """Render one Event the way the pqs CLI prints it
+    (/root/reference/cmd/pqs/main.go:66-76 jsonpb): top-level fields in
+    proto field order (pqstream.proto:37-47 — schema, table, op, id,
+    payload, changes), empty fields omitted, Struct keys sorted.
+
+    payload/changes come from the exact-JSON projections when present
+    (payload_json / changes_json) so numbers stay numbers and nulls
+    stay nulls — the map<string,string> fallback loses JSON types."""
+    out: dict = {}
+    if row.get("schema_name"):
+        out["schema"] = row["schema_name"]
+    if row.get("table_name"):
+        out["table"] = row["table_name"]
+    if row.get("op"):
+        out["op"] = row["op"]
+    if row.get("id") is not None:
+        out["id"] = row["id"]
+    for key, json_col, map_col in (
+        ("payload", "payload_json", "payload"),
+        ("changes", "changes_json", "changes"),
+    ):
+        if row.get(json_col) is not None:
+            out[key] = _sorted_obj(json.loads(row[json_col]))
+        elif row.get(map_col) is not None:
+            out[key] = _sorted_obj(dict(row[map_col]))
+    return json.dumps(out, separators=(",", ":"))
 
 
 def jsonl_dir_writer(out_dir: str) -> Callable[[DataFrame, int], None]:

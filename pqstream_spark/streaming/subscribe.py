@@ -51,6 +51,7 @@ class SubscriptionManager:
         checkpoint_dir: str | None = None,
         foreach_batch: Callable | None = None,
         trigger: dict | None = None,
+        typed_wire: bool = False,
     ) -> StreamingQuery:
         """Start a subscription — parity with Server.Listen
         (server.go:284-302): bad regexp raises before any query starts;
@@ -63,6 +64,7 @@ class SubscriptionManager:
             self._source_factory(),
             redactions=self._redactions,
             table_regexp=table_regexp,
+            typed_wire=typed_wire,
         )
         if foreach_batch is not None:
             writer = ev.writeStream.foreachBatch(foreach_batch)
