@@ -153,3 +153,79 @@ def test_stream_materialize_two_batches(spark, tmp_path):
         if k in first and final[k]["seq"] > first[k]["seq"]
     ]
     assert superseded, "no key was updated across micro-batches"
+
+
+def test_tws_materializer_matches_apws(spark, tmp_path):
+    """transformWithStateInPandas variant: same two-batch + tombstone
+    workload as the applyInPandasWithState tests, same emissions.
+
+    Skips where the TWS state-server protocol's protobuf dependency is
+    absent (this container); the NotImplementedError gate is asserted
+    instead so the declared degradation stays honest."""
+    import pandas as pd
+
+    from pqstream_spark.operators.materialize import (
+        materialize_current_state_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            materialize_current_state_tws(
+                stream_changelog(spark, str(tmp_path))
+            )
+        pytest.skip("protobuf absent: TWS state server cannot start here")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ns = 1_700_000_000 * 10**9
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+    insert = (10, ns, 5, "signup", 1.0, '{"k": 1}')
+    update = (15, ns + 1, 5, "click", 2.0, '{"k": 2}')
+    delete = (20, ns + 2, 5, "churn", 1.0, '{"k": 3}')
+    other = (11, ns, 7, "signup", 4.0, '{"k": 9}')
+    write_events("b1", [insert, update, other])
+
+    out = materialize_current_state_tws(stream_changelog(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mat_tws")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r["table_name"], r["id"]): r
+            for r in spark.sql("select * from mat_tws").collect()
+        }
+        # key 5 folded INSERT+UPDATE within the batch; key 7 separate
+        k5 = first[("orders", "5")]
+        assert k5["seq"] == 15 and k5["op"] == "UPDATE"
+        assert ("notes", "7") in first
+
+        # batch 2: delete key 5, then replay its pre-DELETE insert
+        write_events("b2", [delete])
+        q.processAllAvailable()
+        write_events("b3", [insert])  # at-least-once redelivery
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("select * from mat_tws where id = '5'").collect(),
+            key=lambda r: r["seq"],
+        )
+    finally:
+        q.stop()
+
+    last = rows[-1]
+    assert last["op"] == "DELETE" and last["payload_json"] is None
+    assert last["seq"] == 20, "replayed seq=10 must not beat the tombstone"
