@@ -512,3 +512,45 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).select("c_id", "p_id").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale property of the kbucket layout: a micro-batch rewrites
+    ONLY the hash buckets its keys fall in — untouched partitions'
+    files are byte-identical (same inode set, same mtime), so per-batch
+    cost tracks batch key-spread, not table size."""
+    import os
+
+    from pqstream_spark.streaming.sinks import upsert_parquet_sink
+
+    out = str(tmp_path / "table")
+    write = upsert_parquet_sink(out, keys=["k"], n_buckets=8)
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k int, v string"
+    )
+    write(base, 0)
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("kbucket="))
+    assert len(buckets) > 1, "spread over multiple buckets"
+
+    def snapshot():
+        return {
+            d: {
+                f: os.stat(os.path.join(out, d, f)).st_mtime_ns
+                for f in os.listdir(os.path.join(out, d))
+                if not f.startswith(".")
+            }
+            for d in buckets
+        }
+
+    before = snapshot()
+    # one-key batch: exactly one bucket should change
+    write(spark.createDataFrame([(3, "v3-new")], "k int, v string"), 1)
+    after = snapshot()
+
+    changed = [d for d in buckets if before[d] != after.get(d)]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+
+    # merged contents are still correct
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows[3] == "v3-new" and len(rows) == 64
