@@ -1,0 +1,126 @@
+"""The pqstream_outbox Python DataSource: a genuine Structured
+Streaming source over the sqlite outbox — engine-tracked offsets,
+bounded batches, checkpoint replay (the Spark-native S5)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+
+from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    path = str(tmp_path / "app.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT)")
+    LocalCaptureManager(conn).install()
+    conn.commit()
+    conn.close()
+    return path
+
+
+def _insert(db, lo, n):
+    conn = sqlite3.connect(db)
+    for i in range(lo, lo + n):
+        conn.execute(f"INSERT INTO notes VALUES ({i}, 'n{i}')")
+    conn.commit()
+    conn.close()
+
+
+def test_stream_reads_live_writes(spark, db_path, tmp_path):
+    spark.dataSource.register(OutboxDataSource)
+    _insert(db_path, 0, 5)
+
+    stream = (
+        spark.readStream.format("pqstream_outbox")
+        .option("url", f"sqlite:{db_path}")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("outbox_ds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select seq, op, id from outbox_ds").collect()
+        assert len(first) == 5
+        assert {r["op"] for r in first} == {"INSERT"}
+
+        _insert(db_path, 10, 3)  # writes AFTER the stream started
+        q.processAllAvailable()
+        rows = spark.sql("select seq from outbox_ds order by seq").collect()
+        assert [r["seq"] for r in rows] == list(range(1, 9))
+    finally:
+        q.stop()
+
+
+def test_checkpoint_restart_resumes_at_offset(spark, db_path, tmp_path):
+    spark.dataSource.register(OutboxDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    _insert(db_path, 0, 4)
+
+    def run_query():
+        stream = (
+            spark.readStream.format("pqstream_outbox")
+            .option("url", f"sqlite:{db_path}")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _insert(db_path, 10, 2)  # arrives while the query is down
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    seqs = sorted(r["seq"] for r in out.collect())
+    # exactly-once into the file sink: no re-read of batch 1 after restart
+    assert seqs == list(range(1, 7))
+
+
+def test_max_rows_per_batch_bounds_each_microbatch(spark, db_path, tmp_path):
+    """Backlog arriving while the query runs drains in capped batches
+    (rate limiting advances the reported offset, never skips rows)."""
+    spark.dataSource.register(OutboxDataSource)
+    stream = (
+        spark.readStream.format("pqstream_outbox")
+        .option("url", f"sqlite:{db_path}")
+        .option("maxRowsPerBatch", "4")
+        .load()
+    )
+    batches: list[int] = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: batches.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # cap base established on empty outbox
+        _insert(db_path, 0, 10)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(batches) == 10
+    assert max(b for b in batches if b) <= 4, f"rate cap violated: {batches}"
