@@ -109,17 +109,40 @@ SELECT seq, table_name, op, id FROM changelog_rows
 """
 
 
-# --- streaming session windows (rows-only: close timing is stream-semantic) ---
+# --- streaming session windows -------------------------------------------------
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(gap=30m) over the event stream, complete mode.
-    Registered WITHOUT an oracle: Spark's session merge produces
-    [first_ts, last_ts + gap) windows whose end-time semantics have no
-    first-class DuckDB analog worth hand-replicating; the driver's
-    rows-only check still pins row count and schema."""
+    Spark's session merge yields [first_ts, last_ts + gap) windows with
+    END-EXCLUSIVE membership (an event at exactly prev_ts + gap starts
+    a NEW session) — replicated in the oracle as gaps-and-islands with
+    a `>= gap` break condition."""
     ev = stream_events(spark, _events_path(sf_dir))
     out = session_windows(ev, gap="30 minutes", watermark="1 hour")
     return _run_to_completion(out, "complete")
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -130,3 +153,4 @@ def register(queries: dict, oracles: dict) -> None:
     queries["stream_dedup_replay"] = q_stream_dedup
     oracles["stream_dedup_replay"] = ORACLE_STREAM_DEDUP
     queries["stream_session_windows"] = q_stream_sessions
+    oracles["stream_session_windows"] = ORACLE_STREAM_SESSIONS
