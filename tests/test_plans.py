@@ -98,3 +98,36 @@ def test_topk_avoids_global_sort(spark, catalog):
     partition top-k + merge), not a full global sort of the table."""
     plan = _plan(catalog["topk_global_grouped"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_window_no_cross_join(spark, catalog):
+    """The as-of join's union+forward-fill formulation must plan as ONE
+    window pass over one shuffle on the key — never a cross/nested-loop
+    join (the naive as-of is an O(n·m) theta join) and never one window
+    per value column (the struct packing exists so N value columns cost
+    one last() fill, all from the same right row)."""
+    plan = _plan(catalog["asof_join_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("RunningWindowFunction") <= 1 or plan.count("Window") >= 1
+    # one last(_vals) fill, not one per value column
+    assert plan.count("last(_vals") <= 1
+
+
+def test_lsh_candidates_no_cross_join(spark, catalog):
+    """MinHash-LSH candidate generation must stay a bucket-key shuffle:
+    a cartesian/nested-loop join anywhere in the plan means the
+    all-pairs explosion the LSH exists to avoid."""
+    plan = _plan(catalog["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degrade_chain_is_narrow(spark, catalog):
+    """S2 degradation is pure when() projections over the changelog —
+    the exact-envelope reconstruction must not introduce a key shuffle.
+    (The loader's RoundRobin repartition spreading small files across
+    cores is allowed; a Hash/Range exchange is not.)"""
+    plan = _plan(catalog["s2_degrade"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
