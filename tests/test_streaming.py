@@ -554,3 +554,34 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     # merged contents are still correct
     rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert rows[3] == "v3-new" and len(rows) == 64
+
+
+def test_dispatcher_multipartition_batch_stays_seq_ordered(spark, tmp_path):
+    """The driver-bottleneck fix (toLocalIterator instead of collect)
+    must preserve the global seq order across a MULTI-partition
+    micro-batch: after the sort, partitions are range-ordered and the
+    iterator drains them in order, holding at most one partition in
+    driver memory — the reference's single-goroutine total order
+    (server.go:258-281) without the reference's single-process cap."""
+    import os
+
+    from pqstream_spark.streaming.source import stream_changelog
+    from pqstream_spark.streaming.subscribe import Dispatcher
+
+    src = str(tmp_path / "mp_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # one micro-batch of 16 files => a 16-partition batch DataFrame,
+    # written in shuffled order so file order != seq order
+    ev.orderBy(F.hash("event_id")).limit(400).repartition(16).write.parquet(src)
+
+    seen = []
+    disp = Dispatcher(stream_changelog(spark, src))
+    disp.subscribe("all", ".*", lambda row: (seen.append(row["seq"]), True)[1])
+    q = disp.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        disp.stop()
+
+    assert len(seen) == 400
+    assert seen == sorted(seen), "global seq order must survive multi-partition batches"
