@@ -302,12 +302,104 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     return labels
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    from pyspark.sql import functions as F
+
+    nbrs = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    mins = nbrs.groupBy("doc_a").agg(
+        F.least(F.min("doc_b"), F.first("doc_a")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "doc_a")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .select(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges larger→smaller; every node
+    connects its smaller-or-equal neighbors (and itself) to the minimum."""
+    from pyspark.sql import functions as F
+
+    directed = edges.select(
+        F.greatest("doc_a", "doc_b").alias("doc_a"),
+        F.least("doc_a", "doc_b").alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    mins = directed.groupBy("doc_a").agg(F.min("doc_b").alias("m"))
+    return (
+        directed.join(mins, "doc_a")
+        .select(F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b"))
+        .unionAll(mins.select(F.col("doc_a"), F.col("m").alias("doc_b")))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): provably O(log n) rounds regardless of graph diameter —
+    the scale path when clusters are NOT shallow stars (long duplicate
+    chains, transitive template drift). Each round is two groupBy+join
+    shuffles on the node key; no driver-side state, no lineage growth
+    (localCheckpoint per round). At convergence the edge set is a
+    forest of stars (node → component minimum). Returns (doc_id, label)
+    for every node that appears in `pairs`; singleton docs (no pairs)
+    are absent, matching propagate_min_labels.
+
+    Prefer propagate_min_labels for near-dup graphs (diameter ≤ a few
+    hops — fewer shuffles/round); prefer this when the diameter is
+    unknown or adversarial. Both return identical labels."""
+    from pyspark.sql import functions as F
+
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = pairs.filter(F.col("doc_a") != F.col("doc_b")).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # convergence = edge multiset fixed point; count + order-free
+        # hash-sum is one aggregation over the checkpointed frame (no
+        # exceptAll shuffle), and a hash collision only costs one extra
+        # round — the star forest is already stable
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("doc_a", "doc_b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edges are (node, component_min) stars; roots carry no
+    # out-edge, so label = min over incident edges, else self
+    labels = (
+        nodes.join(edges, nodes.doc_id == edges.doc_a, "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.min("doc_b"), F.first("doc_id")).alias("label"))
+    )
+    return labels
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs → duplicate clusters → keeper per doc."""
+    """Candidate pairs → duplicate clusters → keeper per doc.
+
+    Uses the O(log n)-round star-contraction components so the
+    DuckDB oracle certifies the scale-path algorithm, not just the
+    shallow-graph label propagation (which the dedup pipeline uses)."""
     from pyspark.sql import functions as F
 
     pairs = q_minhash_spark(spark, sf_dir)  # (doc_a, doc_b), doc_a < doc_b
-    labels = propagate_min_labels(pairs)
+    labels = connected_components_star(pairs)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_keeper"),
