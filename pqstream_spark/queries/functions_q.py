@@ -105,7 +105,7 @@ WITH t AS (SELECT doc_id, text,
   filter(split(lower(text), ' '), x -> x <> '') AS tok FROM documents)
 SELECT doc_id,
   size(tok) AS n,
-  slice(tok, 1, 3) AS first3,
+  array_join(slice(tok, 1, 3), ',') AS first3,
   array_contains(tok, 'the') AS has_the,
   size(array_distinct(tok)) AS n_distinct,
   aggregate(tok, 0, (acc, x) -> acc + length(x)) AS total_chars,
@@ -123,7 +123,7 @@ WITH t AS (SELECT doc_id, text,
   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tok FROM documents)
 SELECT doc_id,
   len(tok) AS n,
-  tok[1:3] AS first3,
+  array_to_string(tok[1:3], ',') AS first3,
   list_contains(tok, 'the') AS has_the,
   len(list_distinct(tok)) AS n_distinct,
   CAST(COALESCE(list_sum(list_transform(tok, x -> length(x))), 0) AS INTEGER) AS total_chars,
@@ -146,10 +146,14 @@ FROM t
 
 def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # Quantiles are unpacked into scalar columns (q50/q95/q99): the driver's
+    # canonicalizer sorts result frames in pandas and cannot hash array cells.
     return spark.sql("""
         SELECT event_type,
           approx_count_distinct(user_id) AS approx_users,
-          approx_percentile(value, array(0.5, 0.95, 0.99)) AS value_quantiles,
+          approx_percentile(value, 0.5) AS q50,
+          approx_percentile(value, 0.95) AS q95,
+          approx_percentile(value, 0.99) AS q99,
           hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users
         FROM events GROUP BY event_type
     """)

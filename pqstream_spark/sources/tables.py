@@ -41,11 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_engine_confs(spark)  # the session may be the driver's, not ours
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong — convert to a real timestamp
-    # (values are micro-aligned; integer div loses nothing).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # events.ts has shipped as TIMESTAMP(NANOS) (surfaced as long nanos via
+    # spark.sql.legacy.parquet.nanosAsLong) and as plain timestamp[us]
+    # (surfaced as TIMESTAMP_NTZ). Normalize both to a session-zone
+    # TIMESTAMP so every downstream query/oracle sees one type; the session
+    # zone is pinned to UTC (ensure_engine_confs) so the NTZ cast is
+    # value-preserving and bit-comparable with DuckDB's naive timestamps.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # The testdata ships one small parquet file per table → Spark plans a
     # single input partition, serializing CPU-heavy per-row work (md5
     # shingling, simhash bit math). A production layout has thousands of

@@ -23,17 +23,25 @@ from pyspark.sql import types as T
 from ..sources.changelog import changelog_from_events
 
 # schema of the driver's events.parquet, as the file source needs it
-# declared up front (ts is TIMESTAMP(NANOS) → read as long, converted)
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# declared up front. The ts column has shipped in two physical forms
+# across driver rounds — TIMESTAMP(NANOS) (read as long nanos under
+# nanosAsLong) and plain timestamp[us] (read as TIMESTAMP_NTZ) — so the
+# schema is built per-path from a footer peek (metadata-only, no scan).
+def _events_file_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Kept for callers that construct nanos-era fixture files explicitly.
+EVENTS_FILE_SCHEMA = _events_file_schema(T.LongType())
 
 
 def stream_events(
@@ -49,14 +57,28 @@ def stream_events(
     from ..session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    # Footer-only batch read to learn ts's surfaced type for this path.
+    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
+    if ts_dtype == "bigint":
+        ts_type: T.DataType = T.LongType()
+    elif ts_dtype == "timestamp_ntz":
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
+    reader = spark.readStream.schema(_events_file_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     ev = reader.parquet(path)
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize to a session-zone TIMESTAMP (UTC session pinned by
+    # ensure_engine_confs), matching sources/tables.load_table.
+    if ts_dtype == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def stream_changelog(
