@@ -36,23 +36,35 @@ TABLE_NAMES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+def normalize_events_ts(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-zone TIMESTAMP.
+
+    events.ts has shipped in two physical forms across testdata
+    generations: TIMESTAMP(NANOS) (surfaced as long nanos via
+    spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us]
+    (surfaced as TIMESTAMP_NTZ). Dispatch on the surfaced type so both
+    eras converge on one session-zone TIMESTAMP; the session zone is
+    pinned to UTC (ensure_engine_confs) so the NTZ cast is
+    value-preserving and bit-comparable with DuckDB's naive timestamps.
+    Already-TIMESTAMP columns pass through unchanged.
+    """
+    ts_type = dict(df.dtypes).get(column)
+    if ts_type == "bigint":
+        return df.withColumn(
+            column, F.expr(f"timestamp_micros({column} div 1000)")
+        )
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..session import ensure_engine_confs
 
     ensure_engine_confs(spark)  # the session may be the driver's, not ours
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts has shipped as TIMESTAMP(NANOS) (surfaced as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong) and as plain timestamp[us]
-    # (surfaced as TIMESTAMP_NTZ). Normalize both to a session-zone
-    # TIMESTAMP so every downstream query/oracle sees one type; the session
-    # zone is pinned to UTC (ensure_engine_confs) so the NTZ cast is
-    # value-preserving and bit-comparable with DuckDB's naive timestamps.
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     # The testdata ships one small parquet file per table → Spark plans a
     # single input partition, serializing CPU-heavy per-row work (md5
     # shingling, simhash bit math). A production layout has thousands of

@@ -44,6 +44,33 @@ def _events_file_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_FILE_SCHEMA = _events_file_schema(T.LongType())
 
 
+def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
+    """Surfaced dtype of `ts` for parquet at `path`, or the current-era
+    default ("timestamp_ntz") when no parquet footer exists to read yet
+    (empty or not-yet-created directory)."""
+    import os
+
+    def _has_parquet(p: str) -> bool:
+        if os.path.isfile(p):
+            return True
+        if not os.path.isdir(p):
+            return False
+        for root, _dirs, files in os.walk(p):
+            if any(
+                f.endswith(".parquet") and not f.startswith((".", "_"))
+                for f in files
+            ):
+                return True
+        return False
+
+    if not _has_parquet(path):
+        return "timestamp_ntz"
+    try:
+        return dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")
+    except Exception:  # racing writers / partial files: use the era default
+        return "timestamp_ntz"
+
+
 def stream_events(
     spark: SparkSession,
     path: str,
@@ -57,8 +84,15 @@ def stream_events(
     from ..session import ensure_engine_confs
 
     ensure_engine_confs(spark)
-    # Footer-only batch read to learn ts's surfaced type for this path.
-    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
+    # Footer-only batch read to learn ts's surfaced type for this path —
+    # but ONLY when parquet files already exist there. A stream is
+    # normally started BEFORE events flow (the reference always has the
+    # listener up first, server.go:98-109), so an empty / not-yet-
+    # populated directory must start cleanly: fall back to the declared
+    # schema of the current data era (timestamp_ntz). Era assumption:
+    # an outbox directory is era-homogeneous — files appearing later are
+    # read with the type sniffed (or defaulted) at stream creation.
+    ts_dtype = _peek_ts_dtype(spark, path)
     if ts_dtype == "bigint":
         ts_type: T.DataType = T.LongType()
     elif ts_dtype == "timestamp_ntz":

@@ -403,6 +403,7 @@ def test_upsert_sink_maintains_materialized_aggregate(spark, tmp_path):
     from pqstream_spark.streaming.sinks import upsert_parquet_sink
     from pqstream_spark.streaming.source import stream_events
     from pqstream_spark.streaming.stateful import windowed_counts
+    from pqstream_spark.sources.tables import normalize_events_ts
 
     src = str(tmp_path / "up_src")
     view = str(tmp_path / "agg_view")
@@ -437,8 +438,7 @@ def test_upsert_sink_maintains_materialized_aggregate(spark, tmp_path):
     }
     exp = {
         (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"] or 0, 2))
-        for r in ev.limit(1000)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        for r in normalize_events_ts(ev.limit(1000))
         .groupBy(
             F.date_trunc("hour", "ts").alias("window_start"), "event_type"
         )
@@ -463,6 +463,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 
     from pqstream_spark.streaming.source import stream_events
     from pqstream_spark.streaming.stateful import stream_stream_join
+    from pqstream_spark.sources.tables import normalize_events_ts
 
     src = str(tmp_path / "ssj_src")
     os.makedirs(src)
@@ -499,8 +500,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         q.stop()
 
     bc, bp = sides(
-        spark.read.parquet(os.path.join(src, "all.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        normalize_events_ts(spark.read.parquet(os.path.join(src, "all.parquet")))
     )
     exp = {
         (r["c_id"], r["p_id"])
@@ -585,3 +585,85 @@ def test_dispatcher_multipartition_batch_stays_seq_ordered(spark, tmp_path):
 
     assert len(seen) == 400
     assert seen == sorted(seen), "global seq order must survive multi-partition batches"
+
+
+@pytest.mark.parametrize("era", ["nanos_long", "timestamp_us"])
+def test_stream_events_both_ts_eras(spark, tmp_path, era):
+    """The driver's events.parquet has shipped with ts as
+    TIMESTAMP(NANOS) (surfaced long under nanosAsLong) and as plain
+    timestamp[us] (surfaced TIMESTAMP_NTZ). Write one fixture of each
+    physical type and assert stream_events surfaces identical
+    session-zone TIMESTAMP values for both."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / f"era_{era}")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    stamps = [base + datetime.timedelta(seconds=i) for i in range(3)]
+    if era == "nanos_long":
+        ts_arr = pa.array(
+            [int(s.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e9)
+             for s in stamps],
+            type=pa.timestamp("ns"),
+        )
+    else:
+        ts_arr = pa.array(stamps, type=pa.timestamp("us"))
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": ts_arr,
+        "user_id": pa.array([7, 7, 8], type=pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}"] * 3),
+    })
+    pq.write_table(tbl, os.path.join(src, "b1.parquet"))
+
+    q = (
+        stream_events(spark, src)
+        .writeStream.format("memory").queryName(f"era_sink_{era}")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"select event_id, ts from era_sink_{era} order by event_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert [r["ts"] for r in rows] == stamps
+    # batch loader agrees with the stream surface
+    from pqstream_spark.sources.tables import normalize_events_ts
+
+    batch = normalize_events_ts(spark.read.parquet(src))
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    assert [r["ts"] for r in batch.orderBy("event_id").collect()] == stamps
+
+
+def test_stream_events_starts_on_empty_dir(spark, tmp_path):
+    """A stream must start on an empty directory — the listener is
+    always up before events flow (reference server.go:98-109). Files
+    appearing after start are picked up on the next micro-batch."""
+    import shutil
+
+    src = str(tmp_path / "empty_start")
+    os.makedirs(src)
+    q = (
+        stream_events(spark, src)
+        .writeStream.format("memory").queryName("empty_start_sink")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from empty_start_sink").count() == 0
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        stage = str(tmp_path / "stage_es")
+        ev.limit(50).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+        q.processAllAvailable()
+        assert spark.sql("select * from empty_start_sink").count() == 50
+    finally:
+        q.stop()
