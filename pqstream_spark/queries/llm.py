@@ -619,15 +619,41 @@ def _cos_duck(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
-def _nn_label_sql(cos: str) -> str:
+# All-pairs-within-label is O(w²) per label; beyond this width the label
+# is routed to hyperplane-LSH bucketing (same discipline as
+# LSH_BUCKET_CAP for shingle buckets). 256 keeps every testdata SF on
+# the exact path (max observed label width: 218 at sf0.1) while a
+# production mega-label (millions of vectors) pairs only within its
+# 8-bit hyperplane bucket — candidate sets shrink ~256×.
+NN_LABEL_CAP = 256
+
+
+def _nn_label_sql(cos: str, sig: str) -> str:
     """Per-vector nearest neighbour within its label cluster (embedding
-    near-dup detection: flag if cosine >= 0.8)."""
+    near-dup detection: flag if cosine >= 0.8).
+
+    Labels up to NN_LABEL_CAP vectors wide get the exact all-pairs NN.
+    Wider labels are routed to the random-hyperplane-LSH path: pairing
+    equi-joins on (label, bucket) — the bucket is IN the shuffle key, so
+    a mega-label never enumerates w² pairs — and the NN is the nearest
+    same-bucket neighbour (approximate by construction; a vector whose
+    bucket is a singleton within its label yields no row). Width is
+    counted FIRST on a grouped aggregate (|labels| rows, broadcast), the
+    same count-before-pair discipline as LSH_BUCKET_CAP."""
     return f"""
-WITH pairs AS (
+WITH lw AS (SELECT label, COUNT(*) AS w FROM embeddings GROUP BY label),
+sg AS (SELECT vec_id, label, embedding, {sig} AS bucket FROM embeddings),
+pairs AS (
   SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
          {cos.format(a="a.embedding", b="b.embedding")} AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM sg a JOIN lw ON lw.label = a.label AND lw.w <= {NN_LABEL_CAP}
+  JOIN sg b ON a.label = b.label AND a.vec_id <> b.vec_id
+  UNION ALL
+  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
+         {cos.format(a="a.embedding", b="b.embedding")} AS cos
+  FROM sg a JOIN lw ON lw.label = a.label AND lw.w > {NN_LABEL_CAP}
+  JOIN sg b ON a.label = b.label AND a.bucket = b.bucket
+           AND a.vec_id <> b.vec_id
 )
 SELECT vec_id, label, nn_vec_id, cos AS nn_cos, cos >= 0.8 AS near_dup
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_vec_id) rn
@@ -921,7 +947,10 @@ def _pairwise_scores_sql(spark: bool) -> str:
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
         spark,
     )
-    nn = _nn_label_sql(COS_SPARK if spark else COS_DUCK)
+    nn = _nn_label_sql(
+        COS_SPARK if spark else COS_DUCK,
+        _hyperplane_sig_spark() if spark else _hyperplane_sig_duck(),
+    )
     return f"""
 SELECT 'ngram_jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, jaccard AS score,

@@ -131,3 +131,13 @@ def test_degrade_chain_is_narrow(spark, catalog):
     plan = _plan(catalog["s2_degrade"](spark, SF_DIR))
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pairwise_nn_no_cross_join(spark, catalog):
+    """The per-label embedding NN must stay equi-join pairing (label for
+    small labels, label+bucket for routed mega-labels) — a cartesian or
+    nested-loop join anywhere means the all-pairs explosion NN_LABEL_CAP
+    exists to prevent."""
+    plan = _plan(catalog["dedup_pairwise_scores"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
