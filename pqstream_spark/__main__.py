@@ -153,6 +153,15 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
     else:
         while not stop.is_set() and q.isActive:
             stop.wait(1.0)
+        # Drain the in-flight micro-batch before stopping: SIGINT must
+        # leave a complete, parseable output (the reference gives its
+        # server a 10 s graceful-shutdown budget before the hard exit,
+        # cmd/pqsd/main.go:113-118 — same contract here: finish the
+        # work already read, then stop).
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # stream already terminal: nothing in flight to drain
     mgr.stop_all()
     return 0
 

@@ -137,26 +137,65 @@ FROM t
 """
 
 
-# --- approximate sketches (rows-only: estimates are engine-specific) ------------
+# --- approximate sketches, tolerance-certified against exact --------------------
 # At 100 TB exact COUNT(DISTINCT) shuffles every key; sketches keep the
-# shuffle at sketch-size per group. DuckDB's approx algorithms differ by
-# design, so this registers WITHOUT an oracle (the driver still pins row
-# count + schema) — the exact counterparts are oracle-checked in
-# agg_stats_distinct.
+# shuffle at sketch-size per group. Raw estimates are engine-specific
+# (Spark HLL++/KLL vs DuckDB's algorithms), so the raw values can never
+# hash-match an oracle. Instead the entry emits the EXACT statistics
+# (hash-comparable: both engines compute count distinct / interpolated
+# percentiles identically, rounded to 6 dp) plus one boolean per sketch
+# asserting |estimate − exact| is within tolerance (5% relative for the
+# HLL cardinalities — default-precision HLL std error is ~2.3% — and 5%
+# + 1e-6 absolute for the percentile sketches). The DuckDB oracle
+# produces the same exact columns and literal TRUEs, so the driver's
+# hash check now CERTIFIES sketch accuracy: an out-of-tolerance
+# estimator flips a boolean and fails the gate.
+
+SQL_APPROX_SKETCH_SPARK = """
+WITH ex AS (
+  SELECT event_type,
+    count(DISTINCT user_id) AS exact_users,
+    round(percentile(value, 0.5D), 6) AS q50_exact,
+    round(percentile(value, 0.95D), 6) AS q95_exact,
+    round(percentile(value, 0.99D), 6) AS q99_exact
+  FROM events GROUP BY event_type
+),
+ap AS (
+  SELECT event_type,
+    approx_count_distinct(user_id) AS a_users,
+    hll_sketch_estimate(hll_sketch_agg(user_id)) AS a_hll,
+    approx_percentile(value, 0.5D) AS a_q50,
+    approx_percentile(value, 0.95D) AS a_q95,
+    approx_percentile(value, 0.99D) AS a_q99
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, exact_users, q50_exact, q95_exact, q99_exact,
+  abs(a_users - exact_users) <= 0.05 * exact_users AS approx_users_ok,
+  abs(a_hll - exact_users) <= 0.05 * exact_users AS hll_users_ok,
+  abs(a_q50 - q50_exact) <= 0.05 * abs(q50_exact) + 1e-6 AS q50_ok,
+  abs(a_q95 - q95_exact) <= 0.05 * abs(q95_exact) + 1e-6 AS q95_ok,
+  abs(a_q99 - q99_exact) <= 0.05 * abs(q99_exact) + 1e-6 AS q99_ok
+FROM ex JOIN ap ON ex.event_type = ap.event_type
+"""
+
+SQL_APPROX_SKETCH_DUCK = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  round(quantile_cont(value, 0.5), 6) AS q50_exact,
+  round(quantile_cont(value, 0.95), 6) AS q95_exact,
+  round(quantile_cont(value, 0.99), 6) AS q99_exact,
+  TRUE AS approx_users_ok,
+  TRUE AS hll_users_ok,
+  TRUE AS q50_ok,
+  TRUE AS q95_ok,
+  TRUE AS q99_ok
+FROM events GROUP BY event_type
+"""
+
 
 def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # Quantiles are unpacked into scalar columns (q50/q95/q99): the driver's
-    # canonicalizer sorts result frames in pandas and cannot hash array cells.
-    return spark.sql("""
-        SELECT event_type,
-          approx_count_distinct(user_id) AS approx_users,
-          approx_percentile(value, 0.5) AS q50,
-          approx_percentile(value, 0.95) AS q95,
-          approx_percentile(value, 0.99) AS q99,
-          hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_users
-        FROM events GROUP BY event_type
-    """)
+    return spark.sql(SQL_APPROX_SKETCH_SPARK)
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -169,3 +208,4 @@ def register(queries: dict, oracles: dict) -> None:
         queries[name] = _sql(spark_sql)
         oracles[name] = duck_sql
     queries["agg_approx_sketch"] = q_approx_sketch
+    oracles["agg_approx_sketch"] = SQL_APPROX_SKETCH_DUCK

@@ -344,18 +344,26 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
-    Beyond"): provably O(log n) rounds regardless of graph diameter —
-    the scale path when clusters are NOT shallow stars (long duplicate
-    chains, transitive template drift). Each round is two groupBy+join
-    shuffles on the node key; no driver-side state, no lineage growth
-    (localCheckpoint per round). At convergence the edge set is a
-    forest of stars (node → component minimum). Returns (doc_id, label)
-    for every node that appears in `pairs`; singleton docs (no pairs)
-    are absent, matching propagate_min_labels.
+    Beyond"): the proven round bound for this alternation is O(log² n),
+    with O(log n) observed in practice — either way independent of
+    graph diameter, the scale path when clusters are NOT shallow stars
+    (long duplicate chains, transitive template drift). Each round is
+    two groupBy+join shuffles on the node key; no driver-side state, no
+    lineage growth (localCheckpoint per round). At convergence the edge
+    set is a forest of stars (node → component minimum). Returns
+    (doc_id, label) for every node that appears in `pairs`; singleton
+    docs (no pairs) are absent, matching propagate_min_labels.
+
+    If the round budget is exhausted before the edge set reaches a
+    fixed point, a RuntimeWarning is raised (labels may still be split
+    across sub-clusters) — same safety contract as
+    propagate_min_labels.
 
     Prefer propagate_min_labels for near-dup graphs (diameter ≤ a few
     hops — fewer shuffles/round); prefer this when the diameter is
     unknown or adversarial. Both return identical labels."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     nodes = (
@@ -366,20 +374,32 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
     )
     edges = pairs.filter(F.col("doc_a") != F.col("doc_b")).localCheckpoint()
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         # convergence = edge multiset fixed point; count + order-free
         # hash-sum is one aggregation over the checkpointed frame (no
-        # exceptAll shuffle), and a hash collision only costs one extra
-        # round — the star forest is already stable
+        # exceptAll shuffle). A 64-bit hash collision between rounds
+        # would exit EARLY on a not-yet-stable forest (~2⁻⁶⁴ per round,
+        # and only if the count also matches); accepted odds — the
+        # alternative exact check is an exceptAll shuffle per round.
         sig = edges.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("doc_a", "doc_b").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        warnings.warn(
+            f"connected_components_star exhausted max_rounds={max_rounds} "
+            "before the edge set reached a fixed point — component labels "
+            "may be split; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged edges are (node, component_min) stars; roots carry no
     # out-edge, so label = min over incident edges, else self
     labels = (
@@ -393,7 +413,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs → duplicate clusters → keeper per doc.
 
-    Uses the O(log n)-round star-contraction components so the
+    Uses the diameter-independent star-contraction components so the
     DuckDB oracle certifies the scale-path algorithm, not just the
     shallow-graph label propagation (which the dedup pipeline uses)."""
     from pyspark.sql import functions as F
@@ -628,7 +648,7 @@ def _cos_duck(a: str, b: str) -> str:
 NN_LABEL_CAP = 256
 
 
-def _nn_label_sql(cos: str, sig: str) -> str:
+def _nn_label_sql(spark: bool) -> str:
     """Per-vector nearest neighbour within its label cluster (embedding
     near-dup detection: flag if cosine >= 0.8).
 
@@ -639,18 +659,36 @@ def _nn_label_sql(cos: str, sig: str) -> str:
     same-bucket neighbour (approximate by construction; a vector whose
     bucket is a singleton within its label yields no row). Width is
     counted FIRST on a grouped aggregate (|labels| rows, broadcast), the
-    same count-before-pair discipline as LSH_BUCKET_CAP."""
+    same count-before-pair discipline as LSH_BUCKET_CAP.
+
+    The pair term is cost-shaped for the O(pairs) hot loop: vectors are
+    L2-normalized ONCE per row (O(rows)), so each pair evaluates a
+    single dot-product fold instead of dot + two norms — 3× less
+    higher-order-function work where it multiplies. Both dialects fold
+    the products in index order, so the rounded cosine is
+    bit-comparable."""
+    sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
+    if spark:
+        norm2 = ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+        nv = f"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
+        dot = ("round(aggregate(zip_with(a.nv, b.nv, (x, y) -> x * y), "
+               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)")
+    else:
+        norm2 = ("list_sum(list_transform(embedding, "
+                 "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+        nv = f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
+        dot = ("round(list_sum(list_transform(range(1, len(a.nv) + 1), "
+               "i -> a.nv[i] * b.nv[i])), 6)")
     return f"""
 WITH lw AS (SELECT label, COUNT(*) AS w FROM embeddings GROUP BY label),
-sg AS (SELECT vec_id, label, embedding, {sig} AS bucket FROM embeddings),
+sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM embeddings),
 pairs AS (
-  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
-         {cos.format(a="a.embedding", b="b.embedding")} AS cos
+  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label, {dot} AS cos
   FROM sg a JOIN lw ON lw.label = a.label AND lw.w <= {NN_LABEL_CAP}
   JOIN sg b ON a.label = b.label AND a.vec_id <> b.vec_id
   UNION ALL
-  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label,
-         {cos.format(a="a.embedding", b="b.embedding")} AS cos
+  SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label, {dot} AS cos
   FROM sg a JOIN lw ON lw.label = a.label AND lw.w > {NN_LABEL_CAP}
   JOIN sg b ON a.label = b.label AND a.bucket = b.bucket
            AND a.vec_id <> b.vec_id
@@ -947,10 +985,7 @@ def _pairwise_scores_sql(spark: bool) -> str:
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
         spark,
     )
-    nn = _nn_label_sql(
-        COS_SPARK if spark else COS_DUCK,
-        _hyperplane_sig_spark() if spark else _hyperplane_sig_duck(),
-    )
+    nn = _nn_label_sql(spark)
     return f"""
 SELECT 'ngram_jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, jaccard AS score,

@@ -100,3 +100,54 @@ def test_cli_changelog_dir_backend(spark, tmp_path):
 
 def test_cli_bad_connect_is_an_error(tmp_path):
     assert main(["--connect", str(tmp_path / "nope"), "--once"]) == 2
+
+
+def test_cli_sigint_drains_inflight_batch(spark, tmp_path):
+    """Graceful stop must drain work already visible to the source
+    before stopping (reference gives shutdown a 10 s budget,
+    cmd/pqsd/main.go:113-118): a file dropped just before the stop
+    signal still lands complete in the jsonl output."""
+    import shutil
+    import threading
+
+    from pqstream_spark.__main__ import _run_changelog_dir
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.orderBy("event_id").limit(100).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+
+    def events_out(out):
+        n = 0
+        for b in os.listdir(out):
+            if b.endswith(".jsonl"):
+                with open(os.path.join(out, b)) as f:
+                    n += sum(1 for l in f if l.strip())
+        return n
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    args = build_parser().parse_args(["--connect", src, "--out", out])
+    stop = threading.Event()
+    t = threading.Thread(target=_run_changelog_dir, args=(args, stop))
+
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+    t.start()
+    deadline = 60.0
+    import time
+
+    while events_out(out) < 100 and deadline > 0:
+        time.sleep(0.25)
+        deadline -= 0.25
+    assert events_out(out) == 100, "first batch never drained"
+    # drop a second file and signal stop IMMEDIATELY: the drain pass
+    # must still flush it before the daemon exits
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b2.parquet"))
+    stop.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert events_out(out) == 200

@@ -2,8 +2,9 @@
 
 The near-dup cluster resolver has two interchangeable engines:
 propagate_min_labels (O(diameter) rounds — right for shallow near-dup
-graphs) and connected_components_star (large-star/small-star, O(log n)
-rounds — right when the diameter is unknown/adversarial). These tests
+graphs) and connected_components_star (large-star/small-star, proven
+O(log² n) rounds, diameter-independent — right when the diameter is
+unknown/adversarial). These tests
 pin that (a) star contraction converges on a long chain where naive
 propagation's default round budget cannot, (b) both engines agree on
 an arbitrary multi-component graph, (c) the propagation engine warns
@@ -73,3 +74,20 @@ def test_star_and_propagation_agree(spark, seed):
     star = _labels(connected_components_star(pairs, max_rounds=15))
     prop = _labels(propagate_min_labels(pairs, max_rounds=30))
     assert star == prop
+
+
+def test_star_warns_when_budget_exhausted(spark):
+    """Star contraction must carry the same exhausted-budget safety
+    contract as propagate_min_labels: warn, never silently return a
+    possibly-split labelling."""
+    from pqstream_spark.queries.llm import connected_components_star
+
+    chain = _pairs(spark, [(i, i + 1) for i in range(120)])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components_star(chain, max_rounds=1).collect()
+    assert any(
+        "max_rounds" in str(w.message)
+        and issubclass(w.category, RuntimeWarning)
+        for w in caught
+    )

@@ -15,11 +15,8 @@ import pytest
 
 from pqstream_spark.queries.llm import (
     NN_LABEL_CAP,
-    _hyperplane_sig_duck,
     _hyperplane_sig_spark,
     _nn_label_sql,
-    COS_DUCK,
-    COS_SPARK,
 )
 
 DIM = 8
@@ -42,7 +39,7 @@ def nn_result(spark):
         _rows(), "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
     )
     df.createOrReplaceTempView("embeddings")
-    out = spark.sql(_nn_label_sql(COS_SPARK, _hyperplane_sig_spark()))
+    out = spark.sql(_nn_label_sql(spark=True))
     rows = out.collect()
     sig = {
         r["vec_id"]: r["bucket"]
@@ -103,9 +100,7 @@ def test_oracle_runs_identical_routed_semantics(spark, nn_result):
     con.executemany(
         "INSERT INTO embeddings VALUES (?, ?, ?)", [list(r) for r in _rows()]
     )
-    duck_rows = con.execute(
-        _nn_label_sql(COS_DUCK, _hyperplane_sig_duck())
-    ).fetchall()
+    duck_rows = con.execute(_nn_label_sql(spark=False)).fetchall()
     con.close()
     spark_set = {
         (r["vec_id"], r["label"], r["nn_vec_id"], r["nn_cos"], r["near_dup"])
@@ -117,9 +112,6 @@ def test_oracle_runs_identical_routed_semantics(spark, nn_result):
 def test_cap_text_present_in_both_dialects():
     """Both dialects carry the width predicate so the driver's oracle
     compare exercises the same cap."""
-    for dialect in (
-        _nn_label_sql(COS_SPARK, _hyperplane_sig_spark()),
-        _nn_label_sql(COS_DUCK, _hyperplane_sig_duck()),
-    ):
+    for dialect in (_nn_label_sql(spark=True), _nn_label_sql(spark=False)):
         assert f"lw.w <= {NN_LABEL_CAP}" in dialect
         assert f"lw.w > {NN_LABEL_CAP}" in dialect
