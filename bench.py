@@ -3,7 +3,14 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count).
+Each query is timed end-to-end (plan + execute + collect-to-count) over
+N_ITERS iterations (default 3, $SPARK_GRAFT_BENCH_ITERS to override).
+The headline per-query number stays the MIN (steady-state throughput,
+comparable with earlier rounds); the JSON additionally carries the MEAN
+and every raw per-iteration time so a slow run is attributable — a
+min≈mean spread says engine, min<<mean says host noise (GC pause, cold
+page cache, concurrent load).
+
 A warmup pass on sf0.001 primes the JVM/codegen so we measure the
 engine, not JIT warmup.
 """
@@ -20,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
+N_ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 # headline set: the flagship CDC chain + the shuffle/join/window-heavy
 # relational queries + the LLM-pipeline operators that matter at scale
@@ -71,26 +79,51 @@ def main() -> None:
     for n in names:
         queries[n](spark, WARMUP_DIR).count()
 
-    # best-of-2 at the target SF: steady-state throughput, insulated
-    # from one-off GC pauses on the shared host
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for n in names:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(N_ITERS):
             t0 = time.perf_counter()
             queries[n](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 3)
-        print(f"  {n}: {timings[n]}s", file=sys.stderr, flush=True)
+            runs.append(round(time.perf_counter() - t0, 3))
+        raw[n] = runs
+        timings[n] = min(runs)
+        means[n] = round(sum(runs) / len(runs), 3)
+        print(
+            f"  {n}: min={timings[n]}s mean={means[n]}s raw={runs}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    total_min = round(sum(timings.values()), 3)
+    total_mean = round(sum(means.values()), 3)
+    # noise indicator for the round-over-round comparison: mean/min per
+    # query, worst first — a hot host inflates mean, not min
+    spread = sorted(
+        ((n, round(means[n] / timings[n], 2)) for n in names if timings[n] > 0),
+        key=lambda t: -t[1],
+    )
+    print(
+        f"totals: min={total_min}s mean={total_mean}s; "
+        f"noisiest mean/min: {spread[:5]}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": total_min,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
+                "raw_iterations": raw,
+                "total_mean": total_mean,
+                "n_iters": N_ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
