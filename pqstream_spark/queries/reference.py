@@ -202,19 +202,85 @@ GROUP BY table_name, op
 """
 
 
-# --- S3: source discovery + table regexp (queries.go:4-9, server.go:149-166) --
+# --- S3: source discovery + table regexp (queries.go:4-9, server.go:149-166)
+# merged with the file-format layer check (sources/formats.py): the
+# engine's landing formats (CSV interchange, hive-partitioned parquet)
+# are exercised by writing the events table out and reading it back
+# through the format readers — the oracle computes the same aggregates
+# from the ORIGINAL parquet, so any roundtrip loss (timestamp precision,
+# double rendering, partition column re-typing) breaks the value hash.
+# The pruned variant filters on the hive partition column, so the read
+# plans a partition-pruned scan (pinned in tests/test_plans.py).
+
+PRUNE_TYPES = ("click", "purchase")
+
 
 def q_s3_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources import formats
+
     catalog = spark.createDataFrame(
         [(n,) for n in TABLE_NAMES], "table_name string"
     )
-    return filter_tables(catalog, "^(part|orders|lineitem|events)$")
+    discovery = filter_tables(catalog, "^(part|orders|lineitem|events)$").select(
+        F.lit("discovery").alias("variant"),
+        F.col("table_name").alias("name"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_val"),
+        F.lit(None).cast("timestamp").alias("max_ts"),
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "pqstream_formats_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    csv_dir, part_dir = os.path.join(base, "csv"), os.path.join(base, "part")
+    formats.write_events(ev, csv_dir, "csv")
+    formats.partitioned_parquet_writer(ev, part_dir, by="event_type")
+
+    def agg(df: DataFrame, variant: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+            F.max("ts").alias("max_ts"),
+        ).select(
+            F.lit(variant).alias("variant"),
+            F.col("event_type").alias("name"),
+            "n",
+            "sum_val",
+            "max_ts",
+        )
+
+    csv_back = agg(formats.read_events_csv(spark, csv_dir), "csv_roundtrip")
+    pruned = agg(
+        spark.read.parquet(part_dir).filter(F.col("event_type").isin(*PRUNE_TYPES)),
+        "parquet_pruned",
+    )
+    return discovery.unionAll(csv_back).unionAll(pruned)
 
 
 ORACLE_S3 = (
-    "SELECT table_name FROM (VALUES "
+    "SELECT 'discovery' AS variant, table_name AS name, CAST(NULL AS BIGINT) AS n, "
+    "CAST(NULL AS DOUBLE) AS sum_val, CAST(NULL AS TIMESTAMP) AS max_ts "
+    "FROM (VALUES "
     + ", ".join(f"('{n}')" for n in TABLE_NAMES)
     + ") AS t(table_name) WHERE regexp_matches(table_name, '^(part|orders|lineitem|events)$')"
+    + """
+UNION ALL
+SELECT 'csv_roundtrip' AS variant, event_type AS name, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       max(ts) AS max_ts
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'parquet_pruned' AS variant, event_type AS name, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       max(ts) AS max_ts
+FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+"""
 )
 
 

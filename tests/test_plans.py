@@ -141,3 +141,28 @@ def test_pairwise_nn_no_cross_join(spark, catalog):
     plan = _plan(catalog["dedup_pairwise_scores"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_landing_scan_prunes(spark, tmp_path):
+    """The hive-partitioned landing layout must partition-prune: a
+    filter on the partition column reaches the scan as a
+    PartitionFilter (directories never listed), not a post-scan
+    Filter over all partitions."""
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.sources import formats
+    from pqstream_spark.sources.tables import load_table
+
+    base = str(tmp_path / "landing")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    formats.partitioned_parquet_writer(ev, base, by="event_type")
+    df = (
+        spark.read.parquet(base)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .count()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [" in scan
+    assert "event_type" in scan.split("PartitionFilters:")[1].split("]")[0]
