@@ -596,19 +596,32 @@ FROM pairs
 # --- SimHash fingerprint expression ----------------------------------------------
 # 64-bit simhash over distinct tokens; bit i comes from bit (3 - i%4) of
 # hex nibble i//4 of md5(token). Output as a 64-char bitstring so both
-# engines render identically. Used as a column of text_annotations.
+# engines render identically. Used as a column of text_annotations and
+# the simhash pairing branch of dedup_pairwise_scores.
+#
+# Cost shape: the expression takes an array of PRE-COMPUTED token
+# hashes ({dtokh}), built once per doc with a single transform — the
+# naive inlining of md5(t) inside the per-bit fold hashes every token
+# 64 times (the bit loop is the hot path: 64 × |tokens| folds/doc).
 
 
-def _simhash_expr(dtok: str, spark: bool) -> str:
+def _hash_tokens_expr(dtok: str, spark: bool) -> str:
+    """Array of md5 hex digests for a token array, computed once."""
+    if spark:
+        return f"transform({dtok}, t -> md5(t))"
+    return f"list_transform({dtok}, t -> md5(t))"
+
+
+def _simhash_expr(dtokh: str, spark: bool) -> str:
     if spark:
         return f"""concat_ws('', transform(sequence(0, 63), i ->
-    CASE WHEN aggregate({dtok}, 0, (acc, t) -> acc +
-      CASE WHEN (shiftright(instr('0123456789abcdef', substring(md5(t), (i div 4) + 1, 1)) - 1,
+    CASE WHEN aggregate({dtokh}, 0, (acc, h) -> acc +
+      CASE WHEN (shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1,
                  3 - (i % 4)) & 1) = 1 THEN 1 ELSE -1 END) > 0
     THEN '1' ELSE '0' END))"""
     return f"""array_to_string(list_transform(range(0, 64), i ->
-    CASE WHEN COALESCE(list_sum(list_transform({dtok}, t ->
-      CASE WHEN (((strpos('0123456789abcdef', substring(md5(t), (i // 4) + 1, 1)) - 1)
+    CASE WHEN COALESCE(list_sum(list_transform({dtokh}, h ->
+      CASE WHEN (((strpos('0123456789abcdef', substring(h, (i // 4) + 1, 1)) - 1)
                  >> (3 - (i % 4))) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
     THEN '1' ELSE '0' END), '')"""
 
@@ -822,6 +835,7 @@ def _annotations_sql(spark: bool) -> str:
     size = "size" if spark else "len"
     flt = "filter" if spark else "list_filter"
     distinct = "array_distinct" if spark else "list_distinct"
+    hashed = _hash_tokens_expr(f"{distinct}(tok)", spark)
     tmap = "transform" if spark else "list_transform"
     amin = "array_min" if spark else "list_min"
     join = "concat_ws(' ', tok)" if spark else "array_to_string(tok, ' ')"
@@ -854,8 +868,8 @@ def _annotations_sql(spark: bool) -> str:
     )
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM documents),
-pre AS (SELECT doc_id, lang, text, tok,
-        {shingle} AS sh, {distinct}(tok) AS dtok, {scores} FROM toks)
+pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh,
+        {hashed} AS dtokh, {distinct}(tok) AS dtok, {scores} FROM toks)
 SELECT doc_id, lang AS actual_lang,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
   s_de, s_en, s_es, s_fr, s_zh,
@@ -872,7 +886,7 @@ SELECT doc_id, lang AS actual_lang,
   CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
   {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash,
-  {_simhash_expr("dtok", spark)} AS simhash
+  {_simhash_expr("dtokh", spark)} AS simhash
 FROM pre
 """
 
@@ -977,20 +991,57 @@ FROM chunks
 # is oracle-checked, just under one row of the correctness report.
 
 
+def _simhash_pairs_sql(spark: bool) -> str:
+    """SimHash near-dup scoring over the original↔near-copy pairs:
+    64-bit fingerprint per doc (one narrow pass), hamming distance per
+    pair, near_dup at ≤ 8 differing bits (the standard 64-bit SimHash
+    dup threshold). Same structural pairing as the Jaccard branch —
+    at scale candidates come from banding the fingerprint (bucket join
+    on 16-bit bands), never all-pairs; scoring cost is per-candidate
+    either way and THAT is what the oracle certifies."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    dtok = f"array_distinct({tok})" if spark else f"list_distinct({tok})"
+    dtokh = _hash_tokens_expr(dtok, spark)
+    sim = _simhash_expr("dtokh", spark)
+    if spark:
+        ham = ("size(filter(sequence(1, 64), "
+               "i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)))")
+    else:
+        ham = ("len(list_filter(range(1, 65), "
+               "i -> sh_a[i] <> sh_b[i]))")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+fp AS (SELECT doc_id, {sim} AS sh FROM (SELECT doc_id, {dtokh} AS dtokh FROM corpus)),
+sp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 100000
+)
+SELECT doc_a, doc_b, {ham} AS hamming FROM sp
+"""
+
+
 def _pairwise_scores_sql(spark: bool) -> str:
-    """n-gram Jaccard (documents near-copy pairs) ∪ per-label embedding
-    nearest neighbour — both emit (method, id_a, id_b, score, near_dup)."""
+    """n-gram Jaccard ∪ SimHash hamming (both over the documents
+    original↔near-copy pairs) ∪ per-label embedding nearest neighbour —
+    all emit (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
         spark,
     )
+    simhash = _simhash_pairs_sql(spark)
     nn = _nn_label_sql(spark)
     return f"""
 SELECT 'ngram_jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, jaccard AS score,
        CAST(NULL AS BOOLEAN) AS near_dup
 FROM ({jaccard.strip()})
+UNION ALL
+SELECT 'simhash' AS method, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b,
+       round(1.0 - CAST(hamming AS DOUBLE) / 64.0, 6) AS score,
+       hamming <= 8 AS near_dup
+FROM ({simhash.strip()})
 UNION ALL
 SELECT 'embedding_nn' AS method, CAST(vec_id AS BIGINT) AS id_a,
        CAST(nn_vec_id AS BIGINT) AS id_b, nn_cos AS score, near_dup
