@@ -626,30 +626,8 @@ def _simhash_expr(dtokh: str, spark: bool) -> str:
     THEN '1' ELSE '0' END), '')"""
 
 
-# --- embedding cosine helpers ------------------------------------------------------
-
-def _cos_spark(a: str, b: str) -> str:
-    dot = (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    na = (
-        f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-    )
-    nb = (
-        f"aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-    )
-    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
-
-
-def _cos_duck(a: str, b: str) -> str:
-    dot = (
-        f"list_sum(list_transform(range(1, len({a}) + 1),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
-    na = f"list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nb = f"list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+# --- embedding cosine: all pairwise stages use per-row L2 normalization
+# (_norm_vec_expr) + a per-pair dot fold (_dot6_expr) — see below.
 
 
 # All-pairs-within-label is O(w²) per label; beyond this width the label
@@ -659,6 +637,30 @@ def _cos_duck(a: str, b: str) -> str:
 # production mega-label (millions of vectors) pairs only within its
 # 8-bit hyperplane bucket — candidate sets shrink ~256×.
 NN_LABEL_CAP = 256
+
+
+def _norm_vec_expr(spark: bool) -> str:
+    """L2-normalized copy of `embedding`, computed ONCE per row. Every
+    pairwise stage then evaluates a single dot-product fold per pair
+    instead of dot + two norms — the discipline any production vector
+    scan uses (norms are a row property, not a pair property)."""
+    if spark:
+        norm2 = ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+        return f"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
+    norm2 = ("list_sum(list_transform(embedding, "
+             "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    return f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
+
+
+def _dot6_expr(a: str, b: str, spark: bool) -> str:
+    """round(a·b, 6) — both dialects fold products in index order, so
+    the rounded value is bit-comparable between Spark and DuckDB."""
+    if spark:
+        return (f"round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)")
+    return (f"round(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i])), 6)")
 
 
 def _nn_label_sql(spark: bool) -> str:
@@ -681,18 +683,8 @@ def _nn_label_sql(spark: bool) -> str:
     the products in index order, so the rounded cosine is
     bit-comparable."""
     sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
-    if spark:
-        norm2 = ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
-                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-        nv = f"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
-        dot = ("round(aggregate(zip_with(a.nv, b.nv, (x, y) -> x * y), "
-               "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)")
-    else:
-        norm2 = ("list_sum(list_transform(embedding, "
-                 "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-        nv = f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
-        dot = ("round(list_sum(list_transform(range(1, len(a.nv) + 1), "
-               "i -> a.nv[i] * b.nv[i])), 6)")
+    nv = _norm_vec_expr(spark)
+    dot = _dot6_expr("a.nv", "b.nv", spark)
     return f"""
 WITH lw AS (SELECT label, COUNT(*) AS w FROM embeddings GROUP BY label),
 sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM embeddings),
@@ -713,28 +705,21 @@ WHERE rn = 1
 """
 
 
-def _topk_sql(cos: str, cluster_pruned: bool) -> str:
+def _topk_sql(spark: bool, cluster_pruned: bool) -> str:
     extra = "AND q.label = c.label" if cluster_pruned else ""
+    nv = _norm_vec_expr(spark)
+    dot = _dot6_expr("q.nv", "c.nv", spark)
     return f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label FROM embeddings WHERE vec_id < 10),
+WITH nsg AS (SELECT vec_id, label, {nv} AS nv FROM embeddings),
+q AS (SELECT vec_id AS q_id, nv, label FROM nsg WHERE vec_id < 10),
 s AS (
-  SELECT q.q_id, c.vec_id AS c_id,
-         {cos.format(a="q.q_emb", b="c.embedding")} AS cos
-  FROM q JOIN embeddings c ON q.q_id <> c.vec_id {extra}
+  SELECT q.q_id, c.vec_id AS c_id, {dot} AS cos
+  FROM q JOIN nsg c ON q.q_id <> c.vec_id {extra}
 )
 SELECT q_id, c_id, cos, rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn FROM s)
 WHERE rn <= 5
 """
-
-
-class _Fmt(str):
-    def format(self, a: str, b: str) -> str:  # type: ignore[override]
-        return str(self).replace("{A}", a).replace("{B}", b)
-
-
-COS_SPARK = _Fmt(_cos_spark("{A}", "{B}"))
-COS_DUCK = _Fmt(_cos_duck("{A}", "{B}"))
 
 
 # --- similarity: random-hyperplane LSH (sign-bit bucketing) -------------------------
@@ -769,14 +754,16 @@ def _hyperplane_sig_duck() -> str:
     return "(" + " || ".join(bits) + ")"
 
 
-def _lsh_hyperplane_sql(sig: str, cos: str) -> str:
+def _lsh_hyperplane_sql(spark: bool) -> str:
+    sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
+    nv = _norm_vec_expr(spark)
+    dot = _dot6_expr("q.nv", "c.nv", spark)
     return f"""
-WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings)
+WITH sig AS (SELECT vec_id, {nv} AS nv, {sig} AS bucket FROM embeddings)
 SELECT q_id, c_id, cos, rn FROM (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         {cos.format(a="q.embedding", b="c.embedding")} AS cos,
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {dot} AS cos,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-           {cos.format(a="q.embedding", b="c.embedding")} DESC, c.vec_id) AS rn
+           {dot} DESC, c.vec_id) AS rn
   FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 10
 ) ranked WHERE rn <= 3
@@ -1052,22 +1039,19 @@ FROM ({nn.strip()})
 def _sim_topk_sql(spark: bool) -> str:
     """Brute-force cosine top-k (the baseline) ∪ IVF-cell-pruned ANN
     (the scale path) over the same query vectors."""
-    cos = COS_SPARK if spark else COS_DUCK
     return f"""
-SELECT 'brute' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(cos, False).strip()})
+SELECT 'brute' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(spark, False).strip()})
 UNION ALL
-SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(cos, True).strip()})
+SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(spark, True).strip()})
 """
 
 
 def _sim_ann_sql(spark: bool) -> str:
     """Random-hyperplane LSH (bucketed, exact re-rank) ∪ int8-quantized
     integer-dot-product top-k — the two label-free ANN scale paths."""
-    cos = COS_SPARK if spark else COS_DUCK
-    sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
     return f"""
 SELECT 'lsh_hyperplane' AS method, q_id, c_id, cos AS score, rn
-FROM ({_lsh_hyperplane_sql(sig, cos).strip()})
+FROM ({_lsh_hyperplane_sql(spark).strip()})
 UNION ALL
 SELECT 'int8_quantized' AS method, q_id, c_id, CAST(qdot AS DOUBLE) AS score, rn
 FROM ({_quant_topk_sql(spark).strip()})
