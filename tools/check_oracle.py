@@ -55,9 +55,11 @@ def main() -> int:
 
     qs, os_ = e.queries(), e.oracle_sql()
     failed = []
+    checked = 0
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -95,7 +97,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name} rows={len(s_rows)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    scope = "" if checked == len(qs) else f" (filtered from {len(qs)})"
+    print(f"\n{checked - len(failed)}/{checked} pass{scope}")
     return 1 if failed else 0
 
 
