@@ -146,23 +146,39 @@ FROM t
 # percentiles identically, rounded to 6 dp) plus one boolean per sketch
 # asserting |estimate − exact| is within tolerance (5% relative for the
 # HLL cardinalities — default-precision HLL std error is ~2.3% — and 5%
-# + 1e-6 absolute for the percentile sketches). The DuckDB oracle
+# + 1e-6 absolute for the percentile sketches). The exact percentiles
+# use DISCRETE semantics (percentile_disc / quantile_disc): the
+# approx_percentile sketch returns an actual element of the group, so
+# certifying it against an interpolated quantile adds the inter-element
+# gap to the error budget — at small group sizes the tail gap alone can
+# exceed any reasonable tolerance (observed at sf0.001's ~200-row
+# groups). Against the discrete quantile the sketch is EXACT whenever
+# the group fits its accuracy budget, and within rank-error bounds
+# beyond it. The DuckDB oracle
 # produces the same exact columns and literal TRUEs, so the driver's
 # hash check now CERTIFIES sketch accuracy: an out-of-tolerance
 # estimator flips a boolean and fails the gate.
+#
+# Tolerance vs sketch precision: approx_count_distinct is called with
+# rsd=0.01 so the 5% tolerance is a ~5 sigma bound — at the DEFAULT
+# rsd=0.05 the tolerance equals one standard deviation and the boolean
+# flips on ordinary estimator luck (observed at sf0.1). The HLL-sketch
+# column keeps its default precision (lgConfigK=12, ~2.3% rsd ≈ 2
+# sigma); datasketches HLL is materially more accurate than its rsd
+# suggests at these cardinalities.
 
 SQL_APPROX_SKETCH_SPARK = """
 WITH ex AS (
   SELECT event_type,
     count(DISTINCT user_id) AS exact_users,
-    round(percentile(value, 0.5D), 6) AS q50_exact,
-    round(percentile(value, 0.95D), 6) AS q95_exact,
-    round(percentile(value, 0.99D), 6) AS q99_exact
+    round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS q50_exact,
+    round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value), 6) AS q95_exact,
+    round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6) AS q99_exact
   FROM events GROUP BY event_type
 ),
 ap AS (
   SELECT event_type,
-    approx_count_distinct(user_id) AS a_users,
+    approx_count_distinct(user_id, 0.01) AS a_users,
     hll_sketch_estimate(hll_sketch_agg(user_id)) AS a_hll,
     approx_percentile(value, 0.5D) AS a_q50,
     approx_percentile(value, 0.95D) AS a_q95,
@@ -181,9 +197,9 @@ FROM ex JOIN ap ON ex.event_type = ap.event_type
 SQL_APPROX_SKETCH_DUCK = """
 SELECT event_type,
   count(DISTINCT user_id) AS exact_users,
-  round(quantile_cont(value, 0.5), 6) AS q50_exact,
-  round(quantile_cont(value, 0.95), 6) AS q95_exact,
-  round(quantile_cont(value, 0.99), 6) AS q99_exact,
+  round(quantile_disc(value, 0.5), 6) AS q50_exact,
+  round(quantile_disc(value, 0.95), 6) AS q95_exact,
+  round(quantile_disc(value, 0.99), 6) AS q99_exact,
   TRUE AS approx_users_ok,
   TRUE AS hll_users_ok,
   TRUE AS q50_ok,
