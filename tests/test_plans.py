@@ -166,3 +166,13 @@ def test_partitioned_landing_scan_prunes(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "PartitionFilters: [" in scan
     assert "event_type" in scan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_text_annotations_single_scan_no_key_shuffle(spark, catalog):
+    """text_annotations (langid + quality + fingerprints + simhash) is
+    one codegen'd projection over one scan of documents — no key
+    shuffle anywhere. (The loader's RoundRobin spread of the one-file
+    table across cores is allowed; Hash/Range exchanges are not.)"""
+    plan = _plan(catalog["text_annotations"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
