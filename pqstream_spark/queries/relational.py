@@ -564,14 +564,51 @@ FROM (
 GROUP BY cntrycode
 """
 
-# --- correlated scalar subquery: parts priced far above their brand average -----
-SQL_CORR_SCALAR = f"""
-SELECT p_partkey, p_brand, p_retailprice
+# --- advanced subqueries: correlated scalar ∪ recursive CTE ---------------------
+# Two subquery forms the engine must support beyond plain joins, packed
+# into one entry (variant, k, label, v):
+# - corr_scalar: parts priced far above their brand average (correlated
+#   scalar subquery → Catalyst rewrites to an aggregate + self-join).
+# - recursive_years: WITH RECURSIVE (Spark 4 iterative execution; the
+#   same text runs in DuckDB modulo INTERVAL/STRING spelling) generating
+#   the full year series between the first and last order date and
+#   LEFT-joining order counts — the gap-filling calendar pattern, with
+#   empty years surfacing as 0 rather than silently missing. Yearly
+#   steps on purpose: each recursion level is a separate Spark job, so
+#   a monthly series (~80 levels ≈ 15 s) prices recursion out of the
+#   gate while ~7 yearly levels cost ~2 s.
+
+
+def _advanced_subquery_sql(spark: bool) -> str:
+    interval = "INTERVAL '1' YEAR" if spark else "INTERVAL 1 YEAR"
+    s = "STRING" if spark else "VARCHAR"
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('year', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('year', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+years(y) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(y + {interval} AS DATE) FROM years, bounds WHERE y < hi
+),
+ycnt AS (
+  SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS y, COUNT(*) AS n
+  FROM orders GROUP BY CAST(date_trunc('year', o_orderdate) AS DATE)
+)
+SELECT 'recursive_years' AS variant, CAST(NULL AS BIGINT) AS k,
+       CAST(years.y AS {s}) AS label, CAST(COALESCE(ycnt.n, 0) AS DOUBLE) AS v
+FROM years LEFT JOIN ycnt ON years.y = ycnt.y
+UNION ALL
+SELECT 'corr_scalar' AS variant, p_partkey AS k, p_brand AS label,
+       p_retailprice AS v
 FROM part p
 WHERE p_retailprice > 1.04 * (
   SELECT CAST(SUM(CAST(p2.p_retailprice AS {DEC})) AS DOUBLE) / COUNT(*)
   FROM part p2 WHERE p2.p_brand = p.p_brand)
 """
+
 
 # --- analytic window functions + RANGE frame (one entry) ------------------------
 # lag/lead/first_value/ntile over a ROWS-ordered window, plus a RANGE
@@ -646,12 +683,14 @@ def register(queries: dict, oracles: dict) -> None:
         ("q10_returned_items", SQL_Q10),
         ("q14_promo_share", SQL_Q14),
         ("q22_idle_customers", SQL_Q22),
-        ("corr_scalar_subquery", SQL_CORR_SCALAR),
         ("agg_multilevel_grouping", SQL_MULTILEVEL),
         ("join_full_outer", SQL_OUTER_JOIN),
     ]:
         queries[name] = _sql(sql)
         oracles[name] = sql
+
+    queries["corr_scalar_subquery"] = _sql(_advanced_subquery_sql(True))
+    oracles["corr_scalar_subquery"] = _advanced_subquery_sql(False)
 
     queries["topk_global_grouped"] = q_topk_global_grouped
     oracles["topk_global_grouped"] = ORACLE_TOPK
