@@ -626,8 +626,11 @@ SELECT o_custkey, o_orderkey,
   lag(o_orderkey) OVER w AS prev_order,
   lead(o_orderkey) OVER w AS next_order,
   first_value(o_orderkey) OVER w AS first_order,
+  nth_value(o_orderkey, 2) OVER w AS second_order,
   CAST(o_orderdate = first_value(o_orderdate) OVER w AS BOOLEAN) AS is_first_date,
   ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
     PARTITION BY o_custkey ORDER BY {epoch}
     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
