@@ -55,7 +55,22 @@ SELECT c_custkey,
   CASE WHEN c_acctbal > 7500 THEN 'large'
        WHEN c_acctbal > 2500 THEN 'medium'
        ELSE 'small' END AS bucket,
-  (c_custkey % 2 = 0) AND (c_acctbal > 0) AS flag
+  (c_custkey % 2 = 0) AND (c_acctbal > 0) AS flag,
+  split_part(c_name, '#', 2) AS name_num,
+  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+  repeat('*', CAST(c_custkey % 4 AS INTEGER)) AS stars,
+  contains(c_name, '00') AS has_00,
+  abs(c_acctbal) AS abs_bal,
+  round(c_acctbal, 1) AS bal_1dp,
+  CAST(floor(c_acctbal) AS DOUBLE) AS bal_floor,
+  CAST(ceil(c_acctbal) AS DOUBLE) AS bal_ceil,
+  CAST(sign(c_acctbal) AS DOUBLE) AS bal_sign,
+  round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+  round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+  round(log10(abs(c_acctbal) + 1.0), 6) AS bal_log10,
+  round(power(c_acctbal / 1000.0, 2), 6) AS bal_pow2,
+  CAST(c_custkey % 7 AS BIGINT) AS mod7
 FROM customer
 """
 
