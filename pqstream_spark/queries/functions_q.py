@@ -83,6 +83,10 @@ SELECT event_id,
   CAST(day(ts) AS INTEGER) AS d,
   CAST(hour(ts) AS INTEGER) AS h,
   date_trunc('week', ts) AS week_start,
+  CAST(quarter(ts) AS INTEGER) AS q,
+  {last_day} AS month_end,
+  CAST({isodow} AS INTEGER) AS iso_dow,
+  CAST({day_diff} AS INTEGER) AS days_since_2024,
   ts + INTERVAL 90 MINUTE AS plus90m,
   {epoch_us}(ts) AS us,
   {json_k} AS k_str,
@@ -95,6 +99,9 @@ FROM events
 
 SQL_DT_JSON_SPARK = _DT_JSON_BODY.format(
     epoch_us="unix_micros",
+    last_day="last_day(CAST(ts AS DATE))",
+    isodow="weekday(ts) + 1",
+    day_diff="datediff(CAST(ts AS DATE), DATE '2024-01-01')",
     json_k="get_json_object(props, '$.k')",
     json_source="get_json_object(props, '$.source')",
     json_missing="get_json_object(props, '$.missing')",
@@ -106,6 +113,9 @@ SQL_DT_JSON_DUCK = (
     .replace("date_trunc('week', ts)", "CAST(date_trunc('week', ts) AS TIMESTAMP)")
     .format(
         epoch_us="epoch_us",
+        last_day="last_day(CAST(ts AS DATE))",
+        isodow="isodow(ts)",
+        day_diff="date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
         json_k="json_extract_string(props, '$.k')",
         json_source="json_extract_string(props, '$.source')",
         json_missing="json_extract_string(props, '$.missing')",
