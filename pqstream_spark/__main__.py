@@ -13,9 +13,12 @@ Mirrors the reference daemon's flag surface (`pqsd`,
                                 the reference's flag (README.md:62-75)
     -addr         → --out       where events go: a directory (one JSON
                                 per line per micro-batch, K1 parity) or
-                                `-` for stdout — the engine has no gRPC
-                                wire (grpcio absent; see streaming/
-                                sinks.py callback bridge)
+                                `-` for stdout
+    -addr (serve) → --listen-http PORT  additionally serve the Listen
+                                wire over HTTP NDJSON on 127.0.0.1:PORT
+                                (streaming/wire_http.py; gRPC framing
+                                pending grpcio — see
+                                tests/test_transport_probe.py)
     -remove       → --remove    remove capture triggers and exit
     (new)           --once      drain available data then exit (smoke/
                                 batch mode; without it the daemon runs
@@ -62,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--poll-interval", type=float, default=1.0,
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
+    )
+    p.add_argument(
+        "--listen-http", type=int, default=None, metavar="PORT",
+        help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
+        "(directory backend only; 0 picks an ephemeral port)",
     )
     return p
 
@@ -131,6 +139,9 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     return 0
 
 
+_ACTIVE_WIRE = None  # set while the --listen-http wire server is up
+
+
 def _run_changelog_dir(args, stop: threading.Event) -> int:
     from .session import get_spark
     from .streaming.subscribe import SubscriptionManager
@@ -141,6 +152,28 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
         lambda: stream_changelog(spark, args.connect),
         redactions=_load_redactions(args.redactions),
     )
+    wire = None
+    if args.listen_http is not None:
+        from .pipeline import handle_events
+        from .streaming.subscribe import Dispatcher
+        from .streaming.wire_http import WireServer
+
+        # wire clients get the full handled chain (parse → redact →
+        # merge-patch), each with their own per-request table regexp
+        disp = Dispatcher(
+            handle_events(
+                stream_changelog(spark, args.connect),
+                redactions=_load_redactions(args.redactions),
+                table_regexp=args.tables or ".*",
+                typed_wire=True,
+            )
+        )
+        wire = WireServer(disp, port=args.listen_http)
+        wire.start_background()
+        disp.start()
+        global _ACTIVE_WIRE  # observable handle for tests/tooling
+        _ACTIVE_WIRE = wire
+        print(f"Listen wire serving on {wire.url}/listen", file=sys.stderr)
     out = args.out
     q = mgr.listen(
         "daemon",
@@ -162,6 +195,9 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
             q.processAllAvailable()
         except Exception:
             pass  # stream already terminal: nothing in flight to drain
+    if wire is not None:
+        wire.stop()
+        wire.dispatcher.stop()
     mgr.stop_all()
     return 0
 

@@ -151,3 +151,55 @@ def test_cli_sigint_drains_inflight_batch(spark, tmp_path):
     t.join(timeout=120)
     assert not t.is_alive()
     assert events_out(out) == 200
+
+
+def test_cli_listen_http_serves_wire(spark, tmp_path):
+    """--listen-http on the directory backend serves the Listen wire:
+    a client subscribed over HTTP receives handled events as NDJSON."""
+    import http.client
+    import shutil
+    import threading
+    import time
+
+    import pqstream_spark.__main__ as cli
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    os.makedirs(src)
+    os.makedirs(out)
+    args = build_parser().parse_args(
+        ["--connect", src, "--out", out, "--listen-http", "0"]
+    )
+    stop = threading.Event()
+    t = threading.Thread(target=cli._run_changelog_dir, args=(args, stop))
+    t.start()
+    deadline = time.time() + 60
+    while cli._ACTIVE_WIRE is None and time.time() < deadline:
+        time.sleep(0.2)
+    assert cli._ACTIVE_WIRE is not None, "wire server never started"
+    host, port = cli._ACTIVE_WIRE.server_address[:2]
+
+    got = {}
+
+    def client():
+        conn = http.client.HTTPConnection(host, port, timeout=90)
+        conn.request("GET", "/listen?tables=users")
+        resp = conn.getresponse()
+        line = resp.fp.readline()
+        got["status"], got["line"] = resp.status, line.decode().strip()
+        conn.close()
+
+    ct = threading.Thread(target=client, daemon=True)
+    ct.start()
+    time.sleep(1.0)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / "wstage")
+    ev.orderBy("event_id").limit(60).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+    ct.join(timeout=120)
+    stop.set()
+    t.join(timeout=120)
+    assert not ct.is_alive() and not t.is_alive()
+    assert got["status"] == 200
+    assert json.loads(got["line"])["table"] == "users"

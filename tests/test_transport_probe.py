@@ -2,12 +2,14 @@
 sink surface needs (gRPC Listen server per pqstream.proto:6-15, Kafka /
 STOMP forwarders per contrib/cmd/pqsamq).
 
-The repo's F3/K2 components are declared PARTIAL because these packages
-are absent from the container: the subscription semantics and
-byte-parity JSON rendering exist (tests/test_wire_parity.py), but no
-wire server can start. This probe documents the absence per-round AND
-fails loudly the moment a transport package appears, so the partial can
-never silently outlive its excuse.
+The repo serves Listen over HTTP NDJSON (streaming/wire_http.py — a
+live, end-to-end-tested wire with the Dispatcher fan-out, per-client
+regexp validation, byte-parity rendering, and disconnect-driven
+unsubscribe; tests/test_wire_http.py). Only the FRAMING diverges from
+the reference: gRPC needs grpcio, Kafka/STOMP need their client
+packages, all absent here. This probe documents the absence per-round
+AND fails loudly the moment a transport package appears, so the
+framing gap can never silently outlive its excuse.
 """
 
 from __future__ import annotations
@@ -37,9 +39,9 @@ def test_transport_packages_probe():
     appeared = [m for m, ok in status.items() if ok]
     assert not appeared, (
         f"transport packages now available: {appeared} — the declared "
-        "PARTIAL for F3/K2 is no longer excused. Wire the real surface: "
-        "grpc -> Listen server bridging streaming/subscribe.Dispatcher "
-        "(render with streaming/sinks.event_to_json_line for byte parity), "
+        "framing gap for F3/K2 is no longer excused. grpc -> add a "
+        "Listen gRPC method over the same Dispatcher + renderer as "
+        "streaming/wire_http.py (nothing below the framing changes); "
         "kafka/stomp -> replace the injected-client forwarders in "
         "streaming/sinks.py with real producers, then delete this assert."
     )

@@ -1,0 +1,121 @@
+"""End-to-end wire test for the HTTP Listen surface: a real
+StreamingQuery feeds the Dispatcher, a WireServer serves
+/listen?tables=REGEXP, and a plain http.client consumer receives
+byte-parity NDJSON events in seq order. This is the closest this
+container can get to the reference's pqs client flow
+(clients/python/example.py) without grpcio."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import shutil
+import threading
+import time
+
+import pytest
+
+from pqstream_spark.streaming.source import stream_changelog
+from pqstream_spark.streaming.subscribe import Dispatcher
+from pqstream_spark.streaming.wire_http import WireServer
+
+
+@pytest.fixture()
+def wire(spark, tmp_path):
+    src = str(tmp_path / "wire_src")
+    os.makedirs(src)
+    disp = Dispatcher(stream_changelog(spark, src))
+    srv = WireServer(disp, port=0)
+    srv.start_background()
+    q = disp.start()
+    try:
+        yield src, srv
+    finally:
+        srv.stop()
+        disp.stop()
+        if q.isActive:
+            q.stop()
+
+
+def _drop_events(spark, tmp_path, src, n=60, name="b1"):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stage = str(tmp_path / ("wire_stage_" + name))
+    ev.orderBy("event_id").limit(n).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part), os.path.join(src, name + ".parquet"))
+
+
+def _read_lines(url_host, url_port, path, n, timeout=90):
+    conn = http.client.HTTPConnection(url_host, url_port, timeout=timeout)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    lines = []
+    if resp.status == 200:
+        while len(lines) < n:
+            line = resp.fp.readline()
+            if not line:
+                break
+            lines.append(line.decode().strip())
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), lines
+
+
+def test_listen_streams_filtered_events_in_order(spark, tmp_path, wire):
+    src, srv = wire
+    host, port = srv.server_address[:2]
+    got: dict = {}
+
+    def client():
+        got["result"] = _read_lines(host, port, "/listen?tables=notes", 1)
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    time.sleep(1.0)  # let the subscription land before events flow
+    _drop_events(spark, tmp_path, src)
+    t.join(timeout=120)
+    assert not t.is_alive(), "client never completed"
+    status, ctype, lines = got["result"]
+    assert status == 200 and ctype == "application/x-ndjson"
+    assert lines, "no events received"
+    ev = json.loads(lines[0])
+    assert ev["table"] == "notes"
+    assert set(ev) <= {"schema", "table", "op", "id", "payload", "changes"}
+
+
+def test_listen_rejects_bad_regexp_before_streaming(wire):
+    _, srv = wire
+    host, port = srv.server_address[:2]
+    status, _, _ = _read_lines(host, port, "/listen?tables=%28unclosed", 1, timeout=10)
+    assert status == 400
+
+
+def test_listen_unknown_path_404(wire):
+    _, srv = wire
+    host, port = srv.server_address[:2]
+    status, _, _ = _read_lines(host, port, "/nope", 1, timeout=10)
+    assert status == 404
+
+
+def test_disconnect_unsubscribes(spark, tmp_path, wire):
+    src, srv = wire
+    host, port = srv.server_address[:2]
+    got: dict = {}
+
+    def client():
+        got["result"] = _read_lines(host, port, "/listen?tables=.*", 3)
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    _drop_events(spark, tmp_path, src, name="b1")
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert len(got["result"][2]) == 3
+    # client closed after 3 lines; the next batch's failed write must
+    # remove the subscriber from the dispatcher
+    _drop_events(spark, tmp_path, src, name="b2")
+    deadline = time.time() + 60
+    while srv.dispatcher.subscribers() and time.time() < deadline:
+        time.sleep(0.5)
+    assert srv.dispatcher.subscribers() == []
