@@ -95,22 +95,19 @@ def callback_sink(cb: Callable[[dict], bool]) -> Callable[[DataFrame, int], None
 
 
 class StompForwarder:
-    """K2 parity (pqsamq). Usable with any object exposing
-    .send(destination, body); the real STOMP client is optional."""
+    """K2 parity (pqsamq, contrib/cmd/pqsamq/main.go:68-87): forward
+    each event as a STOMP SEND. Default transport is the stdlib-socket
+    STOMP 1.2 client (streaming/stomp_wire.py — real wire framing,
+    interoperable with ActiveMQ/RabbitMQ); any object exposing
+    .send(destination, body) can be injected instead."""
 
     def __init__(self, queue: str, client=None, addr: str | None = None):
         self.queue = queue
         if client is None:
-            try:  # pragma: no cover - stomp.py not in this container
-                import stomp  # type: ignore
+            from .stomp_wire import StompClient
 
-                client = stomp.Connection([(addr or "localhost", 61613)])
-                client.connect(wait=True)
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "stomp.py not installed; inject a client with "
-                    ".send(destination, body)"
-                ) from exc
+            host, _, port = (addr or "localhost:61613").partition(":")
+            client = StompClient(host, int(port or 61613))
         self.client = client
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:

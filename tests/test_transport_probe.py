@@ -5,9 +5,10 @@ STOMP forwarders per contrib/cmd/pqsamq).
 The repo serves Listen over HTTP NDJSON (streaming/wire_http.py — a
 live, end-to-end-tested wire with the Dispatcher fan-out, per-client
 regexp validation, byte-parity rendering, and disconnect-driven
-unsubscribe; tests/test_wire_http.py). Only the FRAMING diverges from
-the reference: gRPC needs grpcio, Kafka/STOMP need their client
-packages, all absent here. This probe documents the absence per-round
+unsubscribe; tests/test_wire_http.py). STOMP is served by a
+stdlib-socket STOMP 1.2 client (streaming/stomp_wire.py, broker-stub
+tested). Only two framings remain package-gated: gRPC needs grpcio and
+Kafka needs a client package, both absent here. This probe documents the absence per-round
 AND fails loudly the moment a transport package appears, so the
 framing gap can never silently outlive its excuse.
 """
@@ -42,6 +43,8 @@ def test_transport_packages_probe():
         "framing gap for F3/K2 is no longer excused. grpc -> add a "
         "Listen gRPC method over the same Dispatcher + renderer as "
         "streaming/wire_http.py (nothing below the framing changes); "
-        "kafka/stomp -> replace the injected-client forwarders in "
-        "streaming/sinks.py with real producers, then delete this assert."
+        "kafka -> replace kafka_writer's plan-only path with a real "
+        "producer; stomp package -> optionally swap streaming/stomp_wire "
+        "for it (the stdlib client already speaks 1.2), "
+        "then delete this assert."
     )
