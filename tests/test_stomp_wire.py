@@ -112,3 +112,35 @@ def test_connect_refused_surfaces():
     threading.Thread(target=refuse, daemon=True).start()
     with pytest.raises(ConnectionError, match="broker refused"):
         StompClient("127.0.0.1", port)
+
+
+def test_frame_roundtrip_property():
+    """Any header value and binary body survives encode → read_frame."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        dest=st.text(min_size=1, max_size=40),
+        ctype=st.text(min_size=1, max_size=20),
+        body=st.binary(max_size=200),
+    )
+    def roundtrip(dest, ctype, body):
+        frame = encode_frame(
+            "SEND",
+            {
+                "destination": dest,
+                "content-type": ctype,
+                "content-length": str(len(body)),
+            },
+            body,
+        )
+        cmd, headers, got = read_frame(io.BufferedReader(io.BytesIO(frame)))
+        assert cmd == "SEND"
+        assert headers["destination"] == dest
+        assert headers["content-type"] == ctype
+        assert got == body
+
+    roundtrip()

@@ -119,3 +119,30 @@ def test_disconnect_unsubscribes(spark, tmp_path, wire):
     while srv.dispatcher.subscribers() and time.time() < deadline:
         time.sleep(0.5)
     assert srv.dispatcher.subscribers() == []
+
+
+def test_concurrent_clients_isolated_filters(spark, tmp_path, wire):
+    """Two simultaneous wire clients with different regexps receive
+    disjoint, correctly-filtered streams from ONE event loop — the
+    fan-out isolation the reference guarantees per subscription
+    (server.go:284-302)."""
+    src, srv = wire
+    host, port = srv.server_address[:2]
+    got: dict = {}
+
+    def client(key, pattern, n):
+        got[key] = _read_lines(host, port, f"/listen?tables={pattern}", n)
+
+    t1 = threading.Thread(target=client, args=("notes", "notes", 2), daemon=True)
+    t2 = threading.Thread(target=client, args=("users", "users", 2), daemon=True)
+    t1.start()
+    t2.start()
+    time.sleep(1.0)
+    _drop_events(spark, tmp_path, src, n=120, name="c1")
+    t1.join(timeout=120)
+    t2.join(timeout=120)
+    assert not t1.is_alive() and not t2.is_alive()
+    for key in ("notes", "users"):
+        status, _, lines = got[key]
+        assert status == 200 and len(lines) == 2
+        assert all(json.loads(l)["table"] == key for l in lines)
