@@ -907,6 +907,18 @@ def _curation_sql(spark: bool) -> str:
         for lang in langs[:-1]
     )
     stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
+    # Reproducible sampling: hash-based systematic splits (the scale
+    # method — no RNG state, any worker can decide membership from the
+    # key alone, and the split is stable across runs/engines). 80/10/10
+    # train/val/test from md5(doc_id) mod 10; both engines compute the
+    # identical assignment, so the oracle certifies the split.
+    if spark:
+        hmod = "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 10"
+    else:
+        hmod = ("('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+                " % 10")
+    split = (f"CASE WHEN {hmod} < 8 THEN 'train' "
+             f"WHEN {hmod} = 8 THEN 'val' ELSE 'test' END")
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {tok} AS tok FROM documents),
 ann AS (
@@ -927,7 +939,8 @@ SELECT doc_id,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
   n_tokens, quality_score, alpha_ratio, fp,
   fp_rank = 1 AS is_canonical,
-  (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept
+  (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept,
+  {split} AS split
 FROM dedup
 """
 
