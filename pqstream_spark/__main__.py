@@ -196,8 +196,10 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
         except Exception:
             pass  # stream already terminal: nothing in flight to drain
     if wire is not None:
+        # drain the wire dispatcher's own query too — Listen clients
+        # must see the same in-flight batch the jsonl output got
+        wire.dispatcher.stop(drain=True)
         wire.stop()
-        wire.dispatcher.stop()
     mgr.stop_all()
     return 0
 

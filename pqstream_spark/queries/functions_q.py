@@ -192,17 +192,16 @@ FROM t
 # sigma); datasketches HLL is materially more accurate than its rsd
 # suggests at these cardinalities.
 
+# One grouped aggregate computes exact AND approx side by side — no
+# self-join on the group key (an inner join would silently drop a NULL
+# event_type group the oracle's plain GROUP BY keeps).
 SQL_APPROX_SKETCH_SPARK = """
-WITH ex AS (
+WITH g AS (
   SELECT event_type,
     count(DISTINCT user_id) AS exact_users,
     round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS q50_exact,
     round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value), 6) AS q95_exact,
-    round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6) AS q99_exact
-  FROM events GROUP BY event_type
-),
-ap AS (
-  SELECT event_type,
+    round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 6) AS q99_exact,
     approx_count_distinct(user_id, 0.01) AS a_users,
     hll_sketch_estimate(hll_sketch_agg(user_id)) AS a_hll,
     approx_percentile(value, 0.5D) AS a_q50,
@@ -210,13 +209,13 @@ ap AS (
     approx_percentile(value, 0.99D) AS a_q99
   FROM events GROUP BY event_type
 )
-SELECT ex.event_type, exact_users, q50_exact, q95_exact, q99_exact,
+SELECT event_type, exact_users, q50_exact, q95_exact, q99_exact,
   abs(a_users - exact_users) <= 0.05 * exact_users AS approx_users_ok,
   abs(a_hll - exact_users) <= 0.05 * exact_users AS hll_users_ok,
   abs(a_q50 - q50_exact) <= 0.05 * abs(q50_exact) + 1e-6 AS q50_ok,
   abs(a_q95 - q95_exact) <= 0.05 * abs(q95_exact) + 1e-6 AS q95_ok,
   abs(a_q99 - q99_exact) <= 0.05 * abs(q99_exact) + 1e-6 AS q99_ok
-FROM ex JOIN ap ON ex.event_type = ap.event_type
+FROM g
 """
 
 SQL_APPROX_SKETCH_DUCK = """

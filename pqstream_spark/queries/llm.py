@@ -856,7 +856,7 @@ def _annotations_sql(spark: bool) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM documents),
 pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh,
-        {hashed} AS dtokh, {distinct}(tok) AS dtok, {scores} FROM toks)
+        {hashed} AS dtokh, {scores} FROM toks)
 SELECT doc_id, lang AS actual_lang,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
   s_de, s_en, s_es, s_fr, s_zh,

@@ -234,9 +234,14 @@ def q_s3_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # per-process landing dir: two concurrent evaluators of this entry
+    # (pytest + check_oracle, say) must not overwrite files the other's
+    # lazily-evaluated scan is still reading
     base = os.path.join(
         tempfile.gettempdir(),
-        "pqstream_formats_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        "pqstream_formats_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + f"_{os.getpid()}",
     )
     csv_dir, part_dir = os.path.join(base, "csv"), os.path.join(base, "part")
     formats.write_events(ev, csv_dir, "csv")

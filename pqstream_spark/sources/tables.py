@@ -85,8 +85,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # register_views(spark, sf_dir) first. Keyed weakly by session so a
 # driver-owned SparkSession doesn't leak; the guard re-registers when
 # the sf_dir changes (warmup at sf0.001 then bench at sf0.1) or when
-# any view has been dropped/tampered with since (tests replace views
-# with synthetic data and drop them after).
+# any view has been DROPPED since. A createOrReplaceTempView of a
+# catalog name is NOT detectable (tableExists stays true) — callers
+# that temporarily shadow a catalog view with synthetic data MUST drop
+# it afterwards (the convention tests/test_nn_label_cap.py follows), or
+# the cache will trust the shadowed view.
 _VIEW_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, dict]]" = None  # type: ignore[assignment]
 
 
@@ -95,7 +98,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     Idempotent and cached: repeat calls with the same session + sf_dir
     return the already-registered frames without touching the catalog,
-    unless a view has since been dropped or replaced."""
+    unless a view has since been dropped (replacement is undetectable —
+    see the cache comment above: shadow-then-drop is the contract)."""
     global _VIEW_CACHE
     if _VIEW_CACHE is None:
         import weakref

@@ -106,8 +106,12 @@ class StompForwarder:
         if client is None:
             from .stomp_wire import StompClient
 
-            host, _, port = (addr or "localhost:61613").partition(":")
-            client = StompClient(host, int(port or 61613))
+            # rpartition: IPv6 literals contain colons ("::1:61613");
+            # a bare host (no colon) gets the default STOMP port
+            host, sep, port = (addr or "localhost:61613").rpartition(":")
+            if not sep or not port.isdigit():
+                host, port = (addr or "localhost"), "61613"
+            client = StompClient(host.strip("[]"), int(port))
         self.client = client
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:

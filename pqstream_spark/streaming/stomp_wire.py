@@ -72,7 +72,9 @@ def read_frame(sock_file) -> tuple[str, dict[str, str], bytes]:
     if "content-length" in headers:
         n = int(headers["content-length"])
         body = sock_file.read(n)
-        assert sock_file.read(1) == b"\x00", "missing frame terminator"
+        term = sock_file.read(1)  # never inside an assert: -O would skip the read
+        if term != b"\x00":
+            raise ConnectionError(f"missing frame terminator (got {term!r})")
     else:
         chunks = []
         while True:
@@ -124,8 +126,15 @@ class StompClient:
         rid = f"r{self._seq}"
         try:
             self._sock.sendall(encode_frame("DISCONNECT", {"receipt": rid}))
-            cmd, headers, _ = read_frame(self._f)
-            if cmd == "RECEIPT" and headers.get("receipt-id") != rid:
+            cmd, headers, body = read_frame(self._f)
+            if cmd != "RECEIPT":
+                # an ERROR here is also the only place a broker can
+                # report a failed earlier SEND (we never read between
+                # sends) — surface it, never swallow it
+                raise ConnectionError(
+                    f"expected RECEIPT, got {cmd} {headers} {body[:200]!r}"
+                )
+            if headers.get("receipt-id") != rid:
                 raise ConnectionError(f"receipt mismatch: {headers}")
         finally:
             self._f.close()

@@ -159,6 +159,15 @@ class Dispatcher:
         self._query = writer.start()
         return self._query
 
-    def stop(self) -> None:
+    def stop(self, drain: bool = False) -> None:
+        """Stop the fan-out query. drain=True first processes every
+        micro-batch already visible to the source, so subscribers see
+        the in-flight work before shutdown (the graceful-stop contract,
+        cmd/pqsd/main.go:113-118)."""
         if self._query is not None and self._query.isActive:
+            if drain:
+                try:
+                    self._query.processAllAvailable()
+                except Exception:
+                    pass  # already terminal: nothing to drain
             self._query.stop()
