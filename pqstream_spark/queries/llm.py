@@ -639,18 +639,28 @@ def _simhash_expr(dtokh: str, spark: bool) -> str:
 NN_LABEL_CAP = 256
 
 
+def _norm2_expr(spark: bool) -> str:
+    """Squared L2 norm of `embedding` — also the zero-vector guard:
+    every pairing CTE filters `norm2 > 0` BEFORE normalizing, because a
+    zero vector has no defined cosine to anything and ANSI-mode Spark
+    raises DIVIDE_BY_ZERO on the normalization (same discipline as the
+    quantized path's `scale > 0`)."""
+    if spark:
+        return ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    return ("list_sum(list_transform(embedding, "
+            "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+
+
 def _norm_vec_expr(spark: bool) -> str:
     """L2-normalized copy of `embedding`, computed ONCE per row. Every
     pairwise stage then evaluates a single dot-product fold per pair
     instead of dot + two norms — the discipline any production vector
-    scan uses (norms are a row property, not a pair property)."""
+    scan uses (norms are a row property, not a pair property). Callers
+    must have filtered `_norm2_expr > 0` first."""
     if spark:
-        norm2 = ("aggregate(embedding, CAST(0.0 AS DOUBLE), "
-                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-        return f"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
-    norm2 = ("list_sum(list_transform(embedding, "
-             "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    return f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({norm2}))"
+        return f"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({_norm2_expr(True)}))"
+    return f"list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt({_norm2_expr(False)}))"
 
 
 def _dot6_expr(a: str, b: str, spark: bool) -> str:
@@ -684,10 +694,12 @@ def _nn_label_sql(spark: bool) -> str:
     bit-comparable."""
     sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
     nv = _norm_vec_expr(spark)
+    n2 = _norm2_expr(spark)
     dot = _dot6_expr("a.nv", "b.nv", spark)
     return f"""
-WITH lw AS (SELECT label, COUNT(*) AS w FROM embeddings GROUP BY label),
-sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM embeddings),
+WITH nz AS (SELECT vec_id, label, embedding FROM embeddings WHERE {n2} > 0),
+lw AS (SELECT label, COUNT(*) AS w FROM nz GROUP BY label),
+sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM nz),
 pairs AS (
   SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label, {dot} AS cos
   FROM sg a JOIN lw ON lw.label = a.label AND lw.w <= {NN_LABEL_CAP}
@@ -708,9 +720,10 @@ WHERE rn = 1
 def _topk_sql(spark: bool, cluster_pruned: bool) -> str:
     extra = "AND q.label = c.label" if cluster_pruned else ""
     nv = _norm_vec_expr(spark)
+    n2 = _norm2_expr(spark)
     dot = _dot6_expr("q.nv", "c.nv", spark)
     return f"""
-WITH nsg AS (SELECT vec_id, label, {nv} AS nv FROM embeddings),
+WITH nsg AS (SELECT vec_id, label, {nv} AS nv FROM embeddings WHERE {n2} > 0),
 q AS (SELECT vec_id AS q_id, nv, label FROM nsg WHERE vec_id < 10),
 s AS (
   SELECT q.q_id, c.vec_id AS c_id, {dot} AS cos
@@ -757,9 +770,11 @@ def _hyperplane_sig_duck() -> str:
 def _lsh_hyperplane_sql(spark: bool) -> str:
     sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
     nv = _norm_vec_expr(spark)
+    n2 = _norm2_expr(spark)
     dot = _dot6_expr("q.nv", "c.nv", spark)
     return f"""
-WITH sig AS (SELECT vec_id, {nv} AS nv, {sig} AS bucket FROM embeddings)
+WITH sig AS (SELECT vec_id, {nv} AS nv, {sig} AS bucket FROM embeddings
+             WHERE {n2} > 0)
 SELECT q_id, c_id, cos, rn FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, {dot} AS cos,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY

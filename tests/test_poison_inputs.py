@@ -61,3 +61,79 @@ def test_merge_patch_json_udf_poison(spark):
     # changes just absent (NULL)
     assert out[2] is None and out[3] is None
     assert out[4] == "{}"
+
+
+def test_text_pipeline_survives_degenerate_documents(spark):
+    """Empty corpus, empty strings, whitespace-only, no-alpha, and
+    unicode-heavy docs must flow through annotate/curate/chunk/dedup
+    without errors (shingling of <3 tokens, ratios over zero-token
+    docs, md5 of empty strings are all edge paths)."""
+    import __spark_entry__ as e
+
+    from pqstream_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = [
+        (1, "en", ""),
+        (2, "en", "   "),
+        (3, "en", "!!! ??? ..."),
+        (4, "zh", "中文文本 没有拉丁"),
+        (5, "en", "one"),
+        (6, "en", "two tokens"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, text STRING"
+    ).createOrReplaceTempView("documents")
+    qs = e.queries()
+    try:
+        for name in (
+            "text_annotations",
+            "text_curation_pipeline",
+            "text_chunking",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+        ):
+            # count() forces full evaluation; no exception is the assertion
+            qs[name](spark, "/root/testdata/sf0.001").count()
+    finally:
+        spark.catalog.dropTempView("documents")  # shadow-then-drop contract
+
+
+def test_similarity_survives_empty_and_zero_vectors(spark):
+    """Empty embeddings table → similarity entries return 0 rows; a
+    zero vector (norm 0 → division yields NaN cosine) must not crash
+    any path, and the quantized path's scale>0 guard drops it."""
+    import __spark_entry__ as e
+
+    from pqstream_spark.sources.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    qs = e.queries()
+    sim = ["sim_topk_brute_ivf", "sim_ann_lsh_quantized", "dedup_pairwise_scores"]
+
+    empty = spark.createDataFrame(
+        [], "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    )
+    empty.createOrReplaceTempView("embeddings")
+    try:
+        for name in sim:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+    finally:
+        spark.catalog.dropTempView("embeddings")
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = [
+        (1, "a", [0.0] * 8),           # zero vector: norm 0
+        (2, "a", [1.0] * 8),
+        (3, "a", [1.0, 0.0] * 4),
+        (11, "b", [2.0] * 8),
+        (12, "b", [0.5] * 8),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
+    ).createOrReplaceTempView("embeddings")
+    try:
+        for name in sim:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+    finally:
+        spark.catalog.dropTempView("embeddings")
