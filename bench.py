@@ -82,15 +82,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    plans: dict[str, dict] = {}
     for n in names:
         runs: list[float] = []
+        df = None
         for _ in range(N_ITERS):
             t0 = time.perf_counter()
-            queries[n](spark, SF_DIR).count()
+            df = queries[n](spark, SF_DIR)
+            df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         raw[n] = runs
         timings[n] = min(runs)
         means[n] = round(sum(runs) / len(runs), 3)
+        # scale evidence, not just speed: shuffle/join/codegen shape of
+        # the EXECUTED plan (post-AQE — auditing before execution hides
+        # codegen markers and runtime join strategy; streaming entries
+        # return their sink table, whose trivial scan plan is skipped)
+        if not n.startswith("stream_"):
+            from pqstream_spark.plans.audit import audit
+
+            a = audit(df, execute=True)
+            plans[n] = {
+                "exchanges": a.n_exchanges,
+                "broadcast_joins": a.n_broadcast_joins,
+                "shuffle_joins": a.n_shuffle_joins,
+                "pushed_filters": sum(len(p.split(",")) for p in a.pushed_filters),
+                "codegen": a.codegen,
+            }
         print(
             f"  {n}: min={timings[n]}s mean={means[n]}s raw={runs}",
             file=sys.stderr,
@@ -122,6 +140,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_mean": means,
                 "raw_iterations": raw,
+                "plan_stats": plans,
                 "total_mean": total_mean,
                 "n_iters": N_ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -26,8 +26,15 @@ class PlanAudit:
     plan: str = ""
 
 
-def audit(df) -> PlanAudit:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def audit(df, execute: bool = False) -> PlanAudit:
+    """execute=True runs the query once (JVM-side, nothing collected)
+    so AQE finalizes: codegen markers and RUNTIME join strategy appear
+    only in the final adaptive plan — an unexecuted AdaptiveSparkPlan
+    reports the static planner's guesses and no codegen spans."""
+    qe = df._jdf.queryExecution()
+    if execute:
+        qe.toRdd().count()
+    plan = qe.executedPlan().toString()
     out = PlanAudit(plan=plan)
     out.n_exchanges = len(re.findall(r"\bExchange\b", plan))
     out.n_broadcast_joins = plan.count("BroadcastHashJoin") + plan.count(
