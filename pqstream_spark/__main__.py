@@ -200,6 +200,7 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
         # must see the same in-flight batch the jsonl output got
         wire.dispatcher.stop(drain=True)
         wire.stop()
+        _ACTIVE_WIRE = None  # don't leak a dead server handle
     mgr.stop_all()
     return 0
 
