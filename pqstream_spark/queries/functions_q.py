@@ -212,9 +212,17 @@ WITH g AS (
 SELECT event_type, exact_users, q50_exact, q95_exact, q99_exact,
   abs(a_users - exact_users) <= 0.05 * exact_users AS approx_users_ok,
   abs(a_hll - exact_users) <= 0.05 * exact_users AS hll_users_ok,
-  abs(a_q50 - q50_exact) <= 0.05 * abs(q50_exact) + 1e-6 AS q50_ok,
-  abs(a_q95 - q95_exact) <= 0.05 * abs(q95_exact) + 1e-6 AS q95_ok,
-  abs(a_q99 - q99_exact) <= 0.05 * abs(q99_exact) + 1e-6 AS q99_ok
+  -- coalesce: an all-NULL value column makes both the exact quantile and
+  -- the sketch NULL, which would surface as a NULL boolean and a
+  -- confusing certification-flip hash mismatch vs the oracle's literal
+  -- TRUE. A degenerate group certifies vacuously (exact IS NULL → TRUE);
+  -- a NULL sketch against a non-NULL exact still fails loudly (→ FALSE).
+  coalesce(abs(a_q50 - q50_exact) <= 0.05 * abs(q50_exact) + 1e-6,
+           q50_exact IS NULL) AS q50_ok,
+  coalesce(abs(a_q95 - q95_exact) <= 0.05 * abs(q95_exact) + 1e-6,
+           q95_exact IS NULL) AS q95_ok,
+  coalesce(abs(a_q99 - q99_exact) <= 0.05 * abs(q99_exact) + 1e-6,
+           q99_exact IS NULL) AS q99_ok
 FROM g
 """
 

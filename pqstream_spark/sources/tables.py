@@ -84,36 +84,130 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # call — pure fixed overhead when every catalog query calls
 # register_views(spark, sf_dir) first. Keyed weakly by session so a
 # driver-owned SparkSession doesn't leak; the guard re-registers when
-# the sf_dir changes (warmup at sf0.001 then bench at sf0.1) or when
-# any view has been DROPPED since. A createOrReplaceTempView of a
-# catalog name is NOT detectable (tableExists stays true) — callers
-# that temporarily shadow a catalog view with synthetic data MUST drop
-# it afterwards (the convention tests/test_nn_label_cap.py follows), or
-# the cache will trust the shadowed view.
+# the sf_dir changes (warmup at sf0.001 then bench at sf0.1), when any
+# view has been DROPPED, or when a catalog view no longer resolves to
+# the cached frame's plan (a shadow left behind by
+# createOrReplaceTempView) — the cache-hit path verifies each view via
+# Catalyst sameResult, so a forgotten drop is HEALED on the next
+# register_views call instead of silently serving stale frames.
+# Sanctioned temporary shadowing goes through shadow_views(), which
+# patches the cache so the shadow survives nested register_views calls
+# and restores + invalidates on exit.
 _VIEW_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, dict]]" = None  # type: ignore[assignment]
+
+# Sentinel temp view registered alongside the tables; holds the sf_dir.
+# invalidate_view_cache drops it, and the cache-hit path requires it, so
+# an out-of-band invalidation (e.g. from code without access to this
+# module's cache dict) reliably forces re-registration.
+VIEW_TOKEN = "_pq_views_token"
+
+
+def _cache() -> "weakref.WeakKeyDictionary":
+    global _VIEW_CACHE
+    if _VIEW_CACHE is None:
+        import weakref
+
+        _VIEW_CACHE = weakref.WeakKeyDictionary()
+    return _VIEW_CACHE
+
+
+def _analyzed(df: DataFrame):
+    return df._jdf.queryExecution().analyzed()  # noqa: SLF001
+
+
+def _views_intact(spark: SparkSession, dfs: dict[str, DataFrame]) -> bool:
+    """True iff every cached table name still resolves, in the catalog,
+    to the exact plan we registered (Catalyst sameResult). ~2-3 ms per
+    view of py4j — two orders of magnitude cheaper than the footer reads
+    a re-registration costs, and it turns the shadow-without-drop
+    foot-gun into a self-healing non-event."""
+    try:
+        if not spark.catalog.tableExists(VIEW_TOKEN):
+            return False
+        for name, df in dfs.items():
+            if not spark.catalog.tableExists(name):
+                return False
+            if not _analyzed(spark.table(name)).sameResult(_analyzed(df)):
+                return False
+        return True
+    except Exception:
+        return False  # catalog unavailable mid-shutdown: re-register
+
+
+def invalidate_view_cache(spark: SparkSession) -> None:
+    """Force the next register_views on this session to re-register."""
+    _cache().pop(spark, None)
+    try:
+        spark.catalog.dropTempView(VIEW_TOKEN)
+    except Exception:
+        pass
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view named after the table.
 
     Idempotent and cached: repeat calls with the same session + sf_dir
-    return the already-registered frames without touching the catalog,
-    unless a view has since been dropped (replacement is undetectable —
-    see the cache comment above: shadow-then-drop is the contract)."""
-    global _VIEW_CACHE
-    if _VIEW_CACHE is None:
-        import weakref
+    return the already-registered frames without touching the parquet
+    footers — after verifying (cheaply, via sameResult) that the catalog
+    still serves exactly the cached plans. Engine confs are re-pinned on
+    every call, cached or not: a conf mutated between calls must not
+    drift timestamp semantics away from the DuckDB oracle."""
+    from ..session import ensure_engine_confs
 
-        _VIEW_CACHE = weakref.WeakKeyDictionary()
-    cached = _VIEW_CACHE.get(spark)
-    if cached is not None and cached[0] == sf_dir:
-        try:
-            if all(spark.catalog.tableExists(n) for n in TABLE_NAMES):
-                return dict(cached[1])
-        except Exception:
-            pass  # catalog unavailable mid-shutdown: fall through, re-register
+    ensure_engine_confs(spark)
+    cached = _cache().get(spark)
+    if cached is not None and cached[0] == sf_dir and _views_intact(spark, cached[1]):
+        return dict(cached[1])
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    spark.createDataFrame([(sf_dir,)], "sf_dir string").createOrReplaceTempView(
+        VIEW_TOKEN
+    )
     _VIEW_CACHE[spark] = (sf_dir, dfs)
     return dfs
+
+
+class shadow_views:
+    """Sanctioned temporary view shadowing (tests, what-if runs):
+
+        with shadow_views(spark, documents=fake_df):
+            ... catalog queries see fake_df as `documents` ...
+
+    Registers each shadow AND patches the session's view cache so a
+    nested register_views (every catalog query calls it) keeps serving
+    the shadow instead of healing it away; on exit the shadows are
+    dropped and the cache invalidated, so the next register_views
+    re-registers the real tables. Exception-safe — the old foot-gun
+    (forgetting the drop) is structurally impossible here, and an
+    UNSANCTIONED raw createOrReplaceTempView shadow is now healed by the
+    next register_views call (see _views_intact)."""
+
+    def __init__(self, spark: SparkSession, **frames: DataFrame):
+        self.spark = spark
+        self.frames = frames
+
+    def __enter__(self):
+        cached = _cache().get(self.spark)
+        if cached is None and any(n in TABLE_NAMES for n in self.frames):
+            # without a cache entry to patch, a nested register_views
+            # would re-register the real table OVER the shadow — fail
+            # loudly instead of silently un-shadowing mid-block
+            raise ValueError(
+                "shadow_views over a catalog table name requires "
+                "register_views(spark, sf_dir) to have run first"
+            )
+        for name, df in self.frames.items():
+            df.createOrReplaceTempView(name)
+            if cached is not None:
+                cached[1][name] = df
+        return self
+
+    def __exit__(self, *exc):
+        for name in self.frames:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        invalidate_view_cache(self.spark)
+        return False

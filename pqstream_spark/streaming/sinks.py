@@ -106,11 +106,14 @@ class StompForwarder:
         if client is None:
             from .stomp_wire import StompClient
 
-            # rpartition: IPv6 literals contain colons ("::1:61613");
-            # a bare host (no colon) gets the default STOMP port
-            host, sep, port = (addr or "localhost:61613").rpartition(":")
-            if not sep or not port.isdigit():
-                host, port = (addr or "localhost"), "61613"
+            # Port is only split off for "host:1234" (exactly one colon)
+            # or bracketed IPv6 "[::1]:1234" — a bare IPv6 literal like
+            # "::1" must NOT be parsed as host "::" + port "1".
+            a = addr or "localhost:61613"
+            host, port = a, "61613"
+            hp, sep, p = a.rpartition(":")
+            if sep and p.isdigit() and (hp.endswith("]") or a.count(":") == 1):
+                host, port = hp, p
             client = StompClient(host.strip("[]"), int(port))
         self.client = client
 

@@ -64,6 +64,16 @@ def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
         return False
 
     if not _has_parquet(path):
+        import logging
+
+        # Surfacing the assumption at runtime: if bigint(nanos)-era files
+        # land in this directory later, the stream will read ts with the
+        # wrong declared type for the lifetime of the query.
+        logging.getLogger(__name__).warning(
+            "no parquet footer at %s yet; assuming current-era ts dtype "
+            "timestamp_ntz (outbox directories must be era-homogeneous)",
+            path,
+        )
         return "timestamp_ntz"
     try:
         return dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")

@@ -70,7 +70,7 @@ def test_text_pipeline_survives_degenerate_documents(spark):
     docs, md5 of empty strings are all edge paths)."""
     import __spark_entry__ as e
 
-    from pqstream_spark.sources.tables import register_views
+    from pqstream_spark.sources.tables import register_views, shadow_views
 
     register_views(spark, "/root/testdata/sf0.001")
     rows = [
@@ -81,11 +81,9 @@ def test_text_pipeline_survives_degenerate_documents(spark):
         (5, "en", "one"),
         (6, "en", "two tokens"),
     ]
-    spark.createDataFrame(
-        rows, "doc_id LONG, lang STRING, text STRING"
-    ).createOrReplaceTempView("documents")
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
     qs = e.queries()
-    try:
+    with shadow_views(spark, documents=docs):
         for name in (
             "text_annotations",
             "text_curation_pipeline",
@@ -95,8 +93,6 @@ def test_text_pipeline_survives_degenerate_documents(spark):
         ):
             # count() forces full evaluation; no exception is the assertion
             qs[name](spark, "/root/testdata/sf0.001").count()
-    finally:
-        spark.catalog.dropTempView("documents")  # shadow-then-drop contract
 
 
 def test_similarity_survives_empty_and_zero_vectors(spark):
@@ -105,7 +101,7 @@ def test_similarity_survives_empty_and_zero_vectors(spark):
     any path, and the quantized path's scale>0 guard drops it."""
     import __spark_entry__ as e
 
-    from pqstream_spark.sources.tables import register_views
+    from pqstream_spark.sources.tables import register_views, shadow_views
 
     register_views(spark, "/root/testdata/sf0.001")
     qs = e.queries()
@@ -114,12 +110,9 @@ def test_similarity_survives_empty_and_zero_vectors(spark):
     empty = spark.createDataFrame(
         [], "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
     )
-    empty.createOrReplaceTempView("embeddings")
-    try:
+    with shadow_views(spark, embeddings=empty):
         for name in sim:
             qs[name](spark, "/root/testdata/sf0.001").count()
-    finally:
-        spark.catalog.dropTempView("embeddings")
 
     register_views(spark, "/root/testdata/sf0.001")
     rows = [
@@ -129,11 +122,9 @@ def test_similarity_survives_empty_and_zero_vectors(spark):
         (11, "b", [2.0] * 8),
         (12, "b", [0.5] * 8),
     ]
-    spark.createDataFrame(
+    zv = spark.createDataFrame(
         rows, "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>"
-    ).createOrReplaceTempView("embeddings")
-    try:
+    )
+    with shadow_views(spark, embeddings=zv):
         for name in sim:
             qs[name](spark, "/root/testdata/sf0.001").count()
-    finally:
-        spark.catalog.dropTempView("embeddings")
