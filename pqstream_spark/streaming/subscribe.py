@@ -16,6 +16,9 @@ SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import queue
+import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -95,6 +98,127 @@ class SubscriptionManager:
             self.stop(name)
 
 
+BUFFER_POLICIES = ("block", "drop-oldest", "disconnect-slow")
+
+_STOP = object()
+
+
+class _Subscriber:
+    """One fan-out target. policy=None delivers inline from the dispatch
+    loop (the reference's unbuffered-channel semantics, server.go:291).
+    A buffer policy decouples the subscriber behind a bounded queue +
+    worker thread — the improvement the reference's own TODO
+    (server.go:291 "will likely buffer after benchmarking") never
+    shipped:
+
+      block           — dispatch waits when this subscriber's queue is
+                        full (today's semantics, with `capacity` slack)
+      drop-oldest     — full queue evicts the oldest undelivered row;
+                        `dropped` counts the loss (lossy tail, never
+                        stalls the loop)
+      disconnect-slow — a full queue disconnects the subscriber (the
+                        strictest protect-the-loop policy)
+
+    Per-subscriber ordering is preserved (single worker, FIFO queue).
+    """
+
+    def __init__(self, name, pattern, callback, policy, capacity):
+        if policy is not None and policy not in BUFFER_POLICIES:
+            raise ValueError(
+                f"unknown buffer policy {policy!r}; use one of {BUFFER_POLICIES}"
+            )
+        self.name = name
+        self.pattern = pattern
+        self.cb = callback
+        self.policy = policy
+        self.dropped = 0
+        self.dead = threading.Event()
+        self.q = None
+        self.thread = None
+        if policy is not None:
+            self.q = queue.Queue(maxsize=max(1, capacity))
+            self.thread = threading.Thread(
+                target=self._run, daemon=True, name=f"pq-sub-{name}"
+            )
+            self.thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is _STOP or self.dead.is_set():
+                break
+            try:
+                ok = self.cb(item)
+            except Exception:
+                ok = False
+            if not ok:
+                self.dead.set()  # cb contract: False → unsubscribe
+                break
+
+    def offer(self, row) -> bool:
+        """Deliver (inline) or enqueue (buffered). False → remove me."""
+        if self.policy is None:
+            try:
+                return bool(self.cb(row))
+            except Exception:
+                return False
+        if self.dead.is_set():
+            return False
+        if self.policy == "block":
+            while not self.dead.is_set():
+                try:
+                    self.q.put(row, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+        try:
+            self.q.put_nowait(row)
+            return True
+        except queue.Full:
+            if self.policy == "drop-oldest":
+                try:
+                    self.q.get_nowait()
+                except queue.Empty:
+                    pass
+                self.dropped += 1
+                try:
+                    self.q.put_nowait(row)
+                except queue.Full:
+                    pass  # raced with _STOP fill; row counted dropped above
+                return True
+            self.dead.set()  # disconnect-slow
+            return False
+
+    def drain(self, timeout: float = 10.0) -> None:
+        """Wait until the queue has been handed to the worker (graceful
+        stop: buffered rows are delivered, not discarded)."""
+        if self.q is None:
+            return
+        deadline = time.monotonic() + timeout
+        while not self.q.empty() and not self.dead.is_set():
+            if time.monotonic() >= deadline:
+                break
+            time.sleep(0.01)
+
+    def close(self) -> None:
+        """Signal the worker to exit. Deliberately does NOT join: close
+        runs on the dispatch loop (offer → False → unsubscribe) and the
+        worker may be blocked inside a stalled client write — joining
+        here would hand the head-of-line stall right back to the loop.
+        The worker is a daemon; Dispatcher.stop() joins with a timeout."""
+        self.dead.set()
+        if self.q is not None:
+            try:
+                self.q.put_nowait(_STOP)
+            except Exception:
+                pass
+
+    def join(self, timeout: float = 5.0) -> None:
+        if self.thread is not None and threading.current_thread() is not self.thread:
+            self.thread.join(timeout=timeout)
+
+
 class Dispatcher:
     """Single-query fan-out — the reference's exact topology (one event
     loop, N subscribers, `/root/reference/server.go:249-267`) as one
@@ -102,33 +226,56 @@ class Dispatcher:
 
     Trade-off vs per-query subscriptions (SubscriptionManager): the
     source is read ONCE per micro-batch regardless of subscriber count
-    (cheaper at high fan-out), but subscribers share the batch cadence
-    — a slow callback delays the next micro-batch for everyone, which
-    is precisely the reference's head-of-line blocking (server.go:291).
-    Use this for many cheap subscribers, per-query isolation for few
-    expensive ones.
+    (cheaper at high fan-out), but subscribers share the batch cadence.
+    By DEFAULT a slow callback delays the next micro-batch for everyone
+    — precisely the reference's head-of-line blocking (server.go:291).
+    Unlike the reference, a subscriber may opt into a bounded buffer
+    (policy = block | drop-oldest | disconnect-slow, see _Subscriber):
+    delivery then happens on that subscriber's own worker thread and a
+    slow client can no longer stall the loop — the fix server.go:291's
+    TODO promised and never shipped.
 
     A callback returning False unsubscribes (subscription.fn parity,
     server.go:30-33). Registration/removal is effective from the next
-    micro-batch.
+    micro-batch (buffered removal also mid-batch).
     """
 
     def __init__(self, events: DataFrame) -> None:
         self._events = events
-        self._subs: dict[str, tuple] = {}
+        self._subs: dict[str, _Subscriber] = {}
         self._query: StreamingQuery | None = None
 
-    def subscribe(self, name: str, table_regexp: str, callback) -> None:
+    def subscribe(
+        self,
+        name: str,
+        table_regexp: str,
+        callback,
+        policy: str | None = None,
+        capacity: int = 64,
+    ) -> None:
         import re
 
         pattern = re.compile(compile_or_raise(table_regexp))
-        self._subs[name] = (pattern, callback)
+        self._subs[name] = _Subscriber(name, pattern, callback, policy, capacity)
 
     def unsubscribe(self, name: str) -> None:
-        self._subs.pop(name, None)
+        sub = self._subs.pop(name, None)
+        if sub is not None:
+            sub.close()
 
     def subscribers(self) -> list[str]:
         return sorted(self._subs)
+
+    def is_active(self, name: str) -> bool:
+        """Live subscription check — False once removed or once a
+        buffered worker died (cb False / disconnect-slow overflow)."""
+        sub = self._subs.get(name)
+        return sub is not None and not sub.dead.is_set()
+
+    def dropped(self, name: str) -> int:
+        """Rows evicted for a drop-oldest subscriber (0 otherwise)."""
+        sub = self._subs.get(name)
+        return sub.dropped if sub is not None else 0
 
     def start(self, trigger: dict | None = None) -> StreamingQuery:
         def dispatch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -145,10 +292,10 @@ class Dispatcher:
                 if not self._subs:
                     break
                 row = r.asDict()
-                for name, (pattern, cb) in list(self._subs.items()):
-                    if not pattern.search(row["table_name"] or ""):
+                for name, sub in list(self._subs.items()):
+                    if not sub.pattern.search(row["table_name"] or ""):
                         continue
-                    if not cb(row):
+                    if not sub.offer(row):
                         self.unsubscribe(name)  # False → unsubscribe
 
         writer = self._events.writeStream.foreachBatch(dispatch).queryName(
@@ -161,8 +308,9 @@ class Dispatcher:
 
     def stop(self, drain: bool = False) -> None:
         """Stop the fan-out query. drain=True first processes every
-        micro-batch already visible to the source, so subscribers see
-        the in-flight work before shutdown (the graceful-stop contract,
+        micro-batch already visible to the source AND waits for buffered
+        subscribers' queues to empty, so subscribers see the in-flight
+        work before shutdown (the graceful-stop contract,
         cmd/pqsd/main.go:113-118)."""
         if self._query is not None and self._query.isActive:
             if drain:
@@ -171,3 +319,10 @@ class Dispatcher:
                 except Exception:
                     pass  # already terminal: nothing to drain
             self._query.stop()
+        subs = [self._subs[n] for n in list(self._subs) if n in self._subs]
+        for sub in subs:
+            if drain:
+                sub.drain()
+            sub.close()
+        for sub in subs:
+            sub.join(timeout=2)

@@ -14,11 +14,21 @@ subscriber — subscription.fn parity, server.go:30-33). When grpcio
 appears, `Listen` becomes a thin gRPC method over the same Dispatcher
 and renderer; nothing below the framing changes.
 
-Backpressure semantics match the reference deliberately: the event
-loop writes to each client inline, so a slow client delays the batch
-for everyone (the unbuffered channel at server.go:291). Bounded
+Backpressure semantics DEFAULT to the reference's: the event loop
+writes to each client inline, so a slow client delays the batch for
+everyone (the unbuffered channel at server.go:291). Bounded
 micro-batches (maxFilesPerTrigger / OutboxPoller.max_rows) cap how
-much a stall can hold in flight.
+much a stall can hold in flight. Unlike the reference, a client may
+opt OUT of head-of-line blocking per connection —
+`/listen?tables=...&policy=drop-oldest|disconnect-slow|block&buffer=N`
+moves its delivery onto a bounded per-subscriber queue + worker thread
+(Dispatcher buffer policies), so one stalled socket no longer delays
+any other subscriber's delivery: the fix the reference's own TODO
+(server.go:291, "will likely buffer after benchmarking") never
+shipped. Teardown order: dispatcher.stop() before WireServer.stop()
+(the order __main__ uses) — the reverse closes handler wfiles while a
+batch may be mid-write, which the callback tolerates (ValueError →
+unsubscribe) but delivers less.
 """
 
 from __future__ import annotations
@@ -30,7 +40,7 @@ from urllib.parse import parse_qs, urlparse
 
 from ..operators.filters import compile_or_raise
 from .sinks import event_to_json_line
-from .subscribe import Dispatcher
+from .subscribe import BUFFER_POLICIES, Dispatcher
 
 
 class _ListenHandler(BaseHTTPRequestHandler):
@@ -45,13 +55,25 @@ class _ListenHandler(BaseHTTPRequestHandler):
         if parsed.path != "/listen":
             self.send_error(404, "unknown path (use /listen?tables=REGEXP)")
             return
-        regexp = parse_qs(parsed.query).get("tables", [".*"])[0]
+        qs = parse_qs(parsed.query)
+        regexp = qs.get("tables", [".*"])[0]
         try:
             compile_or_raise(regexp)
         except Exception as ex:
             # invalid pattern is an error BEFORE any streaming starts —
             # Listen parity (server.go:305-307)
             self.send_error(400, f"bad tables regexp: {ex}")
+            return
+        policy = qs.get("policy", [None])[0]
+        if policy is not None and policy not in BUFFER_POLICIES:
+            self.send_error(
+                400, f"bad policy {policy!r} (use one of {BUFFER_POLICIES})"
+            )
+            return
+        try:
+            capacity = int(qs.get("buffer", ["64"])[0])
+        except ValueError:
+            self.send_error(400, "bad buffer size (integer required)")
             return
 
         self.send_response(200)
@@ -68,18 +90,25 @@ class _ListenHandler(BaseHTTPRequestHandler):
                 self.wfile.write((event_to_json_line(row) + "\n").encode())
                 self.wfile.flush()
                 return True
-            except OSError:
-                done.set()  # client went away: unsubscribe via False
+            except (OSError, ValueError):
+                # OSError: client went away. ValueError: wfile was closed
+                # on OUR side (WireServer.stop() while the dispatcher is
+                # mid-batch) — either way unsubscribe via False instead of
+                # letting the exception kill the shared foreachBatch query
+                # for every other client.
+                done.set()
                 return False
 
         server: WireServer = self.server  # type: ignore[assignment]
-        server.dispatcher.subscribe(name, regexp, cb)
+        server.dispatcher.subscribe(name, regexp, cb, policy=policy, capacity=capacity)
         try:
             # the dispatcher's event loop writes from its own thread;
             # this handler thread just holds the connection open until
             # the client disconnects (detected on write) or the server
             # shuts down
             while not done.is_set() and not server.closing.is_set():
+                if not server.dispatcher.is_active(name):
+                    break  # removed (cb False or disconnect-slow): close
                 done.wait(0.2)
         finally:
             server.dispatcher.unsubscribe(name)

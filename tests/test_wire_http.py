@@ -38,8 +38,8 @@ def wire(spark, tmp_path):
             q.stop()
 
 
-def _drop_events(spark, tmp_path, src, n=60, name="b1"):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+def _drop_events(spark, tmp_path, src, n=60, name="b1", sf="sf0.001"):
+    ev = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
     stage = str(tmp_path / ("wire_stage_" + name))
     ev.orderBy("event_id").limit(n).coalesce(1).write.mode("overwrite").parquet(stage)
     part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
@@ -119,6 +119,55 @@ def test_disconnect_unsubscribes(spark, tmp_path, wire):
     while srv.dispatcher.subscribers() and time.time() < deadline:
         time.sleep(0.5)
     assert srv.dispatcher.subscribers() == []
+
+
+def test_stalled_client_does_not_block_fast_client(spark, tmp_path, wire):
+    """Beating server.go:291's head-of-line TODO on the wire: a client
+    that never reads its socket (tiny SO_RCVBUF, no recv) subscribed
+    with policy=disconnect-slow must neither delay nor starve a
+    concurrent default client, which receives the ENTIRE event batch;
+    the stalled subscription is removed on overflow. Under the
+    reference's inline semantics this test hangs: the loop blocks on
+    the stalled socket once the kernel buffers fill."""
+    import socket
+
+    src, srv = wire
+    host, port = srv.server_address[:2]
+
+    # stalled client: tiny receive window negotiated at connect, then
+    # never reads — the server-side writes block once buffers fill
+    slow = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    slow.connect((host, port))
+    slow.sendall(
+        b"GET /listen?tables=.*&policy=disconnect-slow&buffer=4 HTTP/1.1\r\n"
+        b"Host: wire\r\n\r\n"
+    )
+    time.sleep(0.5)  # let the subscription land
+
+    got: dict = {}
+
+    def client():
+        got["result"] = _read_lines(host, port, "/listen?tables=.*", 10000)
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    # sf0.01: 10000 events => 10000 changelog lines, ~1.5 MB — far
+    # beyond the stalled socket's receive+send buffers
+    _drop_events(spark, tmp_path, src, n=10000, name="hol", sf="sf0.01")
+    t.join(timeout=240)
+    try:
+        assert not t.is_alive(), "fast client never completed (loop blocked?)"
+        status, _, lines = got["result"]
+        assert status == 200 and len(lines) == 10000
+        # the overflowing subscriber was disconnected during the batch
+        deadline = time.time() + 30
+        while time.time() < deadline and len(srv.dispatcher.subscribers()) > 1:
+            time.sleep(0.25)
+        assert len(srv.dispatcher.subscribers()) <= 1
+    finally:
+        slow.close()
 
 
 def test_concurrent_clients_isolated_filters(spark, tmp_path, wire):
