@@ -25,6 +25,36 @@ def _importable(mod: str) -> bool:
         return False
 
 
+def test_media_codec_packages_probe():
+    """The multimodal operators (functions/multimodal.py) decode a
+    deterministic FIMG/FAUD fake codec because no real image/audio
+    library ships in this container. That excuse must not outlive
+    itself: the moment a decode-capable package appears, this test
+    fails and names the work order."""
+    status = {
+        m: _importable(m)
+        for m in (
+            "PIL",          # Pillow — image decode/resize
+            "cv2",          # OpenCV — image + video frame-sample
+            "imageio",      # image/video decode
+            "librosa",      # audio feature extraction
+            "soundfile",    # audio decode
+            "torchvision",  # image decode + transforms
+            "torchaudio",   # audio decode
+            "av",           # PyAV — video frame-sample
+        )
+    }
+    appeared = [m for m, ok in status.items() if ok]
+    assert not appeared, (
+        f"media codec packages now available: {appeared} — the fake "
+        "FIMG/FAUD codec in functions/multimodal.py is no longer "
+        "excused. Swap _decode_one / the audio frame loop for the real "
+        "decoder (the mapInPandas plumbing, schemas and batch shape "
+        "stay as-is), keep the fake codec as a test fixture, then "
+        "delete this assert."
+    )
+
+
 def test_transport_packages_probe():
     status = {
         m: _importable(m)
