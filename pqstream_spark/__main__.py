@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
     )
     p.add_argument(
+        "--checkpoint", default=None, metavar="DIR",
+        help="durable restart point for the directory backend: the "
+        "Structured Streaming checkpointLocation. Restart after a "
+        "crash resumes from the last committed micro-batch instead of "
+        "re-reading the whole changelog (the sqlite backend persists "
+        "its offset inside the source database automatically)",
+    )
+    p.add_argument(
         "--listen-http", type=int, default=None, metavar="PORT",
         help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
         "(directory backend only; 0 picks an ephemeral port)",
@@ -117,7 +125,17 @@ def _run_sqlite(args, stop: threading.Event) -> int:
 
     spark = get_spark("pqstream-daemon")
     redactions = _load_redactions(args.redactions)
-    poller = LocalOutboxPoller(conn)
+    # the offset lives next to the outbox: restart (even after SIGKILL)
+    # resumes from the last advanced seq; a batch emitted but not yet
+    # advanced replays, and the seq-named idempotent sink rewrites the
+    # same file — exactly-once effect end to end
+    poller = LocalOutboxPoller.open_durable(conn)
+    if args.out == "-":
+        emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
+    else:
+        from .streaming.sinks import jsonl_seq_writer
+
+        emit = jsonl_seq_writer(args.out)
     epoch = 0
     while not stop.is_set():
         batch = poller.read_batch(spark)
@@ -128,7 +146,7 @@ def _run_sqlite(args, stop: threading.Event) -> int:
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,
         )
-        _emit(events, args.out, epoch)
+        emit(events, epoch)
         poller.advance()
         epoch += 1
         if args.once:
@@ -179,6 +197,7 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
         "daemon",
         table_regexp=args.tables or ".*",
         foreach_batch=lambda df, epoch: _emit(df, out, epoch),
+        checkpoint_dir=args.checkpoint,
         typed_wire=True,
     )
     if args.once:

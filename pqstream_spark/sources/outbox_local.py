@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from .outbox import _check_ident, filter_tables
 
 LOCAL_OUTBOX_TABLE = "pqstream_outbox"
+LOCAL_OFFSET_TABLE = "pqstream_consumer_offset"
 
 CREATE_LOCAL_OUTBOX_SQL = f"""
 CREATE TABLE IF NOT EXISTS {LOCAL_OUTBOX_TABLE} (
@@ -188,7 +189,39 @@ class LocalOutboxPoller:
     conn: object
     max_rows: int = 100_000
     last_seq: int = 0
+    consumer: str | None = None  # set → advance() persists the offset
     _pending_hi: int | None = field(default=None, repr=False)
+
+    @classmethod
+    def open_durable(
+        cls, conn, consumer: str = "daemon", max_rows: int = 100_000
+    ) -> "LocalOutboxPoller":
+        """Poller whose high-water mark survives a process crash.
+
+        The offset lives in the SAME sqlite database as the outbox
+        (one row per consumer name), written by `advance()` after the
+        batch is durably sunk. A SIGKILL between sink and advance
+        replays that batch on restart — at-least-once, which the
+        idempotent seq-named sink (streaming/sinks.jsonl_seq_writer)
+        collapses to exactly-once effect. This is the recovery story
+        the reference lacks entirely: NOTIFY delivery is
+        fire-and-forget (server.go:249-315), a crashed pqsd loses
+        every event that fired while it was down."""
+        conn.execute(
+            f"CREATE TABLE IF NOT EXISTS {LOCAL_OFFSET_TABLE} ("
+            "consumer TEXT PRIMARY KEY, last_seq INTEGER NOT NULL)"
+        )
+        conn.commit()
+        row = conn.execute(
+            f"SELECT last_seq FROM {LOCAL_OFFSET_TABLE} WHERE consumer = ?",
+            (consumer,),
+        ).fetchone()
+        return cls(
+            conn,
+            max_rows=max_rows,
+            last_seq=int(row[0]) if row else 0,
+            consumer=consumer,
+        )
 
     def read_batch(self, spark: SparkSession) -> DataFrame:
         lo, hi = self.last_seq, self.last_seq + self.max_rows
@@ -219,8 +252,18 @@ class LocalOutboxPoller:
         return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
 
     def advance(self) -> int:
-        """Commit the high-water mark after the batch is durably sunk."""
+        """Commit the high-water mark after the batch is durably sunk.
+        Durable pollers (open_durable) persist it transactionally in
+        the source database; crash-before-advance replays the batch."""
         if self._pending_hi is not None:
             self.last_seq = self._pending_hi
             self._pending_hi = None
+            if self.consumer is not None:
+                self.conn.execute(
+                    f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+                    "VALUES (?, ?) ON CONFLICT(consumer) "
+                    "DO UPDATE SET last_seq = excluded.last_seq",
+                    (self.consumer, self.last_seq),
+                )
+                self.conn.commit()
         return self.last_seq

@@ -67,15 +67,56 @@ def jsonl_dir_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         # stream the sorted batch through the driver a partition at a
         # time (toLocalIterator) — the file is written incrementally, so
-        # driver memory is bounded by one partition, not the micro-batch
+        # driver memory is bounded by one partition, not the micro-batch.
+        # Written to a .tmp then renamed: a SIGKILL mid-batch leaves
+        # only tmp junk (readers match *.jsonl), and the checkpoint's
+        # re-run of the same epoch rewrites the same final name — the
+        # idempotent-sink half of the exactly-once contract.
         path = os.path.join(out_dir, f"batch-{epoch_id:08d}.jsonl")
+        tmp = path + ".tmp"
         wrote = False
-        with open(path, "w") as f:
+        with open(tmp, "w") as f:
             for r in batch_df.orderBy("seq").toLocalIterator():
                 f.write(event_to_json_line(r.asDict()) + "\n")
                 wrote = True
-        if not wrote:
-            os.remove(path)
+        if wrote:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)
+
+    return write
+
+
+def jsonl_seq_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """Like jsonl_dir_writer, but names each file by the batch's seq
+    range (`batch-{lo}-{hi}.jsonl`) instead of the epoch id.
+
+    For the polling (non-Structured-Streaming) daemon path the epoch
+    counter restarts at 0 on every process start, so epoch names would
+    collide across restarts and overwrite earlier output. Seq ranges
+    are stable under replay: a crashed-then-replayed batch rewrites the
+    SAME file (idempotent), and new batches can never collide with old
+    ones. Combined with the durable consumer offset
+    (sources/outbox_local.py LocalOutboxPoller.open_durable) this gives
+    at-least-once transport + idempotent sink = exactly-once effect —
+    the upgrade over the reference's lossy fire-and-forget NOTIFY
+    delivery (server.go:249-315 has no redelivery at all)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        tmp = os.path.join(out_dir, f".inflight-{epoch_id}.tmp")
+        lo = hi = None
+        with open(tmp, "w") as f:
+            for r in batch_df.orderBy("seq").toLocalIterator():
+                d = r.asDict()
+                if lo is None:
+                    lo = d["seq"]
+                hi = d["seq"]
+                f.write(event_to_json_line(d) + "\n")
+        if lo is None:
+            os.remove(tmp)
+            return
+        os.replace(tmp, os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.jsonl"))
 
     return write
 
