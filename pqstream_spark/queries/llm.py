@@ -159,12 +159,23 @@ def _minhash_signatures(corpus: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             *[
-                F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
+                F.expr(
+                    # fixed-length lowercase hex orders identically to
+                    # its numeric value, so min over the parsed BIGINT
+                    # equals min over the hex slice — but a fixed-width
+                    # LongType min runs in codegen'd HashAggregate
+                    # instead of ObjectHashAggregate over strings
+                    f"min(cast(conv(substring(m, {4 * j + 1}, 4), 16, 10)"
+                    " AS BIGINT))"
+                ).alias(f"h{j}")
                 for j in range(8)
             ]
         )
         .selectExpr(
-            "doc_id", *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)]
+            # band key as one BIGINT (h·2¹⁶ + h) — same bucketing as the
+            # hex-string concat, narrower shuffle key
+            "doc_id",
+            *[f"h{2 * b} * 65536 + h{2 * b + 1} AS b{b}" for b in range(4)],
         )
     )
 
@@ -264,7 +275,10 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     )
     # materialize once: every round re-reads the edge list, and without
     # this the (possibly expensive) pair-generation upstream re-executes
-    # per round — O(rounds × candidate-generation) instead of O(1)
+    # per round — O(rounds × candidate-generation) instead of O(1).
+    # (Pre-partitioning by the join key before the checkpoint would be
+    # pointless: LogicalRDD drops partitioning info, so each round's
+    # join re-shuffles the narrow edge list regardless.)
     edges = edges.localCheckpoint()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
@@ -470,10 +484,19 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tokenize+shingle ONCE, materialized; both the MinHash signature
     # and the Jaccard verification derive from this frame (running
-    # q_minhash_spark separately would re-tokenize the whole corpus)
+    # q_minhash_spark separately would re-tokenize the whole corpus;
+    # measured here: dropping the checkpoint in favor of ReuseExchange
+    # sharing regresses 4.5 s → 166 s at sf0.1 — AQE does not reuse the
+    # repartition subtree across the four consumers, and the verify
+    # joins degrade to driver-side broadcasts of the shingle frame).
+    # The repartition(doc_id) before the checkpoint balances the
+    # materialized partitions across executors regardless of the
+    # upstream file layout — the three downstream consumers then read
+    # evenly-sized partitions.
     sh_raw = (
         corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
         .selectExpr("doc_id", f"{SHINGLE_SPARK} AS sh")
+        .repartition("doc_id")
         .localCheckpoint()
     )
     sig = (
@@ -482,12 +505,23 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             *[
-                F.expr(f"min(substring(m, {4 * j + 1}, 4))").alias(f"h{j}")
+                F.expr(
+                    # fixed-length lowercase hex orders identically to
+                    # its numeric value, so min over the parsed BIGINT
+                    # equals min over the hex slice — but a fixed-width
+                    # LongType min runs in codegen'd HashAggregate
+                    # instead of ObjectHashAggregate over strings
+                    f"min(cast(conv(substring(m, {4 * j + 1}, 4), 16, 10)"
+                    " AS BIGINT))"
+                ).alias(f"h{j}")
                 for j in range(8)
             ]
         )
         .selectExpr(
-            "doc_id", *[f"h{2 * b} || h{2 * b + 1} AS b{b}" for b in range(4)]
+            # band key as one BIGINT (h·2¹⁶ + h) — same bucketing as the
+            # hex-string concat, narrower shuffle key
+            "doc_id",
+            *[f"h{2 * b} * 65536 + h{2 * b + 1} AS b{b}" for b in range(4)],
         )
     )
     cand = band_pairs(sig)
@@ -507,12 +541,16 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     labels = propagate_min_labels(verified)
+    # the final join needs only doc_id from the corpus — project it off
+    # the already-materialized checkpoint instead of re-scanning and
+    # re-deriving the synthetic corpus union
+    base = sh_raw.select("doc_id")
     return (
-        corpus.join(labels, corpus.doc_id == labels.doc_id, "left")
+        base.join(labels, base.doc_id == labels.doc_id, "left")
         .select(
-            corpus.doc_id,
+            base.doc_id,
             F.col("label").alias("cluster_keeper"),
-            (F.col("label").isNull() | (F.col("label") == corpus.doc_id)).alias(
+            (F.col("label").isNull() | (F.col("label") == base.doc_id)).alias(
                 "kept"
             ),
         )
