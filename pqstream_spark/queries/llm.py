@@ -1073,10 +1073,67 @@ SELECT doc_a, doc_b, {ham} AS hamming FROM sp
 """
 
 
+def _decontam_sql(spark: bool) -> str:
+    """Train/test decontamination — the benchmark-leakage sweep every
+    pretraining pipeline runs before training: flag training documents
+    whose n-grams CONTAIN a benchmark/test item (directional
+    containment |sh_test ∩ sh_train| / |sh_test|, not symmetric
+    Jaccard — a 100-word benchmark question buried in a 10k-word web
+    page is still contamination).
+
+    Synthetic test set: every 97th document, truncated to its first
+    120 chars (a benchmark item extracted from web text). Candidate
+    generation is an inverted-index join on the shingle value: the
+    test set's exploded n-grams are tiny relative to the corpus, so at
+    100 TB Spark broadcasts them and the sweep is ONE map-side pass
+    over the training shingles — the production shape (benchmark
+    n-gram set shipped to every executor), never an all-pairs join.
+    Pairs below 0.5 containment or under 5 test shingles are noise and
+    are dropped before the aggregate leaves the executors."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    if spark:
+        train_ex = "SELECT doc_id, explode(sh) AS s FROM train_sh"
+        test_ex = (
+            "SELECT test_id, size(sh) AS n_test, explode(sh) AS s "
+            "FROM test_sh"
+        )
+    else:
+        train_ex = "SELECT doc_id, unnest(sh) AS s FROM train_sh"
+        test_ex = (
+            "SELECT test_id, len(sh) AS n_test, unnest(sh) AS s "
+            "FROM test_sh"
+        )
+    return f"""
+WITH train_tok AS (SELECT doc_id, {tok} AS tok FROM documents),
+train_sh AS (SELECT doc_id, {distinct}({sh}) AS sh FROM train_tok),
+train_ex AS ({train_ex}),
+test_base AS (
+  SELECT doc_id + 500000 AS test_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+test_tok AS (SELECT test_id, {tok} AS tok FROM test_base),
+test_sh AS (SELECT test_id, {distinct}({sh}) AS sh FROM test_tok),
+test_ex AS ({test_ex}),
+hits AS (
+  SELECT t.doc_id, e.test_id, COUNT(*) AS n_hit, MAX(e.n_test) AS n_test
+  FROM train_ex t JOIN test_ex e ON t.s = e.s
+  GROUP BY t.doc_id, e.test_id
+)
+SELECT doc_id AS doc_a, test_id AS doc_b,
+       round(CAST(n_hit AS DOUBLE) / n_test, 6) AS containment
+FROM hits
+WHERE n_test >= 5 AND CAST(n_hit AS DOUBLE) / n_test >= 0.5
+"""
+
+
 def _pairwise_scores_sql(spark: bool) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
-    original↔near-copy pairs) ∪ per-label embedding nearest neighbour —
-    all emit (method, id_a, id_b, score, near_dup)."""
+    original↔near-copy pairs) ∪ per-label embedding nearest neighbour
+    ∪ train/test decontamination — all emit
+    (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
@@ -1099,6 +1156,11 @@ UNION ALL
 SELECT 'embedding_nn' AS method, CAST(vec_id AS BIGINT) AS id_a,
        CAST(nn_vec_id AS BIGINT) AS id_b, nn_cos AS score, near_dup
 FROM ({nn.strip()})
+UNION ALL
+SELECT 'decontaminate' AS method, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b, containment AS score,
+       containment >= 0.8 AS near_dup
+FROM ({_decontam_sql(spark).strip()})
 """
 
 
