@@ -938,6 +938,12 @@ FROM pre
 # exact-dup canonicalization. Keep rule: quality floor + token floor +
 # canonical copy of its fingerprint group.
 
+# Sequence-packing constants: production values would be ~2048-8192
+# tokens and O(cluster cores) shards; these are sized so the bin
+# boundary logic actually exercises (bins overflow) at the test SFs.
+PACK_BUDGET, PACK_SHARDS = 256, 8
+
+
 def _curation_sql(spark: bool) -> str:
     tok = TOK_SPARK if spark else TOK_DUCK
     size = "size" if spark else "len"
@@ -987,14 +993,32 @@ ann AS (
 dedup AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rank
   FROM ann
+),
+scored AS (
+  SELECT doc_id,
+    CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
+    n_tokens, quality_score, alpha_ratio, fp,
+    fp_rank = 1 AS is_canonical,
+    (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept,
+    {split} AS split
+  FROM dedup
 )
-SELECT doc_id,
-  CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
-  n_tokens, quality_score, alpha_ratio, fp,
-  fp_rank = 1 AS is_canonical,
-  (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept,
-  {split} AS split
-FROM dedup
+SELECT *,
+  CASE WHEN kept THEN CAST(doc_id % {PACK_SHARDS} AS INTEGER) END AS pack_shard,
+  -- sequence packing: kept docs are concatenated in doc_id order and
+  -- cut into {PACK_BUDGET}-token training bins. Packing is PER
+  -- (split, shard): a global concat order would need one total sort
+  -- at 100 TB, while sharded packing is an embarrassingly-parallel
+  -- window per shard, deterministic from the key alone (docs longer
+  -- than the budget open their own bin; real pipelines then split
+  -- them downstream). floor(), not integer CAST: DuckDB CAST rounds
+  -- where Spark truncates, floor() agrees everywhere.
+  CASE WHEN kept THEN CAST(floor(
+    (SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) OVER (
+       PARTITION BY split, doc_id % {PACK_SHARDS} ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+     - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) END AS pack_bin
+FROM scored
 """
 
 
