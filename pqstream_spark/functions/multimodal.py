@@ -173,6 +173,64 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+FAKE_VIDEO_MAGIC = b"FVID"
+_FRAME_HEADER = 16  # magic + n_frames + width + height, 4 bytes each
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, frame binary"
+)
+
+
+def encode_fake_video(
+    media_id: int, n_frames: int, width: int = 8, height: int = 8
+) -> bytes:
+    """Deterministic fake container: 4-byte magic + frame count + dims,
+    then one (width*height)-byte payload per frame derived from
+    (media_id, frame index). Stands in for a real MP4/WebM."""
+    header = FAKE_VIDEO_MAGIC + struct.pack("<III", n_frames, width, height)
+    frame_len = width * height
+    body = b"".join(
+        bytes((media_id * 131 + f * 17 + i) % 256 for i in range(frame_len))
+        for f in range(n_frames)
+    )
+    return header + body
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """BINARY video → one row per SAMPLED frame with its pixel payload,
+    via mapInPandas — the decode half of video frame-sampling (the
+    fan-out *shape* alone is sample_frames below). A real
+    implementation swaps the fake-container slicing for PyAV/OpenCV
+    seek-and-decode (tests/test_transport_probe.py fails the moment
+    either appears); the Arrow batch shape, schema, and poison-pill
+    tolerance are the real engine surface. Frame bytes never visit the
+    driver: each executor slices its own batch's videos in place, and
+    sampling drops (every_n - 1)/every_n of the payload BEFORE any
+    shuffle or sink sees it."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if (content is None or len(content) < _FRAME_HEADER
+                        or content[:4] != FAKE_VIDEO_MAGIC):
+                    rows.append((mid, None, None, None, None))  # poison
+                    continue
+                n, w, h = struct.unpack("<III", content[4:_FRAME_HEADER])
+                flen = w * h
+                for f in range(0, n, every_n):
+                    off = _FRAME_HEADER + f * flen
+                    rows.append((mid, f, w, h, content[off:off + flen]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        frames, VIDEO_FRAMES_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video: emit one row per sampled frame index.
     Frame *extraction* is the stubbed codec step; the fan-out shape

@@ -96,3 +96,39 @@ def test_audio_features(spark):
     assert again[3] == out[3]
     # poison and NULL degrade to NULL features, job survives
     assert out[98]["rms"] is None and out[99]["rms"] is None
+
+
+def test_video_frame_extraction(spark):
+    from pqstream_spark.functions.multimodal import (
+        VIDEO_FRAMES_SCHEMA,
+        encode_fake_video,
+        extract_video_frames,
+    )
+
+    rows = [
+        (i, "video", encode_fake_video(i, n_frames=25, width=4, height=4),
+         "video/fake")
+        for i in range(6)
+    ]
+    rows.append((98, "video", b"\x00\x00\x00 ftypmp42 not really", "video/mp4"))
+    rows.append((99, "video", None, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    out = extract_video_frames(df, every_n=10)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,frame_idx:int,width:int,height:int,"
+        "frame:binary>"
+    ), VIDEO_FRAMES_SCHEMA
+    got = out.collect()
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    # 25 frames sampled every 10 -> indices 0, 10, 20
+    assert sorted(r["frame_idx"] for r in by_vid[0]) == [0, 10, 20]
+    f0 = {r["frame_idx"]: r for r in by_vid[3]}
+    assert f0[10]["width"] == 4 and len(f0[10]["frame"]) == 16
+    # payload is per-(video, frame) deterministic and frames differ
+    assert f0[0]["frame"] != f0[10]["frame"]
+    assert f0[0]["frame"] == encode_fake_video(3, 1, 4, 4)[16:]
+    # poison container and NULL content degrade to one NULL row, job lives
+    assert by_vid[98][0]["frame_idx"] is None
+    assert by_vid[99][0]["frame"] is None
