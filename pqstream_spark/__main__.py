@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
     )
     p.add_argument(
+        "--replay-from", type=int, default=None, metavar="SEQ",
+        help="sqlite backend: rewind the durable consumer offset to SEQ "
+        "before draining, re-emitting every outbox event after it "
+        "(reprocessing after a bad deploy; the idempotent seq-named "
+        "sink rewrites the same files). The directory backend's "
+        "equivalent is removing --checkpoint",
+    )
+    p.add_argument(
         "--checkpoint", default=None, metavar="DIR",
         help="durable restart point for the directory backend: the "
         "Structured Streaming checkpointLocation. Restart after a "
@@ -130,6 +138,8 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     # advanced replays, and the seq-named idempotent sink rewrites the
     # same file — exactly-once effect end to end
     poller = LocalOutboxPoller.open_durable(conn)
+    if args.replay_from is not None:
+        poller.rewind(args.replay_from)
     if args.out == "-":
         emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
     else:

@@ -251,6 +251,23 @@ class LocalOutboxPoller:
         self._pending_hi = rows[-1][0] if rows else None
         return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
 
+    def rewind(self, seq: int) -> int:
+        """Reset the high-water mark to `seq` (replay support: events
+        with seq > `seq` are re-read on the next batch). Persisted
+        immediately for durable pollers so a crash mid-replay resumes
+        the replay, not the old offset."""
+        self.last_seq = int(seq)
+        self._pending_hi = None
+        if self.consumer is not None:
+            self.conn.execute(
+                f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+                "VALUES (?, ?) ON CONFLICT(consumer) "
+                "DO UPDATE SET last_seq = excluded.last_seq",
+                (self.consumer, self.last_seq),
+            )
+            self.conn.commit()
+        return self.last_seq
+
     def advance(self) -> int:
         """Commit the high-water mark after the batch is durably sunk.
         Durable pollers (open_durable) persist it transactionally in

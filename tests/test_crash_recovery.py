@@ -210,3 +210,37 @@ def test_sigkill_restart_sqlite_exactly_once(spark, tmp_path):
         )
     diverging = {i for i, renders in by_id.items() if len(renders) > 1}
     assert not diverging, f"replayed events re-rendered differently: {diverging}"
+
+
+def test_replay_from_rewinds_durable_offset(spark, tmp_path, capsys):
+    """--replay-from SEQ re-emits every outbox event after SEQ: the
+    durable offset rewinds (persisted immediately), and the seq-named
+    idempotent sink rewrites the same files instead of duplicating."""
+    from pqstream_spark.__main__ import main as daemon_main
+    from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+    db_path = str(tmp_path / "replay.db")
+    out = str(tmp_path / "rout")
+    os.makedirs(out)
+    conn = sqlite3.connect(db_path, timeout=30)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT)")
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    for i in range(1, 11):
+        conn.execute("INSERT INTO notes VALUES (?, ?)", (i, f"n{i}"))
+    conn.commit()
+    conn.close()
+
+    base = ["--connect", f"sqlite:{db_path}", "--tables", "notes",
+            "--out", out, "--once"]
+    assert daemon_main(base) == 0
+    first = _out_lines(out)
+    assert len(first) == 10
+
+    # without replay, a second --once drains nothing new
+    assert daemon_main(base) == 0
+    assert _out_lines(out) == first
+
+    # rewind to 0: everything replays, files are rewritten in place
+    assert daemon_main([*base, "--replay-from", "0"]) == 0
+    replayed = _out_lines(out)
+    assert sorted(replayed) == sorted(first), "replay must be idempotent"
