@@ -253,6 +253,11 @@ def main(argv: list[str] | None = None) -> int:
         print("--remove only applies to the sqlite capture backend",
               file=sys.stderr)
         return 2
+    if args.replay_from is not None:
+        print("--replay-from only applies to the sqlite backend "
+              "(directory backend: remove the --checkpoint dir to replay)",
+              file=sys.stderr)
+        return 2
     return _run_changelog_dir(args, stop)
 
 

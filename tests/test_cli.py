@@ -203,3 +203,10 @@ def test_cli_listen_http_serves_wire(spark, tmp_path):
     assert not ct.is_alive() and not t.is_alive()
     assert got["status"] == 200
     assert json.loads(got["line"])["table"] == "users"
+
+
+def test_cli_replay_from_rejected_on_directory_backend(tmp_path, capsys):
+    os.makedirs(tmp_path / "d")
+    rc = main(["--connect", str(tmp_path / "d"), "--replay-from", "0"])
+    assert rc == 2
+    assert "--replay-from" in capsys.readouterr().err
