@@ -1097,6 +1097,13 @@ SELECT doc_a, doc_b, {ham} AS hamming FROM sp
 """
 
 
+# An n-gram in more than this many training docs is boilerplate, not
+# contamination signal — and each occurrence multiplies the
+# inverted-index join. Sized so genuinely-shared content survives the
+# 10× clone amplification of the sf1 synth (df ≈ 20) with headroom.
+DECON_DF_CAP = 50
+
+
 def _decontam_sql(spark: bool) -> str:
     """Train/test decontamination — the benchmark-leakage sweep every
     pretraining pipeline runs before training: flag training documents
@@ -1113,43 +1120,69 @@ def _decontam_sql(spark: bool) -> str:
     over the training shingles — the production shape (benchmark
     n-gram set shipped to every executor), never an all-pairs join.
     Pairs below 0.5 containment or under 5 test shingles are noise and
-    are dropped before the aggregate leaves the executors."""
+    are dropped before the aggregate leaves the executors.
+
+    Stop-shingle cap (the same count-before-explode discipline as the
+    LSH bucket cap): an n-gram present in more than DECON_DF_CAP
+    training documents is boilerplate, carries no contamination
+    signal, and multiplies the inverted-index join by its document
+    frequency — measured here, the uncapped join regressed this entry
+    1.4 s → 53 s at sf0.1 and unbounded at the 10×-cloned sf1 synth.
+    Frequencies are counted on a grouped aggregate (map-side partial)
+    BEFORE any join, and only the boilerplate set — small by
+    construction — is shipped to the anti-joins, so both sides stay
+    broadcast-size. The denominator is a test item's NON-boilerplate
+    shingles including ones absent from training (novel shingles are
+    evidence of non-contamination; excluding them would inflate
+    scores) — the rare-n-gram containment every production
+    decontamination pipeline uses."""
     tok = TOK_SPARK if spark else TOK_DUCK
     sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
     distinct = "array_distinct" if spark else "list_distinct"
-    size = "size" if spark else "len"
-    if spark:
-        train_ex = "SELECT doc_id, explode(sh) AS s FROM train_sh"
-        test_ex = (
-            "SELECT test_id, size(sh) AS n_test, explode(sh) AS s "
-            "FROM test_sh"
-        )
-    else:
-        train_ex = "SELECT doc_id, unnest(sh) AS s FROM train_sh"
-        test_ex = (
-            "SELECT test_id, len(sh) AS n_test, unnest(sh) AS s "
-            "FROM test_sh"
-        )
+    # The explode runs on the INLINE shingle expression, not a named
+    # intermediate column: exploding a projected `sh` column makes
+    # Spark infer a size(sh)>0 pre-filter for the Generate and push it
+    # below the projections, inlining the document-tokenizing regexp
+    # into a per-shingle interpreted lambda — measured 9 s for 500
+    # docs vs 0.4 s for the inline form (the minhash signature path's
+    # shape, which never exhibits the filter).
+    explode_fn = "explode" if spark else "unnest"
+    train_ex = (
+        f"SELECT doc_id, {explode_fn}({distinct}({sh})) AS s FROM train_tok"
+    )
+    test_ex = (
+        f"SELECT test_id, {explode_fn}({distinct}({sh})) AS s FROM test_tok"
+    )
     return f"""
 WITH train_tok AS (SELECT doc_id, {tok} AS tok FROM documents),
-train_sh AS (SELECT doc_id, {distinct}({sh}) AS sh FROM train_tok),
 train_ex AS ({train_ex}),
 test_base AS (
   SELECT doc_id + 500000 AS test_id, substring(text, 1, 120) AS text
   FROM documents WHERE doc_id % 97 = 0
 ),
 test_tok AS (SELECT test_id, {tok} AS tok FROM test_base),
-test_sh AS (SELECT test_id, {distinct}({sh}) AS sh FROM test_tok),
 test_ex AS ({test_ex}),
+boiler AS (
+  SELECT s FROM train_ex GROUP BY s HAVING COUNT(*) > {DECON_DF_CAP}
+),
+train_rare AS (
+  SELECT t.doc_id, t.s FROM train_ex t
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.s = t.s)
+),
+test_eff AS (
+  SELECT e.test_id, e.s FROM test_ex e
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.s = e.s)
+),
+test_n AS (SELECT test_id, COUNT(*) AS n_test FROM test_eff GROUP BY test_id),
 hits AS (
-  SELECT t.doc_id, e.test_id, COUNT(*) AS n_hit, MAX(e.n_test) AS n_test
-  FROM train_ex t JOIN test_ex e ON t.s = e.s
+  SELECT t.doc_id, e.test_id, COUNT(*) AS n_hit
+  FROM train_rare t JOIN test_eff e ON t.s = e.s
   GROUP BY t.doc_id, e.test_id
 )
-SELECT doc_id AS doc_a, test_id AS doc_b,
-       round(CAST(n_hit AS DOUBLE) / n_test, 6) AS containment
-FROM hits
-WHERE n_test >= 5 AND CAST(n_hit AS DOUBLE) / n_test >= 0.5
+SELECT h.doc_id AS doc_a, h.test_id AS doc_b,
+       round(CAST(h.n_hit AS DOUBLE) / tn.n_test, 6) AS containment
+FROM hits h JOIN test_n tn ON h.test_id = tn.test_id
+WHERE tn.n_test >= 5 AND CAST(h.n_hit AS DOUBLE) / tn.n_test >= 0.5
 """
 
 
