@@ -176,3 +176,28 @@ def test_text_annotations_single_scan_no_key_shuffle(spark, catalog):
     plan = _plan(catalog["text_annotations"](spark, SF_DIR))
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_generate_prefilter_never_inlines_tokenizer(spark, catalog):
+    """Exploding a NAMED shingle column lets Spark infer a size()>0
+    pre-filter for the Generate and push it below the projections,
+    inlining the document-tokenizing regexp into a per-shingle
+    interpreted lambda — measured 9 s for 500 docs vs 0.4 s without
+    (the round-5 decontamination scale-killer). Pin: no Filter may
+    re-evaluate the tokenizer PER ARRAY ELEMENT (element_at over the
+    inlined tokenize chain). A filter evaluating tokenize once per row
+    (an explicit WHERE size(tok) > 0, as in text_chunking) is benign
+    and allowed."""
+    per_element = "element_at(filter(split(regexp_replace"
+    for entry in ("dedup_pairwise_scores", "dedup_minhash_lsh",
+                  "text_chunking", "dedup_pipeline_corpus"):
+        plan = _plan(catalog[entry](spark, SF_DIR))
+        offenders = [
+            line.strip()[:120]
+            for line in plan.splitlines()
+            if "Filter" in line and per_element in line
+        ]
+        assert not offenders, (
+            f"{entry}: tokenizer re-evaluated per shingle inside a "
+            f"Filter (explode a named array column?): {offenders[0]}"
+        )
