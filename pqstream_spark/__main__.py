@@ -67,6 +67,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
     )
     p.add_argument(
+        "--bootstrap", action="store_true",
+        help="sqlite backend: before streaming, emit the CURRENT rows "
+        "of every captured table as synthetic INSERT events with "
+        "negative seqs (initial snapshot + changelog switchover — the "
+        "CDC bootstrap the reference's NOTIFY-only design cannot "
+        "express). Runs once; a crash mid-snapshot re-bootstraps "
+        "idempotently",
+    )
+    p.add_argument(
+        "--compact", action="store_true",
+        help="sqlite backend: after each batch, prune outbox rows "
+        "every registered consumer has durably consumed (trades "
+        "--replay-from depth for space)",
+    )
+    p.add_argument(
         "--replay-from", type=int, default=None, metavar="SEQ",
         help="sqlite backend: rewind the durable consumer offset to SEQ "
         "before draining, re-emitting every outbox event after it "
@@ -146,6 +161,43 @@ def _run_sqlite(args, stop: threading.Event) -> int:
         from .streaming.sinks import jsonl_seq_writer
 
         emit = jsonl_seq_writer(args.out)
+    if args.bootstrap:
+        from .sources.outbox_local import (
+            bootstrap_done,
+            mark_bootstrap_done,
+            snapshot_batch,
+        )
+
+        if not bootstrap_done(conn):
+            # Consistent switchover point: the snapshot reflects every
+            # write up to `hi`, so the changelog must resume AFTER hi
+            # or snapshot and changelog both deliver the same row.
+            # BEGIN IMMEDIATE blocks concurrent writers between the
+            # snapshot read and the high-water capture.
+            conn.execute("BEGIN IMMEDIATE")
+            snap_batch = snapshot_batch(conn, spark, args.tables)
+            hi = conn.execute(
+                "SELECT COALESCE(MAX(seq), 0) FROM pqstream_outbox"
+            ).fetchone()[0]
+            conn.commit()
+            snap = handle_events(
+                raw_events_from_outbox(snap_batch),
+                redactions=redactions,
+                typed_wire=True,
+            )
+            if args.out != "-":
+                # the snapshot owns the negative-seq file namespace: a
+                # crashed earlier bootstrap may have left a snapshot of
+                # a different size (different seq range = different
+                # filename), which re-emitting would not overwrite
+                for f in os.listdir(args.out):
+                    if f.startswith("batch--"):
+                        os.remove(os.path.join(args.out, f))
+            emit(snap, -1)
+            poller.rewind(hi)
+            # marked only after the snapshot is durably sunk: a crash
+            # in between re-bootstraps, idempotently
+            mark_bootstrap_done(conn)
     epoch = 0
     while not stop.is_set():
         batch = poller.read_batch(spark)
@@ -158,6 +210,8 @@ def _run_sqlite(args, stop: threading.Event) -> int:
         )
         emit(events, epoch)
         poller.advance()
+        if args.compact:
+            poller.compact()
         epoch += 1
         if args.once:
             if batch.isEmpty():

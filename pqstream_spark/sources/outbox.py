@@ -67,9 +67,16 @@ END;
 $$ LANGUAGE plpgsql
 """.strip()
 
+# queries.go:3-9 plus one deviation the outbox upgrade forces: the
+# reference is NOTIFY-only and owns no tables, but this engine's
+# capture side creates pqstream_% tables in the same schema —
+# capturing them would make every outbox/offset write fire the
+# trigger again (infinite feedback), so engine-internal tables are
+# excluded from discovery.
 DISCOVER_TABLES_SQL = """
 SELECT table_name FROM information_schema.tables
 WHERE table_schema = 'public' AND table_type = 'BASE TABLE'
+  AND table_name NOT LIKE 'pqstream_%'
 """.strip()
 
 

@@ -52,9 +52,14 @@ CREATE TABLE IF NOT EXISTS {LOCAL_OUTBOX_TABLE} (
 )
 """.strip()
 
-DISCOVER_LOCAL_TABLES_SQL = f"""
+# Excludes every engine-internal table (pqstream_%), not just the
+# outbox: capturing pqstream_consumer_offset would make each offset
+# write fire a trigger, land in the outbox, be consumed, advance the
+# offset, fire again — an infinite feedback loop on any daemon
+# restarted without a --tables filter.
+DISCOVER_LOCAL_TABLES_SQL = """
 SELECT name FROM sqlite_master
-WHERE type = 'table' AND name NOT LIKE 'sqlite_%' AND name <> '{LOCAL_OUTBOX_TABLE}'
+WHERE type = 'table' AND name NOT LIKE 'sqlite_%' AND name NOT LIKE 'pqstream_%'
 """.strip()
 
 # what the poller hands to Spark — identical to the streaming changelog
@@ -150,6 +155,75 @@ class LocalCaptureManager:
                 self.conn.execute(stmt)
         self.conn.commit()
         return tables
+
+
+BOOTSTRAP_CONSUMER = "daemon#bootstrap"
+
+
+def bootstrap_done(conn) -> bool:
+    """Has the initial snapshot already been emitted? Tracked as a
+    sentinel row in the offset table, written AFTER the snapshot is
+    durably sunk — a crash mid-snapshot re-bootstraps, and the
+    seq-named idempotent sink rewrites the same files."""
+    conn.execute(
+        f"CREATE TABLE IF NOT EXISTS {LOCAL_OFFSET_TABLE} ("
+        "consumer TEXT PRIMARY KEY, last_seq INTEGER NOT NULL)"
+    )
+    row = conn.execute(
+        f"SELECT last_seq FROM {LOCAL_OFFSET_TABLE} WHERE consumer = ?",
+        (BOOTSTRAP_CONSUMER,),
+    ).fetchone()
+    return row is not None
+
+
+def mark_bootstrap_done(conn) -> None:
+    conn.execute(
+        f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+        "VALUES (?, 1) ON CONFLICT(consumer) DO NOTHING",
+        (BOOTSTRAP_CONSUMER,),
+    )
+    conn.commit()
+
+
+def snapshot_batch(conn, spark: SparkSession, table_regexp: str | None = None) -> DataFrame:
+    """Initial-state snapshot as synthetic INSERT outbox rows — the
+    bootstrap half of the classic CDC bootstrap-then-stream pattern
+    the reference cannot express (NOTIFY starts mid-stream; rows that
+    existed before the listener connected are simply never seen,
+    server.go:98-109). Sequencing: snapshot rows get NEGATIVE seqs
+    (-n..-1, ordered by (table, rowid)) so they sort strictly before
+    every real changelog seq and can never collide with outbox rows.
+    payload JSON mirrors the trigger's json_object(column, value...)
+    rendering, so downstream parsing is identical."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    mgr = LocalCaptureManager(conn, table_regexp=table_regexp)
+    tables = mgr.discover_tables()
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = []
+    for t in sorted(tables):
+        cols = [r[1] for r in conn.execute(f'PRAGMA table_info("{_check_ident(t)}")')]
+        col_list = ", ".join(f'"{c}"' for c in cols)
+        for r in conn.execute(
+            f'SELECT {col_list} FROM "{_check_ident(t)}" ORDER BY rowid'
+        ):
+            payload = dict(zip(cols, r))
+            rows.append(
+                (
+                    0,  # seq assigned below, once the total is known
+                    now,
+                    "main",
+                    t,
+                    "INSERT",
+                    str(payload["id"]) if "id" in payload else None,
+                    _json.dumps(payload),
+                    None,
+                )
+            )
+    n = len(rows)
+    rows = [(i - n, *r[1:]) for i, r in enumerate(rows)]
+    return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
 
 
 def raw_events_from_outbox(df: DataFrame) -> DataFrame:
@@ -250,6 +324,26 @@ class LocalOutboxPoller:
         ]
         self._pending_hi = rows[-1][0] if rows else None
         return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
+
+    def compact(self) -> int:
+        """Prune outbox rows every registered consumer has durably
+        consumed (seq <= the minimum persisted offset). The outbox is
+        append-only and would otherwise grow without bound; compaction
+        trades replay depth for space, which is why the daemon only
+        runs it behind --compact. Returns rows deleted. No-op (and
+        deletes nothing) when any consumer row is missing — an
+        unregistered consumer's implicit offset is 0."""
+        row = self.conn.execute(
+            f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE}"
+        ).fetchone()
+        low = row[0] if row else None
+        if low is None or low <= 0:
+            return 0
+        cur = self.conn.execute(
+            f"DELETE FROM {LOCAL_OUTBOX_TABLE} WHERE seq <= ?", (low,)
+        )
+        self.conn.commit()
+        return cur.rowcount
 
     def rewind(self, seq: int) -> int:
         """Reset the high-water mark to `seq` (replay support: events

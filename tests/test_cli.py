@@ -210,3 +210,76 @@ def test_cli_replay_from_rejected_on_directory_backend(tmp_path, capsys):
     rc = main(["--connect", str(tmp_path / "d"), "--replay-from", "0"])
     assert rc == 2
     assert "--replay-from" in capsys.readouterr().err
+
+
+def test_cli_bootstrap_snapshot_then_stream(spark, tmp_path):
+    """--bootstrap emits pre-capture rows as synthetic INSERTs before
+    the changelog (the CDC bootstrap the reference's NOTIFY-only
+    design cannot express), exactly once across restarts."""
+    from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+    db_path = str(tmp_path / "boot.db")
+    out = str(tmp_path / "bout")
+    os.makedirs(out)
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT)")
+    # rows that exist BEFORE capture: invisible to triggers
+    for i in range(1, 4):
+        conn.execute("INSERT INTO notes VALUES (?, ?)", (i, f"old{i}"))
+    conn.commit()
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    conn.execute("INSERT INTO notes VALUES (4, 'new4')")  # captured
+    conn.commit()
+    conn.close()
+
+    def all_events(d):
+        evs = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".jsonl"):
+                with open(os.path.join(d, f)) as fh:
+                    evs += [json.loads(l) for l in fh if l.strip()]
+        return evs
+
+    base = ["--connect", f"sqlite:{db_path}", "--tables", "notes",
+            "--out", out, "--once", "--bootstrap"]
+    assert main(base) == 0
+    events = all_events(out)
+    ids = [e["id"] for e in events if e["op"] == "INSERT"]
+    # row 4 is in BOTH the table (snapshot) and the outbox (captured
+    # insert) — the switchover must deliver it exactly once: the
+    # snapshot covers it and the changelog resumes past it
+    assert sorted(ids) == ["1", "2", "3", "4"], ids
+
+    # post-bootstrap writes flow through the changelog as usual
+    conn = sqlite3.connect(db_path)
+    conn.execute("INSERT INTO notes VALUES (5, 'new5')")
+    conn.commit()
+    conn.close()
+    assert main(base) == 0
+    ids2 = [e["id"] for e in all_events(out) if e["op"] == "INSERT"]
+    assert sorted(ids2) == ["1", "2", "3", "4", "5"], (
+        "bootstrap must not re-run; changelog must continue"
+    )
+
+
+def test_cli_compact_prunes_consumed_outbox(tmp_path):
+    """--compact deletes outbox rows below every consumer's durable
+    offset — the retention knob for the otherwise append-only outbox."""
+    from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+    db_path = str(tmp_path / "cmp.db")
+    out = str(tmp_path / "cout")
+    os.makedirs(out)
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY)")
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    for i in range(1, 6):
+        conn.execute("INSERT INTO notes VALUES (?)", (i,))
+    conn.commit()
+
+    rc = main(["--connect", f"sqlite:{db_path}", "--tables", "notes",
+               "--out", out, "--once", "--compact"])
+    assert rc == 0
+    n = conn.execute("SELECT COUNT(*) FROM pqstream_outbox").fetchone()[0]
+    assert n == 0, f"consumed outbox rows not pruned: {n}"
+    conn.close()

@@ -104,3 +104,40 @@ def test_lifecycle_remove_reinstall_and_no_match(db):
     cap.install()
     with pytest.raises(RuntimeError):
         LocalCaptureManager(db, table_regexp="nomatch^").install()
+
+
+def test_discovery_never_captures_engine_tables(spark):
+    """Regression: a daemon restart without --tables used to discover
+    pqstream_consumer_offset (created by the durable poller on the
+    first run) and install capture triggers on it — every offset write
+    then fired a trigger, landed in the outbox, was consumed, advanced
+    the offset, fired again: an infinite feedback loop. Engine tables
+    (pqstream_%) must be invisible to discovery."""
+    import sqlite3
+
+    from pqstream_spark.sources.outbox_local import (
+        LocalCaptureManager,
+        LocalOutboxPoller,
+    )
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT)")
+    cap = LocalCaptureManager(conn)  # no table filter — matches all
+    cap.install()
+    poller = LocalOutboxPoller.open_durable(conn)  # creates offset table
+
+    # second install (daemon restart): offset table now exists
+    cap2 = LocalCaptureManager(conn)
+    tables = cap2.install()
+    assert tables == ["notes"], tables
+
+    conn.execute("INSERT INTO notes VALUES (1, 'x')")
+    conn.commit()
+    batch = poller.read_batch(spark)
+    poller.advance()  # writes the offset row — must NOT fire a trigger
+    poller.advance()
+    assert poller.read_batch(spark).isEmpty(), (
+        "offset writes generated outbox events: feedback loop"
+    )
+    assert batch.count() == 1
+    conn.close()
