@@ -132,6 +132,7 @@ class _Subscriber:
         self.cb = callback
         self.policy = policy
         self.dropped = 0
+        self.delivered = 0
         self.dead = threading.Event()
         self.q = None
         self.thread = None
@@ -154,14 +155,18 @@ class _Subscriber:
             if not ok:
                 self.dead.set()  # cb contract: False → unsubscribe
                 break
+            self.delivered += 1
 
     def offer(self, row) -> bool:
         """Deliver (inline) or enqueue (buffered). False → remove me."""
         if self.policy is None:
             try:
-                return bool(self.cb(row))
+                ok = bool(self.cb(row))
             except Exception:
                 return False
+            if ok:
+                self.delivered += 1
+            return ok
         if self.dead.is_set():
             return False
         if self.policy == "block":
@@ -244,6 +249,7 @@ class Dispatcher:
         self._events = events
         self._subs: dict[str, _Subscriber] = {}
         self._query: StreamingQuery | None = None
+        self.dispatched = 0  # rows seen by the event loop, all batches
 
     def subscribe(
         self,
@@ -277,6 +283,26 @@ class Dispatcher:
         sub = self._subs.get(name)
         return sub.dropped if sub is not None else 0
 
+    def stats(self) -> dict:
+        """Observability snapshot — the engine's answer to the
+        reference's gops/pprof debug agents (cmd/pqs/main.go:41-46,
+        cmd/pqsd -debugaddr): per-subscriber delivery/drop/backlog
+        counters plus loop totals, served over /stats by WireServer."""
+        return {
+            "active": self._query is not None and self._query.isActive,
+            "dispatched": self.dispatched,
+            "subscribers": {
+                name: {
+                    "policy": sub.policy,
+                    "delivered": sub.delivered,
+                    "dropped": sub.dropped,
+                    "backlog": sub.q.qsize() if sub.q is not None else 0,
+                    "alive": not sub.dead.is_set(),
+                }
+                for name, sub in sorted(self._subs.items())
+            },
+        }
+
     def start(self, trigger: dict | None = None) -> StreamingQuery:
         def dispatch(batch_df: DataFrame, epoch_id: int) -> None:
             if not self._subs:
@@ -292,6 +318,7 @@ class Dispatcher:
                 if not self._subs:
                     break
                 row = r.asDict()
+                self.dispatched += 1
                 for name, sub in list(self._subs.items()):
                     if not sub.pattern.search(row["table_name"] or ""):
                         continue

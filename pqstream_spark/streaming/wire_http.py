@@ -50,10 +50,36 @@ class _ListenHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet: tests assert on stdout
         pass
 
+    def _send_json(self, obj) -> None:
+        import json
+
+        body = json.dumps(obj, separators=(",", ":")).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):  # noqa: N802 (stdlib naming)
         parsed = urlparse(self.path)
+        server: WireServer = self.server  # type: ignore[assignment]
+        if parsed.path == "/health":
+            # liveness: is the fan-out query running? (the engine's
+            # answer to the reference's -debugaddr agents)
+            st = server.dispatcher.stats()
+            self._send_json(
+                {"status": "ok" if st["active"] else "inactive",
+                 "subscribers": len(st["subscribers"])}
+            )
+            return
+        if parsed.path == "/stats":
+            self._send_json(server.dispatcher.stats())
+            return
         if parsed.path != "/listen":
-            self.send_error(404, "unknown path (use /listen?tables=REGEXP)")
+            self.send_error(
+                404,
+                "unknown path (use /listen?tables=REGEXP, /stats, /health)",
+            )
             return
         qs = parse_qs(parsed.query)
         regexp = qs.get("tables", [".*"])[0]
@@ -99,7 +125,6 @@ class _ListenHandler(BaseHTTPRequestHandler):
                 done.set()
                 return False
 
-        server: WireServer = self.server  # type: ignore[assignment]
         server.dispatcher.subscribe(name, regexp, cb, policy=policy, capacity=capacity)
         try:
             # the dispatcher's event loop writes from its own thread;

@@ -195,3 +195,46 @@ def test_concurrent_clients_isolated_filters(spark, tmp_path, wire):
         status, _, lines = got[key]
         assert status == 200 and len(lines) == 2
         assert all(json.loads(l)["table"] == key for l in lines)
+
+
+def test_health_and_stats_endpoints(spark, tmp_path, wire):
+    """/health and /stats expose the Dispatcher's observability
+    snapshot — the engine's answer to the reference's gops/pprof debug
+    agents (cmd/pqs/main.go:41-46, pqsd -debugaddr)."""
+    src, srv = wire
+    host, port = srv.server_address[:2]
+
+    def get_json(path):
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        return resp.status, body
+
+    status, health = get_json("/health")
+    assert status == 200 and health["status"] == "ok"
+    assert health["subscribers"] == 0
+
+    got: dict = {}
+    t = threading.Thread(
+        target=lambda: got.update(
+            r=_read_lines(host, port, "/listen?tables=users&policy=block", 3)
+        ),
+        daemon=True,
+    )
+    t.start()
+    time.sleep(1.0)
+    _drop_events(spark, tmp_path, src, name="stats1")
+    t.join(timeout=120)
+    assert not t.is_alive() and got["r"][0] == 200
+
+    _, stats = get_json("/stats")
+    assert stats["active"] is True
+    assert stats["dispatched"] >= 60  # the dropped file's events
+    # the listen subscriber has disconnected by now (max lines read),
+    # so per-subscriber entries may be empty — but totals persist
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+    conn.close()
