@@ -943,6 +943,15 @@ FROM pre
 # boundary logic actually exercises (bins overflow) at the test SFs.
 PACK_BUDGET, PACK_SHARDS = 256, 8
 
+# Dataset-mixture weights: the per-domain sampling percentages a
+# pretraining pipeline applies after curation (e.g. upweight English,
+# downsample everything else to hit a target language mix). Sampling
+# is hash-threshold, not RNG: membership is decidable per row from the
+# key alone on any worker, stable across runs and engines — the same
+# discipline as the train/val/test split.
+MIX_WEIGHT_PCT = {"en": 100, "fr": 70, "de": 70, "es": 40, "zh": 40}
+MIX_DEFAULT_PCT = 50
+
 
 def _curation_sql(spark: bool) -> str:
     tok = TOK_SPARK if spark else TOK_DUCK
@@ -978,6 +987,26 @@ def _curation_sql(spark: bool) -> str:
                 " % 10")
     split = (f"CASE WHEN {hmod} < 8 THEN 'train' "
              f"WHEN {hmod} = 8 THEN 'val' ELSE 'test' END")
+    # mixture sampling: independent hash ('mix' salt — correlating it
+    # with the split hash would bias which splits lose downsampled
+    # languages) thresholded against the per-language weight
+    if spark:
+        mixmod = ("conv(substring(md5(concat('mix', CAST(doc_id AS STRING)))"
+                  ", 1, 8), 16, 10) % 100")
+    else:
+        mixmod = ("('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)),"
+                  " 1, 8))::UBIGINT % 100")
+    # weight keyed on the CATALOG language tag when present, detector
+    # output otherwise — most corpora carry a language label and the
+    # detector only fills gaps
+    weight_cases = " ".join(
+        f"WHEN '{lang}' THEN {pct}"
+        for lang, pct in sorted(MIX_WEIGHT_PCT.items())
+    )
+    mix_weight = (
+        f"CASE COALESCE(lang, predicted_lang) {weight_cases} "
+        f"ELSE {MIX_DEFAULT_PCT} END"
+    )
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {tok} AS tok FROM documents),
 ann AS (
@@ -995,7 +1024,7 @@ dedup AS (
   FROM ann
 ),
 scored AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
     CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
     n_tokens, quality_score, alpha_ratio, fp,
     fp_rank = 1 AS is_canonical,
@@ -1004,6 +1033,9 @@ scored AS (
   FROM dedup
 )
 SELECT *,
+  -- dataset mixture: deterministic per-language downsampling of the
+  -- kept corpus ({MIX_DEFAULT_PCT}% for unlisted languages)
+  (kept AND {mixmod} < ({mix_weight})) AS mix_keep,
   CASE WHEN kept THEN CAST(doc_id % {PACK_SHARDS} AS INTEGER) END AS pack_shard,
   -- sequence packing: kept docs are concatenated in doc_id order and
   -- cut into {PACK_BUDGET}-token training bins. Packing is PER
