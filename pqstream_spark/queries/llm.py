@@ -180,6 +180,32 @@ def _minhash_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
+def minhash_bands_narrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-row MinHash band keys — the NARROW formulation (array_min
+    over the in-row hash array, no aggregation). Slower per row than
+    _minhash_signatures' codegen'd hash aggregate, but usable where a
+    groupBy is not: on a STREAMING frame a per-doc aggregate would be
+    unbounded state, while this is a stateless projection. Produces
+    bit-identical band keys (fixed-length lowercase hex orders like
+    its numeric value, so min-then-conv == conv-then-min — the same
+    identity the oracle certifies for dedup_minhash_lsh)."""
+    hs = [
+        f"cast(conv(array_min(transform(ms, m -> substring(m, {4 * j + 1},"
+        f" 4))), 16, 10) AS BIGINT) AS h{j}"
+        for j in range(8)
+    ]
+    return (
+        df.selectExpr(id_col, f"{TOK_SPARK} AS tok")
+        .selectExpr(id_col, f"transform({SHINGLE_SPARK}, s -> md5(s)) AS ms")
+        .where("size(ms) > 0")
+        .selectExpr(id_col, *hs)
+        .selectExpr(
+            id_col,
+            *[f"h{2 * b} * 65536 + h{2 * b + 1} AS b{b}" for b in range(4)],
+        )
+    )
+
+
 def band_pairs(sig: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """(doc_id, b0..b3) band keys → distinct candidate pairs
     (doc_a < doc_b), generated inside a groupBy(bucket) — one shuffle on

@@ -101,3 +101,47 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def dedup_against_corpus_stream(
+    doc_stream: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Ingest-time near-dup flagging: incoming documents are checked
+    against an existing corpus WITHOUT re-running corpus-wide dedup —
+    the streaming half of a dedup pipeline (batch LSH curates the
+    initial corpus; this guards the door afterwards).
+
+    Mechanics: the corpus' MinHash band index (queries/llm.py
+    _minhash_signatures — same signature family, so stream and batch
+    agree on what a near-dup is) is a STATIC frame; each micro-batch
+    of incoming docs computes its own signatures (narrow, per-doc) and
+    equi-joins band keys against the index — a stream-static join,
+    which Structured Streaming executes without state: the static side
+    is just re-scanned (or broadcast) per micro-batch. At 100 TB the
+    static index is bucketed by band key on disk so each micro-batch
+    prunes to the buckets its keys touch.
+
+    Returns (doc_id, band_idx, corpus_doc_id) candidate rows — one per
+    matching band; downstream either drops duplicates per micro-batch
+    (foreachBatch) or verifies with exact Jaccard as the batch
+    pipeline does. Emitting candidates rather than a global distinct
+    keeps the stream append-only with ZERO streaming state — the
+    stream side's signatures use the narrow per-row formulation
+    (minhash_bands_narrow) because a per-doc groupBy on a stream
+    would be an unbounded stateful aggregation; the static side keeps
+    the faster hash-aggregate form (both produce bit-identical keys)."""
+    from ..queries.llm import _minhash_signatures, minhash_bands_narrow
+
+    def bands(sig: DataFrame, id_alias: str) -> DataFrame:
+        return sig.selectExpr(
+            f"doc_id AS {id_alias}",
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
+        )
+
+    corpus_bands = bands(_minhash_signatures(corpus), "corpus_doc_id")
+    stream_bands = bands(minhash_bands_narrow(doc_stream), "doc_id")
+    return (
+        stream_bands.join(corpus_bands, ["band_idx", "bucket"])
+        .where("doc_id <> corpus_doc_id")
+        .select("doc_id", "band_idx", "corpus_doc_id")
+    )

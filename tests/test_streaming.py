@@ -667,3 +667,70 @@ def test_stream_events_starts_on_empty_dir(spark, tmp_path):
         assert spark.sql("select * from empty_start_sink").count() == 50
     finally:
         q.stop()
+
+
+def test_ingest_dedup_against_corpus(spark, tmp_path):
+    """Stream-static LSH: incoming docs are flagged against the corpus
+    band index with ZERO streaming state (narrow per-row signatures on
+    the stream side, stream-static equi-join). The flags must agree
+    with the batch formulation over the same data."""
+    from pqstream_spark.queries.llm import minhash_bands_narrow, _minhash_signatures
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.stateful import dedup_against_corpus_stream
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    # incoming docs: near-copies of some corpus docs (ids offset) plus
+    # brand-new synthetic text that matches nothing
+    incoming = corpus.limit(20).selectExpr(
+        "doc_id + 900000 AS doc_id",
+        "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+    ).unionAll(
+        spark.range(3).selectExpr(
+            "id + 990000 AS doc_id",
+            "concat('zzqy unique gibberish ', id, ' totally novel text "
+            "pattern with no corpus overlap whatsoever') AS text",
+        )
+    )
+    inc_dir = str(tmp_path / "incoming")
+    incoming.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    stream = (
+        spark.readStream.schema(incoming.schema).parquet(inc_dir)
+    )
+    flagged = dedup_against_corpus_stream(stream, corpus)
+    q = (
+        flagged.writeStream.format("memory").queryName("ingest_dedup")
+        .outputMode("append").start()
+    )
+    drain(q)
+    got = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in spark.sql(
+            "SELECT DISTINCT doc_id, corpus_doc_id FROM ingest_dedup"
+        ).collect()
+    }
+    # batch reference: same join, batch frames both sides
+    def bands(sig, alias):
+        return sig.selectExpr(
+            f"doc_id AS {alias}",
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
+        )
+
+    expected = {
+        (r["doc_id"], r["corpus_doc_id"])
+        for r in bands(minhash_bands_narrow(incoming), "doc_id")
+        .join(bands(_minhash_signatures(corpus), "corpus_doc_id"),
+              ["band_idx", "bucket"])
+        .where("doc_id <> corpus_doc_id")
+        .select("doc_id", "corpus_doc_id").distinct().collect()
+    }
+    assert got == expected and got, "stream flags must equal batch flags"
+    # near-copies overwhelmingly flag their origin (a copy may also
+    # match other similar docs; a rare one may lose all 4 bands to the
+    # truncation); novel docs never flag anything
+    matches: dict[int, set[int]] = {}
+    for a, b in got:
+        matches.setdefault(a - 900000, set()).add(b)
+    hit_origin = sum(1 for o, bs in matches.items() if o in bs)
+    assert hit_origin >= 15, f"only {hit_origin}/20 near-copies flagged origin"
+    assert not any(a >= 90000 for a in matches), "novel docs falsely flagged"
