@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
     )
     p.add_argument(
+        "--consumer", default="daemon", metavar="NAME",
+        help="sqlite backend: name of this consumer's durable offset "
+        "row — two daemons with different names tail the same outbox "
+        "independently, each at-least-once (outbox-level fan-out; "
+        "--compact prunes only below ALL consumers' offsets)",
+    )
+    p.add_argument(
         "--bootstrap", action="store_true",
         help="sqlite backend: before streaming, emit the CURRENT rows "
         "of every captured table as synthetic INSERT events with "
@@ -152,7 +159,7 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     # resumes from the last advanced seq; a batch emitted but not yet
     # advanced replays, and the seq-named idempotent sink rewrites the
     # same file — exactly-once effect end to end
-    poller = LocalOutboxPoller.open_durable(conn)
+    poller = LocalOutboxPoller.open_durable(conn, consumer=args.consumer)
     if args.replay_from is not None:
         poller.rewind(args.replay_from)
     if args.out == "-":

@@ -290,6 +290,19 @@ class LocalOutboxPoller:
             f"SELECT last_seq FROM {LOCAL_OFFSET_TABLE} WHERE consumer = ?",
             (consumer,),
         ).fetchone()
+        if row is None:
+            # register at 0 immediately: compaction's low-water mark
+            # only protects consumers it can SEE, so a consumer is
+            # protected from its first connect, not its first batch.
+            # (A consumer that has never connected is not protected —
+            # Kafka-style retention semantics: attach after compaction
+            # and you start from the retained data.)
+            conn.execute(
+                f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+                "VALUES (?, 0)",
+                (consumer,),
+            )
+            conn.commit()
         return cls(
             conn,
             max_rows=max_rows,
@@ -330,11 +343,16 @@ class LocalOutboxPoller:
         consumed (seq <= the minimum persisted offset). The outbox is
         append-only and would otherwise grow without bound; compaction
         trades replay depth for space, which is why the daemon only
-        runs it behind --compact. Returns rows deleted. No-op (and
-        deletes nothing) when any consumer row is missing — an
-        unregistered consumer's implicit offset is 0."""
+        runs it behind --compact. Returns rows deleted.
+
+        Retention contract (Kafka-style): the low-water mark protects
+        every consumer that has EVER connected (open_durable registers
+        at 0 on first connect); a consumer attaching after compaction
+        starts from the retained data. The bootstrap sentinel is not a
+        consumer and is excluded from the mark."""
         row = self.conn.execute(
-            f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE}"
+            f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE} "
+            "WHERE consumer NOT LIKE '%#bootstrap'"
         ).fetchone()
         low = row[0] if row else None
         if low is None or low <= 0:

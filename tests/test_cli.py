@@ -283,3 +283,49 @@ def test_cli_compact_prunes_consumed_outbox(tmp_path):
     n = conn.execute("SELECT COUNT(*) FROM pqstream_outbox").fetchone()[0]
     assert n == 0, f"consumed outbox rows not pruned: {n}"
     conn.close()
+
+
+def test_cli_independent_consumers_share_outbox(spark, tmp_path):
+    """Two consumers with different --consumer names tail the same
+    outbox independently (outbox-level fan-out), and --compact prunes
+    only below the slowest consumer's offset."""
+    from pqstream_spark.sources.outbox_local import LocalCaptureManager
+
+    db_path = str(tmp_path / "mc.db")
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    os.makedirs(out_a)
+    os.makedirs(out_b)
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY)")
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    conn.commit()
+
+    def drained(d):
+        evs = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".jsonl"):
+                with open(os.path.join(d, f)) as fh:
+                    evs += [json.loads(l)["id"] for l in fh if l.strip()]
+        return sorted(evs)
+
+    base = ["--connect", f"sqlite:{db_path}", "--tables", "notes", "--once"]
+    # register B first, before any writes (a consumer is protected
+    # from first CONNECT, Kafka-style retention — attaching after
+    # compaction would not be)
+    assert main([*base, "--out", out_b, "--consumer", "b"]) == 0
+    first_b = drained(out_b)
+    assert first_b == []
+    for i in range(1, 6):
+        conn.execute("INSERT INTO notes VALUES (?)", (i,))
+    conn.commit()
+    # consumer A drains; compaction must NOT prune (B is behind)
+    assert main([*base, "--out", out_a, "--consumer", "a", "--compact"]) == 0
+    n = conn.execute("SELECT COUNT(*) FROM pqstream_outbox").fetchone()[0]
+    assert n == 5 - len(first_b), "compacted rows consumer b never saw"
+    # consumer B catches up independently; now compaction empties
+    assert main([*base, "--out", out_b, "--consumer", "b", "--compact"]) == 0
+    assert drained(out_b) == drained(out_a) == ["1", "2", "3", "4", "5"]
+    n = conn.execute("SELECT COUNT(*) FROM pqstream_outbox").fetchone()[0]
+    assert n == 0, "all consumers done: outbox should compact to empty"
+    conn.close()
