@@ -921,6 +921,16 @@ def _annotations_sql(spark: bool) -> str:
         else "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
     )
     stop = f"{size}({flt}(tok, t -> t IN ('the', 'a', 'and', 'of', 'is')))"
+    # Gopher-style repetition/format signals (Rae et al. 2021 §A1.1):
+    # duplicate-line fraction, bullet-start / ellipsis-end line
+    # fractions, symbol-to-word ratio — all per-row array math over the
+    # line split, no shuffle.
+    lines = "split(text, chr(10))" if spark else "string_split(text, chr(10))"
+    sym = (
+        "regexp_count(text, '[#…]')"
+        if spark
+        else "len(regexp_extract_all(text, '[#…]'))"
+    )
     scores = ", ".join(
         f"{size}({flt}(tok, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
         for lang, ws in STOPWORDS.items()
@@ -934,7 +944,7 @@ def _annotations_sql(spark: bool) -> str:
     )
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM documents),
-pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh,
+pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh, {lines} AS ln,
         {hashed} AS dtokh, {scores} FROM toks)
 SELECT doc_id, lang AS actual_lang,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
@@ -946,6 +956,19 @@ SELECT doc_id, lang AS actual_lang,
   round(CAST({alpha} AS DOUBLE) / length(text), 6) AS alpha_ratio,
   CASE WHEN {size}(tok) = 0 THEN NULL
        ELSE round(CAST({stop} AS DOUBLE) / {size}(tok), 6) END AS stopword_ratio,
+  CASE WHEN {size}(ln) = 0 THEN NULL
+       ELSE round(1.0 - CAST({size}({distinct}(ln)) AS DOUBLE) / {size}(ln), 6)
+  END AS dup_line_frac,
+  CASE WHEN {size}(ln) = 0 THEN NULL
+       ELSE round(CAST({size}({flt}(ln, l -> trim(l) LIKE '-%'
+            OR trim(l) LIKE '*%')) AS DOUBLE) / {size}(ln), 6)
+  END AS bullet_line_frac,
+  CASE WHEN {size}(ln) = 0 THEN NULL
+       ELSE round(CAST({size}({flt}(ln, l -> l LIKE '%...')) AS DOUBLE)
+            / {size}(ln), 6)
+  END AS ellipsis_line_frac,
+  CASE WHEN {size}(tok) = 0 THEN NULL
+       ELSE round(CAST({sym} AS DOUBLE) / {size}(tok), 6) END AS symbol_word_ratio,
   round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
         + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
   {bpe} AS bpe_ish_tokens,

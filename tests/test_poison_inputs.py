@@ -128,3 +128,39 @@ def test_similarity_survives_empty_and_zero_vectors(spark):
     with shadow_views(spark, embeddings=zv):
         for name in sim:
             qs[name](spark, "/root/testdata/sf0.001").count()
+
+
+def test_gopher_quality_signals_exact_values(spark):
+    """The Gopher-style repetition/format columns (dup_line_frac,
+    bullet_line_frac, ellipsis_line_frac, symbol_word_ratio) compute
+    exact fractions on crafted text — the driver corpus has no
+    newlines/bullets, so its oracle certification of these columns is
+    vacuous (all 0.0) and the real logic is pinned here."""
+    import __spark_entry__ as e
+
+    from pqstream_spark.sources.tables import register_views, shadow_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = [
+        # 4 lines, one exact duplicate -> dup 1/4; one bullet; one
+        # ellipsis-ended; '#' twice over 8 tokens
+        (1, "en", "alpha beta # line\nalpha beta # line\n- bullet x\nend it..."),
+        (2, "en", "no repetition here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    with shadow_views(spark, documents=docs):
+        out = {
+            r["doc_id"]: r
+            for r in e.queries()["text_annotations"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    r1 = out[1]
+    assert r1["dup_line_frac"] == 0.25, r1["dup_line_frac"]
+    assert r1["bullet_line_frac"] == 0.25
+    assert r1["ellipsis_line_frac"] == 0.25
+    # '#' appears twice; tokenizer yields 12 tokens
+    assert r1["symbol_word_ratio"] == round(2 / r1["n_tokens"], 6)
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["bullet_line_frac"] == 0.0 and r2["symbol_word_ratio"] == 0.0
