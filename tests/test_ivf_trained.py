@@ -1,0 +1,83 @@
+"""Trained-centroid IVF (`sim_topk_brute_ivf`'s `ivf_trained` branch):
+sample → quantized k-means (one Lloyd step) → narrow full-corpus
+assignment → cell-pruned search.
+
+The whole chain is deterministic by design (integer dot products,
+hash-predicate sample, no RNG), so these tests can pin exact
+properties: identical codebooks across runs, every query answered,
+and — the point of training — better recall than pruning on the
+corpus's precomputed labels. The DuckDB value-parity check lives in
+the oracle gate (tools/check_oracle.py); this file covers what SQL
+parity can't: run-to-run stability and ANN quality."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_SMOKE
+
+
+def _tops(rows):
+    tops = defaultdict(set)
+    for r in rows:
+        tops[(r.method, r.q_id)].add(r.c_id)
+    return tops
+
+
+def test_three_methods_shape(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["sim_topk_brute_ivf"](spark, SF_SMOKE).collect()
+    by_method = defaultdict(list)
+    for r in rows:
+        by_method[r.method].append(r)
+    assert set(by_method) == {"brute", "ivf_pruned", "ivf_trained"}
+    # every query vector answered, at most top-5 per query, rn dense
+    for m, rs in by_method.items():
+        per_q = defaultdict(list)
+        for r in rs:
+            per_q[r.q_id].append(r.rn)
+        assert len(per_q) == 10, m
+        for qid, rns in per_q.items():
+            assert sorted(rns) == list(range(1, len(rns) + 1)), (m, qid)
+            assert len(rns) <= 5
+
+
+def test_codebook_deterministic_and_bounded(spark):
+    from pqstream_spark.queries.llm import _ivf_parts, _ivf_train_cte
+    from pqstream_spark.sources.tables import register_views
+
+    register_views(spark, SF_SMOKE)
+    sql = "WITH " + _ivf_train_cte(True) + " SELECT cs FROM cents1"
+    a = spark.sql(sql).collect()[0][0]
+    b = spark.sql(sql).collect()[0][0]
+    assert a == b, "codebook must be identical across runs (no RNG anywhere)"
+    assert 1 <= len(a) <= 8
+    dims = {len(cv) for cv in a}
+    assert len(dims) == 1, "all centroids share the corpus dimensionality"
+    # quantized-space invariant: components are small integers
+    # (round(nv*127) inputs average to the same range)
+    assert all(abs(c) <= 127 for cv in a for c in cv)
+    # parts() exposes both dialects of every snippet the CTE needs
+    assert set(_ivf_parts(True)) == set(_ivf_parts(False))
+
+
+def test_trained_recall_beats_precomputed_labels(spark):
+    """The reason to train: one Lloyd step on a hash sample already
+    recalls ~3x more of the true (brute-force) top-5 than pruning on
+    the corpus's precomputed `label` column. Deterministic pipeline +
+    fixed test data = a stable margin, not a flaky statistical bet."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["sim_topk_brute_ivf"](spark, SF_SMOKE).collect()
+    tops = _tops(rows)
+    qids = {k[1] for k in tops if k[0] == "brute"}
+    assert qids
+
+    def mean_overlap(method: str) -> float:
+        ov = [len(tops[("brute", q)] & tops[(method, q)]) for q in qids]
+        return sum(ov) / len(ov)
+
+    trained, pruned = mean_overlap("ivf_trained"), mean_overlap("ivf_pruned")
+    assert trained > pruned, (trained, pruned)
+    assert trained >= 1.0, f"trained recall@5 degenerated: {trained}"
