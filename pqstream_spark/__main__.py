@@ -257,7 +257,30 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
                 typed_wire=True,
             )
         )
-        wire = WireServer(disp, port=args.listen_http)
+
+        def _history(from_seq: int):
+            # consumer resume (/listen?from_seq=N): batch-scan the
+            # retained changelog through the SAME handled chain as the
+            # live feed, so replayed and live lines render identically;
+            # the seq filter pushes down to parquet min/max
+            from pyspark.sql import functions as F
+
+            from .streaming.source import batch_changelog
+
+            df = handle_events(
+                batch_changelog(spark, args.connect),
+                redactions=_load_redactions(args.redactions),
+                table_regexp=args.tables or ".*",
+                typed_wire=True,
+            )
+            it = (
+                df.filter(F.col("seq") >= from_seq)
+                .orderBy("seq")
+                .toLocalIterator()
+            )
+            return (r.asDict() for r in it)
+
+        wire = WireServer(disp, port=args.listen_http, history=_history)
         wire.start_background()
         disp.start()
         global _ACTIVE_WIRE  # observable handle for tests/tooling

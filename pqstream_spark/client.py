@@ -12,6 +12,9 @@ line until interrupted.
                          behind a bounded queue (block | drop-oldest |
                          disconnect-slow) — the knob the reference's
                          server.go:291 TODO never shipped
+    (new)      --from-seq N  replay retained history with seq >= N
+                         before going live (consumer resume; NOTIFY
+                         loses everything while disconnected)
 
 The wire is HTTP NDJSON (streaming/wire_http.py) because grpcio is
 absent from this environment (tests/test_transport_probe.py); each
@@ -59,6 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit 0 after N events (testing/scripting; the reference "
         "client streams forever)",
     )
+    p.add_argument(
+        "--from-seq", type=int, default=None,
+        help="resume from retained history: replay events with "
+        "seq >= N before going live (Kafka-style consumer resume; "
+        "the reference's NOTIFY design loses everything while "
+        "disconnected)",
+    )
+    p.add_argument(
+        "--with-seq", action="store_true",
+        help="prepend the outbox seq to each line (so the next "
+        "--from-seq is knowable; off = reference byte-parity)",
+    )
     return p
 
 
@@ -73,6 +88,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
     path = f"/listen?tables={urllib.parse.quote(args.tables)}"
     if args.policy:
         path += f"&policy={args.policy}&buffer={args.buffer}"
+    if args.from_seq is not None:
+        path += f"&from_seq={args.from_seq}"
+    if args.with_seq:
+        path += "&with_seq=1"
 
     conn = http.client.HTTPConnection(host.strip("[]"), int(port_s))
     try:

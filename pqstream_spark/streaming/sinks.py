@@ -28,7 +28,7 @@ def _sorted_obj(v):
     return v
 
 
-def event_to_json_line(row: dict) -> str:
+def event_to_json_line(row: dict, include_seq: bool = False) -> str:
     """Render one Event the way the pqs CLI prints it
     (/root/reference/cmd/pqs/main.go:66-76 jsonpb): top-level fields in
     proto field order (pqstream.proto:37-47 — schema, table, op, id,
@@ -36,8 +36,16 @@ def event_to_json_line(row: dict) -> str:
 
     payload/changes come from the exact-JSON projections when present
     (payload_json / changes_json) so numbers stay numbers and nulls
-    stay nulls — the map<string,string> fallback loses JSON types."""
+    stay nulls — the map<string,string> fallback loses JSON types.
+
+    include_seq=True prepends the outbox seq — NOT part of the
+    reference wire format (its proto has no cursor field, which is WHY
+    its clients cannot resume); opt-in via /listen?with_seq=1 so a
+    resuming consumer can learn the from_seq to reconnect with, while
+    the default stays byte-parity."""
     out: dict = {}
+    if include_seq and row.get("seq") is not None:
+        out["seq"] = row["seq"]
     if row.get("schema_name"):
         out["schema"] = row["schema_name"]
     if row.get("table_name"):

@@ -81,6 +81,22 @@ def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
         return "timestamp_ntz"
 
 
+def _ts_type_for(ts_dtype: str) -> T.DataType:
+    if ts_dtype == "bigint":
+        return T.LongType()
+    if ts_dtype == "timestamp_ntz":
+        return T.TimestampNTZType()
+    return T.TimestampType()
+
+
+def _normalize_ts(ev: DataFrame, ts_dtype: str) -> DataFrame:
+    """Normalize to a session-zone TIMESTAMP (UTC session pinned by
+    ensure_engine_confs), matching sources/tables.load_table."""
+    if ts_dtype == "bigint":
+        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def stream_events(
     spark: SparkSession,
     path: str,
@@ -103,26 +119,42 @@ def stream_events(
     # an outbox directory is era-homogeneous — files appearing later are
     # read with the type sniffed (or defaulted) at stream creation.
     ts_dtype = _peek_ts_dtype(spark, path)
-    if ts_dtype == "bigint":
-        ts_type: T.DataType = T.LongType()
-    elif ts_dtype == "timestamp_ntz":
-        ts_type = T.TimestampNTZType()
-    else:
-        ts_type = T.TimestampType()
-    reader = spark.readStream.schema(_events_file_schema(ts_type))
+    reader = spark.readStream.schema(_events_file_schema(_ts_type_for(ts_dtype)))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    ev = reader.parquet(path)
-    # Normalize to a session-zone TIMESTAMP (UTC session pinned by
-    # ensure_engine_confs), matching sources/tables.load_table.
-    if ts_dtype == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return ev
+    return _normalize_ts(reader.parquet(path), ts_dtype)
+
+
+def batch_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of stream_events — the same schema sniff and ts
+    normalization over the same directory, via spark.read. This is the
+    replay/history scan behind `/listen?from_seq=N`: a seq predicate on
+    the result pushes down to parquet row-group min/max, so resuming
+    near the tail reads only trailing files, not the whole retained
+    changelog."""
+    import os
+
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    ts_dtype = _peek_ts_dtype(spark, path)
+    schema = _events_file_schema(_ts_type_for(ts_dtype))
+    if not os.path.exists(path):  # nothing retained yet: empty frame
+        return _normalize_ts(spark.createDataFrame([], schema), ts_dtype)
+    reader = spark.read.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return _normalize_ts(reader.parquet(path), ts_dtype)
+
+
+def batch_changelog(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded RawEvent frame over a changelog directory — what a
+    late-joining wire subscriber replays before going live."""
+    return changelog_from_events(batch_events(spark, path))
 
 
 def stream_changelog(

@@ -29,6 +29,15 @@ shipped. Teardown order: dispatcher.stop() before WireServer.stop()
 (the order __main__ uses) — the reverse closes handler wfiles while a
 batch may be mid-write, which the callback tolerates (ValueError →
 unsubscribe) but delivers less.
+
+A second upgrade over the reference: `/listen?from_seq=N` resumes a
+consumer from retained history (Kafka-style). NOTIFY delivers only to
+connected listeners, so a reference client that reconnects has lost
+everything in between; here the server batch-scans the retained
+changelog (seq >= N pushes down to parquet row-group min/max), streams
+it, then splices into the live feed with a per-connection seq guard —
+exactly-once across the hand-off, bounded by the outbox compaction
+low-water mark.
 """
 
 from __future__ import annotations
@@ -41,6 +50,12 @@ from urllib.parse import parse_qs, urlparse
 from ..operators.filters import compile_or_raise
 from .sinks import event_to_json_line
 from .subscribe import BUFFER_POLICIES, Dispatcher
+
+# Live rows buffered while a from_seq replay runs. Replay length is
+# bounded by retention (outbox compaction's low-water mark), so this is
+# a stall backstop, not a working size; overflow disconnects (keeping
+# resume exactly-once) rather than dropping.
+REPLAY_PENDING_CAP = 4096
 
 
 class _ListenHandler(BaseHTTPRequestHandler):
@@ -101,6 +116,20 @@ class _ListenHandler(BaseHTTPRequestHandler):
         except ValueError:
             self.send_error(400, "bad buffer size (integer required)")
             return
+        from_seq = None
+        if "from_seq" in qs:
+            try:
+                from_seq = int(qs["from_seq"][0])
+            except ValueError:
+                self.send_error(400, "bad from_seq (integer required)")
+                return
+            if server.history is None:
+                # error BEFORE streaming starts, like a bad regexp
+                self.send_error(
+                    400, "from_seq replay is not supported on this backend"
+                )
+                return
+        with_seq = qs.get("with_seq", ["0"])[0] not in ("0", "", "false")
 
         self.send_response(200)
         self.send_header("Content-Type", "application/x-ndjson")
@@ -111,9 +140,10 @@ class _ListenHandler(BaseHTTPRequestHandler):
         done = threading.Event()
         name = f"http-{uuid.uuid4().hex[:8]}"
 
-        def cb(row: dict) -> bool:
+        def write_row(row: dict) -> bool:
             try:
-                self.wfile.write((event_to_json_line(row) + "\n").encode())
+                line = event_to_json_line(row, include_seq=with_seq)
+                self.wfile.write((line + "\n").encode())
                 self.wfile.flush()
                 return True
             except (OSError, ValueError):
@@ -125,8 +155,66 @@ class _ListenHandler(BaseHTTPRequestHandler):
                 done.set()
                 return False
 
+        if from_seq is None:
+            cb = write_row
+        else:
+            # Consumer resume (Kafka-style, impossible in the reference's
+            # NOTIFY-only design): subscribe FIRST (live rows buffer in
+            # `pending`), batch-replay retained history >= from_seq, then
+            # splice — flush pending, dedup by seq, go live. The seq
+            # guard makes the hand-off exactly-once: a row present in
+            # both the history scan and an in-flight micro-batch is
+            # written exactly once, and `last` only ever advances.
+            lock = threading.Lock()
+            state = {"live": False, "last": from_seq - 1}
+            pending: list[dict] = []
+
+            def cb(row: dict) -> bool:
+                with lock:
+                    if not state["live"]:
+                        if len(pending) >= REPLAY_PENDING_CAP:
+                            # replay outlived the buffer: disconnecting
+                            # keeps resume exactly-once (dropping a live
+                            # row here would silently break it); the
+                            # client reconnects with a later from_seq
+                            done.set()
+                            return False
+                        pending.append(row)
+                        return True
+                    if row["seq"] <= state["last"]:
+                        return True  # already replayed
+                    ok = write_row(row)
+                    if ok:
+                        state["last"] = row["seq"]
+                    return ok
+
         server.dispatcher.subscribe(name, regexp, cb, policy=policy, capacity=capacity)
         try:
+            if from_seq is not None:
+                import re
+
+                pattern = re.compile(compile_or_raise(regexp))
+                replay_ok = True
+                for row in server.history(from_seq):
+                    if not pattern.search(row.get("table_name") or ""):
+                        continue
+                    if not write_row(row):
+                        replay_ok = False
+                        break
+                    with lock:
+                        if row["seq"] > state["last"]:
+                            state["last"] = row["seq"]
+                if replay_ok:
+                    with lock:
+                        for row in pending:
+                            if row["seq"] <= state["last"]:
+                                continue
+                            if not write_row(row):
+                                done.set()
+                                break
+                            state["last"] = row["seq"]
+                        pending.clear()
+                        state["live"] = True
             # the dispatcher's event loop writes from its own thread;
             # this handler thread just holds the connection open until
             # the client disconnects (detected on write) or the server
@@ -153,9 +241,20 @@ class WireServer(ThreadingHTTPServer):
 
     daemon_threads = True
 
-    def __init__(self, dispatcher: Dispatcher, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        dispatcher: Dispatcher,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        history=None,
+    ):
         super().__init__((host, port), _ListenHandler)
         self.dispatcher = dispatcher
+        # history: callable (from_seq: int) -> iterable of event-row
+        # dicts with seq >= from_seq, ascending — enables
+        # /listen?from_seq=N consumer resume. None = replay unsupported
+        # (400 at subscribe time).
+        self.history = history
         self.closing = threading.Event()
         self._thread: threading.Thread | None = None
 
