@@ -1080,10 +1080,28 @@ scored AS (
     n_tokens, quality_score, alpha_ratio, fp,
     fp_rank = 1 AS is_canonical,
     (quality_score >= 0.3 AND n_tokens >= 10 AND fp_rank = 1) AS kept,
+    -- model-based quality filter: a fixed-weight LINEAR classifier
+    -- head over the already-computed signals (the shape of a
+    -- fastText/logreg quality model; production loads learned
+    -- weights, the engine side is this same single codegen'd
+    -- projection). Engine-exact by construction: the raw margin, not
+    -- sigmoid(margin) (decision identical — sigmoid is monotone —
+    -- and exp() differs in the last ulp between libm and Math.exp),
+    -- computed in INTEGER micro-units (the 6-dp signals recover
+    -- their exact decimal as round(x*1e6); weights 2.0/1.5/0.02/-2.1
+    -- scale to the integer vector 4/3/40000/-4200000 over doubled
+    -- micro-units) then divided by one constant: identical BIGINTs →
+    -- identical IEEE division → identical doubles. A float-weighted
+    -- sum rounded to 6 dp flips at .5e-6 boundaries between engines
+    -- (observed: 2.022617 vs 2.022616).
+    (4 * CAST(round(quality_score * 1000000, 0) AS BIGINT)
+     + 3 * CAST(round(alpha_ratio * 1000000, 0) AS BIGINT)
+     + 40000 * least(n_tokens, 200) - 4200000) / CAST(2000000 AS DOUBLE) AS clf_margin,
     {split} AS split
   FROM dedup
 )
 SELECT *,
+  clf_margin >= 0 AS clf_keep,
   -- dataset mixture: deterministic per-language downsampling of the
   -- kept corpus ({MIX_DEFAULT_PCT}% for unlisted languages)
   (kept AND {mixmod} < ({mix_weight})) AS mix_keep,

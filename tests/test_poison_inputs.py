@@ -164,3 +164,37 @@ def test_gopher_quality_signals_exact_values(spark):
     r2 = out[2]
     assert r2["dup_line_frac"] == 0.0
     assert r2["bullet_line_frac"] == 0.0 and r2["symbol_word_ratio"] == 0.0
+
+
+def test_clf_margin_exact_and_discriminative(spark):
+    """The linear quality-classifier head in text_curation_pipeline:
+    margin = (4*q_micro + 3*a_micro + 40000*min(n_tokens,200)
+              - 4_200_000) / 2e6  (weights 2.0/1.5/0.02, bias -2.1,
+    computed in integer micro-units so Spark and DuckDB agree bit-for-
+    bit). Pinned on crafted text: a stopword-rich alpha-pure doc
+    clears the boundary, a short symbol-soup doc fails it."""
+    import __spark_entry__ as e
+
+    from pqstream_spark.sources.tables import register_views, shadow_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = [
+        (1, "en", "the a and of is " * 40),   # 200 stopword tokens
+        (2, "en", "#### 1234 %%%% !!!!"),     # no alpha, no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    with shadow_views(spark, documents=docs):
+        out = {
+            r["doc_id"]: r
+            for r in e.queries()["text_curation_pipeline"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    r1, r2 = out[1], out[2]
+    # doc 1: quality = 0.5*1.0 + 0.5*1.0 = 1.0; alpha_ratio from its
+    # exact text; margin = (4e6*1 + 3*a + 40000*200 - 4.2e6)/2e6
+    a1 = round(r1["alpha_ratio"] * 1_000_000)
+    want1 = (4_000_000 + 3 * a1 + 40_000 * 200 - 4_200_000) / 2_000_000.0
+    assert r1["clf_margin"] == want1 and r1["clf_keep"] is True
+    # doc 2: zero stopwords, zero alpha, few tokens -> fails
+    assert r2["clf_keep"] is False and r2["clf_margin"] < 0
