@@ -897,7 +897,7 @@ STOPWORDS = {
 # pass; at 100 TB this is one codegen'd projection, no shuffle at all).
 
 
-def _annotations_sql(spark: bool) -> str:
+def _annotations_sql(spark: bool, src: str = "documents") -> str:
     tok_expr = TOK_SPARK if spark else TOK_DUCK
     shingle = SHINGLE_SPARK if spark else SHINGLE_DUCK
     size = "size" if spark else "len"
@@ -945,7 +945,7 @@ def _annotations_sql(spark: bool) -> str:
         for lang in langs[:-1]
     )
     return f"""
-WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM documents),
+WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM {src}),
 pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh, {lines} AS ln,
         {hashed} AS dtokh, {scores} FROM toks)
 SELECT doc_id, lang AS actual_lang,
@@ -1002,6 +1002,20 @@ PACK_BUDGET, PACK_SHARDS = 256, 8
 # discipline as the train/val/test split.
 MIX_WEIGHT_PCT = {"en": 100, "fr": 70, "de": 70, "es": 40, "zh": 40}
 MIX_DEFAULT_PCT = 50
+
+
+# The linear quality-classifier margin, engine-neutral SQL (identical
+# text runs in Spark and DuckDB): weights 2.0/1.5/0.02, bias -2.1 over
+# (quality_score, alpha_ratio, min(n_tokens, 200)), computed in integer
+# micro-units and divided once — see the in-query comment in
+# _curation_sql for why this form is engine-exact where a float sum is
+# not. Shared with the ingest gate (streaming/stateful.py), so batch
+# curation and ingest-time admission apply the SAME model.
+CLF_MARGIN_EXPR = (
+    "(4 * CAST(round(quality_score * 1000000, 0) AS BIGINT)\n"
+    "     + 3 * CAST(round(alpha_ratio * 1000000, 0) AS BIGINT)\n"
+    "     + 40000 * least(n_tokens, 200) - 4200000) / CAST(2000000 AS DOUBLE)"
+)
 
 
 def _curation_sql(spark: bool) -> str:
@@ -1094,9 +1108,7 @@ scored AS (
     -- identical IEEE division → identical doubles. A float-weighted
     -- sum rounded to 6 dp flips at .5e-6 boundaries between engines
     -- (observed: 2.022617 vs 2.022616).
-    (4 * CAST(round(quality_score * 1000000, 0) AS BIGINT)
-     + 3 * CAST(round(alpha_ratio * 1000000, 0) AS BIGINT)
-     + 40000 * least(n_tokens, 200) - 4200000) / CAST(2000000 AS DOUBLE) AS clf_margin,
+    {CLF_MARGIN_EXPR} AS clf_margin,
     {split} AS split
   FROM dedup
 )

@@ -145,3 +145,79 @@ def dedup_against_corpus_stream(
         .where("doc_id <> corpus_doc_id")
         .select("doc_id", "band_idx", "corpus_doc_id")
     )
+
+
+def curate_ingest(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    emit,
+    checkpoint_dir: str | None = None,
+):
+    """Ingest-time curation gate — the streaming door of a training-data
+    pipeline: each micro-batch of incoming (doc_id, lang, text)
+    documents is annotated (language-ID, quality, Gopher signals),
+    scored by the SAME linear classifier head the batch curation
+    pipeline applies (queries/llm.CLF_MARGIN_EXPR — one model, two
+    surfaces), and near-dup-flagged against the static corpus band
+    index; `emit(kept_df, epoch_id)` receives the admitted documents
+    with their annotations plus `near_dup`/`clf_keep`/`admitted`.
+
+    Mechanics: foreachBatch, so the per-batch plan runs under BATCH
+    semantics — the band join, the per-doc any-match aggregation, and
+    the anti-join are ordinary bounded operators, and the stream holds
+    ZERO streaming state (the corpus index is a static frame, re-scanned
+    or broadcast per batch; at 100 TB it is bucketed by band key so each
+    batch prunes to the buckets its keys touch — the same layout note
+    as dedup_against_corpus_stream, whose index this reuses). This is
+    the production shape for "merge the batch against the big static
+    thing": state lives in the data layout, not the stream.
+
+    Returns the started StreamingQuery."""
+    import uuid as _uuid
+
+    from ..queries.llm import (
+        CLF_MARGIN_EXPR,
+        _annotations_sql,
+        _minhash_signatures,
+        minhash_bands_narrow,
+    )
+
+    corpus_bands = _minhash_signatures(corpus).selectExpr(
+        "doc_id AS corpus_doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
+    )
+    view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.createOrReplaceTempView(view)
+        try:
+            ann = spark.sql(_annotations_sql(True, src=view))
+            matched = (
+                minhash_bands_narrow(batch_df)
+                .selectExpr(
+                    "doc_id",
+                    "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
+                )
+                .join(corpus_bands, ["band_idx", "bucket"])
+                .where("doc_id <> corpus_doc_id")
+                .select("doc_id")
+                .distinct()
+                .withColumn("near_dup", F.lit(True))
+            )
+            kept = (
+                ann.join(matched, "doc_id", "left")
+                .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
+                .withColumn("clf_keep", F.expr(f"({CLF_MARGIN_EXPR}) >= 0"))
+                .withColumn(
+                    "admitted", F.expr("clf_keep AND NOT near_dup")
+                )
+            )
+            emit(kept, epoch_id)
+        finally:
+            spark.catalog.dropTempView(view)
+
+    writer = doc_stream.writeStream.foreachBatch(gate).queryName("ingest_gate")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

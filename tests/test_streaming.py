@@ -734,3 +734,59 @@ def test_ingest_dedup_against_corpus(spark, tmp_path):
     hit_origin = sum(1 for o, bs in matches.items() if o in bs)
     assert hit_origin >= 15, f"only {hit_origin}/20 near-copies flagged origin"
     assert not any(a >= 90000 for a in matches), "novel docs falsely flagged"
+
+
+def test_curate_ingest_gate(spark, tmp_path):
+    """The streaming door of the pipeline: incoming docs are annotated,
+    scored by the SAME classifier head as batch curation, and near-dup
+    gated against the corpus band index — per micro-batch, zero
+    streaming state. Near-copies of corpus docs are rejected as dups;
+    novel garbage is rejected by the classifier; novel quality text is
+    admitted."""
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.stateful import curate_ingest
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    incoming = (
+        # near-copies of 10 corpus docs -> near_dup
+        corpus.where("doc_id < 10").selectExpr(
+            "doc_id + 900000 AS doc_id", "'en' AS lang",
+            "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
+        )
+        # novel quality text: stopword-rich, alpha-pure, long -> admitted
+        .unionAll(spark.range(3).selectExpr(
+            "id + 990000 AS doc_id", "'en' AS lang",
+            "concat('qwxv zebra ', id, ' ', repeat('the a and of is ', 40))"
+            " AS text",
+        ))
+        # novel garbage: no alpha, no stopwords, short -> clf-rejected
+        .unionAll(spark.range(2).selectExpr(
+            "id + 995000 AS doc_id", "'en' AS lang",
+            "concat('#### ', id, ' 1234 %%%% !!!!') AS text",
+        ))
+    )
+    inc_dir = str(tmp_path / "gate_in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    got: dict = {}
+
+    def emit(df, epoch):
+        rows = df.collect()
+        got.setdefault("rows", []).extend(rows)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(inc_dir)
+    q = curate_ingest(stream, corpus, emit)
+    drain(q)
+    rows = {r["doc_id"]: r for r in got["rows"]}
+    assert len(rows) == 15, "every incoming doc is annotated and scored"
+    near_dups = {d for d, r in rows.items() if r["near_dup"]}
+    admitted = {d for d, r in rows.items() if r["admitted"]}
+    assert near_dups and near_dups <= {900000 + d for d in range(10)}, near_dups
+    assert len(near_dups) >= 5, "most truncated near-copies must band-match"
+
+    assert admitted == {990000, 990001, 990002}, admitted
+    for d in (995000, 995001):
+        assert not rows[d]["clf_keep"], "garbage must fail the classifier"
+    # annotations came through the same projection as text_annotations
+    assert rows[990000]["predicted_lang"] == "en"
+    assert rows[990000]["n_tokens"] > 100
