@@ -955,7 +955,8 @@ SELECT doc_id, lang AS actual_lang,
   {size}(tok) AS n_tokens,
   CASE WHEN {size}(tok) = 0 THEN NULL
        ELSE round(CAST({agg_len} AS DOUBLE) / {size}(tok), 6) END AS avg_token_len,
-  round(CAST({alpha} AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE round(CAST({alpha} AS DOUBLE) / length(text), 6) END AS alpha_ratio,
   CASE WHEN {size}(tok) = 0 THEN NULL
        ELSE round(CAST({stop} AS DOUBLE) / {size}(tok), 6) END AS stopword_ratio,
   CASE WHEN {size}(ln) = 0 THEN NULL
@@ -971,8 +972,10 @@ SELECT doc_id, lang AS actual_lang,
   END AS ellipsis_line_frac,
   CASE WHEN {size}(tok) = 0 THEN NULL
        ELSE round(CAST({sym} AS DOUBLE) / {size}(tok), 6) END AS symbol_word_ratio,
-  round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
-        + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
+  CASE WHEN {size}(tok) = 0 THEN 0.0
+       ELSE round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
+            + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6)
+  END AS quality_score,
   {bpe} AS bpe_ish_tokens,
   CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
@@ -1080,7 +1083,8 @@ ann AS (
     CASE WHEN {size}(tok) = 0 THEN 0.0
          ELSE round(0.5 * CAST({stop} AS DOUBLE) / {size}(tok)
               + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6) END AS quality_score,
-    round(CAST({alpha} AS DOUBLE) / length(text), 6) AS alpha_ratio,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE round(CAST({alpha} AS DOUBLE) / length(text), 6) END AS alpha_ratio,
     md5({join}) AS fp
   FROM toks
 ),
@@ -1524,17 +1528,25 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side analog of broadcasting an index. The DuckDB oracle runs
     the identical integer math as one SQL statement
     (`_sim_topk_sql(False)`)."""
+    import uuid as _uuid
+
     register_views(spark, sf_dir)
     p = _ivf_parts(True)
     nv = _norm_vec_expr(True)
     n2 = _norm2_expr(True)
+    # unique per-call view names: a fixed name would let a later call
+    # (other SF, other thread) repoint an earlier, not-yet-collected
+    # result at different data; views are dropped before returning —
+    # the final DataFrame's plan captured them at analysis time
+    vbase = f"_ivf_base_{_uuid.uuid4().hex[:8]}"
+    vlab = f"_ivf_lab_{_uuid.uuid4().hex[:8]}"
     base = spark.sql(
         f"SELECT vec_id, label, nv, {p['qv']} AS qv FROM "
         f"(SELECT vec_id, label, {nv} AS nv FROM embeddings WHERE {n2} > 0) z"
     ).localCheckpoint(eager=True)
-    base.createOrReplaceTempView("_ivf_base")
+    base.createOrReplaceTempView(vbase)
     rows = spark.sql(
-        "WITH " + _ivf_train_cte(True, base="_ivf_base") + " SELECT cs FROM cents1"
+        "WITH " + _ivf_train_cte(True, base=vbase) + " SELECT cs FROM cents1"
     ).collect()
     cs = rows[0][0] if rows and rows[0][0] else []
     if cs:
@@ -1552,11 +1564,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # against the materialized assignment).
         lab = spark.sql(
             f"SELECT vec_id, nv, {p['argmax']} AS cid "
-            f"FROM (SELECT vec_id, nv, {ds_lit} AS ds FROM _ivf_base) t"
+            f"FROM (SELECT vec_id, nv, {ds_lit} AS ds FROM {vbase}) t"
         ).localCheckpoint(eager=True)
-        lab.createOrReplaceTempView("_ivf_lab")
+        lab.createOrReplaceTempView(vlab)
         trained = f"""
-WITH lab AS (SELECT vec_id, nv, cid FROM _ivf_lab),
+WITH lab AS (SELECT vec_id, nv, cid FROM {vlab}),
 {_ivf_search_tail(True)}
 """
         trained_branch = (
@@ -1569,15 +1581,19 @@ WITH lab AS (SELECT vec_id, nv, cid FROM _ivf_lab),
             "CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS cos, "
             "CAST(NULL AS INT) AS rn WHERE 1 = 0"
         )
-    return spark.sql(f"""
+    out = spark.sql(f"""
 SELECT 'brute' AS method, q_id, c_id, cos, rn
-FROM ({_topk_sql(True, False, base="_ivf_base").strip()})
+FROM ({_topk_sql(True, False, base=vbase).strip()})
 UNION ALL
 SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn
-FROM ({_topk_sql(True, True, base="_ivf_base").strip()})
+FROM ({_topk_sql(True, True, base=vbase).strip()})
 UNION ALL
 {trained_branch}
 """)
+    spark.catalog.dropTempView(vbase)
+    if cs:
+        spark.catalog.dropTempView(vlab)
+    return out
 
 
 def _sim_ann_sql(spark: bool) -> str:

@@ -132,18 +132,24 @@ def dedup_against_corpus_stream(
     the faster hash-aggregate form (both produce bit-identical keys)."""
     from ..queries.llm import _minhash_signatures, minhash_bands_narrow
 
-    def bands(sig: DataFrame, id_alias: str) -> DataFrame:
-        return sig.selectExpr(
-            f"doc_id AS {id_alias}",
-            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
-        )
-
-    corpus_bands = bands(_minhash_signatures(corpus), "corpus_doc_id")
-    stream_bands = bands(minhash_bands_narrow(doc_stream), "doc_id")
+    corpus_bands = _band_rows(_minhash_signatures(corpus), "corpus_doc_id")
+    stream_bands = _band_rows(minhash_bands_narrow(doc_stream), "doc_id")
     return (
         stream_bands.join(corpus_bands, ["band_idx", "bucket"])
         .where("doc_id <> corpus_doc_id")
         .select("doc_id", "band_idx", "corpus_doc_id")
+    )
+
+
+def _band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
+    """(doc_id, b0..b3) signatures → exploded (id, band_idx, bucket)
+    rows — THE band-index shape. Single definition so every consumer
+    (corpus-wide dedup, ingest dedup, the ingest curation gate) agrees
+    on the banding scheme; changing band count/keys here changes all
+    of them together."""
+    return sig.selectExpr(
+        f"doc_id AS {id_alias}",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
     )
 
 
@@ -182,10 +188,7 @@ def curate_ingest(
         minhash_bands_narrow,
     )
 
-    corpus_bands = _minhash_signatures(corpus).selectExpr(
-        "doc_id AS corpus_doc_id",
-        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
-    )
+    corpus_bands = _band_rows(_minhash_signatures(corpus), "corpus_doc_id")
     view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
@@ -194,11 +197,7 @@ def curate_ingest(
         try:
             ann = spark.sql(_annotations_sql(True, src=view))
             matched = (
-                minhash_bands_narrow(batch_df)
-                .selectExpr(
-                    "doc_id",
-                    "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)",
-                )
+                _band_rows(minhash_bands_narrow(batch_df), "doc_id")
                 .join(corpus_bands, ["band_idx", "bucket"])
                 .where("doc_id <> corpus_doc_id")
                 .select("doc_id")

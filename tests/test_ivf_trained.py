@@ -81,3 +81,18 @@ def test_trained_recall_beats_precomputed_labels(spark):
     trained, pruned = mean_overlap("ivf_trained"), mean_overlap("ivf_pruned")
     assert trained > pruned, (trained, pruned)
     assert trained >= 1.0, f"trained recall@5 degenerated: {trained}"
+
+
+def test_one_statement_formulation_equivalent(spark):
+    """`_sim_topk_sql(True)` — the one-statement Spark formulation that
+    documents the split-at-the-codebook entry — must return exactly the
+    rows `q_sim_topk` (the live, checkpointed implementation) returns.
+    This pins the reference formulation against rot: if either side's
+    math drifts, the equality breaks."""
+    from pqstream_spark.queries.llm import _sim_topk_sql, q_sim_topk
+    from pqstream_spark.sources.tables import register_views
+
+    register_views(spark, SF_SMOKE)
+    one = {tuple(r) for r in spark.sql(_sim_topk_sql(True)).collect()}
+    split = {tuple(r) for r in q_sim_topk(spark, SF_SMOKE).collect()}
+    assert one == split

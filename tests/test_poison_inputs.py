@@ -91,8 +91,12 @@ def test_text_pipeline_survives_degenerate_documents(spark):
             "dedup_exact",
             "dedup_minhash_lsh",
         ):
-            # count() forces full evaluation; no exception is the assertion
-            qs[name](spark, "/root/testdata/sf0.001").count()
+            # collect(), NOT count(): count() lets Catalyst prune every
+            # projection, so an ANSI DIVIDE_BY_ZERO inside a ratio
+            # column passes the test while crashing any real consumer
+            # (this masked exactly that bug in quality_score/alpha_ratio
+            # on zero-token/empty docs — caught in review)
+            qs[name](spark, "/root/testdata/sf0.001").collect()
 
 
 def test_similarity_survives_empty_and_zero_vectors(spark):
