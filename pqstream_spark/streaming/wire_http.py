@@ -88,7 +88,10 @@ class _ListenHandler(BaseHTTPRequestHandler):
             )
             return
         if parsed.path == "/stats":
-            self._send_json(server.dispatcher.stats())
+            st = server.dispatcher.stats()
+            if server.replay_info:
+                st["replays"] = {k: dict(v) for k, v in server.replay_info.items()}
+            self._send_json(st)
             return
         if parsed.path != "/listen":
             self.send_error(
@@ -193,6 +196,8 @@ class _ListenHandler(BaseHTTPRequestHandler):
             if from_seq is not None:
                 import re
 
+                info = {"from_seq": from_seq, "replayed": 0, "live": False}
+                server.replay_info[name] = info
                 pattern = re.compile(compile_or_raise(regexp))
                 replay_ok = True
                 for row in server.history(from_seq):
@@ -201,6 +206,7 @@ class _ListenHandler(BaseHTTPRequestHandler):
                     if not write_row(row):
                         replay_ok = False
                         break
+                    info["replayed"] += 1
                     with lock:
                         if row["seq"] > state["last"]:
                             state["last"] = row["seq"]
@@ -215,15 +221,32 @@ class _ListenHandler(BaseHTTPRequestHandler):
                             state["last"] = row["seq"]
                         pending.clear()
                         state["live"] = True
+                    info["live"] = True
             # the dispatcher's event loop writes from its own thread;
             # this handler thread just holds the connection open until
-            # the client disconnects (detected on write) or the server
-            # shuts down
+            # the client disconnects or the server shuts down. A write
+            # failure detects disconnect under traffic; the MSG_PEEK
+            # probe detects it while IDLE (otherwise a closed client's
+            # subscription lingers until the next event): the client
+            # never sends after the request (Connection: close), so a
+            # readable socket means EOF.
+            import select as _select
+            import socket as _socket
+
             while not done.is_set() and not server.closing.is_set():
                 if not server.dispatcher.is_active(name):
                     break  # removed (cb False or disconnect-slow): close
+                try:
+                    readable, _, _ = _select.select([self.connection], [], [], 0)
+                    if readable and not self.connection.recv(
+                        1, _socket.MSG_PEEK
+                    ):
+                        break  # client closed while idle
+                except (OSError, ValueError):
+                    break
                 done.wait(0.2)
         finally:
+            server.replay_info.pop(name, None)
             server.dispatcher.unsubscribe(name)
 
 
@@ -255,6 +278,9 @@ class WireServer(ThreadingHTTPServer):
         # /listen?from_seq=N consumer resume. None = replay unsupported
         # (400 at subscribe time).
         self.history = history
+        # per-connection replay progress, surfaced under /stats
+        # "replays" while the connection is open (removed on close)
+        self.replay_info: dict = {}
         self.closing = threading.Event()
         self._thread: threading.Thread | None = None
 

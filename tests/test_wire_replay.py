@@ -132,3 +132,46 @@ def test_from_seq_without_history_is_an_error(spark, tmp_path):
     finally:
         srv.stop()
         disp.stop()
+
+
+def test_stats_exposes_replay_progress(spark, tmp_path, wire):
+    """While a resumed connection is open, /stats carries its replay
+    progress (from_seq, replayed count, live flag); the entry is
+    removed when the connection closes."""
+    src, srv, disp = wire
+    _drop_events(spark, tmp_path, src, "b1", lo=0, n=40)
+    disp._query.processAllAvailable()
+    host, port = srv.server_address[:2]
+
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("GET", "/listen?tables=.*&from_seq=0&with_seq=1")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    for _ in range(40):  # drain the replay so info is fully populated
+        assert resp.fp.readline()
+
+    sconn = http.client.HTTPConnection(host, port, timeout=30)
+    sconn.request("GET", "/stats")
+    stats = json.loads(sconn.getresponse().read())
+    sconn.close()
+    assert "replays" in stats and len(stats["replays"]) == 1
+    (info,) = stats["replays"].values()
+    assert info["from_seq"] == 0
+    assert info["replayed"] == 40
+    assert info["live"] is True
+
+    # resp.close() matters: HTTPConnection.close() alone leaves the fd
+    # open through the response's makefile reference, so no FIN reaches
+    # the server and idle-disconnect detection has nothing to see
+    resp.close()
+    conn.close()
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        sconn = http.client.HTTPConnection(host, port, timeout=30)
+        sconn.request("GET", "/stats")
+        stats = json.loads(sconn.getresponse().read())
+        sconn.close()
+        if "replays" not in stats:
+            break
+        time.sleep(0.3)
+    assert "replays" not in stats, "replay entry must vanish on close"
