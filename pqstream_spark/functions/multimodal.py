@@ -4,12 +4,16 @@ Arrow-batched operators over mapInPandas (north-star requirement;
 SURVEY.md §7 M5).
 
 The Spark-side plumbing — schema, batch shape, partition behavior — is
-real and tested. The *codec* step is stubbed: this container ships no
-image/audio libraries, so `decode_image_meta` parses only the
-deterministic fake header produced by `encode_fake_image` and raises
-NotImplementedError for real formats. Swapping in Pillow/librosa means
-replacing ONE pure function inside the batch loop; nothing about the
-Spark plan changes.
+real and tested. The codec layer is REAL where stdlib bytes suffice:
+PPM (P6) decodes AND resizes with actual pixels (numpy
+nearest-neighbor), BMP and PNG headers decode for metadata, and PCM
+WAV decodes through the stdlib `wave` module for real rms/peak/
+zero-crossing features. Only COMPRESSED codecs (JPEG/WebP pixels,
+MP3/FLAC) remain stubbed behind the FIMG/FAUD/FVID fakes — this
+container ships no Pillow/librosa (probe-gated:
+tests/test_transport_probe.py fails the moment one appears). Swapping
+one in means replacing ONE pure function inside the batch loop;
+nothing about the Spark plan changes.
 
 Scale design: media bytes never leave the executor (mapInPandas
 processes Arrow record batches in place); metadata-only projections
@@ -52,14 +56,53 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
     return header + body
 
 
+def _ppm_header(content: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 PPM header (magic, whitespace/comments, width,
+    height, maxval) → (width, height, channels, pixel_offset)."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("bad PPM header")
+        fields.append(int(content[start:pos]))
+    return fields[0], fields[1], 3, pos + 1  # single whitespace after maxval
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int]:
-    if content is None or len(content) < 16 or content[:4] != FAKE_MAGIC:
-        raise NotImplementedError(
-            "real image decoding requires an image library not present "
-            "in this container; only the FIMG fake codec is supported"
-        )
-    w, h, c = struct.unpack("<III", content[4:16])
-    return w, h, c
+    """Image header decode. REAL for the formats stdlib bytes can parse
+    — PPM (P6), BMP, PNG (IHDR) — plus the FIMG fake. Compressed
+    formats (JPEG, WebP, …) need an image library this container lacks
+    (probe-gated in tests/test_transport_probe.py)."""
+    if content is not None and len(content) >= 16 and content[:4] == FAKE_MAGIC:
+        w, h, c = struct.unpack("<III", content[4:16])
+        return w, h, c
+    if content is not None and content[:2] == b"P6":
+        w, h, c, _off = _ppm_header(content)
+        return w, h, c
+    if content is not None and content[:2] == b"BM" and len(content) >= 54:
+        w = int.from_bytes(content[18:22], "little", signed=True)
+        h = abs(int.from_bytes(content[22:26], "little", signed=True))
+        bpp = int.from_bytes(content[28:30], "little")
+        return w, h, max(1, bpp // 8)
+    if (content is not None and content[:8] == b"\x89PNG\r\n\x1a\n"
+            and len(content) >= 33):
+        w, h = struct.unpack(">II", content[16:24])
+        color_type = content[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels
+    raise NotImplementedError(
+        "compressed image formats (JPEG/WebP/...) require an image "
+        "library not present in this container; PPM/BMP/PNG headers and "
+        "the FIMG fake codec decode for real"
+    )
 
 
 def decode_image_meta(df: DataFrame) -> DataFrame:
@@ -93,22 +136,55 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
 
 
+def _resize_ppm(content: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """REAL nearest-neighbor resize of a P6 PPM: numpy index-map over
+    the raw pixel block, re-encoded as P6. Deterministic (floor index
+    mapping), pure stdlib+numpy."""
+    import numpy as np
+
+    w, h, _c, off = _ppm_header(content)
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=off)
+    px = px.reshape(h, w, 3)
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    xi = (np.arange(nw) * w) // nw
+    yi = (np.arange(nh) * h) // nh
+    out = px[yi][:, xi]
+    header = f"P6\n{nw} {nh}\n255\n".encode()
+    return nw, nh, header + out.tobytes()
+
+
 def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
-    """Resize-to-fit: recompute dims, re-encode with the fake codec.
-    The real implementation swaps the two marked lines for a PIL call."""
+    """Resize-to-fit. REAL pixel path for PPM (raw pixels → numpy
+    nearest-neighbor → PPM); dim-only re-encode for the FIMG fake;
+    formats whose pixels need a codec library (PNG/BMP compressed
+    variants, JPEG) yield NULL rows rather than failing the batch."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is not None and content[:2] == b"P6":
+                    try:
+                        nw, nh, out = _resize_ppm(content, max_dim)
+                        rows.append((mid, nw, nh, out))
+                        continue
+                    except (ValueError, IndexError):
+                        rows.append((mid, None, None, None))
+                        continue
                 try:
                     w, h, _c = _decode_one(content)
                 except NotImplementedError:
                     rows.append((mid, None, None, None))
                     continue
+                if content[:4] != FAKE_MAGIC:
+                    # header decoded (BMP/PNG) but pixel transcode needs
+                    # a codec library: poison-tolerant NULL, not a crash
+                    rows.append((mid, None, None, None))
+                    continue
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                new_content = encode_fake_image(int(mid), nw, nh)  # ← PIL here
+                new_content = encode_fake_image(int(mid), nw, nh)
                 rows.append((mid, nw, nh, new_content))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
@@ -133,12 +209,37 @@ def encode_fake_audio(media_id: int, sample_rate: int, n_samples: int) -> bytes:
     return header + body
 
 
+def _wav_samples(content: bytes) -> tuple[int, list[int]]:
+    """REAL WAV decode via the stdlib `wave` module: (sample_rate,
+    channel-0 integer samples) for 8/16-bit PCM. Raises on non-WAV or
+    compressed encodings."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit → centered
+        samples = [b - 128 for b in raw[::nch]]
+    elif width == 2:
+        import array
+
+        a = array.array("h")
+        a.frombytes(raw)
+        samples = list(a[::nch])
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM needs soundfile")
+    return rate, samples
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """BINARY audio → scalar features (rms / peak / zero-crossings) via
     mapInPandas — the feature-extraction stage of an audio pipeline.
-    A real implementation swaps the sample decode for librosa/soundfile;
-    the batch shape, schema, and poison-pill tolerance are the real
-    engine surface."""
+    REAL decode for PCM WAV (stdlib `wave`: 8/16-bit, channel 0) and
+    the FAUD fake; compressed codecs (MP3/FLAC/OGG) need
+    librosa/soundfile, absent here and probe-gated."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,6 +248,28 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 "rms", "peak", "zero_crossings")}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 out["media_id"].append(mid)
+                if content is not None and content[:4] == b"RIFF":
+                    try:
+                        rate, samples = _wav_samples(content)
+                    except Exception:  # corrupt/compressed: poison-tolerant
+                        for k in ("sample_rate", "n_samples", "duration_s",
+                                  "rms", "peak", "zero_crossings"):
+                            out[k].append(None)
+                        continue
+                    n = len(samples)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(round(n / rate, 6) if rate else None)
+                    out["rms"].append(
+                        round((sum(s * s for s in samples) / n) ** 0.5, 6)
+                        if n else None
+                    )
+                    out["peak"].append(max(abs(s) for s in samples) if n else None)
+                    out["zero_crossings"].append(
+                        sum(1 for i in range(1, n)
+                            if (samples[i - 1] < 0) != (samples[i] < 0))
+                    )
+                    continue
                 if (content is None or len(content) < 8
                         or content[:4] != FAKE_AUDIO_MAGIC):
                     for k in ("sample_rate", "n_samples", "duration_s",

@@ -132,3 +132,92 @@ def test_video_frame_extraction(spark):
     # poison container and NULL content degrade to one NULL row, job lives
     assert by_vid[98][0]["frame_idx"] is None
     assert by_vid[99][0]["frame"] is None
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in pixel_fn(x, y)
+    )
+    return header + body
+
+
+def test_real_stdlib_image_decode(spark):
+    """PPM/BMP/PNG headers decode for REAL — no image library, just
+    bytes. Only compressed pixel formats stay stubbed."""
+    import struct as st
+
+    from pqstream_spark.functions.multimodal import MEDIA_SCHEMA, decode_image_meta
+
+    ppm = _ppm_bytes(6, 4, lambda x, y: (x * 40, y * 60, 7))
+    # minimal BMP: 54-byte header, 3x2, 24bpp
+    bmp = (b"BM" + st.pack("<IHHI", 54 + 24, 0, 0, 54)
+           + st.pack("<IiiHH", 40, 3, 2, 1, 24) + b"\x00" * 24 + b"\x00" * 24)
+    # PNG signature + IHDR: 8x5, bit depth 8, color type 2 (truecolor)
+    png = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+           + st.pack(">IIBB", 8, 5, 8, 2) + b"\x00\x00\x00" + b"\x00" * 4)
+    rows = [
+        (1, "image", ppm, "image/x-portable-pixmap"),
+        (2, "image", bmp, "image/bmp"),
+        (3, "image", png, "image/png"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (6, 4, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (3, 2, 3)
+    assert (out[3]["width"], out[3]["height"], out[3]["channels"]) == (8, 5, 3)
+
+
+def test_real_ppm_resize_pixels(spark):
+    """PPM resize is a REAL pixel operation: 4x4 checkerboard -> 2x2
+    keeps the exact sampled pixels (floor index map: rows/cols 0,2)."""
+    from pqstream_spark.functions.multimodal import MEDIA_SCHEMA, resize_images
+
+    # checkerboard: (x+y) even -> white, odd -> black
+    ppm = _ppm_bytes(4, 4, lambda x, y: (255, 255, 255) if (x + y) % 2 == 0
+                     else (0, 0, 0))
+    df = spark.createDataFrame([(1, "image", ppm, None)], MEDIA_SCHEMA)
+    r = resize_images(df, 2).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert r["content"].startswith(b"P6\n2 2\n255\n")
+    px = r["content"][len(b"P6\n2 2\n255\n"):]
+    # sampled source pixels (0,0) (2,0) (0,2) (2,2) are all white
+    assert px == bytes([255] * 12)
+
+
+def test_real_wav_audio_features(spark):
+    """PCM WAV decodes through the stdlib wave module: a 16-bit square
+    wave has exact rms == amplitude, peak == amplitude, and one zero
+    crossing per half-period boundary."""
+    import io
+    import struct as st
+    import wave as wave_mod
+
+    from pqstream_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    amp, rate, n = 1000, 8000, 800
+    samples = [amp if (i // 100) % 2 == 0 else -amp for i in range(n)]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(st.pack("<h", s) for s in samples))
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav, "audio/wav"), (2, "audio", b"RIFFbroken", None)],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    r = out[1]
+    assert r["sample_rate"] == rate and r["n_samples"] == n
+    assert r["duration_s"] == round(n / rate, 6)
+    assert r["rms"] == float(amp)      # square wave: rms == amplitude
+    assert r["peak"] == amp
+    assert r["zero_crossings"] == 7    # 8 blocks of 100 -> 7 boundaries
+    # corrupt RIFF degrades to NULLs, batch survives
+    assert out[2]["rms"] is None

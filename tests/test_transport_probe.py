@@ -26,11 +26,13 @@ def _importable(mod: str) -> bool:
 
 
 def test_media_codec_packages_probe():
-    """The multimodal operators (functions/multimodal.py) decode a
-    deterministic FIMG/FAUD fake codec because no real image/audio
-    library ships in this container. That excuse must not outlive
-    itself: the moment a decode-capable package appears, this test
-    fails and names the work order."""
+    """The multimodal operators (functions/multimodal.py) decode for
+    real where stdlib bytes suffice (PPM pixels, BMP/PNG headers, PCM
+    WAV) but fall back to the FIMG/FAUD fakes for COMPRESSED codecs
+    (JPEG/WebP pixels, MP3/FLAC) because no decode library ships in
+    this container. That excuse must not outlive itself: the moment a
+    decode-capable package appears, this test fails and names the work
+    order."""
     status = {
         m: _importable(m)
         for m in (
