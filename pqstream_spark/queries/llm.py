@@ -1508,6 +1508,48 @@ SELECT 'ivf_trained' AS method, q_id, c_id, cos, rn FROM ({_ivf_trained_sql(spar
 """
 
 
+def train_ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Train the quantized-k-means IVF codebook over `embeddings` and
+    return it as plain integers (≤8 cells × dim) — the index-build
+    artifact a vector pipeline persists and ships. Same deterministic
+    math as the `sim_topk_brute_ivf` entry's training phase."""
+    register_views(spark, sf_dir)
+    rows = spark.sql(
+        "WITH " + _ivf_train_cte(True) + " SELECT cs FROM cents1"
+    ).collect()
+    cs = rows[0][0] if rows and rows[0][0] else []
+    return [[int(v) for v in cv] for cv in cs]
+
+
+def ivf_cell_expr(codebook: list[list[int]]) -> str:
+    """Spark SQL expression assigning an `embedding` array column to
+    its codebook cell (1-based; NULL for zero-norm vectors, whose
+    normalize would NaN and whose ANSI BIGINT cast would then throw).
+
+    One self-contained NARROW expression — no shuffle, no window, no
+    state — so it runs identically on a batch frame and a STREAM: this
+    is the live-index maintenance path (assign incoming vectors to
+    cells, upsert into the bucketed index layout). It uses the HOF
+    dot-product fold over the literal codebook, not the static-sum
+    expansion the batch entry uses against its checkpointed base: a
+    stream cannot checkpoint, and without the materialization barrier
+    Catalyst would inline the quantize chain into all 512 static
+    terms (the measured-20 s trap recorded in q_sim_topk). The HOF
+    form keeps one expression per ds reference; argmax references ds
+    twice, so cost is 2·K·dim lambda evals per row — fine at
+    micro-batch width."""
+    p = _ivf_parts(True)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")" for cv in codebook
+    ) + ")"
+    qv_inline = f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT))"
+    ds = p["ds"](qv_inline, lit)
+    return (f"CASE WHEN {n2} <= 0 THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(array_position({ds}, array_max({ds})) AS BIGINT) END")
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of `sim_topk_brute_ivf`, organized like a real vector
     pipeline: (1) materialize the narrow normalized+quantized base ONCE

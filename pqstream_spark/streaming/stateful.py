@@ -220,3 +220,21 @@ def curate_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def assign_stream_to_cells(
+    embed_stream: DataFrame, codebook: list[list[int]]
+) -> DataFrame:
+    """Live ANN-index maintenance: assign each incoming embedding to
+    its trained IVF cell (queries/llm.ivf_cell_expr — the same integer
+    argmax the batch entry computes) as ONE narrow projection with
+    zero streaming state. Pair with `upsert_parquet_sink(out, keys=
+    ["vec_id"])` to keep the index current on disk: a micro-batch
+    rewrites only the key-buckets its vectors touch, and searches read
+    the cells they probe. Zero-norm vectors get a NULL cell (they are
+    unsearchable by cosine and excluded by every search path)."""
+    from ..queries.llm import ivf_cell_expr
+
+    return embed_stream.selectExpr(
+        "*", f"{ivf_cell_expr(codebook)} AS cell"
+    )

@@ -96,3 +96,56 @@ def test_one_statement_formulation_equivalent(spark):
     one = {tuple(r) for r in spark.sql(_sim_topk_sql(True)).collect()}
     split = {tuple(r) for r in q_sim_topk(spark, SF_SMOKE).collect()}
     assert one == split
+
+
+def test_stream_cell_assignment_matches_batch(spark, tmp_path):
+    """Live-index maintenance: assigning a STREAM of embeddings to the
+    trained cells produces exactly the batch assignment (same integer
+    argmax), zero-norm vectors get NULL cells, and the bucketed upsert
+    sink persists the index incrementally."""
+    import os
+
+    from pqstream_spark.queries.llm import ivf_cell_expr, train_ivf_codebook
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.sinks import upsert_parquet_sink
+    from pqstream_spark.streaming.stateful import assign_stream_to_cells
+
+    cb = train_ivf_codebook(spark, SF_SMOKE)
+    assert 1 <= len(cb) <= 8 and all(isinstance(v, int) for cv in cb for v in cv)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    batch_cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.selectExpr(
+            "vec_id", f"{ivf_cell_expr(cb)} AS cell"
+        ).collect()
+    }
+    assert set(batch_cells.values()) <= set(range(1, len(cb) + 1))
+
+    src = str(tmp_path / "emb_stream")
+    emb.coalesce(2).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "live_index")
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        assign_stream_to_cells(stream, cb)
+        .writeStream.foreachBatch(upsert_parquet_sink(out_dir, ["vec_id"]))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stored = {
+        r["vec_id"]: r["cell"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stored == batch_cells, "stream assignment must equal batch"
+    assert any(d.startswith("kbucket=") for d in os.listdir(out_dir))
+
+    # zero-norm vector: NULL cell, no crash (ANSI round/cast guard)
+    zv = spark.createDataFrame(
+        [(999999, [0.0] * 8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    r = zv.selectExpr(f"{ivf_cell_expr(cb)} AS cell").collect()[0]
+    assert r["cell"] is None
