@@ -499,8 +499,6 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard runs only on candidates (corpus/256-ish pairs, never
     O(n²)), components converge in log-diameter label rounds.
     Returns (doc_id, cluster_keeper, kept)."""
-    from pyspark.sql import functions as F
-
     docs = register_views(spark, sf_dir)["documents"]
     corpus = docs.selectExpr("doc_id", "text").unionAll(
         docs.selectExpr(
@@ -508,6 +506,17 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "substring(text, 1, greatest(length(text) - 7, 1)) AS text",
         )
     )
+    return dedup_corpus(corpus)
+
+
+def dedup_corpus(corpus: DataFrame) -> DataFrame:
+    """LSH → Jaccard-verify → connected components → keeper over an
+    ARBITRARY (doc_id, text) frame — the reusable core of
+    `dedup_pipeline_corpus` (whose synthetic near-copy corpus exists so
+    the oracle has non-trivial clusters at every SF). The curate CLI
+    runs this over user data. Returns (doc_id, cluster_keeper, kept)."""
+    from pyspark.sql import functions as F
+
     # tokenize+shingle ONCE, materialized; both the MinHash signature
     # and the Jaccard verification derive from this frame (running
     # q_minhash_spark separately would re-tokenize the whole corpus;
@@ -1021,7 +1030,7 @@ CLF_MARGIN_EXPR = (
 )
 
 
-def _curation_sql(spark: bool) -> str:
+def _curation_sql(spark: bool, src: str = "documents") -> str:
     tok = TOK_SPARK if spark else TOK_DUCK
     size = "size" if spark else "len"
     flt = "filter" if spark else "list_filter"
@@ -1076,7 +1085,7 @@ def _curation_sql(spark: bool) -> str:
         f"ELSE {MIX_DEFAULT_PCT} END"
     )
     return f"""
-WITH toks AS (SELECT doc_id, lang, text, {tok} AS tok FROM documents),
+WITH toks AS (SELECT doc_id, lang, text, {tok} AS tok FROM {src}),
 ann AS (
   SELECT doc_id, lang, {scores},
     {size}(tok) AS n_tokens,

@@ -1,0 +1,83 @@
+"""The curate CLI (`python -m pqstream_spark.curate`): a user points
+the engine at a parquet of documents and gets a curated, split-
+partitioned corpus plus one JSON stats line — the same oracle-checked
+pipeline code, driven end-to-end."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    # add exact dups + a near-copy so every rejection path exercises
+    extra = docs.limit(5).selectExpr(
+        "doc_id + 500000 AS doc_id", "lang", "text"  # exact dups
+    ).unionAll(docs.where("doc_id = 7").selectExpr(
+        "doc_id + 600000 AS doc_id", "lang",
+        "substring(text, 1, greatest(length(text) - 5, 1)) AS text",
+    ))
+    inp = str(tmp_path / "docs_in.parquet")
+    docs.unionAll(extra).coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "curated")
+
+    buf = io.StringIO()
+    rc = main(["--documents", inp, "--out", out_dir, "--near-dedup"], out=buf)
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["docs"] == 506
+    assert 0 < stats["kept"] < stats["docs"]
+    assert set(stats["kept_by_split"]) <= {"train", "val", "test"}
+    assert stats["kept_by_split"]["train"] > stats["kept_by_split"]["val"]
+    # the 5 exact dups must have cost their originals nothing: each
+    # fp group keeps exactly one canonical doc
+    assert stats["rejected"]["quality_or_exact_dup"] >= 5
+
+    # output layout: split directories a trainer reads directly
+    assert sorted(
+        d for d in os.listdir(out_dir) if d.startswith("split=")
+    ) == ["split=test", "split=train", "split=val"]
+    written = spark.read.parquet(out_dir)
+    assert written.filter("final_keep").count() == stats["kept"]
+    # near-dup: the truncated copy of doc 7 was clustered with it and
+    # only one of the pair kept
+    pair = {r["doc_id"]: r for r in written.filter(
+        "doc_id IN (7, 600007)").collect()}
+    if 600007 in pair and pair[600007]["near_dup_keeper"] is not None:
+        assert not pair[600007]["near_dup_kept"]
+
+
+def test_curate_missing_text_column(spark, tmp_path):
+    from pqstream_spark.curate import main
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(3).write.mode("overwrite").parquet(bad)
+    assert main(["--documents", bad, "--out", str(tmp_path / "o")]) == 1
+
+
+def test_curate_derives_doc_id_and_lang(spark, tmp_path):
+    """A bare (text) input works: doc_id derived as xxhash64(text),
+    lang NULL (detector fills in downstream columns)."""
+    from pqstream_spark.curate import curate
+
+    docs = spark.createDataFrame(
+        [("the a and of is " * 30,), ("the a and of is " * 30,),
+         ("unique text about fish " * 20,)],
+        "text STRING",
+    )
+    cur = curate(spark, docs)
+    rows = cur.collect()
+    assert len(rows) == 3
+    ids = {r["doc_id"] for r in rows}
+    assert len(ids) == 2, "identical texts share the derived id"
+    kept = [r for r in rows if r["final_keep"]]
+    # of the two identical docs (same derived id -> same fp) only the
+    # canonical one is kept
+    assert len([r for r in kept if r["predicted_lang"] == "en"]) >= 1
