@@ -1559,6 +1559,58 @@ def ivf_cell_expr(codebook: list[list[int]]) -> str:
             f"ELSE CAST(array_position({ds}, array_max({ds})) AS BIGINT) END")
 
 
+def search_ivf_index(
+    index: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[int]],
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a persisted live index — the read side of the
+    build→maintain→search lifecycle (`train_ivf_codebook` builds,
+    `assign_stream_to_cells` + the bucketed upsert sink maintain).
+
+    `index`: (vec_id, embedding, cell) as the sink stores it;
+    `queries`: (q_id, embedding). Each query is assigned its cell with
+    the same narrow argmax (zero-norm queries drop — unsearchable by
+    cosine), the tiny query set broadcasts, and the index join prunes
+    to matching cells: when the index directory is partitioned by
+    cell, that pruning is FILE pruning and a search reads only the
+    probed cells, the IVF contract at any scale. Exact cosine re-rank
+    (6-dp round, id tie-break) → top-k per query."""
+    from pyspark.sql import functions as F
+
+    nv = _norm_vec_expr(True)
+    qn = (
+        queries.selectExpr(
+            "q_id", "embedding", f"{ivf_cell_expr(codebook)} AS cell"
+        )
+        .where("cell IS NOT NULL")
+        .selectExpr("q_id", f"{nv} AS qnv", "cell")
+    )
+    # cell IS NOT NULL on the index side also guarantees norm > 0 (the
+    # assignment NULLs zero-norm vectors), so normalize is safe
+    idx = index.where("cell IS NOT NULL").selectExpr(
+        "vec_id", f"{nv} AS cnv", "cell"
+    )
+    joined = F.broadcast(qn).join(idx, "cell")
+    if exclude_self:
+        joined = joined.where("q_id <> vec_id")
+    scored = joined.select(
+        "q_id", "vec_id", F.expr(_dot6_expr("qnv", "cnv", True)).alias("cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", F.col("vec_id").alias("c_id"), "cos", "rn")
+    )
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of `sim_topk_brute_ivf`, organized like a real vector
     pipeline: (1) materialize the narrow normalized+quantized base ONCE

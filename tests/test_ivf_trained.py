@@ -149,3 +149,55 @@ def test_stream_cell_assignment_matches_batch(spark, tmp_path):
     )
     r = zv.selectExpr(f"{ivf_cell_expr(cb)} AS cell").collect()[0]
     assert r["cell"] is None
+
+
+def test_search_persisted_index(spark, tmp_path):
+    """The read side of the index lifecycle: search the persisted
+    (vec_id, embedding, cell) index and get exactly the within-cell
+    exact-cosine top-k, verified against an independent numpy
+    computation; the plan broadcasts the query set."""
+    import numpy as np
+
+    from pqstream_spark.queries.llm import (
+        ivf_cell_expr,
+        search_ivf_index,
+        train_ivf_codebook,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    cb = train_ivf_codebook(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    index = emb.selectExpr(
+        "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
+    )
+    queries = emb.where("vec_id < 5").selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    got = search_ivf_index(index, queries, cb, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rn"], r["c_id"], r["cos"]))
+
+    # independent expectation: numpy cosine within the assigned cell
+    rows = index.collect()
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    for q in range(5):
+        cell = cells[q]
+        members = [v for v in cells if cells[v] == cell and v != q]
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        scored = sorted(
+            (
+                (-round(float(np.dot(qv, vecs[v] / np.linalg.norm(vecs[v]))), 6), v)
+                for v in members
+            )
+        )[:3]
+        want = [(i + 1, v, -negcos) for i, (negcos, v) in enumerate(scored)]
+        assert sorted(by_q[q]) == want, q
+
+    # scale shape: the query side broadcasts
+    plan = search_ivf_index(index, queries, cb, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
