@@ -1,0 +1,146 @@
+"""`python -m pqstream_spark.index` — the vector-index lifecycle as a
+CLI: build (train codebook + assign + write cell-partitioned parquet),
+add (assign new vectors with the stored codebook, append), search
+(cell-pruned exact-cosine top-k, one JSON line per hit).
+
+    python -m pqstream_spark.index build  --embeddings emb.parquet --out idx/
+    python -m pqstream_spark.index add    --index idx/ --embeddings new.parquet
+    python -m pqstream_spark.index search --index idx/ --queries q.parquet --k 5
+
+Layout: `idx/codebook.json` (the ≤8×dim integer codebook — the whole
+trained artifact, deterministic, reviewable by eye) and `idx/cells/`
+parquet partitioned by `cell=N` — so a search that probes one cell
+READS one cell (partition pruning), which is the IVF contract at any
+scale. `add` appends into the cells its vectors land in; re-adding a
+vec_id is an upsert responsibility of the caller (or use the streaming
+path: `assign_stream_to_cells` + `upsert_parquet_sink`).
+
+Thin driver over the same library code the oracle-checked entry and
+tests run (queries/llm.train_ivf_codebook_from / ivf_cell_expr /
+search_ivf_index) — not a second implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pqstream_spark.index",
+        description="build / extend / search an IVF vector index",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="train codebook + write the index")
+    b.add_argument("--embeddings", required=True,
+                   help="parquet with (vec_id, embedding)")
+    b.add_argument("--out", required=True, help="index directory")
+
+    a = sub.add_parser("add", help="assign + append new vectors")
+    a.add_argument("--index", required=True)
+    a.add_argument("--embeddings", required=True)
+
+    s = sub.add_parser("search", help="top-k per query vector")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True,
+                   help="parquet with (vec_id|q_id, embedding)")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--include-self", action="store_true",
+                   help="keep hits where c_id == q_id")
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def _load_embeddings(spark, path):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if "vec_id" not in df.columns and "q_id" in df.columns:
+        df = df.withColumnRenamed("q_id", "vec_id")
+    if "vec_id" not in df.columns or "embedding" not in df.columns:
+        raise SystemExit(
+            f"{path}: need (vec_id, embedding) columns, have {df.columns}"
+        )
+    return df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding")
+    )
+
+
+def _codebook_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "codebook.json")
+
+
+def _cells_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "cells")
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = out if out is not None else sys.stdout
+
+    from .queries.llm import (
+        ivf_cell_expr,
+        search_ivf_index,
+        train_ivf_codebook_from,
+    )
+    from .session import get_spark
+
+    spark = get_spark("pqstream-index", cpus=args.cpus)
+
+    if args.cmd == "build":
+        emb = _load_embeddings(spark, args.embeddings)
+        cb = train_ivf_codebook_from(emb)
+        if not cb:
+            print("no non-zero vectors to index", file=sys.stderr)
+            return 1
+        assigned = emb.selectExpr(
+            "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
+        ).where("cell IS NOT NULL")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            _cells_path(args.out)
+        )
+        with open(_codebook_path(args.out), "w") as f:
+            json.dump({"codebook": cb}, f)
+        n = spark.read.parquet(_cells_path(args.out)).count()
+        print(json.dumps({"indexed": n, "cells": len(cb),
+                          "dim": len(cb[0]), "out": args.out},
+                         separators=(",", ":")), file=out)
+        return 0
+
+    with open(_codebook_path(args.index)) as f:
+        cb = json.load(f)["codebook"]
+
+    if args.cmd == "add":
+        emb = _load_embeddings(spark, args.embeddings)
+        assigned = emb.selectExpr(
+            "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
+        ).where("cell IS NOT NULL")
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            _cells_path(args.index)
+        )
+        print(json.dumps({"added": assigned.count()},
+                         separators=(",", ":")), file=out)
+        return 0
+
+    # search
+    index = spark.read.parquet(_cells_path(args.index))
+    queries = _load_embeddings(spark, args.queries).withColumnRenamed(
+        "vec_id", "q_id"
+    )
+    hits = search_ivf_index(
+        index, queries, cb, k=args.k, exclude_self=not args.include_self
+    )
+    for r in hits.orderBy("q_id", "rn").collect():
+        print(json.dumps(
+            {"q_id": r["q_id"], "c_id": r["c_id"], "cos": r["cos"],
+             "rn": r["rn"]}, separators=(",", ":")), file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

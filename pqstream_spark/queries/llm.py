@@ -1522,10 +1522,30 @@ def train_ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return it as plain integers (≤8 cells × dim) — the index-build
     artifact a vector pipeline persists and ships. Same deterministic
     math as the `sim_topk_brute_ivf` entry's training phase."""
-    register_views(spark, sf_dir)
-    rows = spark.sql(
-        "WITH " + _ivf_train_cte(True) + " SELECT cs FROM cents1"
-    ).collect()
+    return train_ivf_codebook_from(register_views(spark, sf_dir)["embeddings"])
+
+
+def train_ivf_codebook_from(df: DataFrame) -> list[list[int]]:
+    """Codebook training over an arbitrary (vec_id, embedding) frame —
+    the index CLI's entry point. Unique per-call view, dropped after
+    the (eager) collect."""
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    p = _ivf_parts(True)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    prepared = df.where(f"{n2} > 0").selectExpr(
+        "vec_id", f"{nv} AS nv"
+    ).selectExpr("vec_id", "nv", f"{p['qv']} AS qv")
+    view = f"_ivf_train_{_uuid.uuid4().hex[:8]}"
+    prepared.createOrReplaceTempView(view)
+    try:
+        rows = spark.sql(
+            "WITH " + _ivf_train_cte(True, base=view) + " SELECT cs FROM cents1"
+        ).collect()
+    finally:
+        spark.catalog.dropTempView(view)
     cs = rows[0][0] if rows and rows[0][0] else []
     return [[int(v) for v in cv] for cv in cs]
 

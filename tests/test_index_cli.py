@@ -1,0 +1,69 @@
+"""The index CLI (`python -m pqstream_spark.index`): build / add /
+search drive the same library code as the oracle-checked entry; this
+exercises the on-disk lifecycle — codebook.json + cell-partitioned
+parquet, appends landing in the right cells, search reading only
+probed cells."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+
+def _emb_parquet(spark, tmp_path, name, where):
+    from pqstream_spark.sources.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "embedding"
+    ).where(where)
+    p = str(tmp_path / name)
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_index_build_add_search(spark, tmp_path):
+    from pqstream_spark.index import main
+
+    base = _emb_parquet(spark, tmp_path, "base.parquet", "vec_id >= 20")
+    more = _emb_parquet(spark, tmp_path, "more.parquet", "vec_id < 20")
+    qs = _emb_parquet(spark, tmp_path, "qs.parquet", "vec_id IN (3, 7)")
+    idx = str(tmp_path / "idx")
+
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", base, "--out", idx], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["indexed"] == 480 and 1 <= stats["cells"] <= 8
+    assert os.path.exists(os.path.join(idx, "codebook.json"))
+    cells_dir = os.path.join(idx, "cells")
+    assert any(d.startswith("cell=") for d in os.listdir(cells_dir))
+
+    buf = io.StringIO()
+    assert main(["add", "--index", idx, "--embeddings", more], out=buf) == 0
+    assert json.loads(buf.getvalue())["added"] == 20
+    assert spark.read.parquet(cells_dir).count() == 500
+
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--queries", qs, "--k", "3"],
+                out=buf) == 0
+    hits = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert {h["q_id"] for h in hits} == {3, 7}
+    for q in (3, 7):
+        qh = [h for h in hits if h["q_id"] == q]
+        assert [h["rn"] for h in qh] == list(range(1, len(qh) + 1))
+        assert all(h["c_id"] != q for h in qh), "self excluded by default"
+        cos = [h["cos"] for h in qh]
+        assert cos == sorted(cos, reverse=True)
+
+    # parity with the library search over the same frames
+    from pqstream_spark.queries.llm import search_ivf_index
+
+    cb = json.load(open(os.path.join(idx, "codebook.json")))["codebook"]
+    lib = search_ivf_index(
+        spark.read.parquet(cells_dir),
+        spark.read.parquet(qs).withColumnRenamed("vec_id", "q_id"),
+        cb, k=3,
+    ).collect()
+    assert {(r["q_id"], r["c_id"], r["rn"]) for r in lib} == {
+        (h["q_id"], h["c_id"], h["rn"]) for h in hits
+    }
