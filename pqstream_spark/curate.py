@@ -16,8 +16,11 @@ run — this CLI is a thin driver, not a second implementation):
 - optionally (`--near-dedup`) the LSH → Jaccard-verify → connected
   components near-dup pass (queries/llm.dedup_corpus) — the keeper per
   near-dup cluster joins the keep rule;
-- output written partitioned by `split` (train/val/test directories a
-  training job reads directly), plus ONE JSON stats line on stdout.
+- output: `OUT/corpus/split=train|val|test/` holds ONLY the admitted
+  documents (the directories a training job reads directly);
+  `OUT/audit/` holds EVERY row with full annotations and rejection
+  verdicts; ONE JSON stats line on stdout with disjoint
+  priority-ordered rejection causes (docs == kept + sum(rejected)).
 
 Input contract: a `text` column. `doc_id` is taken if present, else
 derived as xxhash64(text) — deterministic, and identical texts
@@ -30,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -114,35 +118,50 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     cur = curate(spark, docs, near_dedup=args.near_dedup,
                  min_clf=args.min_clf)
-    cur.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    # corpus/split=… holds ONLY the curated corpus (that is the
+    # contract a training job relies on); every row — kept and
+    # rejected, with full annotations and the rejection verdicts —
+    # goes to audit/ for inspection and stats. audit/ is written first
+    # and read back, so the pipeline runs once (the corpus write and
+    # the stats both scan the materialized audit, not the lineage)
+    audit_dir = os.path.join(args.out, "audit")
+    corpus_dir = os.path.join(args.out, "corpus")
+    cur.write.mode("overwrite").parquet(audit_dir)
+    audited = spark.read.parquet(audit_dir)
+    audited.filter("final_keep").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(corpus_dir)
 
-    # stats from what was WRITTEN (one extra scan of the small output,
-    # not a second run of the pipeline)
-    written = spark.read.parquet(args.out)
-    agg = written.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.expr("CAST(final_keep AS INT)")).alias("kept"),
-        F.sum(F.expr("CAST(NOT kept AS INT)")).alias("rej_quality_or_dup"),
-        F.sum(F.expr("CAST(kept AND clf_margin < "
-                     f"{args.min_clf} AS INT)")).alias("rej_classifier"),
-        F.sum(F.expr("CAST(kept AND NOT near_dup_kept AS INT)")).alias(
-            "rej_near_dup"),
-        F.sum(F.expr("CAST(kept AND NOT mix_keep AS INT)")).alias(
-            "rej_mixture"),
-    ).collect()[0]
+    # stats from the WRITTEN audit (one scan, not a pipeline re-run),
+    # with DISJOINT priority-ordered rejection causes so
+    # docs == kept + sum(rejected) always holds
+    cause = (
+        "CASE WHEN final_keep THEN 'kept' "
+        "WHEN kept IS NULL OR final_keep IS NULL THEN 'null_annotations' "
+        "WHEN NOT kept THEN 'quality_or_exact_dup' "
+        "WHEN NOT near_dup_kept THEN 'near_dup' "
+        f"WHEN clf_margin < {args.min_clf} THEN 'classifier' "
+        "ELSE 'mixture_sampled_out' END"
+    )
+    causes = {
+        r["cause"]: r["n"]
+        for r in audited.selectExpr(f"{cause} AS cause")
+        .groupBy("cause").agg(F.count("*").alias("n")).collect()
+    }
+    kept = causes.pop("kept", 0)
     splits = {
         r["split"]: r["n"]
-        for r in written.filter("final_keep").groupBy("split")
+        for r in audited.filter("final_keep").groupBy("split")
         .agg(F.count("*").alias("n")).collect()
     }
+    total = kept + sum(causes.values())
     print(json.dumps({
-        "docs": agg["docs"],
-        "kept": int(agg["kept"] or 0),
+        "docs": total,
+        "kept": kept,
         "rejected": {
-            "quality_or_exact_dup": int(agg["rej_quality_or_dup"] or 0),
-            "classifier": int(agg["rej_classifier"] or 0),
-            "near_dup": int(agg["rej_near_dup"] or 0),
-            "mixture_sampled_out": int(agg["rej_mixture"] or 0),
+            k: causes.get(k, 0)
+            for k in ("quality_or_exact_dup", "near_dup", "classifier",
+                      "mixture_sampled_out", "null_annotations")
         },
         "kept_by_split": splits,
         "out": args.out,

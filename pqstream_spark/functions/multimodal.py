@@ -73,6 +73,12 @@ def _ppm_header(content: bytes) -> tuple[int, int, int, int]:
         if start == pos:
             raise ValueError("bad PPM header")
         fields.append(int(content[start:pos]))
+    if fields[0] <= 0 or fields[1] <= 0:
+        raise ValueError("bad PPM dimensions")
+    if not 0 < fields[2] <= 255:
+        # spec allows maxval up to 65535 (2 bytes/sample); decoding that
+        # as 1-byte samples would be silent corruption, so refuse
+        raise ValueError("16-bit PPM (maxval > 255) not supported")
     return fields[0], fields[1], 3, pos + 1  # single whitespace after maxval
 
 
@@ -123,7 +129,11 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
                     out["width"].append(w)
                     out["height"].append(h)
                     out["channels"].append(c)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
+                    # NotImplementedError: needs a codec library.
+                    # ValueError/struct.error: corrupt header (e.g. a
+                    # b"P6" prefix with garbage after) — poison rows
+                    # degrade to NULL dims, never fail the job
                     out["width"].append(None)
                     out["height"].append(None)
                     out["channels"].append(None)

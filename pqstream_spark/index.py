@@ -29,29 +29,36 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # parent parser so `index build ... --cpus N` (flag AFTER the
+    # subcommand, the natural spelling) parses and shows in sub-help
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--cpus", type=int, default=None,
+                        help="local[N] cores (default: all)")
     p = argparse.ArgumentParser(
         prog="python -m pqstream_spark.index",
         description="build / extend / search an IVF vector index",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build", help="train codebook + write the index")
+    b = sub.add_parser("build", parents=[common],
+                       help="train codebook + write the index")
     b.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id, embedding)")
     b.add_argument("--out", required=True, help="index directory")
 
-    a = sub.add_parser("add", help="assign + append new vectors")
+    a = sub.add_parser("add", parents=[common],
+                       help="assign + append new vectors")
     a.add_argument("--index", required=True)
     a.add_argument("--embeddings", required=True)
 
-    s = sub.add_parser("search", help="top-k per query vector")
+    s = sub.add_parser("search", parents=[common],
+                       help="top-k per query vector")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True,
                    help="parquet with (vec_id|q_id, embedding)")
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--include-self", action="store_true",
                    help="keep hits where c_id == q_id")
-    p.add_argument("--cpus", type=int, default=None)
     return p
 
 
@@ -117,13 +124,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     if args.cmd == "add":
         emb = _load_embeddings(spark, args.embeddings)
+        before = spark.read.parquet(_cells_path(args.index)).count()
         assigned = emb.selectExpr(
             "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
         ).where("cell IS NOT NULL")
         assigned.write.mode("append").partitionBy("cell").parquet(
             _cells_path(args.index)
         )
-        print(json.dumps({"added": assigned.count()},
+        # count the written delta, not assigned.count(): the latter
+        # would re-scan the input and re-run the per-row argmax
+        after = spark.read.parquet(_cells_path(args.index)).count()
+        print(json.dumps({"added": after - before},
                          separators=(",", ":")), file=out)
         return 0
 

@@ -1535,9 +1535,14 @@ def train_ivf_codebook_from(df: DataFrame) -> list[list[int]]:
     p = _ivf_parts(True)
     nv = _norm_vec_expr(True)
     n2 = _norm2_expr(True)
+    # checkpoint, for the same reason q_sim_topk checkpoints its base:
+    # lineage-form qv lets CollapseProject re-inline the
+    # normalize+quantize chain into every downstream reference
     prepared = df.where(f"{n2} > 0").selectExpr(
         "vec_id", f"{nv} AS nv"
-    ).selectExpr("vec_id", "nv", f"{p['qv']} AS qv")
+    ).selectExpr("vec_id", "nv", f"{p['qv']} AS qv").localCheckpoint(
+        eager=True
+    )
     view = f"_ivf_train_{_uuid.uuid4().hex[:8]}"
     prepared.createOrReplaceTempView(view)
     try:

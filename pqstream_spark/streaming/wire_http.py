@@ -89,8 +89,11 @@ class _ListenHandler(BaseHTTPRequestHandler):
             return
         if parsed.path == "/stats":
             st = server.dispatcher.stats()
-            if server.replay_info:
-                st["replays"] = {k: dict(v) for k, v in server.replay_info.items()}
+            # snapshot: listen-handler threads insert/pop concurrently,
+            # and iterating the live dict can raise "changed size"
+            replays = list(server.replay_info.items())
+            if replays:
+                st["replays"] = {k: dict(v) for k, v in replays}
             self._send_json(st)
             return
         if parsed.path != "/listen":
@@ -229,22 +232,29 @@ class _ListenHandler(BaseHTTPRequestHandler):
             # probe detects it while IDLE (otherwise a closed client's
             # subscription lingers until the next event): the client
             # never sends after the request (Connection: close), so a
-            # readable socket means EOF.
-            import select as _select
+            # readable socket means EOF. selectors (epoll/kqueue), not
+            # select.select: select raises ValueError for fd >= 1024,
+            # which would read as "disconnect" for every high-fd client
+            # at exactly the fan-out scale the wire advertises.
+            import selectors as _selectors
             import socket as _socket
 
-            while not done.is_set() and not server.closing.is_set():
-                if not server.dispatcher.is_active(name):
-                    break  # removed (cb False or disconnect-slow): close
-                try:
-                    readable, _, _ = _select.select([self.connection], [], [], 0)
-                    if readable and not self.connection.recv(
-                        1, _socket.MSG_PEEK
-                    ):
-                        break  # client closed while idle
-                except (OSError, ValueError):
-                    break
-                done.wait(0.2)
+            sel = _selectors.DefaultSelector()
+            try:
+                sel.register(self.connection, _selectors.EVENT_READ)
+                while not done.is_set() and not server.closing.is_set():
+                    if not server.dispatcher.is_active(name):
+                        break  # removed (cb False / disconnect-slow)
+                    try:
+                        if sel.select(timeout=0) and not self.connection.recv(
+                            1, _socket.MSG_PEEK
+                        ):
+                            break  # client closed while idle
+                    except OSError:
+                        break
+                    done.wait(0.2)
+            finally:
+                sel.close()
         finally:
             server.replay_info.pop(name, None)
             server.dispatcher.unsubscribe(name)

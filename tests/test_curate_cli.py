@@ -34,21 +34,28 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     stats = json.loads(buf.getvalue())
     assert stats["docs"] == 506
     assert 0 < stats["kept"] < stats["docs"]
+    # rejection causes are disjoint: the stats line always balances
+    assert stats["kept"] + sum(stats["rejected"].values()) == stats["docs"]
     assert set(stats["kept_by_split"]) <= {"train", "val", "test"}
     assert stats["kept_by_split"]["train"] > stats["kept_by_split"]["val"]
     # the 5 exact dups must have cost their originals nothing: each
     # fp group keeps exactly one canonical doc
     assert stats["rejected"]["quality_or_exact_dup"] >= 5
 
-    # output layout: split directories a trainer reads directly
+    # corpus/split= holds ONLY admitted docs (the trainer contract);
+    # audit/ holds every row with its verdicts
+    corpus_dir = os.path.join(out_dir, "corpus")
     assert sorted(
-        d for d in os.listdir(out_dir) if d.startswith("split=")
+        d for d in os.listdir(corpus_dir) if d.startswith("split=")
     ) == ["split=test", "split=train", "split=val"]
-    written = spark.read.parquet(out_dir)
-    assert written.filter("final_keep").count() == stats["kept"]
+    corpus = spark.read.parquet(corpus_dir)
+    assert corpus.count() == stats["kept"]
+    assert corpus.filter("NOT final_keep").count() == 0
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    assert audit.count() == stats["docs"]
     # near-dup: the truncated copy of doc 7 was clustered with it and
     # only one of the pair kept
-    pair = {r["doc_id"]: r for r in written.filter(
+    pair = {r["doc_id"]: r for r in audit.filter(
         "doc_id IN (7, 600007)").collect()}
     if 600007 in pair and pair[600007]["near_dup_keeper"] is not None:
         assert not pair[600007]["near_dup_kept"]

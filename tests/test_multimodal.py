@@ -221,3 +221,32 @@ def test_real_wav_audio_features(spark):
     assert r["zero_crossings"] == 7    # 8 blocks of 100 -> 7 boundaries
     # corrupt RIFF degrades to NULLs, batch survives
     assert out[2]["rms"] is None
+
+
+def test_corrupt_and_16bit_ppm_degrade_to_null(spark):
+    """Poison PPM bytes — truncated header, zero dims, 16-bit maxval —
+    degrade to NULL rows in both decode and resize, never a crashed
+    batch (caught in review: _ppm_header's ValueError used to escape
+    decode_image_meta's NotImplementedError-only catch)."""
+    from pqstream_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_meta,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"P6", None),                       # truncated
+        (2, "image", b"P6\xffgarbage", None),            # non-digit
+        (3, "image", b"P6\n0 0\n255\n", None),           # zero dims
+        (4, "image", b"P6\n2 2\n65535\n" + b"\x00" * 24, None),  # 16-bit
+        (5, "image", _ppm_bytes(2, 2, lambda x, y: (1, 2, 3)), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    for mid in (1, 2, 3, 4):
+        assert meta[mid]["width"] is None, mid
+    assert meta[5]["width"] == 2  # the healthy one still decodes
+    res = {r["media_id"]: r for r in resize_images(df, 1).collect()}
+    for mid in (1, 2, 3, 4):
+        assert res[mid]["content"] is None, mid
+    assert res[5]["width"] == 1
