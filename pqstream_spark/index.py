@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--queries", required=True,
                    help="parquet with (vec_id|q_id, embedding)")
     s.add_argument("--k", type=int, default=5)
+    s.add_argument("--nprobe", type=int, default=1,
+                   help="cells to probe per query (1 = fastest, "
+                   "n_cells = exact within the index)")
     s.add_argument("--include-self", action="store_true",
                    help="keep hits where c_id == q_id")
     return p
@@ -144,7 +147,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "vec_id", "q_id"
     )
     hits = search_ivf_index(
-        index, queries, cb, k=args.k, exclude_self=not args.include_self
+        index, queries, cb, k=args.k,
+        exclude_self=not args.include_self, nprobe=args.nprobe,
     )
     for r in hits.orderBy("q_id", "rn").collect():
         print(json.dumps(

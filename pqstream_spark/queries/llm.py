@@ -1584,34 +1584,63 @@ def ivf_cell_expr(codebook: list[list[int]]) -> str:
             f"ELSE CAST(array_position({ds}, array_max({ds})) AS BIGINT) END")
 
 
+def ivf_probe_cells_expr(codebook: list[list[int]], nprobe: int) -> str:
+    """Spark SQL expression: the `nprobe` cells whose centroids have
+    the highest dot product with `embedding` (array<bigint> of 1-based
+    cell ids, ordered best-first; NULL for zero-norm vectors). With
+    nprobe=1 this is exactly [ivf_cell_expr] — ties break to the
+    smaller cell id in both (first-max vs struct sort on (−dot, cid)).
+    Query-side only: the index side always stores the single argmax
+    cell."""
+    p = _ivf_parts(True)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")" for cv in codebook
+    ) + ")"
+    qv_inline = f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT))"
+    ds = p["ds"](qv_inline, lit)
+    ranked = (f"array_sort(zip_with({ds}, sequence(1, {len(codebook)}), "
+              f"(d, c) -> named_struct('nd', -d, 'c', c)))")
+    return (f"CASE WHEN {n2} <= 0 THEN CAST(NULL AS ARRAY<BIGINT>) "
+            f"ELSE transform(slice({ranked}, 1, {nprobe}), "
+            f"s -> CAST(s.c AS BIGINT)) END")
+
+
 def search_ivf_index(
     index: DataFrame,
     queries: DataFrame,
     codebook: list[list[int]],
     k: int = 5,
     exclude_self: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Search a persisted live index — the read side of the
     build→maintain→search lifecycle (`train_ivf_codebook` builds,
     `assign_stream_to_cells` + the bucketed upsert sink maintain).
 
     `index`: (vec_id, embedding, cell) as the sink stores it;
-    `queries`: (q_id, embedding). Each query is assigned its cell with
-    the same narrow argmax (zero-norm queries drop — unsearchable by
-    cosine), the tiny query set broadcasts, and the index join prunes
-    to matching cells: when the index directory is partitioned by
-    cell, that pruning is FILE pruning and a search reads only the
-    probed cells, the IVF contract at any scale. Exact cosine re-rank
+    `queries`: (q_id, embedding). Each query probes its `nprobe`
+    nearest cells (by centroid dot product — standard multi-probe IVF:
+    nprobe=1 is the fastest/lowest-recall point, nprobe=len(codebook)
+    is exact within the indexed set; recall is monotone in nprobe,
+    pinned in tests). Zero-norm queries drop (unsearchable by cosine),
+    the tiny query set broadcasts, and the index join prunes to the
+    probed cells: when the index directory is partitioned by cell,
+    that pruning is FILE pruning and a search reads only the probed
+    cells, the IVF contract at any scale. Exact cosine re-rank
     (6-dp round, id tie-break) → top-k per query."""
     from pyspark.sql import functions as F
 
     nv = _norm_vec_expr(True)
+    nprobe = max(1, min(int(nprobe), len(codebook)))
     qn = (
         queries.selectExpr(
-            "q_id", "embedding", f"{ivf_cell_expr(codebook)} AS cell"
+            "q_id", "embedding",
+            f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
         )
-        .where("cell IS NOT NULL")
-        .selectExpr("q_id", f"{nv} AS qnv", "cell")
+        .where("cells IS NOT NULL")
+        .selectExpr("q_id", f"{nv} AS qnv", "explode(cells) AS cell")
     )
     # cell IS NOT NULL on the index side also guarantees norm > 0 (the
     # assignment NULLs zero-norm vectors), so normalize is safe

