@@ -238,3 +238,43 @@ def assign_stream_to_cells(
     return embed_stream.selectExpr(
         "*", f"{ivf_cell_expr(codebook)} AS cell"
     )
+
+
+def embedding_dedup_stream(
+    embed_stream: DataFrame,
+    index: DataFrame,
+    codebook: list[list[int]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space ingest dedup — the vector analog of
+    `dedup_against_corpus_stream`: each incoming embedding is assigned
+    its IVF cell (narrow, stateless) and checked against the SAME-CELL
+    corpus vectors only, cosine >= threshold flags a near-dup. A
+    stream-static equi-join on `cell`, so streaming state is ZERO and
+    at scale the static side's cell partitioning prunes each
+    micro-batch's read to the cells it touches — candidate generation
+    never leaves the cell, exactly like the batch IVF search.
+
+    Returns (vec_id, dup_of, cos) candidate rows, best-effort within
+    the probed cell (a near-dup whose twin landed in a neighboring
+    cell is missed at nprobe=1 — the same recall trade every IVF
+    search makes; widen with ivf_probe_cells_expr upstream if needed).
+    """
+    from ..queries.llm import _dot6_expr, _norm_vec_expr
+
+    nv = _norm_vec_expr(True)
+    sn = assign_stream_to_cells(embed_stream, codebook).where(
+        "cell IS NOT NULL"
+    ).selectExpr("vec_id", f"{nv} AS qnv", "cell")
+    cn = index.where("cell IS NOT NULL").selectExpr(
+        "vec_id AS dup_of", f"{nv} AS cnv", "cell"
+    )
+    return (
+        sn.join(cn, "cell")
+        .where("vec_id <> dup_of")
+        .selectExpr(
+            "vec_id", "dup_of",
+            f"{_dot6_expr('qnv', 'cnv', True)} AS cos",
+        )
+        .where(f"cos >= {threshold}")
+    )
