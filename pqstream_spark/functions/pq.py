@@ -1,0 +1,222 @@
+"""Product quantization (PQ) for embeddings — Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011
+(public method): split each vector into M subvectors, learn a small
+per-subspace codebook, store each vector as M 4-bit codes packed into
+ONE BIGINT — a 64× compression of a 64-dim float64 vector — and score
+candidates with asymmetric distance computation (ADC): per query,
+precompute M×16 partial dot products once, then each candidate costs M
+table lookups, no float vector math.
+
+Engine discipline (same as the IVF path in queries/llm.py): everything
+integer. Vectors are L2-normalized then quantized to round(nv*127)
+BIGINTs; sub-codebooks come from ONE Lloyd step over a hash-predicate
+sample with deterministic seeds, computed in exact integer/rational
+arithmetic on the driver (the sample is bounded by construction — the
+same "train on a sample, apply distributed" shape faiss uses); encode
+is argmin integer L2 with a smaller-code tie-break, expanded into
+static whole-stage-codegen SQL against a materialized qv column.
+
+At 100 TB: codes are 8 bytes/vector, so a billion-vector index is
+~8 GB — memory-resident per executor where the raw vectors are not;
+the ADC scan is one narrow pass over the code column. Compose with
+IVF cells (queries/llm.ivf_cell_expr) for IVF-PQ: prune to cells,
+ADC-score inside them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# sample predicate shared with the IVF trainer: deterministic, scale it
+# down (raise the modulus / lower the threshold) for huge corpora
+SAMPLE_PRED = "(vec_id * 1103515245 + 12345) % 8191 < 2048"
+SAMPLE_CAP = 8192  # safety net; below it the hash filter is exhaustive
+
+
+def train_pq_codebooks(
+    df: DataFrame, m: int = 8, ksub: int = 16
+) -> list[list[list[int]]]:
+    """(vec_id, embedding) → M sub-codebooks of ksub integer centroids
+    each (m × ksub × (dim/m)). Deterministic: hash-predicate sample,
+    multiplicative-hash seed order, one Lloyd step in integer space
+    (argmin exact-integer L2, round-of-mean update, empty clusters
+    keep their seed)."""
+    from ..queries.llm import _norm2_expr, _norm_vec_expr
+
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    rows = (
+        df.where(f"{n2} > 0")
+        .where(SAMPLE_PRED)
+        .selectExpr(
+            "vec_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        )
+        .limit(SAMPLE_CAP)
+        .collect()
+    )
+    if not rows:
+        return []
+    # deterministic order regardless of partition arrival
+    rows.sort(key=lambda r: ((r["vec_id"] * 1103515245 + 12345) % 8191,
+                             r["vec_id"]))
+    dim = len(rows[0]["qv"])
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    books: list[list[list[int]]] = []
+    for mi in range(m):
+        vecs = [list(r["qv"][mi * sub:(mi + 1) * sub]) for r in rows]
+        # deterministic farthest-point (maxmin) seeding: start from the
+        # hash-first vector, repeatedly add the point farthest from its
+        # nearest chosen seed (ties → earlier point). Far better spread
+        # than first-K, still RNG-free.
+        seeds = [vecs[0]]
+        dmin = [None] * len(vecs)
+        while len(seeds) < min(ksub, len(vecs)):
+            last = seeds[-1]
+            far_i, far_d = 0, -1
+            for i, v in enumerate(vecs):
+                d = sum((a - b) * (a - b) for a, b in zip(v, last))
+                if dmin[i] is None or d < dmin[i]:
+                    dmin[i] = d
+                if dmin[i] > far_d:
+                    far_d, far_i = dmin[i], i
+            seeds.append(vecs[far_i])
+        if len(seeds) < ksub:
+            seeds = seeds + [seeds[-1]] * (ksub - len(seeds))
+        # two Lloyd steps, exact integer arithmetic
+        book = seeds
+        for _ in range(2):
+            assign: list[list[list[int]]] = [[] for _ in range(ksub)]
+            for v in vecs:
+                best, bc = None, 0
+                for ci, c in enumerate(book):
+                    cost = sum((a - b) * (a - b) for a, b in zip(v, c))
+                    if best is None or cost < best:
+                        best, bc = cost, ci
+                assign[bc].append(v)
+            nxt = []
+            for ci in range(ksub):
+                if assign[ci]:
+                    n = len(assign[ci])
+                    nxt.append([
+                        int(round(sum(v[j] for v in assign[ci]) / n))
+                        for j in range(sub)
+                    ])
+                else:
+                    nxt.append(list(book[ci]))
+            book = nxt
+        books.append(book)
+    return books
+
+
+def pq_encode_expr(books: list[list[list[int]]]) -> str:
+    """Static Spark SQL: a `qv` array<bigint> column → ONE packed
+    BIGINT of M 4-bit codes. Per subspace, argmin over ksub of the
+    integer L2 cost ||c||² − 2·x_m·c (the ||x_m||² term is constant
+    across candidates), tie → smaller code via array_position's
+    first-match. Apply against a MATERIALIZED qv column (the
+    CollapseProject trap recorded in queries/llm.q_sim_topk)."""
+    terms = []
+    for mi, book in enumerate(books):
+        sub = len(book[0])
+        costs = []
+        for c in book:
+            cnorm = sum(x * x for x in c)
+            prods = [f"qv[{mi * sub + j}] * {int(-2 * c[j])}"
+                     for j in range(sub) if c[j] != 0]
+            costs.append(f"({cnorm}" + ("" if not prods else
+                                        " + " + " + ".join(prods)) + ")")
+        arr = "array(" + ", ".join(costs) + ")"
+        code = f"(array_position({arr}, array_min({arr})) - 1)"
+        terms.append(f"shiftleft({code}, {4 * mi})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def pq_encode(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, code BIGINT). Zero-norm vectors
+    drop (unsearchable by cosine, same contract as the IVF paths)."""
+    from ..queries.llm import _norm2_expr, _norm_vec_expr
+
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    base = (
+        df.where(f"{n2} > 0")
+        .selectExpr(
+            "vec_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        )
+        .localCheckpoint(eager=True)  # materialize before the static sums
+    )
+    return base.selectExpr("vec_id", f"{pq_encode_expr(books)} AS code")
+
+
+def pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k: for each (q_id, embedding) query, score every code
+    as Σ_m LUT[m][code_m] where LUT[m][c] = q_m · centroid — the
+    query's M×ksub partial dot products are computed ONCE on the
+    driver (exact integers; queries are a small batch by contract,
+    like every search path here) and shipped as literals; each
+    candidate then costs M shifts + M lookups inside codegen. Returns
+    (q_id, c_id, score, rn); score is the integer ADC dot — a
+    RANKING surrogate for cosine, not its value."""
+    from pyspark.sql import functions as F
+
+    from ..queries.llm import _norm2_expr, _norm_vec_expr
+
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    m = len(books)
+    qrows = (
+        queries.where(f"{n2} > 0")
+        .selectExpr(
+            "q_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        )
+        .collect()
+    )
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, score long, rn int"
+        )
+    spark = codes.sparkSession
+    sub = len(books[0][0])
+    luts = []
+    for r in qrows:
+        qlut = [
+            [sum(int(r["qv"][mi * sub + j]) * c[j] for j in range(sub))
+             for c in books[mi]]
+            for mi in range(m)
+        ]
+        luts.append((r["q_id"], qlut))
+    luts_df = spark.createDataFrame(
+        luts, "q_id long, luts array<array<bigint>>"
+    )
+    score = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
+        f"acc + element_at(element_at(luts, mi + 1), "
+        # % 16 is the NIBBLE mask (shiftright keeps higher nibbles),
+        # independent of ksub
+        f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
+    )
+    # Q queries x full code scan IS the ADC linear scan by definition;
+    # the broadcast nested loop ships the tiny LUT side everywhere
+    joined = F.broadcast(luts_df).join(codes, F.lit(True))
+    if exclude_self:
+        joined = joined.where("q_id <> vec_id")
+    scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
