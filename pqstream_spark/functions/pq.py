@@ -9,8 +9,8 @@ table lookups, no float vector math.
 
 Engine discipline (same as the IVF path in queries/llm.py): everything
 integer. Vectors are L2-normalized then quantized to round(nv*127)
-BIGINTs; sub-codebooks come from ONE Lloyd step over a hash-predicate
-sample with deterministic seeds, computed in exact integer/rational
+BIGINTs; sub-codebooks come from deterministic farthest-point seeding
+plus two Lloyd steps over a hash-predicate sample, computed in exact integer/rational
 arithmetic on the driver (the sample is bounded by construction — the
 same "train on a sample, apply distributed" shape faiss uses); encode
 is argmin integer L2 with a smaller-code tie-break, expanded into
@@ -38,9 +38,9 @@ def train_pq_codebooks(
 ) -> list[list[list[int]]]:
     """(vec_id, embedding) → M sub-codebooks of ksub integer centroids
     each (m × ksub × (dim/m)). Deterministic: hash-predicate sample,
-    multiplicative-hash seed order, one Lloyd step in integer space
-    (argmin exact-integer L2, round-of-mean update, empty clusters
-    keep their seed)."""
+    multiplicative-hash sample order, farthest-point (maxmin) seeding,
+    two Lloyd steps in integer space (argmin exact-integer L2,
+    round-of-mean update, empty clusters keep their centroid)."""
     from ..queries.llm import _norm2_expr, _norm_vec_expr
 
     n2 = _norm2_expr(True)
@@ -208,6 +208,79 @@ def pq_search(
     # Q queries x full code scan IS the ADC linear scan by definition;
     # the broadcast nested loop ships the tiny LUT side everywhere
     joined = F.broadcast(luts_df).join(codes, F.lit(True))
+    if exclude_self:
+        joined = joined.where("q_id <> vec_id")
+    scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[int]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ — the composition both halves were built for: `codes` is
+    (vec_id, code, cell) (pq_encode joined with the IVF cell
+    assignment), each query probes its `nprobe` best cells
+    (queries/llm.ivf_probe_cells_expr) and ADC-scores ONLY the codes in
+    those cells. The join is an equi-join on `cell` (broadcast query
+    side), so candidate generation never leaves the probed cells —
+    with the codes table partitioned by cell this is the classic
+    memory-resident IVF-PQ scan: 8 bytes per candidate, M lookups per
+    score, file pruning per probe."""
+    from pyspark.sql import functions as F
+
+    from ..queries.llm import _norm2_expr, _norm_vec_expr, ivf_probe_cells_expr
+
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    m = len(books)
+    nprobe = max(1, min(int(nprobe), len(codebook)))
+    qrows = (
+        queries.where(f"{n2} > 0")
+        .selectExpr(
+            "q_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+            f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
+        )
+        .collect()
+    )
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, score long, rn int"
+        )
+    spark = codes.sparkSession
+    sub = len(books[0][0])
+    luts = []
+    for r in qrows:
+        qlut = [
+            [sum(int(r["qv"][mi * sub + j]) * c[j] for j in range(sub))
+             for c in books[mi]]
+            for mi in range(m)
+        ]
+        for cell in r["cells"]:
+            luts.append((r["q_id"], int(cell), qlut))
+    luts_df = spark.createDataFrame(
+        luts, "q_id long, cell long, luts array<array<bigint>>"
+    )
+    score = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
+        f"acc + element_at(element_at(luts, mi + 1), "
+        f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
+    )
+    joined = F.broadcast(luts_df).join(codes, "cell")
     if exclude_self:
         joined = joined.where("q_id <> vec_id")
     scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")

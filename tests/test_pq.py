@@ -91,3 +91,43 @@ def test_pq_adc_retrieval_quality(spark):
         overlaps.append(len(exact & adc.get(q, set())))
     mean = sum(overlaps) / len(overlaps)
     assert mean >= 0.5, f"ADC recall@5 degenerated: {overlaps}"
+
+
+def test_ivfpq_composition(spark):
+    """IVF-PQ: ADC scoring restricted to the probed cells. Probing ALL
+    cells reproduces plain PQ search exactly; probing one cell returns
+    a subset of candidates per query; a near-copy still retrieves its
+    original (same-cell by cosine invariance + ADC)."""
+    from pqstream_spark.functions.pq import (
+        ivfpq_search,
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+    from pqstream_spark.queries.llm import ivf_cell_expr, train_ivf_codebook
+
+    emb = _emb(spark)
+    cb = train_ivf_codebook(spark, SF_SMOKE)
+    books = train_pq_codebooks(emb)
+    codes = pq_encode(emb, books).join(
+        emb.selectExpr("vec_id", f"{ivf_cell_expr(cb)} AS cell"), "vec_id"
+    ).localCheckpoint(eager=True)
+    queries = emb.where("vec_id < 5").selectExpr("vec_id AS q_id", "embedding")
+
+    full = {(r["q_id"], r["c_id"], r["rn"])
+            for r in ivfpq_search(codes, queries, cb, books,
+                                  k=5, nprobe=len(cb)).collect()}
+    plain = {(r["q_id"], r["c_id"], r["rn"])
+             for r in pq_search(codes.select("vec_id", "code"),
+                                queries, books, k=5).collect()}
+    assert full == plain, "all-cells IVF-PQ must equal the plain ADC scan"
+
+    one = ivfpq_search(codes, queries, cb, books, k=5, nprobe=1).collect()
+    assert one and all(r["rn"] <= 5 for r in one)
+
+    probe = emb.where("vec_id = 23").selectExpr(
+        "900023 AS q_id",
+        "transform(embedding, x -> x * CAST(1.001 AS DOUBLE)) AS embedding",
+    )
+    hits = ivfpq_search(codes, probe, cb, books, k=3, nprobe=1).collect()
+    assert hits and min(hits, key=lambda r: r["rn"])["c_id"] == 23, hits
