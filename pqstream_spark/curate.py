@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "= clf_keep; lower admits more)")
     p.add_argument("--cpus", type=int, default=None,
                    help="local[N] cores (default: all)")
+    p.add_argument("--stream", action="store_true",
+                   help="run as a streaming daemon: --documents is a "
+                   "DIRECTORY watched for parquet files; each batch is "
+                   "curated and near-dup-checked against the "
+                   "accumulated accepted corpus (see curate_stream)")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (resume across "
+                   "restarts; exactly-once with the per-epoch sinks)")
+    p.add_argument("--once", action="store_true",
+                   help="stream mode: drain available input, then exit")
     return p
 
 
@@ -74,10 +84,15 @@ def curate(spark, docs, near_dedup: bool = False, min_clf: float = 0.0):
     # query in the session (the exact foot-gun sources/tables documents)
     import uuid as _uuid
 
+    # docs.sparkSession, NOT the passed-in session: inside foreachBatch
+    # the micro-batch frame lives on a CLONED session with isolated
+    # temp views — registering there and querying the outer session
+    # throws TABLE_OR_VIEW_NOT_FOUND
+    sess = docs.sparkSession
     view = f"_curate_docs_{_uuid.uuid4().hex[:8]}"
     docs.createOrReplaceTempView(view)
-    cur = spark.sql(_curation_sql(True, src=view))
-    spark.catalog.dropTempView(view)
+    cur = sess.sql(_curation_sql(True, src=view))
+    sess.catalog.dropTempView(view)
     if near_dedup:
         nd = dedup_corpus(docs.select("doc_id", "text")).select(
             "doc_id",
@@ -107,6 +122,25 @@ def main(argv: list[str] | None = None, out=None) -> int:
     from .session import get_spark
 
     spark = get_spark("pqstream-curate", cpus=args.cpus)
+    if args.stream:
+        q = curate_stream(
+            spark, args.documents, args.out, min_clf=args.min_clf,
+            near_dedup=args.near_dedup, checkpoint_dir=args.checkpoint,
+        )
+        if args.once:
+            q.processAllAvailable()
+            q.stop()
+            import glob as _glob
+
+            n = 0
+            parts = _glob.glob(os.path.join(args.out, "corpus", "batch-*"))
+            if parts:
+                n = spark.read.parquet(*parts).count()
+            print(json.dumps({"accepted_total": n, "out": args.out},
+                             separators=(",", ":")), file=out)
+            return 0
+        q.awaitTermination()
+        return 0
     if args.documents.endswith(".csv"):
         docs = spark.read.option("header", "true").csv(args.documents)
     else:
@@ -167,6 +201,97 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "out": args.out,
     }, separators=(",", ":")), file=out)
     return 0
+
+
+def curate_stream(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    min_clf: float = 0.0,
+    near_dedup: bool = True,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming curation daemon: watch `in_dir` for document parquet
+    files; each micro-batch is annotated/classified (same pipeline as
+    batch curate), near-dup-checked against the ACCUMULATED accepted
+    corpus, and appended.
+
+    The accumulated corpus carries its own MinHash band signature
+    columns (b0..b3), so cross-batch dedup is an equi-join of the
+    incoming batch's narrow per-row signatures against STORED bands —
+    the index lives in the data layout, zero recompute of history and
+    zero streaming state (at 100 TB, bucket the corpus by band key so
+    each batch prunes its read). Writes are per-epoch overwrite dirs
+    (`corpus/batch-N/`, `audit/batch-N/`), so a checkpoint replay
+    after a crash rewrites the same directory — exactly-once effect,
+    the same idempotent-sink discipline as the CDC daemon.
+
+    Within-batch exact dups are canonicalized by the curation fp rank;
+    within-batch NEAR dups ride to the next batch's index (documented
+    trade: the alternative is a per-batch LSH self-join, which
+    `dedup_corpus` provides if the producer batches are large).
+
+    Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from .queries.llm import _minhash_signatures, minhash_bands_narrow
+    from .streaming.stateful import _band_rows
+
+    corpus_dir = os.path.join(out_dir, "corpus")
+    audit_dir = os.path.join(out_dir, "audit")
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).parquet(in_dir)
+
+    def gate(bdf, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)  # scanned by 3 consumers
+        cur = curate(spark, bdf, near_dedup=False, min_clf=min_clf)
+        if near_dedup:
+            import glob as _glob
+
+            prior = sorted(_glob.glob(os.path.join(corpus_dir, "batch-*")))
+            if prior:
+                stored = spark.read.parquet(*prior).select(
+                    "doc_id", "b0", "b1", "b2", "b3"
+                )
+                flagged = (
+                    _band_rows(minhash_bands_narrow(bdf), "doc_id")
+                    .join(_band_rows(stored, "corpus_doc_id"),
+                          ["band_idx", "bucket"])
+                    .where("doc_id <> corpus_doc_id")
+                    .select("doc_id").distinct()
+                    .withColumn("stream_near_dup", F.lit(True))
+                )
+                cur = cur.join(flagged, "doc_id", "left")
+            else:
+                cur = cur.withColumn("stream_near_dup", F.lit(None).cast("boolean"))
+        else:
+            cur = cur.withColumn("stream_near_dup", F.lit(None).cast("boolean"))
+        cur = (
+            cur.withColumn(
+                "stream_near_dup", F.coalesce("stream_near_dup", F.lit(False))
+            )
+            .withColumn(
+                "final_keep", F.expr("final_keep AND NOT stream_near_dup")
+            )
+        )
+        sig = _minhash_signatures(bdf).select("doc_id", "b0", "b1", "b2", "b3")
+        cur = cur.join(sig, "doc_id", "left").localCheckpoint(eager=True)
+        # per-epoch overwrite dirs: replay-idempotent appends
+        cur.write.mode("overwrite").parquet(
+            os.path.join(audit_dir, f"batch-{epoch_id:09d}")
+        )
+        cur.filter("final_keep").write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch-{epoch_id:09d}")
+        )
+
+    writer = stream.writeStream.foreachBatch(gate).queryName("curate_stream")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 if __name__ == "__main__":

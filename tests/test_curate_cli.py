@@ -88,3 +88,68 @@ def test_curate_derives_doc_id_and_lang(spark, tmp_path):
     # of the two identical docs (same derived id -> same fp) only the
     # canonical one is kept
     assert len([r for r in kept if r["predicted_lang"] == "en"]) >= 1
+
+
+def test_curate_stream_accumulates_and_dedups(spark, tmp_path):
+    """Streaming curation: batch 1's accepted docs become the dedup
+    index for batch 2 — a near-copy arriving later is rejected against
+    the ACCUMULATED corpus; writes are per-epoch overwrite dirs
+    (replay-idempotent); restart on the same checkpoint reprocesses
+    nothing."""
+    import glob
+    import shutil
+    import time
+
+    from pqstream_spark.curate import curate_stream
+    from pqstream_spark.sources.tables import load_table
+
+    in_dir = str(tmp_path / "stream_in")
+    out_dir = str(tmp_path / "stream_out")
+    cp = str(tmp_path / "stream_cp")
+    os.makedirs(in_dir)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+
+    def drop(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(in_dir, name + ".parquet"))
+
+    drop(docs.where("doc_id < 50"), "b1")
+    q = curate_stream(spark, in_dir, out_dir, checkpoint_dir=cp)
+    q.processAllAvailable()
+
+    corpus_glob = os.path.join(out_dir, "corpus", "batch-*")
+    first = spark.read.parquet(*glob.glob(corpus_glob))
+    accepted_ids = {r["doc_id"] for r in first.select("doc_id").collect()}
+    assert accepted_ids, "batch 1 accepted something"
+    assert "b0" in first.columns, "corpus carries its band index"
+    probe = min(accepted_ids)
+
+    # batch 2: a near-copy of an ACCEPTED doc + fresh docs
+    drop(
+        docs.where(f"doc_id = {probe}").selectExpr(
+            "doc_id + 700000 AS doc_id", "lang",
+            "substring(text, 1, greatest(length(text) - 5, 1)) AS text",
+        ).unionAll(docs.where("doc_id >= 50 AND doc_id < 80")),
+        "b2",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    audit = spark.read.parquet(*glob.glob(os.path.join(out_dir, "audit", "batch-*")))
+    row = audit.where(f"doc_id = {700000 + probe}").collect()
+    assert row, "near-copy reached the audit"
+    assert row[0]["stream_near_dup"] is True
+    assert row[0]["final_keep"] is False, "near-copy of accepted doc rejected"
+    total_accepted = spark.read.parquet(*glob.glob(corpus_glob)).count()
+
+    # restart on the same checkpoint: nothing reprocessed, counts stable
+    q2 = curate_stream(spark, in_dir, out_dir, checkpoint_dir=cp)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(*glob.glob(corpus_glob)).count() == total_accepted
