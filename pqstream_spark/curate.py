@@ -66,10 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def curate(spark, docs, near_dedup: bool = False, min_clf: float = 0.0):
+def curate(docs, near_dedup: bool = False, min_clf: float = 0.0):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
-    (doc_id, lang)."""
+    (doc_id, lang). Runs on the frame's OWN session (inside
+    foreachBatch that is a cloned session with isolated temp views)."""
     from pyspark.sql import functions as F
 
     from .queries.llm import _curation_sql, dedup_corpus
@@ -123,9 +124,12 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     spark = get_spark("pqstream-curate", cpus=args.cpus)
     if args.stream:
+        # stream mode ALWAYS near-dedups against the accumulated
+        # corpus — that is the daemon's advertised contract; the
+        # --near-dedup flag is the batch-mode (within-input LSH) knob
         q = curate_stream(
             spark, args.documents, args.out, min_clf=args.min_clf,
-            near_dedup=args.near_dedup, checkpoint_dir=args.checkpoint,
+            checkpoint_dir=args.checkpoint,
         )
         if args.once:
             q.processAllAvailable()
@@ -150,7 +154,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
               file=sys.stderr)
         return 1
 
-    cur = curate(spark, docs, near_dedup=args.near_dedup,
+    cur = curate(docs, near_dedup=args.near_dedup,
                  min_clf=args.min_clf)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
@@ -230,11 +234,15 @@ def curate_stream(
     within-batch NEAR dups ride to the next batch's index (documented
     trade: the alternative is a per-batch LSH self-join, which
     `dedup_corpus` provides if the producer batches are large).
+    Redelivered documents (same doc_id, at-least-once producers) band-
+    match their stored copy and are rejected — the dedup join carries
+    NO self-exclusion, because the stored corpus never contains the
+    current epoch (see the replay guard below).
 
     Returns the started StreamingQuery."""
     from pyspark.sql import functions as F
 
-    from .queries.llm import _minhash_signatures, minhash_bands_narrow
+    from .queries.llm import _minhash_signatures
     from .streaming.stateful import _band_rows
 
     corpus_dir = os.path.join(out_dir, "corpus")
@@ -247,21 +255,49 @@ def curate_stream(
     def gate(bdf, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
-        bdf = bdf.localCheckpoint(eager=True)  # scanned by 3 consumers
-        cur = curate(spark, bdf, near_dedup=False, min_clf=min_clf)
+        # derive ids for producers that omit doc_id: the declared read
+        # schema surfaces a NULL column, which would defeat curate()'s
+        # column-presence check and silently null out every dedup join
+        bdf = bdf.withColumn(
+            "doc_id", F.expr("coalesce(doc_id, xxhash64(text))")
+        ).localCheckpoint(eager=True)  # scanned by 3 consumers
+        cur = curate(bdf, near_dedup=False, min_clf=min_clf)
+        # ONE signature pass feeds both the dedup join and the stored
+        # band columns (the two formulations are band-key-identical;
+        # inside foreachBatch this is an ordinary batch frame, so the
+        # hash-aggregate form applies)
+        sig = _minhash_signatures(bdf).select(
+            "doc_id", "b0", "b1", "b2", "b3"
+        ).localCheckpoint(eager=True)
         if near_dedup:
             import glob as _glob
+            import re as _re
 
-            prior = sorted(_glob.glob(os.path.join(corpus_dir, "batch-*")))
+            # replay guard: a crash after corpus/batch-N was written
+            # but before the checkpoint committed re-runs epoch N —
+            # batch-N's own (possibly partial) output must not serve
+            # as dedup history for its own replay, or accepted docs
+            # flag against their own stored copies and the replayed
+            # epoch writes DIFFERENT content than the first attempt
+            def _epoch(p: str) -> int:
+                m = _re.search(r"batch-(\d+)$", p)
+                return int(m.group(1)) if m else -1
+
+            prior = sorted(
+                p for p in _glob.glob(os.path.join(corpus_dir, "batch-*"))
+                if 0 <= _epoch(p) < epoch_id
+            )
             if prior:
                 stored = spark.read.parquet(*prior).select(
                     "doc_id", "b0", "b1", "b2", "b3"
                 )
+                # no self-exclusion: stored never contains this epoch,
+                # so a band match IS a dup — including a redelivered
+                # doc matching its own earlier accepted copy
                 flagged = (
-                    _band_rows(minhash_bands_narrow(bdf), "doc_id")
+                    _band_rows(sig, "doc_id")
                     .join(_band_rows(stored, "corpus_doc_id"),
                           ["band_idx", "bucket"])
-                    .where("doc_id <> corpus_doc_id")
                     .select("doc_id").distinct()
                     .withColumn("stream_near_dup", F.lit(True))
                 )
@@ -278,7 +314,6 @@ def curate_stream(
                 "final_keep", F.expr("final_keep AND NOT stream_near_dup")
             )
         )
-        sig = _minhash_signatures(bdf).select("doc_id", "b0", "b1", "b2", "b3")
         cur = cur.join(sig, "doc_id", "left").localCheckpoint(eager=True)
         # per-epoch overwrite dirs: replay-idempotent appends
         cur.write.mode("overwrite").parquet(

@@ -45,6 +45,11 @@ def train_pq_codebooks(
 
     n2 = _norm2_expr(True)
     nv = _norm_vec_expr(True)
+    assert 2 <= ksub <= 16, (
+        f"ksub={ksub}: codes are packed as 4-bit nibbles (≤16 per "
+        "subspace); widen the packing before raising ksub"
+    )
+    assert m * 4 <= 63, f"m={m}: packed code must fit one BIGINT"
     rows = (
         df.where(f"{n2} > 0")
         .where(SAMPLE_PRED)
@@ -52,14 +57,19 @@ def train_pq_codebooks(
             "vec_id",
             f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
         )
-        .limit(SAMPLE_CAP)
         .collect()
     )
     if not rows:
         return []
-    # deterministic order regardless of partition arrival
+    # deterministic order regardless of partition arrival; the CAP is
+    # applied AFTER the sort, so sample membership is a pure function
+    # of the data — a .limit() before collect would let partition
+    # arrival order decide who trains the codebooks. Control the
+    # collected volume with SAMPLE_PRED (tighten the threshold for
+    # huge corpora), not the cap.
     rows.sort(key=lambda r: ((r["vec_id"] * 1103515245 + 12345) % 8191,
                              r["vec_id"]))
+    rows = rows[:SAMPLE_CAP]
     dim = len(rows[0]["qv"])
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"

@@ -79,7 +79,7 @@ def test_curate_derives_doc_id_and_lang(spark, tmp_path):
          ("unique text about fish " * 20,)],
         "text STRING",
     )
-    cur = curate(spark, docs)
+    cur = curate(docs)
     rows = cur.collect()
     assert len(rows) == 3
     ids = {r["doc_id"] for r in rows}

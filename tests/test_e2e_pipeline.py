@@ -35,7 +35,7 @@ def test_documents_to_searchable_index(spark, tmp_path):
 
     # 1. curate (no near-dedup: we WANT the planted near-copy kept so
     #    it can be used as the query; mixture off via the full frame)
-    cur = curate(spark, docs)
+    cur = curate(docs)
     kept = cur.where("kept").select("doc_id")
     kept_docs = docs.join(kept, "doc_id")
     n_kept = kept_docs.count()

@@ -233,15 +233,26 @@ def test_multiprobe_recall_monotone(spark):
     base = tops(1)
     assert t1 == base, "nprobe=1 deterministic"
 
-    # brute reference: all-cells probe is exact over the indexed set
     def overlap(a, b):
         return sum(len(a.get(q, set()) & b.get(q, set())) for q in b) / max(len(b), 1)
 
     r1, r2 = overlap(t1, tk), overlap(t2, tk)
     assert r1 <= r2 + 1e-9, f"recall must not decrease: {r1} vs {r2}"
-    assert r2 <= 5.0
-    # with all cells probed, every query's top-5 equals the exact top-5
-    assert set(tk) == set(t1)
+
+    # the all-cells probe must equal an INDEPENDENT brute-force top-5
+    # (6-dp-rounded cosine, id tie-break — the engine's own discipline)
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    nvx = {v: x / np.linalg.norm(x) for v, x in vecs.items()
+           if np.linalg.norm(x) > 0}
+    for q in range(10):
+        ranked = sorted(
+            ((-round(float(np.dot(nvx[q], nvx[v])), 6), v)
+             for v in nvx if v != q)
+        )[:5]
+        want = {v for _, v in ranked}
+        assert tk[q] == want, (q, tk[q], want)
 
 
 def test_embedding_dedup_stream(spark, tmp_path):
