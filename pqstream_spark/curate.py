@@ -293,23 +293,23 @@ def curate_stream(
                 )
                 # no self-exclusion: stored never contains this epoch,
                 # so a band match IS a dup — including a redelivered
-                # doc matching its own earlier accepted copy
+                # doc matching its own earlier accepted copy. The audit
+                # records WHICH stored doc matched (min id — the
+                # canonical-keeper convention every dedup path uses)
                 flagged = (
                     _band_rows(sig, "doc_id")
                     .join(_band_rows(stored, "corpus_doc_id"),
                           ["band_idx", "bucket"])
-                    .select("doc_id").distinct()
-                    .withColumn("stream_near_dup", F.lit(True))
+                    .groupBy("doc_id")
+                    .agg(F.min("corpus_doc_id").alias("stream_dup_of"))
                 )
                 cur = cur.join(flagged, "doc_id", "left")
             else:
-                cur = cur.withColumn("stream_near_dup", F.lit(None).cast("boolean"))
+                cur = cur.withColumn("stream_dup_of", F.lit(None).cast("long"))
         else:
-            cur = cur.withColumn("stream_near_dup", F.lit(None).cast("boolean"))
+            cur = cur.withColumn("stream_dup_of", F.lit(None).cast("long"))
         cur = (
-            cur.withColumn(
-                "stream_near_dup", F.coalesce("stream_near_dup", F.lit(False))
-            )
+            cur.withColumn("stream_near_dup", F.expr("stream_dup_of IS NOT NULL"))
             .withColumn(
                 "final_keep", F.expr("final_keep AND NOT stream_near_dup")
             )

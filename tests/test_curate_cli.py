@@ -145,6 +145,7 @@ def test_curate_stream_accumulates_and_dedups(spark, tmp_path):
     row = audit.where(f"doc_id = {700000 + probe}").collect()
     assert row, "near-copy reached the audit"
     assert row[0]["stream_near_dup"] is True
+    assert row[0]["stream_dup_of"] == probe, "audit names the matched doc"
     assert row[0]["final_keep"] is False, "near-copy of accepted doc rejected"
     total_accepted = spark.read.parquet(*glob.glob(corpus_glob)).count()
 
