@@ -1,0 +1,133 @@
+"""Byte-pair encoding — Sennrich, Haddow, Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016 (public
+method): train a merge table on a text sample, then segment words into
+subword units by applying merges greedily in training order. This is
+the REAL algorithm the `bpe_ish_tokens` regex column in
+text_annotations approximates — production swaps the trained merges
+for a released tokenizer's merge table and nothing else changes.
+
+Engine shape: training is driver-side over a bounded hash sample (the
+same train-on-a-sample discipline as the IVF/PQ codebooks — a merge
+table is a small artifact, deterministic, shippable as JSON);
+application is an Arrow-batched mapInPandas with the merge ranks in
+the closure — per-doc work, embarrassingly parallel, no shuffle.
+Determinism: pair counting uses exact integers and ties break
+lexicographically, so the same sample always yields the same merges.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+
+SAMPLE_PRED = "(doc_id * 1103515245 + 12345) % 8191 < 2048"
+SAMPLE_CAP = 4096
+END = "</w>"
+
+
+def _words(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def train_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
+    """Classic BPE training: words → char sequences (+ end-of-word
+    marker), repeatedly merge the most frequent adjacent symbol pair;
+    ties break lexicographically (deterministic). Returns the ordered
+    merge table."""
+    vocab = Counter()
+    for t in texts:
+        for w in _words(t):
+            vocab[tuple(w) + (END,)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # max count, lexicographic tie-break — fully deterministic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        out: Counter = Counter()
+        for sym, n in vocab.items():
+            ns, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(sym[i])
+                    i += 1
+            out[tuple(ns)] += n
+        vocab = out
+    return merges
+
+
+def train_bpe_from(docs: DataFrame, n_merges: int = 200) -> list[tuple[str, str]]:
+    """Train on a deterministic hash sample of a (doc_id, text) frame —
+    bounded by the predicate (tighten it for huge corpora), cap applied
+    after a deterministic sort so sample membership is a pure function
+    of the data."""
+    rows = docs.where(SAMPLE_PRED).select("doc_id", "text").collect()
+    rows.sort(key=lambda r: ((r["doc_id"] * 1103515245 + 12345) % 8191,
+                             r["doc_id"]))
+    return train_bpe(
+        [r["text"] or "" for r in rows[:SAMPLE_CAP]], n_merges=n_merges
+    )
+
+
+def bpe_segment(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one text: per word, apply the LOWEST-RANK applicable
+    merge until none applies (training order = application order, the
+    BPE contract)."""
+    out: list[str] = []
+    for w in _words(text):
+        sym = list(w) + [END]
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        out.extend(sym)
+    return out
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_bpe_tokens, n_words, n_chars) via
+    Arrow-batched mapInPandas — the real token-budget column a
+    curation pass uses (annotations' bpe_ish_tokens is the regex
+    approximation of exactly this)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "n_bpe_tokens": [],
+                   "n_words": [], "n_chars": []}
+            for text in pdf["text"]:
+                t = text or ""
+                toks = bpe_segment(t, ranks)
+                out["n_bpe_tokens"].append(len(toks))
+                out["n_words"].append(len(_words(t)))
+                out["n_chars"].append(len(t))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        count, "doc_id long, n_bpe_tokens long, n_words long, n_chars long"
+    )
