@@ -3,8 +3,11 @@ Translation of Rare Words with Subword Units", ACL 2016 (public
 method): train a merge table on a text sample, then segment words into
 subword units by applying merges greedily in training order. This is
 the REAL algorithm the `bpe_ish_tokens` regex column in
-text_annotations approximates — production swaps the trained merges
-for a released tokenizer's merge table and nothing else changes.
+text_annotations approximates. The application loop is merge-table
+generic, but this module's pre-tokenizer is a lowercase [a-z0-9]
+word splitter — a RELEASED merge table (GPT-2 style, with case,
+punctuation and whitespace-marker symbols) additionally needs its own
+pre-tokenizer swapped in before its merges line up.
 
 Engine shape: training is driver-side over a bounded hash sample (the
 same train-on-a-sample discipline as the IVF/PQ codebooks — a merge
@@ -21,15 +24,20 @@ from collections import Counter
 
 from pyspark.sql import DataFrame
 
-SAMPLE_PRED = "(doc_id * 1103515245 + 12345) % 8191 < 2048"
+from .sampling import sample_pred, sort_and_cap
+
+SAMPLE_PRED = sample_pred("doc_id")  # overflow/sign-safe (xxhash64 ids!)
 SAMPLE_CAP = 4096
 END = "</w>"
 
 
-def _words(text: str) -> list[str]:
-    import re
+import re as _re
 
-    return re.findall(r"[a-z0-9]+", text.lower())
+_WORD_RE = _re.compile(r"[a-z0-9]+")
+
+
+def _words(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
 
 
 def train_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
@@ -75,31 +83,33 @@ def train_bpe_from(docs: DataFrame, n_merges: int = 200) -> list[tuple[str, str]
     bounded by the predicate (tighten it for huge corpora), cap applied
     after a deterministic sort so sample membership is a pure function
     of the data."""
-    rows = docs.where(SAMPLE_PRED).select("doc_id", "text").collect()
-    rows.sort(key=lambda r: ((r["doc_id"] * 1103515245 + 12345) % 8191,
-                             r["doc_id"]))
-    return train_bpe(
-        [r["text"] or "" for r in rows[:SAMPLE_CAP]], n_merges=n_merges
+    rows = sort_and_cap(
+        docs.where(SAMPLE_PRED).select("doc_id", "text").collect(),
+        "doc_id", SAMPLE_CAP,
     )
+    return train_bpe([r["text"] or "" for r in rows], n_merges=n_merges)
+
+
+def _segment_word(w: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply the LOWEST-RANK applicable merge until none applies
+    (training order = application order, the BPE contract)."""
+    sym = list(w) + [END]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
 
 
 def bpe_segment(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Segment one text: per word, apply the LOWEST-RANK applicable
-    merge until none applies (training order = application order, the
-    BPE contract)."""
     out: list[str] = []
     for w in _words(text):
-        sym = list(w) + [END]
-        while len(sym) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(sym) - 1):
-                r = ranks.get((sym[i], sym[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
-        out.extend(sym)
+        out.extend(_segment_word(w, ranks))
     return out
 
 
@@ -122,9 +132,10 @@ def bpe_token_counts(
                    "n_words": [], "n_chars": []}
             for text in pdf["text"]:
                 t = text or ""
-                toks = bpe_segment(t, ranks)
-                out["n_bpe_tokens"].append(len(toks))
-                out["n_words"].append(len(_words(t)))
+                words = _words(t)  # tokenize ONCE per doc (hot path)
+                n_toks = sum(len(_segment_word(w, ranks)) for w in words)
+                out["n_bpe_tokens"].append(n_toks)
+                out["n_words"].append(len(words))
                 out["n_chars"].append(len(t))
             yield pd.DataFrame(out)
 

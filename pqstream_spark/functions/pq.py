@@ -27,9 +27,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# sample predicate shared with the IVF trainer: deterministic, scale it
-# down (raise the modulus / lower the threshold) for huge corpora
-SAMPLE_PRED = "(vec_id * 1103515245 + 12345) % 8191 < 2048"
+from .sampling import sample_pred, sort_and_cap
+
+# deterministic hash sample shared with the IVF/BPE trainers — ONE
+# definition (functions/sampling.py), overflow- and sign-safe
+SAMPLE_PRED = sample_pred("vec_id")
 SAMPLE_CAP = 8192  # safety net; below it the hash filter is exhaustive
 
 
@@ -67,9 +69,7 @@ def train_pq_codebooks(
     # arrival order decide who trains the codebooks. Control the
     # collected volume with SAMPLE_PRED (tighten the threshold for
     # huge corpora), not the cap.
-    rows.sort(key=lambda r: ((r["vec_id"] * 1103515245 + 12345) % 8191,
-                             r["vec_id"]))
-    rows = rows[:SAMPLE_CAP]
+    rows = sort_and_cap(rows, "vec_id", SAMPLE_CAP)
     dim = len(rows[0]["qv"])
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"

@@ -1472,12 +1472,14 @@ cents1 AS (
               f"""nsg AS (SELECT vec_id, {nv} AS nv FROM embeddings WHERE {n2} > 0),
 qz AS (SELECT vec_id, nv, {p['qv']} AS qv FROM nsg),
 """)
+    from ..functions.sampling import sample_order_expr, sample_pred
+
     return f"""{prefix}samp AS (SELECT vec_id, qv FROM {base or 'qz'}
-         WHERE (vec_id * 1103515245 + 12345) % 8191 < 2048),
+         WHERE {sample_pred('vec_id', spark)}),
 seed AS (
   SELECT rn AS cid, qv AS cv FROM (
     SELECT ROW_NUMBER() OVER (
-             ORDER BY (vec_id * 1103515245 + 12345) % 8191, vec_id) AS rn, qv
+             ORDER BY {sample_order_expr('vec_id', spark)}, vec_id) AS rn, qv
     FROM samp) ranked WHERE rn <= 8
 ),
 cents0 AS (SELECT {p['colist']} AS cs FROM seed),
