@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id, embedding)")
     b.add_argument("--out", required=True, help="index directory")
+    b.add_argument("--pq", action="store_true",
+                   help="also train PQ sub-codebooks and store an 8-byte"
+                   " packed code per vector (enables search --adc)")
 
     a = sub.add_parser("add", parents=[common],
                        help="assign + append new vectors")
@@ -62,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "n_cells = exact within the index)")
     s.add_argument("--include-self", action="store_true",
                    help="keep hits where c_id == q_id")
+    s.add_argument("--adc", action="store_true",
+                   help="score candidates from the 8-byte PQ codes "
+                   "(asymmetric distance; index must be built --pq) "
+                   "instead of exact cosine over raw vectors")
     return p
 
 
@@ -111,19 +118,30 @@ def main(argv: list[str] | None = None, out=None) -> int:
         assigned = emb.selectExpr(
             "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
         ).where("cell IS NOT NULL")
+        meta = {"codebook": cb}
+        if args.pq:
+            from .functions.pq import pq_encode, train_pq_codebooks
+
+            books = train_pq_codebooks(emb)
+            meta["pq_books"] = books
+            assigned = assigned.join(
+                pq_encode(emb, books).select("vec_id", "code"), "vec_id"
+            )
         assigned.write.mode("overwrite").partitionBy("cell").parquet(
             _cells_path(args.out)
         )
         with open(_codebook_path(args.out), "w") as f:
-            json.dump({"codebook": cb}, f)
+            json.dump(meta, f)
         n = spark.read.parquet(_cells_path(args.out)).count()
         print(json.dumps({"indexed": n, "cells": len(cb),
-                          "dim": len(cb[0]), "out": args.out},
+                          "dim": len(cb[0]), "pq": bool(args.pq),
+                          "out": args.out},
                          separators=(",", ":")), file=out)
         return 0
 
     with open(_codebook_path(args.index)) as f:
-        cb = json.load(f)["codebook"]
+        meta = json.load(f)
+    cb = meta["codebook"]
 
     if args.cmd == "add":
         emb = _load_embeddings(spark, args.embeddings)
@@ -146,6 +164,24 @@ def main(argv: list[str] | None = None, out=None) -> int:
     queries = _load_embeddings(spark, args.queries).withColumnRenamed(
         "vec_id", "q_id"
     )
+    if args.adc:
+        if "pq_books" not in meta:
+            print("--adc requires an index built with --pq",
+                  file=sys.stderr)
+            return 1
+        from .functions.pq import ivfpq_search
+
+        hits = ivfpq_search(
+            index.select("vec_id", "code", "cell"), queries, cb,
+            meta["pq_books"], k=args.k, nprobe=args.nprobe,
+            exclude_self=not args.include_self,
+        )
+        for r in hits.orderBy("q_id", "rn").collect():
+            print(json.dumps(
+                {"q_id": r["q_id"], "c_id": r["c_id"],
+                 "score": r["score"], "rn": r["rn"]},
+                separators=(",", ":")), file=out)
+        return 0
     hits = search_ivf_index(
         index, queries, cb, k=args.k,
         exclude_self=not args.include_self, nprobe=args.nprobe,

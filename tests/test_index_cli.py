@@ -67,3 +67,52 @@ def test_index_build_add_search(spark, tmp_path):
     assert {(r["q_id"], r["c_id"], r["rn"]) for r in lib} == {
         (h["q_id"], h["c_id"], h["rn"]) for h in hits
     }
+
+
+def test_index_pq_build_and_adc_search(spark, tmp_path):
+    """--pq stores an 8-byte packed code per vector alongside the cell;
+    search --adc ranks candidates from the codes alone (asymmetric
+    distance) and still retrieves a perturbed vector's original."""
+    import io
+    import json as _json
+
+    from pqstream_spark.index import main
+    from pqstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "embedding"
+    )
+    base = str(tmp_path / "pq_base.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(base)
+    idx = str(tmp_path / "pq_idx")
+
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", base, "--out", idx, "--pq"],
+                out=buf) == 0
+    stats = _json.loads(buf.getvalue())
+    assert stats["pq"] is True
+    meta = _json.load(open(os.path.join(idx, "codebook.json")))
+    assert "pq_books" in meta and len(meta["pq_books"]) == 8
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    assert "code" in cells.columns
+
+    # probe: a perturbed copy of vector 31
+    probe = spark.read.parquet(base).where("vec_id = 31").selectExpr(
+        "931 AS vec_id",
+        "transform(embedding, x -> x * CAST(1.001 AS DOUBLE)) AS embedding",
+    )
+    qp = str(tmp_path / "pq_q.parquet")
+    probe.coalesce(1).write.mode("overwrite").parquet(qp)
+
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--queries", qp, "--k", "3",
+                 "--adc"], out=buf) == 0
+    hits = [_json.loads(l) for l in buf.getvalue().splitlines()]
+    assert hits and hits[0]["rn"] == 1 and hits[0]["c_id"] == 31, hits
+    assert all("score" in h for h in hits)
+
+    # an index built WITHOUT --pq refuses --adc with a clear error
+    idx2 = str(tmp_path / "plain_idx")
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", base, "--out", idx2], out=buf) == 0
+    assert main(["search", "--index", idx2, "--queries", qp, "--adc"]) == 1
