@@ -179,9 +179,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
         os.makedirs(args.out, exist_ok=True)
         with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
             json.dump({"merges": merges}, f)
+        # duplicate doc_ids (exact-dup texts hash to the same id, or a
+        # user-supplied id column with dups) would appear k times on
+        # BOTH sides of this join → k² audit rows and a stats line
+        # whose `docs` no longer equals the input row count. Counts are
+        # identical for identical text, so one row per id is lossless.
         cur = cur.join(
             bpe_token_counts(base.select("doc_id", "text"), merges)
-            .select("doc_id", "n_bpe_tokens"),
+            .select("doc_id", "n_bpe_tokens").dropDuplicates(["doc_id"]),
             "doc_id", "left",
         )
     cur.write.mode("overwrite").parquet(audit_dir)

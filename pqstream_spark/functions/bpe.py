@@ -24,10 +24,10 @@ from collections import Counter
 
 from pyspark.sql import DataFrame
 
-from .sampling import sample_pred, sort_and_cap
+from .sampling import capped_sample_df, sample_pred, sort_and_cap
 
 SAMPLE_PRED = sample_pred("doc_id")  # overflow/sign-safe (xxhash64 ids!)
-SAMPLE_CAP = 4096
+SAMPLE_CAP = 4096  # enforced IN-ENGINE (capped_sample_df) before collect
 END = "</w>"
 
 
@@ -79,12 +79,18 @@ def train_bpe(texts: list[str], n_merges: int = 200) -> list[tuple[str, str]]:
 
 
 def train_bpe_from(docs: DataFrame, n_merges: int = 200) -> list[tuple[str, str]]:
-    """Train on a deterministic hash sample of a (doc_id, text) frame —
-    bounded by the predicate (tighten it for huge corpora), cap applied
-    after a deterministic sort so sample membership is a pure function
-    of the data."""
+    """Train on a deterministic hash sample of a (doc_id, text) frame.
+    The cap is enforced IN-ENGINE (capped_sample_df: a sorted LIMIT →
+    distributed TakeOrderedAndProject), so the driver never collects
+    more than SAMPLE_CAP rows regardless of corpus size; membership is
+    a pure function of the data (hash order), never of partition
+    arrival. `sort_and_cap` re-sorts the collected rows as a no-op
+    cross-check."""
     rows = sort_and_cap(
-        docs.where(SAMPLE_PRED).select("doc_id", "text").collect(),
+        capped_sample_df(
+            docs.where(SAMPLE_PRED).select("doc_id", "text"),
+            "doc_id", SAMPLE_CAP,
+        ).collect(),
         "doc_id", SAMPLE_CAP,
     )
     return train_bpe([r["text"] or "" for r in rows], n_merges=n_merges)

@@ -192,6 +192,13 @@ def resize_images(df: DataFrame, max_dim: int) -> DataFrame:
                     # a codec library: poison-tolerant NULL, not a crash
                     rows.append((mid, None, None, None))
                     continue
+                if max(w, h) <= 0:
+                    # poison blob with zero/negative header dims: the
+                    # module contract is degrade-to-NULL, never fail
+                    # the task (the PPM path validates dims; this is
+                    # the fake path's equivalent guard)
+                    rows.append((mid, None, None, None))
+                    continue
                 scale = min(1.0, max_dim / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 new_content = encode_fake_image(int(mid), nw, nh)

@@ -27,12 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .sampling import sample_pred, sort_and_cap
+from .sampling import capped_sample_df, sample_pred, sort_and_cap
 
 # deterministic hash sample shared with the IVF/BPE trainers — ONE
 # definition (functions/sampling.py), overflow- and sign-safe
 SAMPLE_PRED = sample_pred("vec_id")
-SAMPLE_CAP = 8192  # safety net; below it the hash filter is exhaustive
+SAMPLE_CAP = 8192  # enforced IN-ENGINE (capped_sample_df) before collect
 
 
 def train_pq_codebooks(
@@ -52,23 +52,30 @@ def train_pq_codebooks(
         "subspace); widen the packing before raising ksub"
     )
     assert m * 4 <= 63, f"m={m}: packed code must fit one BIGINT"
-    rows = (
+    # cap enforced IN-ENGINE: the hash predicate admits ~25% of rows,
+    # which at 100 TB is a driver OOM if collected raw. A bare
+    # .limit() would let partition arrival order decide who trains the
+    # codebooks, but the SORTED limit (capped_sample_df: ORDER BY
+    # sample hash, id LIMIT cap) is a deterministic distributed
+    # TakeOrderedAndProject selecting exactly the rows sort_and_cap
+    # picks — the driver never sees more than SAMPLE_CAP rows.
+    rows = capped_sample_df(
         df.where(f"{n2} > 0")
         .where(SAMPLE_PRED)
         .selectExpr(
             "vec_id",
             f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
-        )
-        .collect()
-    )
+        ),
+        "vec_id", SAMPLE_CAP,
+    ).collect()
     if not rows:
-        return []
-    # deterministic order regardless of partition arrival; the CAP is
-    # applied AFTER the sort, so sample membership is a pure function
-    # of the data — a .limit() before collect would let partition
-    # arrival order decide who trains the codebooks. Control the
-    # collected volume with SAMPLE_PRED (tighten the threshold for
-    # huge corpora), not the cap.
+        raise ValueError(
+            "train_pq_codebooks: empty training sample (no non-zero "
+            "vectors passed the hash predicate) — an empty codebook "
+            "would generate invalid encode SQL; widen the corpus or "
+            "loosen functions/sampling.DEFAULT_THRESHOLD"
+        )
+    # driver-side re-sort is a no-op cross-check of the engine's order
     rows = sort_and_cap(rows, "vec_id", SAMPLE_CAP)
     dim = len(rows[0]["qv"])
     sub = dim // m
@@ -127,6 +134,11 @@ def pq_encode_expr(books: list[list[list[int]]]) -> str:
     across candidates), tie → smaller code via array_position's
     first-match. Apply against a MATERIALIZED qv column (the
     CollapseProject trap recorded in queries/llm.q_sim_topk)."""
+    if not books:
+        raise ValueError(
+            "pq_encode_expr: empty codebook (would generate invalid "
+            "SQL) — train_pq_codebooks raises before producing one"
+        )
     terms = []
     for mi, book in enumerate(books):
         sub = len(book[0])

@@ -53,6 +53,22 @@ def sample_key(i: int) -> int:
     return ((i % M) * A + B) % M
 
 
+def capped_sample_df(df, id_col: str, cap: int):
+    """Distributed deterministic cap: ORDER BY the sample hash (then
+    id) LIMIT cap. Spark plans this as TakeOrderedAndProject — each
+    partition keeps its top-`cap` rows and the driver merges cap-sized
+    heads — so the driver never holds more than `cap` rows no matter
+    how many the hash predicate admits (at 100 TB the predicate alone
+    is NOT a bound; this is). Selects exactly the rows `sort_and_cap`
+    picks, because the sort key is the same (hash, id) pair — keep
+    `sort_and_cap` on the collected rows as a cheap cross-check."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(
+        F.expr(sample_order_expr(id_col)), F.col(id_col)
+    ).limit(cap)
+
+
 def sort_and_cap(rows, id_field: str, cap: int):
     """Deterministic driver-side ordering + cap for collected sample
     rows: sort by the SAME hash the predicate tested (then id), THEN

@@ -7,8 +7,9 @@ add (assign new vectors with the stored codebook, append), search
     python -m pqstream_spark.index add    --index idx/ --embeddings new.parquet
     python -m pqstream_spark.index search --index idx/ --queries q.parquet --k 5
 
-Layout: `idx/codebook.json` (the ≤8×dim integer codebook — the whole
-trained artifact, deterministic, reviewable by eye) and `idx/cells/`
+Layout: `idx/codebook.json` (the K×dim integer codebook, K =
+`build --cells`, default 8 — the whole trained artifact,
+deterministic, reviewable by eye) and `idx/cells/`
 parquet partitioned by `cell=N` — so a search that probes one cell
 READS one cell (partition pruning), which is the IVF contract at any
 scale. `add` appends into the cells its vectors land in; re-adding a
@@ -48,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--pq", action="store_true",
                    help="also train PQ sub-codebooks and store an 8-byte"
                    " packed code per vector (enables search --adc)")
+    b.add_argument("--cells", type=int, default=8,
+                   help="IVF cell count K (default 8). Production IVF "
+                   "scales K with corpus size (K ~ sqrt(N)); each "
+                   "search probes --nprobe of K cells, so read volume "
+                   "tracks nprobe/K of the corpus")
 
     a = sub.add_parser("add", parents=[common],
                        help="assign + append new vectors")
@@ -101,6 +107,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
     out = out if out is not None else sys.stdout
 
     from .queries.llm import (
+        assign_ivf_cells,
         ivf_cell_expr,
         search_ivf_index,
         train_ivf_codebook_from,
@@ -111,13 +118,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     if args.cmd == "build":
         emb = _load_embeddings(spark, args.embeddings)
-        cb = train_ivf_codebook_from(emb)
+        if args.cells < 1:
+            print("--cells must be >= 1", file=sys.stderr)
+            return 1
+        cb = train_ivf_codebook_from(emb, k_cells=args.cells)
         if not cb:
             print("no non-zero vectors to index", file=sys.stderr)
             return 1
-        assigned = emb.selectExpr(
-            "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
-        ).where("cell IS NOT NULL")
+        # batch build → static-sum codegen assignment (K×dim literal
+        # terms over a materialized qv); the HOF `ivf_cell_expr` form
+        # stays the `add`/streaming path, where frames are micro-batch
+        # sized and a checkpoint barrier is unavailable
+        assigned = assign_ivf_cells(emb, cb)
         meta = {"codebook": cb}
         if args.pq:
             from .functions.pq import pq_encode, train_pq_codebooks
@@ -149,6 +161,19 @@ def main(argv: list[str] | None = None, out=None) -> int:
         assigned = emb.selectExpr(
             "vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell"
         ).where("cell IS NOT NULL")
+        if "pq_books" in meta:
+            # a --pq index stores a `code` column per vector; appending
+            # rows without it would mix parquet schemas in cells/ and
+            # make the added vectors unretrievable by `search --adc`
+            # (NULL codes under the build files' schema). Encode the
+            # additions against the STORED sub-codebooks — the same
+            # artifact search uses, so old and new codes score alike.
+            from .functions.pq import pq_encode
+
+            assigned = assigned.join(
+                pq_encode(emb, meta["pq_books"]).select("vec_id", "code"),
+                "vec_id",
+            )
         assigned.write.mode("append").partitionBy("cell").parquet(
             _cells_path(args.index)
         )

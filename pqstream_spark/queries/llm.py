@@ -1430,7 +1430,8 @@ def _ivf_parts(spark: bool) -> dict:
     }
 
 
-def _ivf_train_cte(spark: bool, base: str | None = None) -> str:
+def _ivf_train_cte(spark: bool, base: str | None = None,
+                   k_cells: int = 8) -> str:
     """CTE block `nsg … cents1`: normalize+quantize, hash-sample, seed,
     one Lloyd iteration, final codebook as a single array-of-arrays row.
 
@@ -1476,11 +1477,14 @@ qz AS (SELECT vec_id, nv, {p['qv']} AS qv FROM nsg),
 
     return f"""{prefix}samp AS (SELECT vec_id, qv FROM {base or 'qz'}
          WHERE {sample_pred('vec_id', spark)}),
+seed0 AS (SELECT vec_id, qv FROM samp
+          ORDER BY {sample_order_expr('vec_id', spark)}, vec_id
+          LIMIT {k_cells}),
 seed AS (
-  SELECT rn AS cid, qv AS cv FROM (
-    SELECT ROW_NUMBER() OVER (
-             ORDER BY {sample_order_expr('vec_id', spark)}, vec_id) AS rn, qv
-    FROM samp) ranked WHERE rn <= 8
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY {sample_order_expr('vec_id', spark)}, vec_id) AS cid,
+         qv AS cv
+  FROM seed0
 ),
 cents0 AS (SELECT {p['colist']} AS cs FROM seed),
 sa1 AS (
@@ -1519,15 +1523,23 @@ SELECT 'ivf_trained' AS method, q_id, c_id, cos, rn FROM ({_ivf_trained_sql(spar
 """
 
 
-def train_ivf_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+def train_ivf_codebook(spark: SparkSession, sf_dir: str,
+                       k_cells: int = 8) -> list[list[int]]:
     """Train the quantized-k-means IVF codebook over `embeddings` and
-    return it as plain integers (≤8 cells × dim) — the index-build
-    artifact a vector pipeline persists and ships. Same deterministic
-    math as the `sim_topk_brute_ivf` entry's training phase."""
-    return train_ivf_codebook_from(register_views(spark, sf_dir)["embeddings"])
+    return it as plain integers (≤k_cells cells × dim) — the
+    index-build artifact a vector pipeline persists and ships. With
+    the default k_cells=8 this is the same deterministic math as the
+    `sim_topk_brute_ivf` entry's training phase (the oracle entry
+    keeps K=8 so hashes don't move); production IVF scales K with
+    corpus size (K ≈ √N — thousands of cells at 100 TB), which is
+    exactly what the parameter and `index build --cells K` expose."""
+    return train_ivf_codebook_from(
+        register_views(spark, sf_dir)["embeddings"], k_cells=k_cells
+    )
 
 
-def train_ivf_codebook_from(df: DataFrame) -> list[list[int]]:
+def train_ivf_codebook_from(df: DataFrame,
+                            k_cells: int = 8) -> list[list[int]]:
     """Codebook training over an arbitrary (vec_id, embedding) frame —
     the index CLI's entry point. Unique per-call view, dropped after
     the (eager) collect."""
@@ -1549,12 +1561,49 @@ def train_ivf_codebook_from(df: DataFrame) -> list[list[int]]:
     prepared.createOrReplaceTempView(view)
     try:
         rows = spark.sql(
-            "WITH " + _ivf_train_cte(True, base=view) + " SELECT cs FROM cents1"
+            "WITH " + _ivf_train_cte(True, base=view, k_cells=k_cells)
+            + " SELECT cs FROM cents1"
         ).collect()
     finally:
         spark.catalog.dropTempView(view)
     cs = rows[0][0] if rows and rows[0][0] else []
     return [[int(v) for v in cv] for cv in cs]
+
+
+def assign_ivf_cells(df: DataFrame, codebook: list[list[int]]) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, embedding, cell) for a BATCH
+    index build — the static-sum codegen formulation `q_sim_topk` uses:
+    materialize the quantized qv once (localCheckpoint — the barrier
+    that stops CollapseProject re-inlining the normalize+quantize chain
+    into every one of the K×dim static terms), then argmax over K
+    literal dot-product sums, all inside whole-stage codegen. At
+    K=64/dim=64 over 100k vectors this is ~400M codegen'd
+    multiply-adds (~seconds); the HOF form `ivf_cell_expr` uses — kept
+    for STREAMS, which cannot checkpoint — would pay the same count in
+    interpreted lambda calls. Zero-norm vectors drop (their cell is
+    NULL in the expr form; same contract)."""
+    p = _ivf_parts(True)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    base = (
+        df.where(f"{n2} > 0")
+        .selectExpr("vec_id", "embedding", f"{nv} AS nv")
+        .selectExpr("vec_id", "embedding", f"{p['qv']} AS qv")
+        .localCheckpoint(eager=True)
+    )
+    d_exprs = []
+    for cv in codebook:
+        terms = [f"qv[{i}] * {int(c)}" for i, c in enumerate(cv) if int(c) != 0]
+        d_exprs.append("(" + " + ".join(terms) + ")" if terms
+                       else "CAST(0 AS BIGINT)")
+    ds_lit = "array(" + ", ".join(d_exprs) + ")"
+    return (
+        base.selectExpr("vec_id", "embedding", f"{ds_lit} AS ds")
+        .selectExpr(
+            "vec_id", "embedding",
+            f"CAST({p['argmax']} AS BIGINT) AS cell",
+        )
+    )
 
 
 def ivf_cell_expr(codebook: list[list[int]]) -> str:

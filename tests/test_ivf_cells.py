@@ -1,0 +1,105 @@
+"""Parameterized IVF cell count (round-6 ask #2): K is a build-time
+parameter end-to-end (`_ivf_train_cte` → `train_ivf_codebook_from` →
+`index build --cells K`), recall is monotone in nprobe at large K, and
+probing all K cells is exact within the index. The oracle entry keeps
+K=8, pinned here so catalog hashes cannot drift."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+
+
+def _synth_corpus(spark, copies: int = 16):
+    """~8k DISTINCT vectors: re-keyed copies of sf0.001's 500
+    embeddings, each copy deterministically perturbed (clones would
+    collapse into identical cells and make recall degenerate)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .selectExpr("vec_id",
+                    "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    parts = []
+    for k in range(copies):
+        parts.append(base.select(
+            (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, i) -> x + "
+                f"cos(CAST(vec_id % 97 + i * {k + 1} AS DOUBLE)) * 0.2)"
+            ).alias("embedding"),
+        ))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def test_k_cells_end_to_end(spark, tmp_path):
+    from pqstream_spark.queries.llm import search_ivf_index
+    from pqstream_spark.index import main
+
+    corpus = _synth_corpus(spark)
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "idx16")
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", src, "--out", idx,
+                 "--cells", "16"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["cells"] == 16 and stats["indexed"] == 500 * 16
+
+    with open(f"{idx}/codebook.json") as f:
+        cb = json.load(f)["codebook"]
+    assert len(cb) == 16
+
+    index = spark.read.parquet(f"{idx}/cells")
+    queries = corpus.where("vec_id < 10")\
+        .selectExpr("vec_id AS q_id", "embedding")
+
+    # ground truth: exact cosine top-5 over the whole corpus, driver-side
+    rows = corpus.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    nv = {v: x / np.linalg.norm(x) for v, x in vecs.items()
+          if np.linalg.norm(x) > 0}
+    exact = {}
+    for q in range(10):
+        sims = sorted(((round(float(np.dot(nv[q], nv[v])), 6), v)
+                       for v in nv if v != q),
+                      key=lambda t: (-t[0], t[1]))[:5]
+        exact[q] = {v for _, v in sims}
+
+    recalls = []
+    for nprobe in (1, 4, 16):
+        hits = search_ivf_index(index, queries, cb, k=5, nprobe=nprobe)
+        got = {}
+        for r in hits.collect():
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        recalls.append(
+            sum(len(exact[q] & got.get(q, set())) for q in range(10)) / 50.0
+        )
+    # recall is monotone in nprobe, and probing ALL cells is exact
+    # within the index (every vector is indexed, so exact == full probe)
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] == 1.0, recalls
+    # large K must actually prune: one-probe search touches 1/16 of the
+    # corpus on average, so its candidate sets are real subsets
+    assert recalls[0] < 1.0 or len(cb) == 1
+
+
+def test_catalog_entry_keeps_k8(spark):
+    """The oracle-checked entry's training phase stays at K=8 — the
+    default — so CORRECTNESS hashes cannot move."""
+    import inspect
+
+    from pqstream_spark.queries import llm
+
+    assert inspect.signature(llm.train_ivf_codebook_from)\
+        .parameters["k_cells"].default == 8
+    assert "rn <= 8" not in llm._ivf_train_cte(True)  # constant is gone
+    assert "LIMIT 8" in llm._ivf_train_cte(True)
+    assert "LIMIT 64" in llm._ivf_train_cte(True, k_cells=64)
