@@ -58,11 +58,29 @@ def build_parser() -> argparse.ArgumentParser:
                    "input sample and add real n_bpe_tokens to the "
                    "audit (functions/bpe.py); the merge table is "
                    "saved to OUT/bpe_merges.json")
+    p.add_argument("--merges", default=None, metavar="FILE",
+                   help="with --bpe: use a RELEASED merge table "
+                   "(public merges.txt format, word- or byte-level "
+                   "auto-detected) instead of training one — real "
+                   "token budgets from real vocabularies")
+    p.add_argument("--decontaminate", default=None, metavar="BENCH",
+                   help="benchmark file (.parquet or .csv with a `text` "
+                   "column): reject training documents whose n-grams "
+                   "CONTAIN a benchmark item (directional containment "
+                   ">= 0.8 — the oracle-certified decontamination sweep "
+                   "bound to a real benchmark frame)")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
                    "curated and near-dup-checked against the "
                    "accumulated accepted corpus (see curate_stream)")
+    p.add_argument("--batch-selfdedup", action="store_true",
+                   help="stream mode: ALSO run the LSH near-dup pass "
+                   "WITHIN each micro-batch (dedup_corpus), so two "
+                   "near-copies arriving in the same producer file "
+                   "yield one accepted doc; default trades that for "
+                   "per-batch cost (within-batch near dups ride to "
+                   "the next batch's stored-band index)")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (resume across "
                    "restarts; exactly-once with the per-epoch sinks)")
@@ -71,14 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def curate(docs, near_dedup: bool = False, min_clf: float = 0.0):
+def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
+           benchmark=None):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
-    (doc_id, lang). Runs on the frame's OWN session (inside
-    foreachBatch that is a cloned session with isolated temp views)."""
+    (doc_id, lang). `benchmark` (optional, (text) frame): reject docs
+    contaminated by a benchmark item — directional n-gram containment
+    >= 0.8, the dedup_pairwise_scores `decontaminate` branch's
+    near-dup threshold, via the same oracle-certified SQL
+    (queries/llm.decontaminate). Runs on the frame's OWN session
+    (inside foreachBatch that is a cloned session with isolated temp
+    views)."""
     from pyspark.sql import functions as F
 
-    from .queries.llm import _curation_sql, dedup_corpus
+    from .queries.llm import _curation_sql, decontaminate, dedup_corpus
 
     if "doc_id" not in docs.columns:
         docs = docs.withColumn("doc_id", F.expr("xxhash64(text)"))
@@ -112,10 +136,25 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0):
         cur = cur.withColumn(
             "near_dup_keeper", F.lit(None).cast("long")
         ).withColumn("near_dup_kept", F.lit(True))
+    if benchmark is not None:
+        flagged = (
+            decontaminate(docs.select("doc_id", "text"), benchmark,
+                          threshold=0.8)
+            .groupBy("doc_a")
+            .agg(F.min("doc_b").alias("contaminated_by"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        cur = cur.join(flagged, "doc_id", "left").withColumn(
+            "contaminated", F.expr("contaminated_by IS NOT NULL")
+        )
+    else:
+        cur = cur.withColumn(
+            "contaminated_by", F.lit(None).cast("long")
+        ).withColumn("contaminated", F.lit(False))
     return cur.withColumn(
         "final_keep",
         F.expr(f"kept AND mix_keep AND clf_margin >= {min_clf} "
-               "AND near_dup_kept"),
+               "AND near_dup_kept AND NOT contaminated"),
     )
 
 
@@ -135,6 +174,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         q = curate_stream(
             spark, args.documents, args.out, min_clf=args.min_clf,
             checkpoint_dir=args.checkpoint,
+            batch_selfdedup=args.batch_selfdedup,
         )
         if args.once:
             q.processAllAvailable()
@@ -159,8 +199,20 @@ def main(argv: list[str] | None = None, out=None) -> int:
               file=sys.stderr)
         return 1
 
+    benchmark = None
+    if args.decontaminate:
+        if args.decontaminate.endswith(".csv"):
+            benchmark = spark.read.option("header", "true").csv(
+                args.decontaminate)
+        else:
+            benchmark = spark.read.parquet(args.decontaminate)
+        if "text" not in benchmark.columns:
+            print(f"--decontaminate: no `text` column in "
+                  f"{args.decontaminate}", file=sys.stderr)
+            return 1
+
     cur = curate(docs, near_dedup=args.near_dedup,
-                 min_clf=args.min_clf)
+                 min_clf=args.min_clf, benchmark=benchmark)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
     # rejected, with full annotations and the rejection verdicts —
@@ -170,15 +222,22 @@ def main(argv: list[str] | None = None, out=None) -> int:
     audit_dir = os.path.join(args.out, "audit")
     corpus_dir = os.path.join(args.out, "corpus")
     if args.bpe:
-        from .functions.bpe import bpe_token_counts, train_bpe_from
+        from .functions.bpe import (
+            bpe_token_counts,
+            load_merges,
+            train_bpe_from,
+        )
 
         base = docs if "doc_id" in docs.columns else docs.withColumn(
             "doc_id", F.expr("xxhash64(text)")
         )
-        merges = train_bpe_from(base.select("doc_id", "text"))
-        os.makedirs(args.out, exist_ok=True)
-        with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
-            json.dump({"merges": merges}, f)
+        if args.merges:
+            merges = load_merges(args.merges)
+        else:
+            merges = train_bpe_from(base.select("doc_id", "text"))
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
+                json.dump({"merges": merges}, f)
         # duplicate doc_ids (exact-dup texts hash to the same id, or a
         # user-supplied id column with dups) would appear k times on
         # BOTH sides of this join → k² audit rows and a stats line
@@ -203,6 +262,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "WHEN kept IS NULL OR final_keep IS NULL THEN 'null_annotations' "
         "WHEN NOT kept THEN 'quality_or_exact_dup' "
         "WHEN NOT near_dup_kept THEN 'near_dup' "
+        "WHEN contaminated THEN 'contaminated' "
         f"WHEN clf_margin < {args.min_clf} THEN 'classifier' "
         "ELSE 'mixture_sampled_out' END"
     )
@@ -223,8 +283,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "kept": kept,
         "rejected": {
             k: causes.get(k, 0)
-            for k in ("quality_or_exact_dup", "near_dup", "classifier",
-                      "mixture_sampled_out", "null_annotations")
+            for k in ("quality_or_exact_dup", "near_dup", "contaminated",
+                      "classifier", "mixture_sampled_out",
+                      "null_annotations")
         },
         "kept_by_split": splits,
         "out": args.out,
@@ -239,6 +300,7 @@ def curate_stream(
     min_clf: float = 0.0,
     near_dedup: bool = True,
     checkpoint_dir: str | None = None,
+    batch_selfdedup: bool = False,
 ):
     """Streaming curation daemon: watch `in_dir` for document parquet
     files; each micro-batch is annotated/classified (same pipeline as
@@ -256,9 +318,10 @@ def curate_stream(
     the same idempotent-sink discipline as the CDC daemon.
 
     Within-batch exact dups are canonicalized by the curation fp rank;
-    within-batch NEAR dups ride to the next batch's index (documented
-    trade: the alternative is a per-batch LSH self-join, which
-    `dedup_corpus` provides if the producer batches are large).
+    within-batch NEAR dups ride to the next batch's index UNLESS
+    `batch_selfdedup` (CLI `--batch-selfdedup`) is set, which runs the
+    `dedup_corpus` LSH self-join per micro-batch — the right trade for
+    large producer batches, where a batch is itself a small corpus.
     Redelivered documents (same doc_id, at-least-once producers) band-
     match their stored copy and are rejected — the dedup join carries
     NO self-exclusion, because the stored corpus never contains the
@@ -286,7 +349,7 @@ def curate_stream(
         bdf = bdf.withColumn(
             "doc_id", F.expr("coalesce(doc_id, xxhash64(text))")
         ).localCheckpoint(eager=True)  # scanned by 3 consumers
-        cur = curate(bdf, near_dedup=False, min_clf=min_clf)
+        cur = curate(bdf, near_dedup=batch_selfdedup, min_clf=min_clf)
         # ONE signature pass feeds both the dedup join and the stored
         # band columns (the two formulations are band-key-identical;
         # inside foreachBatch this is an ordinary batch frame, so the

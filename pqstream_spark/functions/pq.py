@@ -127,13 +127,30 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode_expr(books: list[list[list[int]]]) -> str:
-    """Static Spark SQL: a `qv` array<bigint> column → ONE packed
-    BIGINT of M 4-bit codes. Per subspace, argmin over ksub of the
-    integer L2 cost ||c||² − 2·x_m·c (the ||x_m||² term is constant
-    across candidates), tie → smaller code via array_position's
-    first-match. Apply against a MATERIALIZED qv column (the
-    CollapseProject trap recorded in queries/llm.q_sim_topk)."""
+def demo_books(m: int = 8, ksub: int = 16, sub: int = 8) -> list[list[list[int]]]:
+    """Formula-derived deterministic sub-codebooks — the certification
+    twin of `train_pq_codebooks`: identical shapes and value range
+    (m × ksub × sub integers in [-63, 63]), but a pure function of the
+    indices so BOTH engines (Spark and the DuckDB oracle) can inline
+    the same literals with no data dependence. The encode/ADC
+    machinery exercised through these is byte-for-byte the machinery
+    trained books flow through; only the constants differ."""
+    return [
+        [[((mi * 131 + ci * 29 + j * 17) % 127) - 63 for j in range(sub)]
+         for ci in range(ksub)]
+        for mi in range(m)
+    ]
+
+
+def pq_encode_expr(books: list[list[list[int]]], spark: bool = True) -> str:
+    """Static SQL (both dialects): a `qv` array/list<bigint> column →
+    ONE packed BIGINT of M 4-bit codes. Per subspace, argmin over ksub
+    of the integer L2 cost ||c||² − 2·x_m·c (the ||x_m||² term is
+    constant across candidates), tie → smaller code via
+    array_position/list_position's first-match. Apply against a
+    MATERIALIZED qv column on Spark (the CollapseProject trap recorded
+    in queries/llm.q_sim_topk). DuckDB lists are 1-based; Spark array
+    [] indexing is 0-based — the dialect handles it."""
     if not books:
         raise ValueError(
             "pq_encode_expr: empty codebook (would generate invalid "
@@ -145,14 +162,144 @@ def pq_encode_expr(books: list[list[list[int]]]) -> str:
         costs = []
         for c in book:
             cnorm = sum(x * x for x in c)
-            prods = [f"qv[{mi * sub + j}] * {int(-2 * c[j])}"
+            off = 0 if spark else 1
+            prods = [f"qv[{mi * sub + j + off}] * {int(-2 * c[j])}"
                      for j in range(sub) if c[j] != 0]
             costs.append(f"({cnorm}" + ("" if not prods else
                                         " + " + " + ".join(prods)) + ")")
-        arr = "array(" + ", ".join(costs) + ")"
-        code = f"(array_position({arr}, array_min({arr})) - 1)"
-        terms.append(f"shiftleft({code}, {4 * mi})")
+        if spark:
+            arr = "array(" + ", ".join(costs) + ")"
+            code = f"(array_position({arr}, array_min({arr})) - 1)"
+            terms.append(f"shiftleft({code}, {4 * mi})")
+        else:
+            arr = "list_value(" + ", ".join(costs) + ")"
+            # CAST before the shift: DuckDB's << on INTEGER overflows
+            # at nibble 7 (11 << 28); Spark's shiftleft is 64-bit
+            code = f"CAST(list_position({arr}, list_min({arr})) - 1 AS BIGINT)"
+            terms.append(f"({code} << {4 * mi})")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _books_lit(books: list[list[list[int]]], spark: bool = True) -> str:
+    """The full m×ksub×sub codebook as ONE literal nested array —
+    constant-folded once by either engine, so expression size stays
+    O(values), not O(values × references)."""
+    arr = "array" if spark else "list_value"
+    suf = "L" if spark else ""
+    return f"{arr}(" + ", ".join(
+        f"{arr}(" + ", ".join(
+            f"{arr}(" + ", ".join(f"{int(v)}{suf}" for v in cv) + ")"
+            for cv in book
+        ) + ")" for book in books
+    ) + ")"
+
+
+def pq_encode_hof_expr(books: list[list[list[int]]],
+                       spark: bool = True) -> str:
+    """COMPACT encode (both dialects): per subspace, argmin of the
+    direct integer L2 distance to each centroid of the literal
+    codebook, folded with higher-order functions. Identical codes to
+    `pq_encode_expr` (same argmin, same first-match tie-break — the
+    ||x||² term the static form drops is constant per subspace), but
+    the generated code is O(m) instead of O(m·ksub·sub): the static
+    form's ~1k-term projections made janino compilation, not data,
+    the cost at catalog scale (measured 2.9 s → 1.2 s at sf0.1).
+    Production linear scans over millions of rows still want the
+    static whole-stage-codegen form; this is the certification/
+    small-batch variant, pinned equal by test."""
+    if not books:
+        raise ValueError("pq_encode_hof_expr: empty codebook")
+    bl = _books_lit(books, spark)
+    m = len(books)
+    sub = len(books[0][0])
+    terms = []
+    for mi in range(m):
+        if spark:
+            costs = (
+                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), cv, "
+                f"(x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), "
+                f"(a, e) -> a + e))"
+            )
+            code = (f"CAST(array_position({costs}, array_min({costs})) - 1 "
+                    f"AS BIGINT)")
+            terms.append(f"shiftleft({code}, {4 * mi})")
+        else:
+            costs = (
+                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_sum(list_transform(range(1, {sub + 1}), j -> "
+                f"(qv[{mi * sub} + j] - cv[j]) * (qv[{mi * sub} + j] - cv[j]))))"
+            )
+            code = (f"CAST(list_position({costs}, list_min({costs})) - 1 "
+                    f"AS BIGINT)")
+            terms.append(f"({code} << {4 * mi})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def pq_lut_hof_expr(books: list[list[list[int]]],
+                    spark: bool = True) -> str:
+    """COMPACT per-query LUT (both dialects): LUT[m][c] = q_m ·
+    centroid_c via HOF folds over the literal codebook — same values
+    as `pq_lut_expr`, O(m)-sized generated code."""
+    bl = _books_lit(books, spark)
+    m = len(books)
+    sub = len(books[0][0])
+    outer = []
+    for mi in range(m):
+        if spark:
+            outer.append(
+                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), cv, "
+                f"(x, c) -> x * c), CAST(0 AS BIGINT), (a, e) -> a + e))"
+            )
+        else:
+            outer.append(
+                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_sum(list_transform(range(1, {sub + 1}), j -> "
+                f"qv[{mi * sub} + j] * cv[j])))"
+            )
+    return ("array(" if spark else "list_value(") + ", ".join(outer) + ")"
+
+
+def pq_lut_expr(books: list[list[list[int]]], spark: bool = True) -> str:
+    """Static SQL: a query row's `qv` column → the M×ksub ADC lookup
+    table (array<array<bigint>>), LUT[m][c] = q_m · centroid_c — each
+    entry a static integer sum over literal centroid coordinates.
+    Computed ONCE per query row; every candidate then costs M shifts +
+    M lookups (`pq_adc_score_expr`)."""
+    outer = []
+    for mi, book in enumerate(books):
+        sub = len(book[0])
+        off = 0 if spark else 1
+        sums = []
+        for c in book:
+            prods = [f"qv[{mi * sub + j + off}] * {int(c[j])}"
+                     for j in range(sub) if c[j] != 0]
+            sums.append("(" + " + ".join(prods) + ")" if prods
+                        else "CAST(0 AS BIGINT)")
+        outer.append(("array(" if spark else "list_value(")
+                     + ", ".join(sums) + ")")
+    return ("array(" if spark else "list_value(") + ", ".join(outer) + ")"
+
+
+def pq_adc_score_expr(m: int, luts_col: str, code_col: str,
+                      spark: bool = True) -> str:
+    """Static SQL: ADC score = Σ_m LUT[m][code_m] — M nibble shifts +
+    M table lookups per candidate, integer-exact in both engines.
+    `% 16` is the nibble mask (shiftright keeps higher nibbles)."""
+    parts = []
+    for mi in range(m):
+        if spark:
+            parts.append(
+                f"element_at(element_at({luts_col}, {mi + 1}), "
+                f"CAST(shiftright({code_col}, {4 * mi}) % 16 AS INT) + 1)"
+            )
+        else:
+            parts.append(
+                f"{luts_col}[{mi + 1}]"
+                f"[CAST(({code_col} >> {4 * mi}) % 16 AS INTEGER) + 1]"
+            )
+    return "(" + " + ".join(parts) + ")"
 
 
 def pq_encode(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
@@ -173,28 +320,94 @@ def pq_encode(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
     return base.selectExpr("vec_id", f"{pq_encode_expr(books)} AS code")
 
 
+def _query_luts_frame(
+    queries: DataFrame, books: list[list[list[int]]],
+    extra_exprs: tuple[str, ...] = (),
+) -> DataFrame:
+    """(q_id, embedding) → (q_id, luts[, extra...]) with the M×ksub
+    ADC lookup table computed IN-ENGINE: quantize qv once
+    (localCheckpoint — the CollapseProject barrier), then the static
+    `pq_lut_expr` sums over literal centroid coordinates. No driver
+    collect, so the query side can be an arbitrary-size frame — the
+    round-5 inline-literal path serialized an O(|Q|·M·ksub) plan
+    through the driver (kept below under inline_luts=True for parity
+    tests)."""
+    from ..queries.llm import _norm2_expr, _norm_vec_expr
+
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    base = (
+        queries.where(f"{n2} > 0")
+        .selectExpr(
+            "q_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        )
+        .localCheckpoint(eager=True)
+    )
+    return base.selectExpr(
+        "q_id", f"{pq_lut_expr(books, True)} AS luts", *extra_exprs
+    )
+
+
+def _adc_topk(codes: DataFrame, luts_df: DataFrame, m: int, k: int,
+              exclude_self: bool, on_cell: bool) -> DataFrame:
+    """Shared ADC scoring tail: broadcast the LUT side, join (on cell
+    for IVF-PQ, nested-loop for the full linear scan), score each
+    candidate with M shifts + M lookups, window top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    score = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
+        f"acc + element_at(element_at(luts, mi + 1), "
+        # % 16 is the NIBBLE mask (shiftright keeps higher nibbles),
+        # independent of ksub
+        f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
+    )
+    if on_cell:
+        joined = F.broadcast(luts_df).join(codes, "cell")
+    else:
+        # Q queries x full code scan IS the ADC linear scan by
+        # definition; the broadcast nested loop ships the LUT side
+        joined = F.broadcast(luts_df).join(codes, F.lit(True))
+    if exclude_self:
+        joined = joined.where("q_id <> vec_id")
+    scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 def pq_search(
     codes: DataFrame,
     queries: DataFrame,
     books: list[list[list[int]]],
     k: int = 5,
     exclude_self: bool = True,
+    inline_luts: bool = False,
 ) -> DataFrame:
     """ADC top-k: for each (q_id, embedding) query, score every code
-    as Σ_m LUT[m][code_m] where LUT[m][c] = q_m · centroid — the
-    query's M×ksub partial dot products are computed ONCE on the
-    driver (exact integers; queries are a small batch by contract,
-    like every search path here) and shipped as literals; each
-    candidate then costs M shifts + M lookups inside codegen. Returns
-    (q_id, c_id, score, rn); score is the integer ADC dot — a
-    RANKING surrogate for cosine, not its value."""
-    from pyspark.sql import functions as F
+    as Σ_m LUT[m][code_m] where LUT[m][c] = q_m · centroid. The LUTs
+    are computed IN-ENGINE (static sums over literal centroids — see
+    `_query_luts_frame`), so `queries` may be an arbitrary-size frame;
+    each candidate then costs M shifts + M lookups inside codegen.
+    `inline_luts=True` keeps the round-5 driver-side literal path
+    (exact integers either way; pinned equal by test). Returns
+    (q_id, c_id, score, rn); score is the integer ADC dot — a RANKING
+    surrogate for cosine, not its value."""
+    m = len(books)
+    if not inline_luts:
+        luts_df = _query_luts_frame(queries, books)
+        return _adc_topk(codes, luts_df, m, k, exclude_self, on_cell=False)
 
     from ..queries.llm import _norm2_expr, _norm_vec_expr
 
     n2 = _norm2_expr(True)
     nv = _norm_vec_expr(True)
-    m = len(books)
     qrows = (
         queries.where(f"{n2} > 0")
         .selectExpr(
@@ -220,28 +433,7 @@ def pq_search(
     luts_df = spark.createDataFrame(
         luts, "q_id long, luts array<array<bigint>>"
     )
-    score = (
-        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
-        f"acc + element_at(element_at(luts, mi + 1), "
-        # % 16 is the NIBBLE mask (shiftright keeps higher nibbles),
-        # independent of ksub
-        f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
-    )
-    # Q queries x full code scan IS the ADC linear scan by definition;
-    # the broadcast nested loop ships the tiny LUT side everywhere
-    joined = F.broadcast(luts_df).join(codes, F.lit(True))
-    if exclude_self:
-        joined = joined.where("q_id <> vec_id")
-    scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("score").desc(), F.col("c_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-    )
+    return _adc_topk(codes, luts_df, m, k, exclude_self, on_cell=False)
 
 
 def ivfpq_search(
@@ -262,56 +454,29 @@ def ivfpq_search(
     with the codes table partitioned by cell this is the classic
     memory-resident IVF-PQ scan: 8 bytes per candidate, M lookups per
     score, file pruning per probe."""
-    from pyspark.sql import functions as F
+    from ..queries.llm import ivf_probe_cells_expr
 
-    from ..queries.llm import _norm2_expr, _norm_vec_expr, ivf_probe_cells_expr
-
-    n2 = _norm2_expr(True)
-    nv = _norm_vec_expr(True)
     m = len(books)
     nprobe = max(1, min(int(nprobe), len(codebook)))
-    qrows = (
-        queries.where(f"{n2} > 0")
-        .selectExpr(
-            "q_id",
-            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
-            f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
-        )
-        .collect()
+    # LUTs and probe cells both compute IN-ENGINE from the same
+    # quantized base (`ivf_probe_cells_expr` is already a narrow SQL
+    # expression); one explode fans each query out to its nprobe
+    # cells, and the equi-join on `cell` keeps candidate generation
+    # inside the probed cells — with the codes table partitioned by
+    # cell this is the memory-resident IVF-PQ scan: 8 bytes per
+    # candidate, M lookups per score, file pruning per probe. No
+    # driver collect at any query-set size.
+    luts_df = _query_luts_frame(
+        queries.selectExpr("q_id", "embedding"), books,
+        extra_exprs=(),
     )
-    if not qrows:
-        return codes.sparkSession.createDataFrame(
-            [], "q_id long, c_id long, score long, rn int"
-        )
-    spark = codes.sparkSession
-    sub = len(books[0][0])
-    luts = []
-    for r in qrows:
-        qlut = [
-            [sum(int(r["qv"][mi * sub + j]) * c[j] for j in range(sub))
-             for c in books[mi]]
-            for mi in range(m)
-        ]
-        for cell in r["cells"]:
-            luts.append((r["q_id"], int(cell), qlut))
-    luts_df = spark.createDataFrame(
-        luts, "q_id long, cell long, luts array<array<bigint>>"
+    cells_df = queries.selectExpr(
+        "q_id AS _qc_id",
+        f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
+    ).where("cells IS NOT NULL").selectExpr(
+        "_qc_id", "explode(cells) AS cell"
     )
-    score = (
-        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, mi) -> "
-        f"acc + element_at(element_at(luts, mi + 1), "
-        f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
-    )
-    joined = F.broadcast(luts_df).join(codes, "cell")
-    if exclude_self:
-        joined = joined.where("q_id <> vec_id")
-    scored = joined.selectExpr("q_id", "vec_id AS c_id", f"{score} AS score")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("score").desc(), F.col("c_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-    )
+    luts_cells = luts_df.join(
+        cells_df, luts_df.q_id == cells_df._qc_id
+    ).select("q_id", "cell", "luts")
+    return _adc_topk(codes, luts_cells, m, k, exclude_self, on_cell=True)

@@ -126,10 +126,16 @@ def main(argv: list[str] | None = None, out=None) -> int:
             print("no non-zero vectors to index", file=sys.stderr)
             return 1
         # batch build → static-sum codegen assignment (K×dim literal
-        # terms over a materialized qv); the HOF `ivf_cell_expr` form
-        # stays the `add`/streaming path, where frames are micro-batch
-        # sized and a checkpoint barrier is unavailable
-        assigned = assign_ivf_cells(emb, cb)
+        # terms over a materialized qv) for small K, Arrow/numpy matmul
+        # for large K; the HOF `ivf_cell_expr` form stays the
+        # `add`/streaming path, where frames are micro-batch sized and
+        # a checkpoint barrier is unavailable. Repartition ON the cell
+        # key before the partitioned write: without it every task
+        # writes a sliver into every cell directory (tasks × K tiny
+        # files — measured 31 s of filesystem churn at K=64/100k rows);
+        # with it each cell is a few compact files, which is also the
+        # read-side contract (probe one cell → read one file).
+        assigned = assign_ivf_cells(emb, cb).repartition("cell")
         meta = {"codebook": cb}
         if args.pq:
             from .functions.pq import pq_encode, train_pq_codebooks

@@ -889,6 +889,122 @@ SELECT q_id, c_id, qdot, rn FROM (
 """
 
 
+# --- similarity: PQ/ADC certification branch ---------------------------------------
+# The round-5 PQ module (functions/pq.py — Jégou 2011) was pytest-only;
+# this branch runs its encode → 4-bit pack → per-query LUT → nibble-
+# lookup ADC machinery through BOTH engines with the formula-derived
+# demo_books (data-independent, so identical literals inline into Spark
+# and the DuckDB oracle; trained books flow through the same
+# expressions with different constants). Scores are exact integers —
+# any drift in packing, shifting, or lookup order breaks the hash.
+
+
+def _pq_adc_sql(spark: bool, base: str | None = None) -> str:
+    """`base` (Spark side): a materialized (vec_id, qv) view — the
+    CollapseProject barrier; the encode expression references qv in
+    ~128 static terms and, left as lineage, Catalyst re-inlines the
+    normalize+quantize chain into every one (measured 4.0 s vs sub-
+    second at sf0.1). DuckDB runs the self-contained one-statement
+    form."""
+    from ..functions.pq import (
+        demo_books,
+        pq_adc_score_expr,
+        pq_encode_hof_expr,
+        pq_lut_hof_expr,
+    )
+
+    books = demo_books()
+    n2 = _norm2_expr(spark)
+    nv = _norm_vec_expr(spark)
+    tmap = "transform" if spark else "list_transform"
+    qv = f"{tmap}({nv}, x -> CAST(round(x * 127, 0) AS BIGINT))"
+    prefix = ("" if base else
+              f"pqb AS (SELECT vec_id, {qv} AS qv FROM embeddings "
+              f"WHERE {n2} > 0),\n")
+    rel = base or "pqb"
+    score = pq_adc_score_expr(len(books), "q.luts", "c.code", spark)
+    return f"""
+WITH {prefix}codes AS (SELECT vec_id, {pq_encode_hof_expr(books, spark)} AS code FROM {rel}),
+q AS (SELECT vec_id AS q_id, {pq_lut_hof_expr(books, spark)} AS luts
+      FROM {rel} WHERE vec_id < 10),
+adc_scored AS (
+  SELECT q.q_id, c.vec_id AS c_id, CAST({score} AS DOUBLE) AS score
+  FROM q JOIN codes c ON q.q_id <> c.vec_id
+)
+SELECT q_id, c_id, score, rn FROM (
+  SELECT q_id, c_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id) AS rn
+  FROM adc_scored
+) ranked WHERE rn <= 5
+"""
+
+
+# --- similarity: hashing-trick embedding certification branch ----------------------
+# functions/embeddings.embed_documents as SQL both engines run: md5-
+# nibble bucket/sign hashing (shared expression builders, so library
+# and branch cannot drift), term-frequency aggregation, and cosine via
+# the sparse inverted-index dot product — the formulation that scales
+# (Σ_bucket va·vb over a bucket equi-join; dense arrays never
+# materialize). Top-3 per query doc over the near-dup corpus: each
+# original's planted near-copy must surface, so the branch certifies
+# the embedding VALUES, not just the plumbing.
+
+
+def _embed_bk_sql(spark: bool) -> str:
+    """The shared sparse-embedding relation: (doc_id, bucket, v) over
+    the near-dup corpus — one explode + md5 + one (doc_id, bucket)
+    map-side-combined aggregate."""
+    from ..functions.embeddings import md5_bucket_sql, md5_sign_sql
+
+    tok = TOK_SPARK if spark else TOK_DUCK
+    ex = ("SELECT doc_id, t FROM toks LATERAL VIEW explode(tok) x AS t"
+          if spark else "SELECT doc_id, unnest(tok) AS t FROM toks")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {tok} AS tok FROM corpus),
+ex AS ({ex}),
+hh AS (SELECT doc_id, md5(t) AS h FROM ex),
+sg AS (SELECT doc_id, {md5_bucket_sql('h', spark=spark)} AS bucket,
+              {md5_sign_sql('h', spark)} AS sgn FROM hh)
+SELECT doc_id, bucket, SUM(sgn) AS v FROM sg GROUP BY doc_id, bucket
+"""
+
+
+def _embed_hash_sql(spark: bool, bk: str | None = None) -> str:
+    """`bk` (Spark side): a materialized view of `_embed_bk_sql` — the
+    relation is read three times (norms + both join sides) and Spark
+    inlines CTEs, so the un-materialized form re-runs the explode+md5
+    chain 3× (measured 2.7 s vs ~1 s at sf0.1)."""
+    prefix = (f"bk AS (SELECT doc_id, bucket, v FROM {bk}),\n" if bk
+              else f"bk AS ({_embed_bk_sql(spark).strip()}),\n")
+    return f"""
+WITH {prefix}nrm AS (SELECT doc_id, SUM(v * v) AS n2 FROM bk GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS q_id, b.doc_id AS c_id, SUM(a.v * b.v) AS dot
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.doc_id <> a.doc_id
+  WHERE a.doc_id < 10
+  GROUP BY a.doc_id, b.doc_id
+),
+eh_scored AS (
+  SELECT d.q_id, d.c_id,
+         round(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+           AS score
+  FROM dots d
+  JOIN nrm na ON na.doc_id = d.q_id
+  JOIN nrm nb ON nb.doc_id = d.c_id
+  WHERE na.n2 > 0 AND nb.n2 > 0
+)
+SELECT q_id, c_id, score, rn FROM (
+  SELECT q_id, c_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id) AS rn
+  FROM eh_scored
+) ranked WHERE rn <= 3
+"""
+
+
 # --- text analysis -----------------------------------------------------------------
 
 STOPWORDS = {
@@ -904,6 +1020,19 @@ STOPWORDS = {
 # + simhash, in ONE narrow scan of documents (every column is a per-doc
 # map over the same token array — the per-document half of a curation
 # pass; at 100 TB this is one codegen'd projection, no shuffle at all).
+
+
+def _bpe_frozen(spark: bool) -> str:
+    """REAL BPE token count under the frozen released merge table
+    (functions/bpe.FROZEN_MERGES) as pure SQL both engines run — the
+    round-6 certification of functions/bpe.py: the boundary-safe
+    replace-chain is pinned equal to the Arrow-batched Python
+    segmenter by test, and this column pins it against the DuckDB
+    oracle every round (bpe_ish_tokens above stays the regex
+    approximation for comparison)."""
+    from ..functions.bpe import FROZEN_MERGES, bpe_count_sql
+
+    return bpe_count_sql(FROZEN_MERGES, spark)
 
 
 def _annotations_sql(spark: bool, src: str = "documents") -> str:
@@ -986,6 +1115,7 @@ SELECT doc_id, lang AS actual_lang,
             + 0.5 * least(CAST({size}(tok) AS DOUBLE) / 100.0, 1.0), 6)
   END AS quality_score,
   {bpe} AS bpe_ish_tokens,
+  {_bpe_frozen(spark)} AS n_bpe_frozen,
   CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
   {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash,
@@ -1272,6 +1402,28 @@ def _decontam_sql(spark: bool) -> str:
     # into a per-shingle interpreted lambda — measured 9 s for 500
     # docs vs 0.4 s for the inline form (the minhash signature path's
     # shape, which never exhibits the filter).
+    return f"""
+WITH test_base AS (
+  SELECT doc_id + 500000 AS test_id, substring(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+{_decontam_core_sql(spark, train_src='documents', test_src='test_base')}"""
+
+
+def _decontam_core_sql(spark: bool, train_src: str, test_src: str,
+                       threshold: float = 0.5, min_shingles: int = 5,
+                       df_cap: int = DECON_DF_CAP) -> str:
+    """The decontamination sweep over ARBITRARY train/test relations —
+    `train_src` provides (doc_id, text), `test_src` (test_id, text).
+    Emitted WITHOUT a leading WITH so callers prepend their own CTEs
+    (the catalog entry synthesizes its test set; `decontaminate()`
+    binds real benchmark frames). Same plan shape either way: counted
+    boilerplate cap before any join, broadcast inverted-index join,
+    per-pair thresholds applied before the aggregate leaves the
+    executors."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
+    distinct = "array_distinct" if spark else "list_distinct"
     explode_fn = "explode" if spark else "unnest"
     train_ex = (
         f"SELECT doc_id, {explode_fn}({distinct}({sh})) AS s FROM train_tok"
@@ -1279,17 +1431,12 @@ def _decontam_sql(spark: bool) -> str:
     test_ex = (
         f"SELECT test_id, {explode_fn}({distinct}({sh})) AS s FROM test_tok"
     )
-    return f"""
-WITH train_tok AS (SELECT doc_id, {tok} AS tok FROM documents),
+    return f"""train_tok AS (SELECT doc_id, {tok} AS tok FROM {train_src}),
 train_ex AS ({train_ex}),
-test_base AS (
-  SELECT doc_id + 500000 AS test_id, substring(text, 1, 120) AS text
-  FROM documents WHERE doc_id % 97 = 0
-),
-test_tok AS (SELECT test_id, {tok} AS tok FROM test_base),
+test_tok AS (SELECT test_id, {tok} AS tok FROM {test_src}),
 test_ex AS ({test_ex}),
 boiler AS (
-  SELECT s FROM train_ex GROUP BY s HAVING COUNT(*) > {DECON_DF_CAP}
+  SELECT s FROM train_ex GROUP BY s HAVING COUNT(*) > {df_cap}
 ),
 train_rare AS (
   SELECT t.doc_id, t.s FROM train_ex t
@@ -1308,8 +1455,41 @@ hits AS (
 SELECT h.doc_id AS doc_a, h.test_id AS doc_b,
        round(CAST(h.n_hit AS DOUBLE) / tn.n_test, 6) AS containment
 FROM hits h JOIN test_n tn ON h.test_id = tn.test_id
-WHERE tn.n_test >= 5 AND CAST(h.n_hit AS DOUBLE) / tn.n_test >= 0.5
+WHERE tn.n_test >= {min_shingles}
+  AND CAST(h.n_hit AS DOUBLE) / tn.n_test >= {threshold}
 """
+
+
+def decontaminate(corpus_df: DataFrame, benchmark_df: DataFrame,
+                  threshold: float = 0.5, min_shingles: int = 5,
+                  df_cap: int = DECON_DF_CAP) -> DataFrame:
+    """Train/test decontamination against a REAL benchmark frame (the
+    `dedup_corpus` factoring pattern): `corpus_df` needs (doc_id,
+    text), `benchmark_df` (text) with optional (test_id). Returns
+    (doc_a=train doc_id, doc_b=test_id, containment) for every pair at
+    or above `threshold` directional n-gram containment — the same
+    oracle-certified SQL the `decontaminate` branch of
+    dedup_pairwise_scores runs, bound to external relations via unique
+    temp views."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    sess = corpus_df.sparkSession
+    if "test_id" not in benchmark_df.columns:
+        benchmark_df = benchmark_df.withColumn(
+            "test_id", F.expr("xxhash64(text)"))
+    vtrain = f"_decon_train_{_uuid.uuid4().hex[:8]}"
+    vtest = f"_decon_test_{_uuid.uuid4().hex[:8]}"
+    corpus_df.select("doc_id", "text").createOrReplaceTempView(vtrain)
+    benchmark_df.select("test_id", "text").createOrReplaceTempView(vtest)
+    out = sess.sql("WITH " + _decontam_core_sql(
+        True, train_src=vtrain, test_src=vtest, threshold=threshold,
+        min_shingles=min_shingles, df_cap=df_cap,
+    ))
+    sess.catalog.dropTempView(vtrain)
+    sess.catalog.dropTempView(vtest)
+    return out
 
 
 def _pairwise_scores_sql(spark: bool) -> str:
@@ -1570,18 +1750,32 @@ def train_ivf_codebook_from(df: DataFrame,
     return [[int(v) for v in cv] for cv in cs]
 
 
+# Above this K, the static-sum assignment's K×dim-term expressions
+# outgrow whole-stage codegen (janino bails, interpreted eval walks
+# ~K×dim tree nodes per row — measured 38 s for 100k rows at K=64) and
+# the Arrow/numpy matmul path wins by orders of magnitude. At or below
+# it, the pure-SQL form matches the oracle-certified catalog math
+# term for term and costs nothing to keep.
+ASSIGN_STATIC_MAX_K = 16
+
+
 def assign_ivf_cells(df: DataFrame, codebook: list[list[int]]) -> DataFrame:
     """(vec_id, embedding) → (vec_id, embedding, cell) for a BATCH
-    index build — the static-sum codegen formulation `q_sim_topk` uses:
-    materialize the quantized qv once (localCheckpoint — the barrier
-    that stops CollapseProject re-inlining the normalize+quantize chain
-    into every one of the K×dim static terms), then argmax over K
-    literal dot-product sums, all inside whole-stage codegen. At
-    K=64/dim=64 over 100k vectors this is ~400M codegen'd
-    multiply-adds (~seconds); the HOF form `ivf_cell_expr` uses — kept
-    for STREAMS, which cannot checkpoint — would pay the same count in
-    interpreted lambda calls. Zero-norm vectors drop (their cell is
-    NULL in the expr form; same contract)."""
+    index build. Two physical strategies, one contract (integer qv =
+    round(nv·127), integer dot against the codebook, FIRST-max argmax
+    → 1-based cell; zero-norm vectors drop):
+
+    - K ≤ ASSIGN_STATIC_MAX_K: static-sum codegen formulation
+      (`q_sim_topk`'s discipline — materialize qv once, argmax over K
+      literal dot sums inside whole-stage codegen).
+    - larger K: Arrow-batched mapInPandas — one int64 numpy matmul
+      (batch×dim) @ (dim×K) per Arrow batch and a row-wise argmax;
+      ~0.2 s of numpy for 100k×64×64 where the SQL expression paid
+      38 s of interpreted tree-walking. Exact integer math, ties to
+      the first (smallest) cell in both paths — pinned equal by test.
+
+    The HOF `ivf_cell_expr` stays the STREAMING path (no checkpoint
+    barrier available there)."""
     p = _ivf_parts(True)
     nv = _norm_vec_expr(True)
     n2 = _norm2_expr(True)
@@ -1591,18 +1785,46 @@ def assign_ivf_cells(df: DataFrame, codebook: list[list[int]]) -> DataFrame:
         .selectExpr("vec_id", "embedding", f"{p['qv']} AS qv")
         .localCheckpoint(eager=True)
     )
-    d_exprs = []
-    for cv in codebook:
-        terms = [f"qv[{i}] * {int(c)}" for i, c in enumerate(cv) if int(c) != 0]
-        d_exprs.append("(" + " + ".join(terms) + ")" if terms
-                       else "CAST(0 AS BIGINT)")
-    ds_lit = "array(" + ", ".join(d_exprs) + ")"
-    return (
-        base.selectExpr("vec_id", "embedding", f"{ds_lit} AS ds")
-        .selectExpr(
-            "vec_id", "embedding",
-            f"CAST({p['argmax']} AS BIGINT) AS cell",
+    if len(codebook) <= ASSIGN_STATIC_MAX_K:
+        d_exprs = []
+        for cv in codebook:
+            terms = [f"qv[{i}] * {int(c)}"
+                     for i, c in enumerate(cv) if int(c) != 0]
+            d_exprs.append("(" + " + ".join(terms) + ")" if terms
+                           else "CAST(0 AS BIGINT)")
+        ds_lit = "array(" + ", ".join(d_exprs) + ")"
+        return (
+            base.selectExpr("vec_id", "embedding", f"{ds_lit} AS ds")
+            .selectExpr(
+                "vec_id", "embedding",
+                f"CAST({p['argmax']} AS BIGINT) AS cell",
+            )
         )
+
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    cb = _np.array(codebook, dtype=_np.int64).T  # dim × K
+
+    def assign(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _np.stack(
+                [_np.asarray(v, dtype=_np.int64) for v in pdf["qv"]]
+            )
+            ds = qv @ cb  # exact int64: |qv|<=127, |c|<=127, dim<=~1k
+            cell = ds.argmax(axis=1) + 1  # first max == smallest cid
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "cell": cell.astype("int64"),
+            })
+
+    return base.mapInPandas(
+        assign, "vec_id long, embedding array<double>, cell long"
     )
 
 
@@ -1804,16 +2026,63 @@ UNION ALL
     return out
 
 
-def _sim_ann_sql(spark: bool) -> str:
+def _sim_ann_sql(spark: bool, pq_base: str | None = None,
+                 embed_bk: str | None = None) -> str:
     """Random-hyperplane LSH (bucketed, exact re-rank) ∪ int8-quantized
-    integer-dot-product top-k — the two label-free ANN scale paths."""
+    integer-dot-product top-k — the two label-free ANN scale paths —
+    ∪ (round 6) the PQ/ADC and hashing-trick-embedding certification
+    branches, so functions/pq.py and functions/embeddings.py are
+    oracle-checked, not just pytest-tested."""
     return f"""
 SELECT 'lsh_hyperplane' AS method, q_id, c_id, cos AS score, rn
 FROM ({_lsh_hyperplane_sql(spark).strip()})
 UNION ALL
 SELECT 'int8_quantized' AS method, q_id, c_id, CAST(qdot AS DOUBLE) AS score, rn
 FROM ({_quant_topk_sql(spark).strip()})
+UNION ALL
+SELECT 'pq_adc' AS method, q_id, c_id, score, rn
+FROM ({_pq_adc_sql(spark, base=pq_base).strip()})
+UNION ALL
+SELECT 'embed_hash' AS method, CAST(q_id AS BIGINT) AS q_id,
+       CAST(c_id AS BIGINT) AS c_id, score, rn
+FROM ({_embed_hash_sql(spark, bk=embed_bk).strip()})
 """
+
+
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of `sim_ann_lsh_quantized`. The first two branches
+    run as plain SQL; the two certification branches get their shared
+    relations materialized ONCE (localCheckpoint + unique temp views,
+    the q_sim_topk discipline):
+
+    - `pqb` (vec_id, qv): the PQ encode expression references qv in
+      ~128 static terms — as lineage, CollapseProject re-inlines the
+      whole normalize+quantize chain into each (measured 4.0 s at
+      sf0.1; materialized, sub-second).
+    - `bk` (doc_id, bucket, v): read three times (norms, both join
+      sides); Spark inlines CTEs, so the un-materialized form re-runs
+      explode+md5 3× (measured 2.7 s → ~1 s).
+
+    The DuckDB oracle runs the identical math as one SQL statement
+    (`_sim_ann_sql(False)`)."""
+    import uuid as _uuid
+
+    register_views(spark, sf_dir)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    vpq = f"_pqb_{_uuid.uuid4().hex[:8]}"
+    vbk = f"_ebk_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"SELECT vec_id, transform({nv}, x -> CAST(round(x * 127, 0) "
+        f"AS BIGINT)) AS qv FROM embeddings WHERE {n2} > 0"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(vpq)
+    spark.sql(_embed_bk_sql(True)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(vbk)
+    out = spark.sql(_sim_ann_sql(True, pq_base=vpq, embed_bk=vbk))
+    spark.catalog.dropTempView(vpq)
+    spark.catalog.dropTempView(vbk)
+    return out
 
 
 def register(queries: dict, oracles: dict) -> None:
@@ -1823,7 +2092,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["text_annotations"] = _annotations_sql(False)
     queries["sim_topk_brute_ivf"] = q_sim_topk
     oracles["sim_topk_brute_ivf"] = _sim_topk_sql(False)
-    queries["sim_ann_lsh_quantized"] = _sql(_sim_ann_sql(True))
+    queries["sim_ann_lsh_quantized"] = q_sim_ann
     oracles["sim_ann_lsh_quantized"] = _sim_ann_sql(False)
     queries["dedup_pairwise_scores"] = _sql(_pairwise_scores_sql(True))
     oracles["dedup_pairwise_scores"] = _pairwise_scores_sql(False)

@@ -62,3 +62,100 @@ def test_bpe_counts_over_corpus(spark):
         assert big[d]["n_bpe_tokens"] <= r["n_bpe_tokens"], (
             "more merges can only compress further"
         )
+
+
+def test_merges_file_round_trip(tmp_path, spark):
+    """Round-6 ask #6: a fixture merges file in the public merges.txt
+    format segments identically to the in-memory trained table, and
+    `curate --bpe --merges FILE` consumes it."""
+    import io
+    import json
+
+    from pqstream_spark.functions.bpe import (
+        FROZEN_MERGES,
+        bpe_segment,
+        load_merges,
+        save_merges,
+    )
+
+    path = str(tmp_path / "merges.txt")
+    save_merges(path, FROZEN_MERGES)
+    loaded = load_merges(path)
+    assert loaded == [tuple(m) for m in FROZEN_MERGES]
+    r1 = {tuple(m): i for i, m in enumerate(FROZEN_MERGES)}
+    r2 = {tuple(m): i for i, m in enumerate(loaded)}
+    for text in ("the quick brown fox", "streams of tokens merge",
+                 "lowest newest", ""):
+        assert bpe_segment(text, r1) == bpe_segment(text, r2)
+
+    # CLI: --merges skips training and uses the released table
+    from pqstream_spark.curate import main
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "out")
+    buf = io.StringIO()
+    assert main(["--documents", src, "--out", out_dir, "--bpe",
+                 "--merges", path, "--cpus", "4"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["docs"] == 30
+    audit = spark.read.parquet(f"{out_dir}/audit")
+    assert audit.where("n_bpe_tokens IS NULL").count() == 0
+    # no trained table was written: the released one was used
+    import os
+
+    assert not os.path.exists(os.path.join(out_dir, "bpe_merges.json"))
+
+
+def test_byte_level_table_detection_and_segmentation():
+    """A GPT-2-style byte-level table (Ġ space marker, cased symbols)
+    auto-detects and segments through bytes_to_unicode + the GPT-2
+    pre-tokenizer; the worked example is computed by hand."""
+    from pqstream_spark.functions.bpe import (
+        bpe_segment_bytes,
+        is_byte_level,
+        bytes_to_unicode,
+    )
+
+    b2u = bytes_to_unicode()
+    assert b2u[ord(" ")] == "Ġ"  # the 'Ġ' space stand-in
+    assert b2u[ord("A")] == "A"
+
+    merges = [("t", "h"), ("th", "e"), ("Ġ", "c"),
+              ("Ġc", "a"), ("Ġca", "t")]
+    assert is_byte_level(merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    # "the cat": pieces ['the', ' cat'] → 'the' merges fully;
+    # ' cat' maps to Ġ,c,a,t → Ġc → Ġca → Ġcat
+    assert bpe_segment_bytes("the cat", ranks) == ["the", "Ġcat"]
+    # unmerged piece stays as byte stand-ins
+    assert bpe_segment_bytes("xy", ranks) == ["x", "y"]
+
+    from pqstream_spark.functions.bpe import END, FROZEN_MERGES
+
+    assert not is_byte_level(FROZEN_MERGES)
+    assert any(END in a or END in b for a, b in FROZEN_MERGES)
+
+
+def test_byte_level_counts_in_spark(spark):
+    """bpe_token_counts auto-routes a byte-level table through the
+    byte segmenter inside the Arrow batch."""
+    from pqstream_spark.functions.bpe import bpe_token_counts
+
+    # space-prefixed merges first, as in real released tables (the
+    # space-glued forms dominate training corpora)
+    merges = [("Ġ", "t"), ("Ġt", "h"), ("Ġth", "e"), ("t", "h"),
+              ("th", "e")]
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(docs, merges).collect()}
+    # 'the' → th+e → the = 1 token; ' the' ×2 → Ġt+h,e → … → Ġthe = 1
+    assert rows[1] == 3 and rows[2] == 0 and rows[3] == 0

@@ -103,3 +103,27 @@ def test_catalog_entry_keeps_k8(spark):
     assert "rn <= 8" not in llm._ivf_train_cte(True)  # constant is gone
     assert "LIMIT 8" in llm._ivf_train_cte(True)
     assert "LIMIT 64" in llm._ivf_train_cte(True, k_cells=64)
+
+
+def test_numpy_assignment_equals_expr_assignment(spark):
+    """K > ASSIGN_STATIC_MAX_K routes assignment through the Arrow/
+    numpy matmul; its cells are bit-identical to the HOF expression
+    form (same integer quantization, same first-max tie-break)."""
+    from pqstream_spark.queries.llm import (
+        ASSIGN_STATIC_MAX_K,
+        assign_ivf_cells,
+        ivf_cell_expr,
+        train_ivf_codebook_from,
+    )
+
+    corpus = _synth_corpus(spark, copies=8)
+    cb = train_ivf_codebook_from(corpus, k_cells=32)
+    assert len(cb) == 32 > ASSIGN_STATIC_MAX_K
+
+    via_np = {r["vec_id"]: r["cell"]
+              for r in assign_ivf_cells(corpus, cb).collect()}
+    via_expr = {r["vec_id"]: r["cell"]
+                for r in corpus.selectExpr(
+                    "vec_id", f"{ivf_cell_expr(cb)} AS cell"
+                ).where("cell IS NOT NULL").collect()}
+    assert via_np == via_expr and len(via_np) == 4000

@@ -93,6 +93,35 @@ def test_pq_adc_retrieval_quality(spark):
     assert mean >= 0.5, f"ADC recall@5 degenerated: {overlaps}"
 
 
+def test_pq_search_distributed_luts_equal_inline(spark):
+    """Round-6 ask #5: the default in-engine LUT path (arbitrary-size
+    query frames, zero driver collect) returns exactly what the
+    round-5 inline-literal path returns."""
+    from pqstream_spark.functions.pq import (
+        pq_encode,
+        pq_search,
+        train_pq_codebooks,
+    )
+
+    emb = _emb(spark)
+    books = train_pq_codebooks(emb)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    queries = emb.where("vec_id < 25").selectExpr(
+        "vec_id AS q_id", "embedding")
+    dist = {(r["q_id"], r["c_id"], r["score"], r["rn"])
+            for r in pq_search(codes, queries, books, k=5).collect()}
+    inline = {(r["q_id"], r["c_id"], r["score"], r["rn"])
+              for r in pq_search(codes, queries, books, k=5,
+                                 inline_luts=True).collect()}
+    assert dist == inline and len(dist) == 125
+
+    # the distributed path must not collect the query frame: its plan
+    # has no driver-side literal LUTs, just the join
+    df = pq_search(codes, queries, books, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_ivfpq_composition(spark):
     """IVF-PQ: ADC scoring restricted to the probed cells. Probing ALL
     cells reproduces plain PQ search exactly; probing one cell returns
