@@ -175,6 +175,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             spark, args.documents, args.out, min_clf=args.min_clf,
             checkpoint_dir=args.checkpoint,
             batch_selfdedup=args.batch_selfdedup,
+            decontaminate_path=args.decontaminate,
         )
         if args.once:
             q.processAllAvailable()
@@ -301,6 +302,7 @@ def curate_stream(
     near_dedup: bool = True,
     checkpoint_dir: str | None = None,
     batch_selfdedup: bool = False,
+    decontaminate_path: str | None = None,
 ):
     """Streaming curation daemon: watch `in_dir` for document parquet
     files; each micro-batch is annotated/classified (same pipeline as
@@ -349,7 +351,20 @@ def curate_stream(
         bdf = bdf.withColumn(
             "doc_id", F.expr("coalesce(doc_id, xxhash64(text))")
         ).localCheckpoint(eager=True)  # scanned by 3 consumers
-        cur = curate(bdf, near_dedup=batch_selfdedup, min_clf=min_clf)
+        benchmark = None
+        if decontaminate_path:
+            # read on the BATCH's session: foreachBatch frames live on
+            # a cloned session with an isolated temp-view registry, so
+            # a frame loaded on the outer session could not be bound
+            # by decontaminate()'s view registration here
+            reader = bdf.sparkSession.read
+            if decontaminate_path.endswith(".csv"):
+                benchmark = reader.option("header", "true").csv(
+                    decontaminate_path)
+            else:
+                benchmark = reader.parquet(decontaminate_path)
+        cur = curate(bdf, near_dedup=batch_selfdedup, min_clf=min_clf,
+                     benchmark=benchmark)
         # ONE signature pass feeds both the dedup join and the stored
         # band columns (the two formulations are band-key-identical;
         # inside foreachBatch this is an ordinary batch frame, so the

@@ -302,9 +302,19 @@ def pq_adc_score_expr(m: int, luts_col: str, code_col: str,
     return "(" + " + ".join(parts) + ")"
 
 
-def pq_encode(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+def pq_encode(df: DataFrame, books: list[list[list[int]]],
+              arrow: bool = False) -> DataFrame:
     """(vec_id, embedding) → (vec_id, code BIGINT). Zero-norm vectors
-    drop (unsearchable by cosine, same contract as the IVF paths)."""
+    drop (unsearchable by cosine, same contract as the IVF paths).
+
+    `arrow=True` routes the argmin through an Arrow-batched numpy
+    kernel instead of the static-sum SQL expression — the same
+    strategy split as `assign_ivf_cells`: the SQL form is
+    oracle-aligned and free at catalog scale, the numpy form wins on
+    big build batches (one (n×sub)·(sub×ksub) int64 matmul per
+    subspace per batch, first-min tie-break identical to
+    array_position — pinned equal by test). The index CLI uses it for
+    builds."""
     from ..queries.llm import _norm2_expr, _norm_vec_expr
 
     n2 = _norm2_expr(True)
@@ -317,7 +327,37 @@ def pq_encode(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # materialize before the static sums
     )
-    return base.selectExpr("vec_id", f"{pq_encode_expr(books)} AS code")
+    if not arrow:
+        return base.selectExpr("vec_id", f"{pq_encode_expr(books)} AS code")
+
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    if not books:
+        raise ValueError("pq_encode: empty codebook")
+    m = len(books)
+    sub = len(books[0][0])
+    bks = [_np.array(bk, dtype=_np.int64) for bk in books]  # ksub × sub
+
+    def enc(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = _np.stack(
+                [_np.asarray(v, dtype=_np.int64) for v in pdf["qv"]]
+            )
+            code = _np.zeros(len(pdf), dtype=_np.int64)
+            for mi in range(m):
+                x = qv[:, mi * sub:(mi + 1) * sub]          # n × sub
+                bk = bks[mi]                                 # ksub × sub
+                # argmin over ||x-c||²; the x² term is constant per row
+                costs = (bk * bk).sum(axis=1)[None, :] - 2 * (x @ bk.T)
+                code |= costs.argmin(axis=1).astype(_np.int64) << (4 * mi)
+            yield _pd.DataFrame({"vec_id": pdf["vec_id"], "code": code})
+
+    return base.mapInPandas(enc, "vec_id long, code long")
 
 
 def _query_luts_frame(

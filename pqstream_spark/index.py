@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # files — measured 31 s of filesystem churn at K=64/100k rows);
         # with it each cell is a few compact files, which is also the
         # read-side contract (probe one cell → read one file).
-        assigned = assign_ivf_cells(emb, cb).repartition("cell")
+        assigned = assign_ivf_cells(emb, cb)
         meta = {"codebook": cb}
         if args.pq:
             from .functions.pq import pq_encode, train_pq_codebooks
@@ -143,11 +143,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
             books = train_pq_codebooks(emb)
             meta["pq_books"] = books
             assigned = assigned.join(
-                pq_encode(emb, books).select("vec_id", "code"), "vec_id"
+                pq_encode(emb, books, arrow=True).select("vec_id", "code"),
+                "vec_id",
             )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            _cells_path(args.out)
-        )
+        # repartition LAST (a vec_id join would re-shuffle away the
+        # cell clustering): each cell lands as a few compact files
+        assigned.repartition("cell").write.mode("overwrite") \
+            .partitionBy("cell").parquet(_cells_path(args.out))
         with open(_codebook_path(args.out), "w") as f:
             json.dump(meta, f)
         n = spark.read.parquet(_cells_path(args.out)).count()
@@ -177,7 +179,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             from .functions.pq import pq_encode
 
             assigned = assigned.join(
-                pq_encode(emb, meta["pq_books"]).select("vec_id", "code"),
+                pq_encode(emb, meta["pq_books"], arrow=True).select("vec_id", "code"),
                 "vec_id",
             )
         assigned.write.mode("append").partitionBy("cell").parquet(

@@ -1655,8 +1655,19 @@ qz AS (SELECT vec_id, nv, {p['qv']} AS qv FROM nsg),
 """)
     from ..functions.sampling import sample_order_expr, sample_pred
 
-    return f"""{prefix}samp AS (SELECT vec_id, qv FROM {base or 'qz'}
+    # The hash predicate admits ~25% of rows — a RATE, not a bound.
+    # samp0→samp adds the bound: a sorted LIMIT (same deterministic
+    # TakeOrderedAndProject discipline as the PQ/BPE trainer caps) so
+    # one Lloyd step costs O(cap·K·dim) at ANY corpus size. The cap is
+    # far above every driver SF's sample (125 rows at sf0.01, 500 at
+    # sf0.1), so the selected rows — and therefore every catalog hash
+    # — are unchanged where the oracle looks.
+    samp_cap = 8192
+    return f"""{prefix}samp0 AS (SELECT vec_id, qv FROM {base or 'qz'}
          WHERE {sample_pred('vec_id', spark)}),
+samp AS (SELECT vec_id, qv FROM samp0
+         ORDER BY {sample_order_expr('vec_id', spark)}, vec_id
+         LIMIT {samp_cap}),
 seed0 AS (SELECT vec_id, qv FROM samp
           ORDER BY {sample_order_expr('vec_id', spark)}, vec_id
           LIMIT {k_cells}),

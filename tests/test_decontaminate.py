@@ -106,3 +106,49 @@ def test_stream_batch_selfdedup(spark, tmp_path):
         parts = glob.glob(os.path.join(out_dir, "corpus", "batch-*"))
         got = spark.read.parquet(*parts).count() if parts else 0
         assert got == want, (selfdedup, got)
+
+
+def test_stream_decontaminate(spark, tmp_path):
+    """Stream mode honors --decontaminate: a contaminated doc in a
+    micro-batch is rejected at ingest (the benchmark frame is read on
+    the batch's cloned session — outer-session views are invisible
+    inside foreachBatch)."""
+    import glob
+    import shutil
+
+    from pqstream_spark.curate import curate_stream
+
+    docs = _docs(spark)
+    keep_doc = docs.where("doc_id = 1").collect()[0]
+    dirty_doc = docs.where("doc_id = 2").collect()[0]
+    batch = spark.createDataFrame(
+        [(1, keep_doc["lang"], keep_doc["text"]),
+         (2, dirty_doc["lang"], dirty_doc["text"])],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame([(dirty_doc["text"][:150],)],
+                                  "text string")
+    bp = str(tmp_path / "bench.parquet")
+    bench.coalesce(1).write.mode("overwrite").parquet(bp)
+
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    shutil.copy(os.path.join(stage, part),
+                os.path.join(in_dir, "b0.parquet"))
+
+    q = curate_stream(spark, in_dir, out_dir, decontaminate_path=bp)
+    q.processAllAvailable()
+    q.stop()
+
+    parts = glob.glob(os.path.join(out_dir, "corpus", "batch-*"))
+    accepted = {r["doc_id"]
+                for r in spark.read.parquet(*parts).collect()} if parts else set()
+    assert 1 in accepted and 2 not in accepted, accepted
+    audit = spark.read.parquet(*glob.glob(
+        os.path.join(out_dir, "audit", "batch-*")))
+    row = audit.where("doc_id = 2").collect()[0]
+    assert row["contaminated"] and not row["final_keep"]

@@ -160,3 +160,18 @@ def test_ivfpq_composition(spark):
     )
     hits = ivfpq_search(codes, probe, cb, books, k=3, nprobe=1).collect()
     assert hits and min(hits, key=lambda r: r["rn"])["c_id"] == 23, hits
+
+
+def test_pq_encode_arrow_equals_static(spark):
+    """The Arrow/numpy encode kernel (index-build path) packs
+    bit-identical codes to the static SQL form — same integer
+    quantization, same first-min tie-break per subspace."""
+    from pqstream_spark.functions.pq import pq_encode, train_pq_codebooks
+
+    emb = _emb(spark)
+    books = train_pq_codebooks(emb)
+    sql_codes = {r["vec_id"]: r["code"]
+                 for r in pq_encode(emb, books).collect()}
+    np_codes = {r["vec_id"]: r["code"]
+                for r in pq_encode(emb, books, arrow=True).collect()}
+    assert sql_codes == np_codes and len(np_codes) == 500
