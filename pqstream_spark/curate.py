@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "CONTAIN a benchmark item (directional containment "
                    ">= 0.8 — the oracle-certified decontamination sweep "
                    "bound to a real benchmark frame)")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="replace PII (emails, phones, SSNs, IPs — "
+                   "functions/pii.py's portable pattern set) with "
+                   "typed placeholders in the corpus text; the audit "
+                   "keeps the original text plus an n_pii count")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
@@ -249,9 +254,33 @@ def main(argv: list[str] | None = None, out=None) -> int:
             .select("doc_id", "n_bpe_tokens").dropDuplicates(["doc_id"]),
             "doc_id", "left",
         )
+    if args.scrub_pii:
+        from .functions.pii import pii_count_expr, scrub_pii_expr
+
+        # the curation frame carries ids + annotations, not text;
+        # derive ids the same way curate() does and join counts +
+        # scrubbed text back in (dropDuplicates: identical texts share
+        # an id, one row is lossless — the --bpe join's discipline)
+        base = docs if "doc_id" in docs.columns else docs.withColumn(
+            "doc_id", F.expr("xxhash64(text)")
+        )
+        pii = base.selectExpr(
+            "doc_id",
+            f"{pii_count_expr(True)} AS n_pii",
+            f"{scrub_pii_expr(True)} AS scrubbed_text",
+        ).dropDuplicates(["doc_id"])
+        cur = cur.join(pii, "doc_id", "left")
     cur.write.mode("overwrite").parquet(audit_dir)
     audited = spark.read.parquet(audit_dir)
-    audited.filter("final_keep").write.mode("overwrite").partitionBy(
+    corpus = audited.filter("final_keep")
+    if args.scrub_pii:
+        # the corpus a training job reads carries the PLACEHOLDER text
+        # (the whole point); the audit keeps only the count — original
+        # text stays in the input, not duplicated into the audit
+        corpus = corpus.withColumn(
+            "text", F.col("scrubbed_text")
+        ).drop("scrubbed_text")
+    corpus.write.mode("overwrite").partitionBy(
         "split"
     ).parquet(corpus_dir)
 
@@ -279,9 +308,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
         .agg(F.count("*").alias("n")).collect()
     }
     total = kept + sum(causes.values())
+    extra = {}
+    if args.scrub_pii:
+        extra["pii_matches_scrubbed"] = int(
+            audited.filter("final_keep").agg(
+                F.coalesce(F.sum("n_pii"), F.lit(0))
+            ).collect()[0][0]
+        )
     print(json.dumps({
         "docs": total,
         "kept": kept,
+        **extra,
         "rejected": {
             k: causes.get(k, 0)
             for k in ("quality_or_exact_dup", "near_dup", "contaminated",

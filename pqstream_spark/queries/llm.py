@@ -1035,6 +1035,16 @@ def _bpe_frozen(spark: bool) -> str:
     return bpe_count_sql(FROZEN_MERGES, spark)
 
 
+def _pii_hits(spark: bool) -> str:
+    """PII match count (functions/pii.py) — oracle-certified every
+    round because the pattern set is deliberately Java-regex/RE2
+    portable; `curate --scrub-pii` applies the matching replacement
+    chain to the corpus it writes."""
+    from ..functions.pii import pii_count_expr
+
+    return pii_count_expr(spark)
+
+
 def _annotations_sql(spark: bool, src: str = "documents") -> str:
     tok_expr = TOK_SPARK if spark else TOK_DUCK
     shingle = SHINGLE_SPARK if spark else SHINGLE_DUCK
@@ -1116,6 +1126,7 @@ SELECT doc_id, lang AS actual_lang,
   END AS quality_score,
   {bpe} AS bpe_ish_tokens,
   {_bpe_frozen(spark)} AS n_bpe_frozen,
+  {_pii_hits(spark)} AS n_pii_hits,
   CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
   {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash,

@@ -1,0 +1,88 @@
+"""PII detection/scrubbing (functions/pii.py): engine-portable
+patterns (oracle-certified through text_annotations' n_pii_hits
+column), placeholder scrubbing order, and the curate --scrub-pii
+surface."""
+
+from __future__ import annotations
+
+import io
+import json
+
+
+def test_pii_patterns_cross_engine(spark, duck):
+    """Counts and scrubbed text agree between Spark (Java regex) and
+    DuckDB (RE2) on adversarial rows — the portability the certified
+    column rests on."""
+    from pqstream_spark.functions.pii import pii_count_expr, scrub_pii_expr
+
+    cases = [
+        "contact john.doe+spam@example.co.uk or call 555-123-4567",
+        "server 192.168.0.1 ssn 123-45-6789",
+        "no pii here just words 12345",
+        "a@b.io then 10.0.0.255 then 999.999.999.999",
+        "email UPPER@CASE.COM phone 123.456.7890",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "id long, text string")
+    df.createOrReplaceTempView("_pii_t")
+    s = spark.sql(
+        f"SELECT id, {pii_count_expr(True)} AS n, "
+        f"{scrub_pii_expr(True)} AS scrubbed FROM _pii_t ORDER BY id"
+    ).collect()
+    duck.execute("CREATE OR REPLACE TABLE _pii_t AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{c}')" for i, c in enumerate(cases))
+                 + ") v(id, text)")
+    d = duck.execute(
+        f"SELECT id, {pii_count_expr(False)} AS n, "
+        f"{scrub_pii_expr(False)} AS scrubbed FROM _pii_t ORDER BY id"
+    ).fetchall()
+    assert [(r["id"], r["n"], r["scrubbed"]) for r in s] == d
+    spark.catalog.dropTempView("_pii_t")
+
+    by_id = {r["id"]: r for r in s}
+    assert by_id[0]["n"] == 2
+    assert "<EMAIL>" in by_id[0]["scrubbed"]
+    assert "<PHONE>" in by_id[0]["scrubbed"]
+    assert "john.doe" not in by_id[0]["scrubbed"]
+    # ssn scrubbed BEFORE the phone pattern could eat its digit run
+    assert "<SSN>" in by_id[1]["scrubbed"] and "<IP>" in by_id[1]["scrubbed"]
+    assert by_id[2]["scrubbed"] == cases[2]  # clean rows untouched
+    assert by_id[5]["n"] == 0
+
+
+def test_curate_scrub_pii(spark, tmp_path):
+    """--scrub-pii: corpus text carries placeholders, audit keeps the
+    original, stats report the scrub volume."""
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .selectExpr("doc_id", "lang", "text").where("doc_id < 100")
+    # plant PII into doc 1 (known to pass curation)
+    docs = docs.selectExpr(
+        "doc_id", "lang",
+        "CASE WHEN doc_id = 1 THEN concat(text, "
+        "' reach me at jane@corp.example.com or 555-867-5309') "
+        "ELSE text END AS text",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "out")
+    buf = io.StringIO()
+    assert main(["--documents", inp, "--out", out_dir, "--scrub-pii",
+                 "--cpus", "4"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["pii_matches_scrubbed"] >= 2, stats
+
+    corpus_row = spark.read.parquet(f"{out_dir}/corpus") \
+        .where("doc_id = 1").collect()[0]
+    assert "<EMAIL>" in corpus_row["text"]
+    assert "<PHONE>" in corpus_row["text"]
+    assert "jane@corp.example.com" not in corpus_row["text"]
+    audit_row = spark.read.parquet(f"{out_dir}/audit") \
+        .where("doc_id = 1").collect()[0]
+    assert audit_row["n_pii"] == 2
+    # the audit records the count and the scrubbed form; the original
+    # text lives only in the input (never duplicated)
+    assert "jane@corp.example.com" not in str(audit_row.asDict())
