@@ -14,6 +14,9 @@ Prints ONE JSON line:
   index_search_qps            cell-pruned exact top-5, 50 queries
   pq_encode_vecs_per_sec      PQ code packing (after codebook train)
   bpe_docs_per_sec            real-BPE token counting (Arrow path)
+  decontaminate_docs_per_sec  benchmark-containment sweep vs a 50-item
+                              external benchmark frame (round 6)
+  scrub_pii_docs_per_sec      PII count + placeholder scrub (round 6)
 """
 
 from __future__ import annotations
@@ -103,6 +106,26 @@ def main() -> None:
     bpe_token_counts(docs, merges).count()
     _, t = timed(lambda: bpe_token_counts(docs, merges).count())
     out["bpe_docs_per_sec"] = round(n_docs / t)
+
+    from pqstream_spark.functions.pii import pii_count_expr, scrub_pii_expr
+    from pqstream_spark.queries.llm import decontaminate
+
+    bench = docs.where("doc_id % 97 = 0").selectExpr(
+        "doc_id + 900000 AS test_id", "substring(text, 1, 120) AS text"
+    ).localCheckpoint(eager=True)
+    decontaminate(docs.select("doc_id", "text"), bench).count()
+    _, t = timed(
+        lambda: decontaminate(docs.select("doc_id", "text"), bench).count()
+    )
+    out["decontaminate_docs_per_sec"] = round(n_docs / t)
+
+    scrub = lambda: docs.selectExpr(  # noqa: E731
+        "doc_id", f"{pii_count_expr(True)} AS n_pii",
+        f"{scrub_pii_expr(True)} AS text",
+    ).count()
+    scrub()
+    _, t = timed(scrub)
+    out["scrub_pii_docs_per_sec"] = round(n_docs / t)
 
     print(json.dumps(out, separators=(",", ":")))
 

@@ -181,6 +181,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             checkpoint_dir=args.checkpoint,
             batch_selfdedup=args.batch_selfdedup,
             decontaminate_path=args.decontaminate,
+            scrub_pii=args.scrub_pii,
         )
         if args.once:
             q.processAllAvailable()
@@ -340,6 +341,7 @@ def curate_stream(
     checkpoint_dir: str | None = None,
     batch_selfdedup: bool = False,
     decontaminate_path: str | None = None,
+    scrub_pii: bool = False,
 ):
     """Streaming curation daemon: watch `in_dir` for document parquet
     files; each micro-batch is annotated/classified (same pipeline as
@@ -365,6 +367,10 @@ def curate_stream(
     match their stored copy and are rejected — the dedup join carries
     NO self-exclusion, because the stored corpus never contains the
     current epoch (see the replay guard below).
+
+    `scrub_pii` (CLI `--scrub-pii`) joins placeholder-scrubbed text +
+    an n_pii count into every stored row — stream parity with the
+    batch flag; the original text lives only in the input files.
 
     Returns the started StreamingQuery."""
     from pyspark.sql import functions as F
@@ -454,6 +460,15 @@ def curate_stream(
                 "final_keep", F.expr("final_keep AND NOT stream_near_dup")
             )
         )
+        if scrub_pii:
+            from .functions.pii import pii_count_expr, scrub_pii_expr
+
+            pii = bdf.selectExpr(
+                "doc_id",
+                f"{pii_count_expr(True)} AS n_pii",
+                f"{scrub_pii_expr(True)} AS text",
+            ).dropDuplicates(["doc_id"])
+            cur = cur.join(pii, "doc_id", "left")
         cur = cur.join(sig, "doc_id", "left").localCheckpoint(eager=True)
         # per-epoch overwrite dirs: replay-idempotent appends
         cur.write.mode("overwrite").parquet(

@@ -86,3 +86,40 @@ def test_curate_scrub_pii(spark, tmp_path):
     # the audit records the count and the scrubbed form; the original
     # text lives only in the input (never duplicated)
     assert "jane@corp.example.com" not in str(audit_row.asDict())
+
+
+def test_stream_scrub_pii(spark, tmp_path):
+    """Stream parity for --scrub-pii: accepted batch rows carry
+    placeholder text and the n_pii count."""
+    import glob
+    import os
+    import shutil
+
+    from pqstream_spark.curate import curate_stream
+    from pqstream_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .selectExpr("doc_id", "lang", "text").where("doc_id = 1") \
+        .collect()[0]
+    batch = spark.createDataFrame(
+        [(1, base["lang"],
+          base["text"] + " ping admin@internal.example.org now")],
+        "doc_id long, lang string, text string",
+    )
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    shutil.copy(os.path.join(stage, part),
+                os.path.join(in_dir, "b0.parquet"))
+
+    q = curate_stream(spark, in_dir, out_dir, scrub_pii=True)
+    q.processAllAvailable()
+    q.stop()
+    parts = glob.glob(os.path.join(out_dir, "corpus", "batch-*"))
+    row = spark.read.parquet(*parts).where("doc_id = 1").collect()[0]
+    assert "<EMAIL>" in row["text"]
+    assert "admin@internal.example.org" not in row["text"]
+    assert row["n_pii"] == 1
