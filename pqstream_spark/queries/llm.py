@@ -1711,17 +1711,85 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
 WHERE rn <= 5"""
 
 
+MULTIPROBE_NPROBE = 2
+
+
+def _probe_cells_frag(spark: bool, k: int, nprobe: int,
+                      ds_col: str = "ds") -> str:
+    """Rank the K cells of a per-row dot-product list best-first
+    (ties → smaller cell id, via struct sort on (−dot, cid)) and keep
+    the top `nprobe` — the query-side half of multi-probe IVF, as a
+    pure expression both engines evaluate identically."""
+    if spark:
+        ranked = (f"array_sort(zip_with({ds_col}, sequence(1, {k}), "
+                  f"(d, c) -> named_struct('nd', -d, 'c', c)))")
+        return (f"transform(slice({ranked}, 1, {nprobe}), "
+                f"s -> CAST(s.c AS BIGINT))")
+    ranked = (f"list_sort(list_transform(range(1, {k + 1}), "
+              f"i -> {{'nd': -{ds_col}[i], 'c': i}}))")
+    return (f"list_transform(list_slice({ranked}, 1, {nprobe}), "
+            f"s -> CAST(s.c AS BIGINT))")
+
+
+def _ivf_multiprobe_sql(spark: bool, nprobe: int = MULTIPROBE_NPROBE) -> str:
+    """Multi-probe IVF search over the TRAINED index — the round-6
+    certification of `ivf_probe_cells_expr` / `search_ivf_index`'s
+    probe semantics (previously pytest-only): each query ranks all K
+    trained cells by centroid dot product and searches its best
+    `nprobe`, exact-cosine re-rank inside them. nprobe=1 degenerates
+    to the `ivf_trained` branch; larger nprobe is the standard
+    recall/cost dial (monotone, pinned in tests; the VALUES are what
+    the oracle checks here). Same training CTEs as `_ivf_trained_sql`
+    — the DuckDB oracle re-runs them per branch (CTE-cheap at oracle
+    scale), the Spark side reuses the collected codebook
+    (q_sim_topk)."""
+    parts = _ivf_parts(spark)
+    k = 8  # the entry's K (train CTE default)
+    dot = _dot6_expr("q.nv", "c.nv", spark)
+    if spark:
+        ex = ("SELECT vec_id, nv, ex_cid FROM mp "
+              "LATERAL VIEW explode(cells) t AS ex_cid")
+    else:
+        ex = "SELECT vec_id, nv, unnest(cells) AS ex_cid FROM mp"
+    return f"""
+WITH {_ivf_train_cte(spark)},
+lab AS (
+  SELECT vec_id, nv, {parts['argmax']} AS cid
+  FROM (SELECT vec_id, nv, {parts['ds']('qv', 'cs')} AS ds
+        FROM qz CROSS JOIN cents1) t
+),
+mp AS (
+  SELECT vec_id, nv, {_probe_cells_frag(spark, k, nprobe)} AS cells
+  FROM (SELECT vec_id, nv, {parts['ds']('qv', 'cs')} AS ds
+        FROM qz CROSS JOIN cents1) t
+  WHERE vec_id < 10
+),
+mpe AS ({ex}),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {dot} AS cos
+  FROM mpe q JOIN lab c ON CAST(c.cid AS BIGINT) = q.ex_cid
+                       AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cos, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+      FROM cand) ranked
+WHERE rn <= 5
+"""
+
+
 def _sim_topk_sql(spark: bool) -> str:
     """Brute-force cosine top-k (the baseline) ∪ IVF-cell-pruned ANN
     (precomputed cells) ∪ IVF with k-means-TRAINED cells (the full
-    production index-build + search shape) over the same query
-    vectors."""
+    production index-build + search shape) ∪ multi-probe search over
+    the trained index, all over the same query vectors."""
     return f"""
 SELECT 'brute' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(spark, False).strip()})
 UNION ALL
 SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn FROM ({_topk_sql(spark, True).strip()})
 UNION ALL
 SELECT 'ivf_trained' AS method, q_id, c_id, cos, rn FROM ({_ivf_trained_sql(spark).strip()})
+UNION ALL
+SELECT 'ivf_multiprobe' AS method, q_id, c_id, cos, rn FROM ({_ivf_multiprobe_sql(spark).strip()})
 """
 
 
@@ -2027,12 +2095,43 @@ WITH lab AS (SELECT vec_id, nv, cid FROM {vlab}),
             f"SELECT 'ivf_trained' AS method, q_id, c_id, cos, rn "
             f"FROM ({trained.strip()})"
         )
+        # multi-probe branch: same collected codebook, query side ranks
+        # all K cells (struct sort on (−dot, cid)) and searches its
+        # best MULTIPROBE_NPROBE — reuses the materialized ds literal
+        # and the checkpointed lab assignment, so the added cost is the
+        # (still cell-pruned) wider candidate join only
+        mpdot = _dot6_expr("q.nv", "c.nv", True)
+        mp = f"""
+WITH mp AS (
+  SELECT vec_id, nv,
+         {_probe_cells_frag(True, len(cs), MULTIPROBE_NPROBE)} AS cells
+  FROM (SELECT vec_id, nv, {ds_lit} AS ds FROM {vbase}
+        WHERE vec_id < 10) t
+),
+mpe AS (SELECT vec_id, nv, ex_cid FROM mp
+        LATERAL VIEW explode(cells) t AS ex_cid),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {mpdot} AS cos
+  FROM mpe q JOIN {vlab} c ON CAST(c.cid AS BIGINT) = q.ex_cid
+                          AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cos, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) rn
+      FROM cand) ranked
+WHERE rn <= 5
+"""
+        multiprobe_branch = (
+            f"SELECT 'ivf_multiprobe' AS method, q_id, c_id, cos, rn "
+            f"FROM ({mp.strip()})"
+        )
     else:  # empty corpus: keep the union schema, emit zero rows
         trained_branch = (
             "SELECT 'ivf_trained' AS method, CAST(NULL AS BIGINT) AS q_id, "
             "CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS cos, "
             "CAST(NULL AS INT) AS rn WHERE 1 = 0"
         )
+        multiprobe_branch = trained_branch.replace(
+            "'ivf_trained'", "'ivf_multiprobe'")
     out = spark.sql(f"""
 SELECT 'brute' AS method, q_id, c_id, cos, rn
 FROM ({_topk_sql(True, False, base=vbase).strip()})
@@ -2041,6 +2140,8 @@ SELECT 'ivf_pruned' AS method, q_id, c_id, cos, rn
 FROM ({_topk_sql(True, True, base=vbase).strip()})
 UNION ALL
 {trained_branch}
+UNION ALL
+{multiprobe_branch}
 """)
     spark.catalog.dropTempView(vbase)
     if cs:

@@ -31,7 +31,8 @@ def test_three_methods_shape(spark):
     by_method = defaultdict(list)
     for r in rows:
         by_method[r.method].append(r)
-    assert set(by_method) == {"brute", "ivf_pruned", "ivf_trained"}
+    assert set(by_method) == {"brute", "ivf_pruned", "ivf_trained",
+                              "ivf_multiprobe"}
     # every query vector answered, at most top-5 per query, rn dense
     for m, rs in by_method.items():
         per_q = defaultdict(list)
@@ -292,3 +293,23 @@ def test_embedding_dedup_stream(spark, tmp_path):
     # assignment), which is what makes the within-cell check complete
     # for exact re-scales
     assert all(r["vec_id"] == 900005 for r in rows)
+
+
+def test_multiprobe_branch_monotone(spark):
+    """The ivf_multiprobe branch (nprobe=2, oracle-certified) recalls
+    at least what ivf_trained (nprobe=1) recalls against the brute
+    baseline, per query — the recall dial the probe semantics
+    promise."""
+    from pqstream_spark.queries.llm import q_sim_topk
+
+    rows = q_sim_topk(spark, "/root/testdata/sf0.001").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["method"], {}).setdefault(r["q_id"], set()).add(
+            r["c_id"])
+    assert set(by) == {"brute", "ivf_pruned", "ivf_trained",
+                       "ivf_multiprobe"}
+    for q, exact in by["brute"].items():
+        r1 = len(exact & by["ivf_trained"].get(q, set()))
+        r2 = len(exact & by["ivf_multiprobe"].get(q, set()))
+        assert r2 >= r1, (q, r1, r2)
