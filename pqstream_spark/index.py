@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "n_cells = exact within the index)")
     s.add_argument("--include-self", action="store_true",
                    help="keep hits where c_id == q_id")
+    s.add_argument("--arrow", action="store_true",
+                   help="numpy-matmul re-rank (search_ivf_index_arrow)"
+                   " — same results as the default expression path, "
+                   "faster at large probed-candidate volumes")
     s.add_argument("--adc", action="store_true",
                    help="score candidates from the 8-byte PQ codes "
                    "(asymmetric distance; index must be built --pq) "
@@ -215,7 +219,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
                  "score": r["score"], "rn": r["rn"]},
                 separators=(",", ":")), file=out)
         return 0
-    hits = search_ivf_index(
+    if args.arrow:
+        from .queries.llm import search_ivf_index_arrow as _search
+    else:
+        _search = search_ivf_index
+    hits = _search(
         index, queries, cb, k=args.k,
         exclude_self=not args.include_self, nprobe=args.nprobe,
     )

@@ -1970,6 +1970,115 @@ def ivf_probe_cells_expr(codebook: list[list[int]], nprobe: int) -> str:
             f"s -> CAST(s.c AS BIGINT)) END")
 
 
+def search_ivf_index_arrow(
+    index: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[int]],
+    k: int = 5,
+    exclude_self: bool = True,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Arrow/numpy re-rank variant of `search_ivf_index` for LARGE
+    candidate volumes: the query batch (bounded — the interactive
+    search contract; candidate count is the scale axis, not |Q|) is
+    collected, normalized, and shipped in the kernel closure; each
+    Arrow batch of index rows does ONE (batch×dim)·(dim×Q) float64
+    matmul against the queries probing its cells and emits only its
+    per-query partial top-k, so the final window ranks Q·k·n_batches
+    rows instead of the full candidate set. At the 100k-vector/K=64
+    probe, the full-probe scan drops ~3.5 s → ~1.5 s; the HOF
+    expression path stays the default (oracle-aligned, zero driver
+    collect). Results pinned equal to the expression path by test
+    (same 6-dp rounding; float64 summation-order effects sit ~10
+    orders below the rounding grain)."""
+    import numpy as _np
+
+    nprobe = max(1, min(int(nprobe), len(codebook)))
+    nv = _norm_vec_expr(True)
+    qrows = (
+        queries.selectExpr(
+            "q_id", f"{nv} AS qnv",
+            f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
+        )
+        .where("cells IS NOT NULL")
+        .collect()
+    )
+    spark = index.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cos double, rn int")
+    qids = _np.array([r["q_id"] for r in qrows], dtype=_np.int64)
+    qmat = _np.stack([_np.asarray(r["qnv"], dtype=_np.float64)
+                      for r in qrows])            # Q × dim
+    cell_to_q: dict[int, list[int]] = {}
+    for qi, r in enumerate(qrows):
+        for cell in r["cells"]:
+            cell_to_q.setdefault(int(cell), []).append(qi)
+
+    from collections.abc import Iterator
+
+    import pandas as _pd
+
+    # pushdown: only the probed cells reach Arrow at all — on a
+    # cell-partitioned layout this is PARTITION pruning (nprobe/K of
+    # the files read), and it keeps the Arrow transfer proportional to
+    # the probed candidate volume instead of the corpus
+    probed = sorted(cell_to_q)
+    idx = index.where("cell IS NOT NULL").where(
+        "cell IN (" + ", ".join(str(c) for c in probed) + ")"
+    ).selectExpr("vec_id", f"{nv} AS cnv", "cell")
+
+    def scan(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_c, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qis = cell_to_q.get(int(cell))
+                if not qis:
+                    continue
+                cmat = _np.stack([_np.asarray(v, dtype=_np.float64)
+                                  for v in grp["cnv"]])   # n × dim
+                vids = grp["vec_id"].to_numpy()
+                sims = cmat @ qmat[qis].T                  # n × q
+                for j, qi in enumerate(qis):
+                    col = sims[:, j]
+                    mask = _np.ones(len(col), dtype=bool)
+                    if exclude_self:
+                        mask = vids != qids[qi]
+                    cand = _np.nonzero(mask)[0]
+                    if len(cand) == 0:
+                        continue
+                    # partial top-k per (batch, query): enough rows
+                    # for the global window to finish the ranking.
+                    # Round BEFORE ranking and break ties by c_id —
+                    # the same (cos desc, c_id) total order the global
+                    # window applies, so a tie straddling the k
+                    # boundary keeps the same winners as the
+                    # expression path
+                    rcol = _np.round(col[cand], 6)
+                    top = cand[_np.lexsort((vids[cand], -rcol))[:k]]
+                    out_q.extend([qids[qi]] * len(top))
+                    out_c.extend(vids[top].tolist())
+                    out_s.extend(_np.round(col[top], 6).tolist())
+            yield _pd.DataFrame(
+                {"q_id": _np.array(out_q, dtype=_np.int64),
+                 "c_id": _np.array(out_c, dtype=_np.int64),
+                 "cos": _np.array(out_s, dtype=_np.float64)})
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    partial = idx.mapInPandas(scan, "q_id long, c_id long, cos double")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "c_id", "cos", "rn")
+    )
+
+
 def search_ivf_index(
     index: DataFrame,
     queries: DataFrame,

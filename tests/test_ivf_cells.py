@@ -127,3 +127,38 @@ def test_numpy_assignment_equals_expr_assignment(spark):
                     "vec_id", f"{ivf_cell_expr(cb)} AS cell"
                 ).where("cell IS NOT NULL").collect()}
     assert via_np == via_expr and len(via_np) == 4000
+
+
+def test_arrow_search_equals_expression_search(spark, tmp_path):
+    """search_ivf_index_arrow (numpy partial-top-k scan) returns
+    exactly what the expression path returns, across nprobe settings."""
+    from pqstream_spark.index import main
+    from pqstream_spark.queries.llm import (
+        search_ivf_index,
+        search_ivf_index_arrow,
+    )
+    import json as _json
+
+    corpus = _synth_corpus(spark, copies=8)
+    src = str(tmp_path / "c.parquet")
+    corpus.write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "idx")
+    import io
+
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", src, "--out", idx,
+                 "--cells", "16"], out=buf) == 0
+    with open(f"{idx}/codebook.json") as f:
+        cb = _json.load(f)["codebook"]
+    index = spark.read.parquet(f"{idx}/cells")
+    queries = corpus.where("vec_id < 10").selectExpr(
+        "vec_id AS q_id", "embedding")
+
+    for nprobe in (1, 4, 16):
+        a = {(r["q_id"], r["c_id"], r["cos"], r["rn"])
+             for r in search_ivf_index_arrow(
+                 index, queries, cb, k=5, nprobe=nprobe).collect()}
+        b = {(r["q_id"], r["c_id"], r["cos"], r["rn"])
+             for r in search_ivf_index(
+                 index, queries, cb, k=5, nprobe=nprobe).collect()}
+        assert a == b, nprobe

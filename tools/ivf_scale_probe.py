@@ -92,6 +92,8 @@ def main() -> None:
                       key=lambda t: (-t[0], t[1]))[:5]
         exact[q] = {v for _, v in sims}
 
+    from pqstream_spark.queries.llm import search_ivf_index_arrow
+
     probes = []
     for nprobe in (1, 4, 16, 64):
         # warm once, then min of 3 timed runs
@@ -108,8 +110,17 @@ def main() -> None:
                 got.setdefault(r["q_id"], set()).add(r["c_id"])
         recall = sum(len(exact[q] & got.get(q, set()))
                      for q in range(10)) / 50.0
+        search_ivf_index_arrow(index, queries, cb, k=5,
+                               nprobe=nprobe).count()
+        at = []
+        for _ in range(3):
+            t0 = time.time()
+            search_ivf_index_arrow(index, queries, cb, k=5,
+                                   nprobe=nprobe).count()
+            at.append(time.time() - t0)
         # candidate volume actually scanned = Σ widths of probed cells
         probes.append({"nprobe": nprobe, "t_min": round(min(times), 3),
+                       "t_min_arrow": round(min(at), 3),
                        "recall_at_5": recall})
     print(json.dumps({
         "n_vectors": n, "k_cells": len(cb),
