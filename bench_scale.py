@@ -199,8 +199,21 @@ def write_md(report: dict) -> None:
         "",
     ]
     md = "\n".join(lines)
-    with open(Path(__file__).resolve().parent / "SCALE.md", "w") as fh:
+    # preserve hand-written sections (anything from the first "## "
+    # heading on — e.g. the round-6 IVF probe results): this file
+    # regenerates only the measured-exponents block above them
+    path = Path(__file__).resolve().parent / "SCALE.md"
+    extra = ""
+    if path.exists():
+        old = path.read_text()
+        for i, line in enumerate(old.splitlines(keepends=True)):
+            if line.startswith("## "):
+                extra = "".join(old.splitlines(keepends=True)[i:])
+                break
+    with open(path, "w") as fh:
         fh.write(md)
+        if extra:
+            fh.write("\n" + extra)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "input sample and add real n_bpe_tokens to the "
                    "audit (functions/bpe.py); the merge table is "
                    "saved to OUT/bpe_merges.json")
+    p.add_argument("--pack-by-bpe", action="store_true",
+                   help="with --bpe: recompute the sequence-packing "
+                   "bins from REAL BPE token counts (pack_bin_bpe "
+                   "column) instead of the word-count budget — the "
+                   "bin a training job should read when it tokenizes "
+                   "with the same vocabulary")
     p.add_argument("--merges", default=None, metavar="FILE",
                    help="with --bpe: use a RELEASED merge table "
                    "(public merges.txt format, word- or byte-level "
@@ -255,6 +261,26 @@ def main(argv: list[str] | None = None, out=None) -> int:
             .select("doc_id", "n_bpe_tokens").dropDuplicates(["doc_id"]),
             "doc_id", "left",
         )
+        if args.pack_by_bpe:
+            from pyspark.sql.window import Window
+
+            from .queries.llm import PACK_BUDGET
+
+            # same sharded-window discipline as the oracle-certified
+            # pack_bin (per (split, pack_shard), doc_id order, budget
+            # cut on the RUNNING total before this doc) — only the
+            # token measure changes, so bins line up with what a
+            # trainer using this vocabulary actually packs
+            w = Window.partitionBy("split", "pack_shard") \
+                .orderBy("doc_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            cum = F.sum(F.expr(
+                "CASE WHEN kept THEN n_bpe_tokens ELSE 0 END")).over(w)
+            cur = cur.withColumn("_cum_bpe", cum).withColumn(
+                "pack_bin_bpe",
+                F.expr(f"CASE WHEN kept THEN CAST(floor((_cum_bpe "
+                       f"- n_bpe_tokens) / {PACK_BUDGET}.0) AS BIGINT) END"),
+            ).drop("_cum_bpe")
     if args.scrub_pii:
         from .functions.pii import pii_count_expr, scrub_pii_expr
 

@@ -159,3 +159,46 @@ def test_byte_level_counts_in_spark(spark):
             for r in bpe_token_counts(docs, merges).collect()}
     # 'the' → th+e → the = 1 token; ' the' ×2 → Ġt+h,e → … → Ġthe = 1
     assert rows[1] == 3 and rows[2] == 0 and rows[3] == 0
+
+
+def test_pack_by_bpe(spark, tmp_path):
+    """--bpe --pack-by-bpe: pack_bin_bpe mirrors the oracle-certified
+    packing rule (per (split, shard), doc_id order, budget cut on the
+    running total before the doc) with REAL BPE counts as the
+    measure."""
+    import io
+    import json
+    import math
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.queries.llm import PACK_BUDGET
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .selectExpr("doc_id", "lang", "text")
+    src = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "out")
+    buf = io.StringIO()
+    assert main(["--documents", src, "--out", out_dir, "--bpe",
+                 "--pack-by-bpe", "--cpus", "4"], out=buf) == 0
+    assert json.loads(buf.getvalue())["docs"] == 500
+
+    audit = spark.read.parquet(f"{out_dir}/audit")
+    rows = audit.where("kept").select(
+        "doc_id", "split", "pack_shard", "n_bpe_tokens", "pack_bin_bpe"
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["split"], r["pack_shard"]), []).append(r)
+    checked = 0
+    for grp in groups.values():
+        cum = 0
+        for r in sorted(grp, key=lambda r: r["doc_id"]):
+            want = math.floor(cum / PACK_BUDGET)
+            assert r["pack_bin_bpe"] == want, (r, want, cum)
+            cum += r["n_bpe_tokens"]
+            checked += 1
+    assert checked > 100
+    # non-kept docs carry no bin
+    assert audit.where("NOT kept AND pack_bin_bpe IS NOT NULL").count() == 0
