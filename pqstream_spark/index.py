@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--index", required=True)
     a.add_argument("--embeddings", required=True)
 
+    c = sub.add_parser("compact", parents=[common],
+                       help="rewrite cells/ as few compact files per "
+                       "cell (appends leave one sliver per add per "
+                       "cell; search cost follows file count)")
+    c.add_argument("--index", required=True)
+
     s = sub.add_parser("search", parents=[common],
                        help="top-k per query vector")
     s.add_argument("--index", required=True)
@@ -193,6 +199,35 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # would re-scan the input and re-run the per-row argmax
         after = spark.read.parquet(_cells_path(args.index)).count()
         print(json.dumps({"added": after - before},
+                         separators=(",", ":")), file=out)
+        return 0
+
+    if args.cmd == "compact":
+        import glob as _glob
+        import shutil as _shutil
+
+        cells = _cells_path(args.index)
+        files_before = len(_glob.glob(os.path.join(cells, "*", "*.parquet")))
+        df = spark.read.parquet(cells)
+        n_before = df.count()
+        # write-aside then atomic-ish swap: the old layout stays
+        # readable until the new one is complete, and a crash leaves
+        # either the old or the new directory, never a half state
+        tmp_new = cells + ".compact"
+        df.repartition("cell").write.mode("overwrite") \
+            .partitionBy("cell").parquet(tmp_new)
+        if spark.read.parquet(tmp_new).count() != n_before:
+            print("compact aborted: row count mismatch", file=sys.stderr)
+            _shutil.rmtree(tmp_new)
+            return 1
+        old = cells + ".old"
+        os.rename(cells, old)
+        os.rename(tmp_new, cells)
+        _shutil.rmtree(old)
+        files_after = len(_glob.glob(os.path.join(cells, "*", "*.parquet")))
+        print(json.dumps({"rows": n_before,
+                          "files_before": files_before,
+                          "files_after": files_after},
                          separators=(",", ":")), file=out)
         return 0
 

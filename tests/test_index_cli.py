@@ -116,3 +116,46 @@ def test_index_pq_build_and_adc_search(spark, tmp_path):
     buf = io.StringIO()
     assert main(["build", "--embeddings", base, "--out", idx2], out=buf) == 0
     assert main(["search", "--index", idx2, "--queries", qp, "--adc"]) == 1
+
+
+def test_index_compact(spark, tmp_path):
+    """`index compact`: repeated adds leave sliver files per cell;
+    compact rewrites each cell as few compact files with identical
+    content and identical search results."""
+    import glob
+    import io
+    import json
+
+    from pqstream_spark.index import main
+
+    base = _emb_parquet(spark, tmp_path, "c_base.parquet", "vec_id >= 100")
+    idx = str(tmp_path / "cidx")
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", base, "--out", idx], out=buf) == 0
+
+    for lo, hi, name in ((0, 50, "a1"), (50, 100, "a2")):
+        more = _emb_parquet(spark, tmp_path, f"{name}.parquet",
+                            f"vec_id >= {lo} AND vec_id < {hi}")
+        assert main(["add", "--index", idx, "--embeddings", more],
+                    out=io.StringIO()) == 0
+
+    qs = _emb_parquet(spark, tmp_path, "cq.parquet", "vec_id IN (3, 7)")
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--queries", qs, "--k", "3",
+                 "--nprobe", "8"], out=buf) == 0
+    before_hits = buf.getvalue()
+    rows_before = spark.read.parquet(f"{idx}/cells").count()
+
+    buf = io.StringIO()
+    assert main(["compact", "--index", idx], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["rows"] == rows_before == 500
+    assert stats["files_after"] < stats["files_before"], stats
+    files = glob.glob(os.path.join(idx, "cells", "*", "*.parquet"))
+    assert len(files) == stats["files_after"]
+
+    assert spark.read.parquet(f"{idx}/cells").count() == rows_before
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--queries", qs, "--k", "3",
+                 "--nprobe", "8"], out=buf) == 0
+    assert buf.getvalue() == before_hits, "search unchanged by compaction"
