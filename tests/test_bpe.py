@@ -202,3 +202,44 @@ def test_pack_by_bpe(spark, tmp_path):
     assert checked > 100
     # non-kept docs carry no bin
     assert audit.where("NOT kept AND pack_bin_bpe IS NOT NULL").count() == 0
+
+
+def test_sql_chain_equivalence_randomized(spark):
+    """Property check for the certified replace-chain: for TRAINED
+    tables (whose merges always build on earlier ones — the invariant
+    the sequential formulation needs) over randomized corpora, the
+    SQL chain counts exactly what the priority segmenter counts, on
+    strings with adversarial repetition."""
+    import random
+
+    from pqstream_spark.functions.bpe import (
+        bpe_count_sql,
+        bpe_segment,
+        train_bpe,
+    )
+
+    rng = random.Random(4242)
+    alphabet = "abcdef"
+
+    def word():
+        return "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 6)))
+
+    for trial in range(4):
+        corpus = [" ".join(word() for _ in range(30)) for _ in range(8)]
+        merges = train_bpe(corpus, n_merges=25)
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        cases = [" ".join(word() for _ in range(rng.randint(0, 12)))
+                 for _ in range(20)]
+        cases += ["aaaaa bbbbb ababab", corpus[0]]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)],
+            "doc_id long, text string")
+        view = f"_bpe_rand_{trial}"
+        df.createOrReplaceTempView(view)
+        got = {r["doc_id"]: r["n"] for r in spark.sql(
+            f"SELECT doc_id, {bpe_count_sql(merges, True)} AS n "
+            f"FROM {view}").collect()}
+        for i, c in enumerate(cases):
+            assert got[i] == len(bpe_segment(c, ranks)), (trial, c)
+        spark.catalog.dropTempView(view)

@@ -201,3 +201,15 @@ def test_generate_prefilter_never_inlines_tokenizer(spark, catalog):
             f"{entry}: tokenizer re-evaluated per shingle inside a "
             f"Filter (explode a named array column?): {offenders[0]}"
         )
+
+
+def test_ivf_trainer_sample_cap_plans_as_takeordered(spark, catalog):
+    """Round-6 ask #3 (done-criteria): the IVF training CTE's sample
+    cap plans as TakeOrderedAndProject — a distributed top-k, never a
+    full-sample collect or global sort survives into the plan."""
+    from pqstream_spark.queries.llm import _ivf_train_cte, register_views
+
+    register_views(spark, SF_DIR)
+    df = spark.sql("WITH " + _ivf_train_cte(True) + " SELECT cs FROM cents1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
