@@ -69,8 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", parents=[common],
                        help="top-k per query vector")
     s.add_argument("--index", required=True)
-    s.add_argument("--queries", required=True,
-                   help="parquet with (vec_id|q_id, embedding)")
+    qsrc = s.add_mutually_exclusive_group(required=True)
+    qsrc.add_argument("--queries",
+                      help="parquet with (vec_id|q_id, embedding)")
+    qsrc.add_argument("--documents",
+                      help="parquet/CSV with (text[, doc_id]): embed "
+                      "with the hashing-trick embedder "
+                      "(functions/embeddings.py) and search by text — "
+                      "the index must have been built over embeddings "
+                      "of the same dimension")
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--nprobe", type=int, default=1,
                    help="cells to probe per query (1 = fastest, "
@@ -233,9 +240,29 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     # search
     index = spark.read.parquet(_cells_path(args.index))
-    queries = _load_embeddings(spark, args.queries).withColumnRenamed(
-        "vec_id", "q_id"
-    )
+    if args.documents:
+        from pyspark.sql import functions as F
+
+        from .functions.embeddings import embed_documents
+
+        if args.documents.endswith(".csv"):
+            qdocs = spark.read.option("header", "true").csv(args.documents)
+        else:
+            qdocs = spark.read.parquet(args.documents)
+        if "text" not in qdocs.columns:
+            print(f"--documents: no `text` column in {args.documents}",
+                  file=sys.stderr)
+            return 1
+        if "doc_id" not in qdocs.columns:
+            qdocs = qdocs.withColumn("doc_id", F.expr("xxhash64(text)"))
+        dim = len(cb[0])
+        queries = embed_documents(
+            qdocs.select("doc_id", "text"), dim=dim
+        ).withColumnRenamed("vec_id", "q_id")
+    else:
+        queries = _load_embeddings(spark, args.queries).withColumnRenamed(
+            "vec_id", "q_id"
+        )
     if args.adc:
         if "pq_books" not in meta:
             print("--adc requires an index built with --pq",

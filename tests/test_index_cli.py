@@ -159,3 +159,40 @@ def test_index_compact(spark, tmp_path):
     assert main(["search", "--index", idx, "--queries", qs, "--k", "3",
                  "--nprobe", "8"], out=buf) == 0
     assert buf.getvalue() == before_hits, "search unchanged by compaction"
+
+
+def test_index_search_by_documents(spark, tmp_path):
+    """`index search --documents`: text in, neighbors out — the
+    docs→embed→index→search pipeline as one CLI. A truncated
+    near-copy of a corpus document retrieves the original."""
+    import io
+    import json
+
+    from pqstream_spark.functions.embeddings import embed_documents
+    from pqstream_spark.index import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    emb = embed_documents(docs)
+    ep = str(tmp_path / "emb.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(ep)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--embeddings", ep, "--out", idx],
+                out=io.StringIO()) == 0
+
+    target = docs.where("doc_id = 42").collect()[0]["text"]
+    qd = spark.createDataFrame(
+        [(990042, target[: len(target) - 8])],  # near-copy query text
+        "doc_id long, text string",
+    )
+    qp = str(tmp_path / "qdocs.parquet")
+    qd.coalesce(1).write.mode("overwrite").parquet(qp)
+
+    with open(f"{idx}/codebook.json") as f:
+        ncells = len(json.load(f)["codebook"])
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--documents", qp,
+                 "--k", "3", "--nprobe", str(ncells)], out=buf) == 0
+    hits = [json.loads(line) for line in buf.getvalue().splitlines()]
+    assert hits and min(hits, key=lambda h: h["rn"])["c_id"] == 42, hits
