@@ -1503,11 +1503,99 @@ def decontaminate(corpus_df: DataFrame, benchmark_df: DataFrame,
     return out
 
 
-def _pairwise_scores_sql(spark: bool) -> str:
+# a shingle appearing in more position-rows than this is template
+# boilerplate: it cannot anchor an exact-substring dedup decision and
+# it squares the position join (see _longrun_sql docstring). Sized like
+# DECON_DF_CAP: genuinely-shared content at the 10×-clone sf1 synth
+# (each shingle ≥ 2×10 occurrences) survives with headroom.
+LONGRUN_DF_CAP = 100
+
+
+def _longrun_sql(spark: bool, base: str | None = None) -> str:
+    """Exact-substring dedup signal (the measure behind "deduplicating
+    training data" exact-substring dedup, Lee et al. 2021, public
+    method): the LONGEST run of consecutively matching 3-gram shingles
+    between a pair, in tokens — order-SENSITIVE where Jaccard is
+    order-blind, so shuffled boilerplate scores low here and high
+    there. Classic gaps-and-islands SQL: shingle positions join on
+    value, the (b_pos − a_pos) diagonal groups co-linear matches, and
+    `a_pos − ROW_NUMBER()` within a diagonal is constant exactly over
+    a consecutive run. Same structural pairing as the Jaccard branch
+    (original ↔ near-copy); at scale candidates come from the LSH
+    bands and this is the per-candidate verifier. A run of k shingles
+    covers k+2 tokens. Pairs sharing no shingle emit no row (no run
+    exists), identically in both engines.
+
+    Stop-shingle cap (the decontamination sweep's discipline): the
+    position join's width per shingle is its occurrence count SQUARED
+    before the pair filter — boilerplate under 10× clone amplification
+    is a quadratic blow-up. Shingles above LONGRUN_DF_CAP
+    position-rows are counted map-side and excluded BEFORE the join; a
+    run crossing an excluded shingle splits, so the measured quantity
+    is precisely 'longest run of consecutively matching
+    non-boilerplate shingles' — identical in both engines, and the
+    boilerplate it ignores is exactly what exact-substring dedup must
+    not key on anyway."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
+    if spark:
+        # inline shingle expression in the Generate — the projected-
+        # column explode makes Catalyst infer a size>0 pre-filter and
+        # inline the tokenizer per element (the measured 9 s trap the
+        # decontamination sweep documents)
+        pa = (f"SELECT doc_id, pos + 1 AS i, s FROM toks "
+              f"LATERAL VIEW posexplode({sh}) t AS pos, s")
+    else:
+        pa = (f"SELECT doc_id, u.i AS i, sh[u.i] AS s FROM sh_t, "
+              f"LATERAL (SELECT unnest(range(1, len(sh) + 1)) AS i) u")
+    sh_cte = "" if spark else f"sh_t AS (SELECT doc_id, {sh} AS sh FROM toks),\n"
+    if base:
+        # Spark side: `base` is a MATERIALIZED (doc_id, i, s) view —
+        # pa0 is read four times below (boiler count, the filter, both
+        # join sides) and Spark inlines CTEs, so the un-materialized
+        # form re-runs tokenize+shingle+explode 4× (measured 2.5 s vs
+        # ~1 s at sf0.1)
+        prefix = f"pa0 AS (SELECT doc_id, i, s FROM {base}),\n"
+    else:
+        prefix = f"""{CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {tok} AS tok FROM corpus),
+{sh_cte}pa0 AS ({pa}),
+"""
+    return f"""
+WITH {prefix}lr_boiler AS (
+  SELECT s FROM pa0 GROUP BY s HAVING COUNT(*) > {LONGRUN_DF_CAP}
+),
+pa AS (
+  SELECT p.doc_id, p.i, p.s FROM pa0 p
+  WHERE NOT EXISTS (SELECT 1 FROM lr_boiler b WHERE b.s = p.s)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.i AS ia, b.i - a.i AS diag
+  FROM pa a JOIN pa b ON b.doc_id = a.doc_id + 100000 AND a.s = b.s
+  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+),
+isl AS (
+  SELECT doc_a, doc_b, diag,
+         ia - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY ia) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS run
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, MAX(run) + 2 AS longest_run_tokens
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
+def _pairwise_scores_sql(spark: bool,
+                         longrun_base: str | None = None) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
     original↔near-copy pairs) ∪ per-label embedding nearest neighbour
-    ∪ train/test decontamination — all emit
-    (method, id_a, id_b, score, near_dup)."""
+    ∪ train/test decontamination ∪ (round 6) exact-substring
+    longest-run — all emit (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
@@ -1535,7 +1623,36 @@ SELECT 'decontaminate' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, containment AS score,
        containment >= 0.8 AS near_dup
 FROM ({_decontam_sql(spark).strip()})
+UNION ALL
+SELECT 'longest_run' AS method, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b,
+       CAST(longest_run_tokens AS DOUBLE) AS score,
+       longest_run_tokens >= 20 AS near_dup
+FROM ({_longrun_sql(spark, base=longrun_base).strip()})
 """
+
+
+def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of `dedup_pairwise_scores`: the longest-run branch's
+    shingle-position relation materializes ONCE (localCheckpoint +
+    unique temp view — it is read four times and Spark inlines CTEs;
+    measured 2.5 s → ~1 s at sf0.1); the other four branches run as
+    plain SQL. The DuckDB oracle runs the identical math as one
+    statement (`_pairwise_scores_sql(False)`)."""
+    import uuid as _uuid
+
+    register_views(spark, sf_dir)
+    vpa = f"_lr_pa_{_uuid.uuid4().hex[:8]}"
+    pa = f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {TOK_SPARK} AS tok FROM corpus)
+SELECT doc_id, pos + 1 AS i, s FROM toks
+LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
+"""
+    spark.sql(pa).localCheckpoint(eager=True).createOrReplaceTempView(vpa)
+    out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa))
+    spark.catalog.dropTempView(vpa)
+    return out
 
 
 def _ivf_trained_sql(spark: bool) -> str:
@@ -2326,7 +2443,7 @@ def register(queries: dict, oracles: dict) -> None:
     oracles["sim_topk_brute_ivf"] = _sim_topk_sql(False)
     queries["sim_ann_lsh_quantized"] = q_sim_ann
     oracles["sim_ann_lsh_quantized"] = _sim_ann_sql(False)
-    queries["dedup_pairwise_scores"] = _sql(_pairwise_scores_sql(True))
+    queries["dedup_pairwise_scores"] = q_pairwise
     oracles["dedup_pairwise_scores"] = _pairwise_scores_sql(False)
     queries["text_curation_pipeline"] = _sql(_curation_sql(True))
     oracles["text_curation_pipeline"] = _curation_sql(False)
