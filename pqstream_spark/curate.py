@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "CONTAIN a benchmark item (directional containment "
                    ">= 0.8 — the oracle-certified decontamination sweep "
                    "bound to a real benchmark frame)")
+    p.add_argument("--build-index", action="store_true",
+                   help="after curation, embed the ACCEPTED documents "
+                   "(hashing-trick embedder) and build a searchable "
+                   "IVF index under OUT/index/ — raw docs to "
+                   "query-by-text corpus in one command "
+                   "(python -m pqstream_spark.index search "
+                   "--index OUT/index --documents q.parquet)")
+    p.add_argument("--index-cells", type=int, default=8,
+                   help="with --build-index: IVF cell count K")
     p.add_argument("--scrub-pii", action="store_true",
                    help="replace PII (emails, phones, SSNs, IPs — "
                    "functions/pii.py's portable pattern set) with "
@@ -336,6 +345,28 @@ def main(argv: list[str] | None = None, out=None) -> int:
     }
     total = kept + sum(causes.values())
     extra = {}
+    if args.build_index and kept > 0:
+        from .functions.embeddings import embed_documents
+        from .queries.llm import assign_ivf_cells, train_ivf_codebook_from
+
+        # embed the ACCEPTED docs (ids from the audit, text from the
+        # input — scrubbed text if --scrub-pii wrote it to the corpus)
+        base = docs if "doc_id" in docs.columns else docs.withColumn(
+            "doc_id", F.expr("xxhash64(text)")
+        )
+        kept_docs = base.select("doc_id", "text").dropDuplicates(
+            ["doc_id"]
+        ).join(audited.filter("final_keep").select("doc_id"), "doc_id")
+        emb = embed_documents(kept_docs)
+        cb = train_ivf_codebook_from(emb, k_cells=args.index_cells)
+        if cb:
+            idx_dir = os.path.join(args.out, "index")
+            assign_ivf_cells(emb, cb).repartition("cell") \
+                .write.mode("overwrite").partitionBy("cell") \
+                .parquet(os.path.join(idx_dir, "cells"))
+            with open(os.path.join(idx_dir, "codebook.json"), "w") as f:
+                json.dump({"codebook": cb}, f)
+            extra["index"] = {"cells": len(cb), "dir": idx_dir}
     if args.scrub_pii:
         extra["pii_matches_scrubbed"] = int(
             audited.filter("final_keep").agg(

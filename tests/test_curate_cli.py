@@ -182,3 +182,43 @@ def test_curate_bpe_enrichment(spark, tmp_path):
     # BPE tokens >= whitespace words (end-of-word markers + subwords)
     assert all(r["n_bpe_tokens"] >= r["n_tokens"] * 0 for r in rows)
     assert sum(r["n_bpe_tokens"] for r in rows) > 0
+
+
+def test_curate_build_index(spark, tmp_path):
+    """`curate --build-index`: one command from raw docs to a curated
+    corpus PLUS a searchable index over the accepted docs — verified
+    by retrieving an accepted doc through `index search --documents`
+    with a truncated copy of its text."""
+    from pqstream_spark.curate import main as curate_main
+    from pqstream_spark.index import main as index_main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .selectExpr("doc_id", "lang", "text")
+    src = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "out")
+    buf = io.StringIO()
+    assert curate_main(["--documents", src, "--out", out_dir,
+                        "--build-index", "--cpus", "4"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["index"]["cells"] >= 1
+    idx = stats["index"]["dir"]
+    assert os.path.exists(os.path.join(idx, "codebook.json"))
+    n_indexed = spark.read.parquet(os.path.join(idx, "cells")).count()
+    assert n_indexed == stats["kept"]
+
+    # pick an accepted doc, query with its truncated text
+    kept_id = spark.read.parquet(f"{out_dir}/audit") \
+        .where("final_keep").orderBy("doc_id").first()["doc_id"]
+    text = docs.where(f"doc_id = {kept_id}").collect()[0]["text"]
+    qd = spark.createDataFrame([(999999, text[:-8])],
+                               "doc_id long, text string")
+    qp = str(tmp_path / "q.parquet")
+    qd.coalesce(1).write.mode("overwrite").parquet(qp)
+    ncells = stats["index"]["cells"]
+    buf = io.StringIO()
+    assert index_main(["search", "--index", idx, "--documents", qp,
+                       "--k", "3", "--nprobe", str(ncells)], out=buf) == 0
+    hits = [json.loads(line) for line in buf.getvalue().splitlines()]
+    assert hits and min(hits, key=lambda h: h["rn"])["c_id"] == kept_id
