@@ -349,14 +349,20 @@ def main(argv: list[str] | None = None, out=None) -> int:
         from .functions.embeddings import embed_documents
         from .queries.llm import assign_ivf_cells, train_ivf_codebook_from
 
-        # embed the ACCEPTED docs (ids from the audit, text from the
-        # input — scrubbed text if --scrub-pii wrote it to the corpus)
-        base = docs if "doc_id" in docs.columns else docs.withColumn(
-            "doc_id", F.expr("xxhash64(text)")
-        )
-        kept_docs = base.select("doc_id", "text").dropDuplicates(
-            ["doc_id"]
-        ).join(audited.filter("final_keep").select("doc_id"), "doc_id")
+        # embed the ACCEPTED docs — the same text the corpus carries:
+        # scrubbed placeholders when --scrub-pii is on (the audit
+        # keeps that column), raw input text otherwise
+        if "scrubbed_text" in audited.columns:
+            kept_docs = audited.filter("final_keep").selectExpr(
+                "doc_id", "scrubbed_text AS text")
+        else:
+            base = docs if "doc_id" in docs.columns else docs.withColumn(
+                "doc_id", F.expr("xxhash64(text)")
+            )
+            kept_docs = base.select("doc_id", "text").dropDuplicates(
+                ["doc_id"]
+            ).join(audited.filter("final_keep").select("doc_id"),
+                   "doc_id")
         emb = embed_documents(kept_docs)
         cb = train_ivf_codebook_from(emb, k_cells=args.index_cells)
         if cb:
