@@ -123,3 +123,43 @@ def test_stream_scrub_pii(spark, tmp_path):
     assert "<EMAIL>" in row["text"]
     assert "admin@internal.example.org" not in row["text"]
     assert row["n_pii"] == 1
+
+
+def test_curate_new_flags_poison_tolerant(spark, tmp_path):
+    """NULL/empty/whitespace texts flow through --scrub-pii +
+    --decontaminate + --build-index without failing the job; the
+    stats line still balances."""
+    import io
+    import json
+
+    from pqstream_spark.curate import main
+
+    rows = [(1, "en", "a healthy document with plenty of words to "
+                      "keep around and score normally " * 3),
+            (2, "en", None),
+            (3, "en", ""),
+            (4, "en", "   \n  \n "),
+            (5, None, "reach me at x@y.example.org or 555-123-4567 "
+                      "plus enough other words to pass the floors "
+                      "and the classifier margin easily " * 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    src = str(tmp_path / "p.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    bench = spark.createDataFrame([("benchmark question unrelated",)],
+                                  "text string")
+    bp = str(tmp_path / "b.parquet")
+    bench.coalesce(1).write.mode("overwrite").parquet(bp)
+
+    out_dir = str(tmp_path / "out")
+    buf = io.StringIO()
+    assert main(["--documents", src, "--out", out_dir, "--scrub-pii",
+                 "--decontaminate", bp, "--build-index",
+                 "--cpus", "4"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["docs"] == 5
+    assert stats["kept"] + sum(stats["rejected"].values()) == 5
+    audit = spark.read.parquet(f"{out_dir}/audit")
+    assert audit.count() == 5
+    # the PII doc was scrubbed wherever it survived
+    r5 = audit.where("doc_id = 5").collect()[0]
+    assert r5["n_pii"] == 4  # the doubled text repeats email + phone
