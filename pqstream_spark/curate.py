@@ -184,6 +184,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     from pyspark.sql import functions as F
 
+    # dependent flags fail loudly instead of silently no-opping: the
+    # user must not believe an artifact was produced when it wasn't
+    if (args.pack_by_bpe or args.merges) and not args.bpe:
+        print("--pack-by-bpe/--merges require --bpe", file=sys.stderr)
+        return 2
+    if args.stream and args.build_index:
+        print("--build-index is batch-only (stream mode maintains the "
+              "corpus incrementally; build the index from it with "
+              "`python -m pqstream_spark.index build`)", file=sys.stderr)
+        return 2
+
     from .session import get_spark
 
     spark = get_spark("pqstream-curate", cpus=args.cpus)

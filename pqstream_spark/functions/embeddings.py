@@ -39,16 +39,24 @@ def md5_nib_sql(h: str, k: int, spark: bool = True) -> str:
 
 
 def md5_bucket_sql(h: str, dim: int = EMBED_DIM, spark: bool = True) -> str:
-    """Feature bucket in [0, dim) from the first two md5 nibbles."""
-    v = f"{md5_nib_sql(h, 1, spark)} * 16 + {md5_nib_sql(h, 2, spark)}"
+    """Feature bucket in [0, dim) from the first FOUR md5 nibbles
+    (0..65535): two nibbles would silently zero every bucket >= 256
+    for larger dims and modulo-bias any dim not dividing 256; 16 bits
+    keeps power-of-two dims up to 65536 exactly unbiased."""
+    if not 1 <= dim <= 65536:
+        raise ValueError(f"md5_bucket_sql: dim {dim} outside [1, 65536]")
+    v = " + ".join(
+        f"{md5_nib_sql(h, k + 1, spark)} * {16 ** (3 - k)}" for k in range(4)
+    )
     # operand is non-negative, so plain % == pmod; spelled pmod on
     # Spark anyway for uniformity with the sampling idiom
     return f"pmod({v}, {dim})" if spark else f"(({v}) % {dim})"
 
 
 def md5_sign_sql(h: str, spark: bool = True) -> str:
-    """±1 sign from the third md5 nibble's parity."""
-    return f"CASE WHEN {md5_nib_sql(h, 3, spark)} % 2 = 0 THEN 1 ELSE -1 END"
+    """±1 sign from the FIFTH md5 nibble's parity (independent of the
+    four bucket nibbles)."""
+    return f"CASE WHEN {md5_nib_sql(h, 5, spark)} % 2 = 0 THEN 1 ELSE -1 END"
 
 
 def embed_documents(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:

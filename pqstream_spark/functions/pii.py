@@ -46,16 +46,25 @@ def _lit(pat: str, spark: bool) -> str:
 
 
 def pii_count_expr(spark: bool = True, text_col: str = "text") -> str:
-    """Total PII matches in `text_col` across all patterns — one
-    BIGINT per row, identical in both engines."""
+    """Number of REPLACEMENTS the scrub chain performs on `text_col` —
+    one BIGINT per row, identical in both engines. Each pattern is
+    counted on the text AFTER the earlier patterns scrubbed it (the
+    same order `scrub_pii_expr` applies), so overlapping matches — an
+    SSN-shaped digit run inside an email address — are never
+    double-counted and curate's `pii_matches_scrubbed` equals the
+    number of placeholders actually inserted."""
     parts = []
-    for _name, pat, _ph in PII_PATTERNS:
+    cur = text_col
+    for _name, pat, ph in PII_PATTERNS:
         if spark:
-            parts.append(f"regexp_count({text_col}, '{_lit(pat, True)}')")
+            parts.append(f"regexp_count({cur}, '{_lit(pat, True)}')")
+            cur = f"regexp_replace({cur}, '{_lit(pat, True)}', '{ph}')"
         else:
             parts.append(
-                f"len(regexp_extract_all({text_col}, '{_lit(pat, False)}'))"
+                f"len(regexp_extract_all({cur}, '{_lit(pat, False)}'))"
             )
+            cur = (f"regexp_replace({cur}, '{_lit(pat, False)}', "
+                   f"'{ph}', 'g')")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 

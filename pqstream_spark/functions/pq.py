@@ -362,16 +362,17 @@ def pq_encode(df: DataFrame, books: list[list[list[int]]],
 
 def _query_luts_frame(
     queries: DataFrame, books: list[list[list[int]]],
-    extra_exprs: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(q_id, embedding) → (q_id, luts[, extra...]) with the M×ksub
-    ADC lookup table computed IN-ENGINE: quantize qv once
-    (localCheckpoint — the CollapseProject barrier), then the static
-    `pq_lut_expr` sums over literal centroid coordinates. No driver
-    collect, so the query side can be an arbitrary-size frame — the
-    round-5 inline-literal path serialized an O(|Q|·M·ksub) plan
-    through the driver (kept below under inline_luts=True for parity
-    tests)."""
+    """(q_id, embedding) → (q_id, luts) with the M×ksub ADC lookup
+    table computed IN-ENGINE: quantize qv once (localCheckpoint — the
+    CollapseProject barrier), then the static `pq_lut_expr` sums over
+    literal centroid coordinates. No driver COLLECT: the round-5
+    inline-literal path serialized an O(|Q|·M·ksub) plan through the
+    driver as SQL text (kept under inline_luts=True for parity
+    tests); the LUT frame here still BROADCASTS for the scan join —
+    ~(M·ksub·8+16) bytes/query ≈ 1 KB, so Spark's 8 GB broadcast cap
+    is reached around ~10⁶–10⁷ queries; beyond that, swap the
+    broadcast hint for a shuffle join on the caller side."""
     from ..queries.llm import _norm2_expr, _norm_vec_expr
 
     n2 = _norm2_expr(True)
@@ -385,7 +386,7 @@ def _query_luts_frame(
         .localCheckpoint(eager=True)
     )
     return base.selectExpr(
-        "q_id", f"{pq_lut_expr(books, True)} AS luts", *extra_exprs
+        "q_id", f"{pq_lut_expr(books, True)} AS luts"
     )
 
 
@@ -433,8 +434,9 @@ def pq_search(
     """ADC top-k: for each (q_id, embedding) query, score every code
     as Σ_m LUT[m][code_m] where LUT[m][c] = q_m · centroid. The LUTs
     are computed IN-ENGINE (static sums over literal centroids — see
-    `_query_luts_frame`), so `queries` may be an arbitrary-size frame;
-    each candidate then costs M shifts + M lookups inside codegen.
+    `_query_luts_frame`, including the honest broadcast bound), so
+    `queries` is a frame, not a driver-collected batch; each
+    candidate then costs M shifts + M lookups inside codegen.
     `inline_luts=True` keeps the round-5 driver-side literal path
     (exact integers either way; pinned equal by test). Returns
     (q_id, c_id, score, rn); score is the integer ADC dot — a RANKING
@@ -498,17 +500,18 @@ def ivfpq_search(
 
     m = len(books)
     nprobe = max(1, min(int(nprobe), len(codebook)))
-    # LUTs and probe cells both compute IN-ENGINE from the same
-    # quantized base (`ivf_probe_cells_expr` is already a narrow SQL
-    # expression); one explode fans each query out to its nprobe
-    # cells, and the equi-join on `cell` keeps candidate generation
-    # inside the probed cells — with the codes table partitioned by
-    # cell this is the memory-resident IVF-PQ scan: 8 bytes per
-    # candidate, M lookups per score, file pruning per probe. No
-    # driver collect at any query-set size.
+    # LUTs compute on the checkpointed quantized base; probe cells as
+    # a narrow expression over the RAW frame (`ivf_probe_cells_expr`
+    # carries its own quantize chain — one extra normalize per query
+    # row, the price of keeping that expression stream-safe). One
+    # explode fans each query out to its nprobe cells, and the
+    # equi-join on `cell` keeps candidate generation inside the
+    # probed cells — with the codes table partitioned by cell this is
+    # the memory-resident IVF-PQ scan: 8 bytes per candidate, M
+    # lookups per score, file pruning per probe. No driver collect
+    # (broadcast bound: see _query_luts_frame).
     luts_df = _query_luts_frame(
         queries.selectExpr("q_id", "embedding"), books,
-        extra_exprs=(),
     )
     cells_df = queries.selectExpr(
         "q_id AS _qc_id",

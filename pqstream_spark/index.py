@@ -214,20 +214,32 @@ def main(argv: list[str] | None = None, out=None) -> int:
         import shutil as _shutil
 
         cells = _cells_path(args.index)
+        old = cells + ".old"
+        # crash recovery BEFORE anything else: a kill between the two
+        # renames below leaves cells/ missing with cells.old complete
+        # (restore it); a kill after the second rename leaves a stale
+        # cells.old next to a valid cells/ (clear it so the next
+        # compact's rename target is free)
+        if not os.path.exists(cells) and os.path.exists(old):
+            os.rename(old, cells)
+        elif os.path.exists(old):
+            _shutil.rmtree(old)
         files_before = len(_glob.glob(os.path.join(cells, "*", "*.parquet")))
         df = spark.read.parquet(cells)
         n_before = df.count()
-        # write-aside then atomic-ish swap: the old layout stays
-        # readable until the new one is complete, and a crash leaves
-        # either the old or the new directory, never a half state
+        # write-aside then swap: the old layout stays readable until
+        # the new one is complete and row-count-verified; the rename
+        # window is recovered by the logic above, so any crash leaves
+        # a usable index after the next compact invocation
         tmp_new = cells + ".compact"
+        if os.path.exists(tmp_new):
+            _shutil.rmtree(tmp_new)  # stale from an aborted run
         df.repartition("cell").write.mode("overwrite") \
             .partitionBy("cell").parquet(tmp_new)
         if spark.read.parquet(tmp_new).count() != n_before:
             print("compact aborted: row count mismatch", file=sys.stderr)
             _shutil.rmtree(tmp_new)
             return 1
-        old = cells + ".old"
         os.rename(cells, old)
         os.rename(tmp_new, cells)
         _shutil.rmtree(old)

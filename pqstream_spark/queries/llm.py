@@ -1831,18 +1831,24 @@ WHERE rn <= 5"""
 MULTIPROBE_NPROBE = 2
 
 
-def _probe_cells_frag(spark: bool, k: int, nprobe: int,
+def _probe_cells_frag(spark: bool, nprobe: int,
                       ds_col: str = "ds") -> str:
-    """Rank the K cells of a per-row dot-product list best-first
+    """Rank the cells of a per-row dot-product list best-first
     (ties → smaller cell id, via struct sort on (−dot, cid)) and keep
     the top `nprobe` — the query-side half of multi-probe IVF, as a
-    pure expression both engines evaluate identically."""
+    pure expression both engines evaluate identically. Sized from the
+    LIST ITSELF (size/len of ds_col), never a literal K: a codebook
+    trained on a tiny sample can come back with fewer than the
+    requested cells, and a hardcoded K would pad phantom NULL cells
+    on Spark while DuckDB indexes out of range. Slicing past the end
+    yields the shorter list in both engines."""
     if spark:
-        ranked = (f"array_sort(zip_with({ds_col}, sequence(1, {k}), "
+        ranked = (f"array_sort(zip_with({ds_col}, "
+                  f"sequence(1, size({ds_col})), "
                   f"(d, c) -> named_struct('nd', -d, 'c', c)))")
         return (f"transform(slice({ranked}, 1, {nprobe}), "
                 f"s -> CAST(s.c AS BIGINT))")
-    ranked = (f"list_sort(list_transform(range(1, {k + 1}), "
+    ranked = (f"list_sort(list_transform(range(1, len({ds_col}) + 1), "
               f"i -> {{'nd': -{ds_col}[i], 'c': i}}))")
     return (f"list_transform(list_slice({ranked}, 1, {nprobe}), "
             f"s -> CAST(s.c AS BIGINT))")
@@ -1861,7 +1867,6 @@ def _ivf_multiprobe_sql(spark: bool, nprobe: int = MULTIPROBE_NPROBE) -> str:
     scale), the Spark side reuses the collected codebook
     (q_sim_topk)."""
     parts = _ivf_parts(spark)
-    k = 8  # the entry's K (train CTE default)
     dot = _dot6_expr("q.nv", "c.nv", spark)
     if spark:
         ex = ("SELECT vec_id, nv, ex_cid FROM mp "
@@ -1876,7 +1881,7 @@ lab AS (
         FROM qz CROSS JOIN cents1) t
 ),
 mp AS (
-  SELECT vec_id, nv, {_probe_cells_frag(spark, k, nprobe)} AS cells
+  SELECT vec_id, nv, {_probe_cells_frag(spark, nprobe)} AS cells
   FROM (SELECT vec_id, nv, {parts['ds']('qv', 'cs')} AS ds
         FROM qz CROSS JOIN cents1) t
   WHERE vec_id < 10
@@ -2145,6 +2150,13 @@ def search_ivf_index_arrow(
         "cell IN (" + ", ".join(str(c) for c in probed) + ")"
     ).selectExpr("vec_id", f"{nv} AS cnv", "cell")
 
+    def _round6(x: "_np.ndarray") -> "_np.ndarray":
+        # Spark SQL round() is HALF_UP (away from zero); np.round is
+        # half-to-even — a 6-dp midpoint score would differ by 1e-6
+        # between this path and the expression path it is pinned
+        # equal to. Floor(|x|·1e6 + 0.5) reproduces HALF_UP exactly.
+        return _np.sign(x) * _np.floor(_np.abs(x) * 1e6 + 0.5) / 1e6
+
     def scan(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -2173,11 +2185,11 @@ def search_ivf_index_arrow(
                     # window applies, so a tie straddling the k
                     # boundary keeps the same winners as the
                     # expression path
-                    rcol = _np.round(col[cand], 6)
+                    rcol = _round6(col[cand])
                     top = cand[_np.lexsort((vids[cand], -rcol))[:k]]
                     out_q.extend([qids[qi]] * len(top))
                     out_c.extend(vids[top].tolist())
-                    out_s.extend(_np.round(col[top], 6).tolist())
+                    out_s.extend(_round6(col[top]).tolist())
             yield _pd.DataFrame(
                 {"q_id": _np.array(out_q, dtype=_np.int64),
                  "c_id": _np.array(out_c, dtype=_np.int64),
@@ -2330,7 +2342,7 @@ WITH lab AS (SELECT vec_id, nv, cid FROM {vlab}),
         mp = f"""
 WITH mp AS (
   SELECT vec_id, nv,
-         {_probe_cells_frag(True, len(cs), MULTIPROBE_NPROBE)} AS cells
+         {_probe_cells_frag(True, MULTIPROBE_NPROBE)} AS cells
   FROM (SELECT vec_id, nv, {ds_lit} AS ds FROM {vbase}
         WHERE vec_id < 10) t
 ),

@@ -162,3 +162,42 @@ def test_arrow_search_equals_expression_search(spark, tmp_path):
              for r in search_ivf_index(
                  index, queries, cb, k=5, nprobe=nprobe).collect()}
         assert a == b, nprobe
+
+
+def test_probe_frag_matches_production_probe_expr(spark):
+    """Guard against divergence between the certification branches'
+    _probe_cells_frag and production's ivf_probe_cells_expr: both
+    rank cells with the same (-dot, cid) total order, so they must
+    pick identical cells at every nprobe."""
+    from pqstream_spark.queries.llm import (
+        _ivf_parts,
+        _norm2_expr,
+        _norm_vec_expr,
+        _probe_cells_frag,
+        ivf_probe_cells_expr,
+        train_ivf_codebook_from,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .selectExpr("vec_id",
+                    "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    cb = train_ivf_codebook_from(emb)
+    p = _ivf_parts(True)
+    nv = _norm_vec_expr(True)
+    n2 = _norm2_expr(True)
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")" for cv in cb
+    ) + ")"
+    base = emb.where(f"{n2} > 0").selectExpr(
+        "vec_id", f"{nv} AS nv"
+    ).selectExpr("vec_id", f"{p['qv']} AS qv").localCheckpoint(eager=True)
+    for nprobe in (1, 2, len(cb)):
+        frag = {r["vec_id"]: r["cells"] for r in base.selectExpr(
+            "vec_id",
+            f"{_probe_cells_frag(True, nprobe, p['ds']('qv', lit))} AS cells",
+        ).collect()}
+        prod = {r["vec_id"]: r["cells"] for r in emb.selectExpr(
+            "vec_id", f"{ivf_probe_cells_expr(cb, nprobe)} AS cells"
+        ).where("cells IS NOT NULL").collect()}
+        assert frag == prod, nprobe

@@ -163,3 +163,33 @@ def test_curate_new_flags_poison_tolerant(spark, tmp_path):
     # the PII doc was scrubbed wherever it survived
     r5 = audit.where("doc_id = 5").collect()[0]
     assert r5["n_pii"] == 4  # the doubled text repeats email + phone
+
+
+def test_pii_overlap_counts_equal_replacements(spark, duck):
+    """An SSN-shaped digit run inside an email must count ONCE (the
+    email scrub consumes it): n_pii equals the number of placeholders
+    in the scrubbed text, in both engines."""
+    from pqstream_spark.functions.pii import pii_count_expr, scrub_pii_expr
+
+    cases = ["write 123-45-6789@example.com today",
+             "ssn 123-45-6789 and mail 123-45-6789@example.com"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "id long, text string")
+    df.createOrReplaceTempView("_pii_o")
+    rows = spark.sql(
+        f"SELECT id, {pii_count_expr(True)} AS n, "
+        f"{scrub_pii_expr(True)} AS s FROM _pii_o ORDER BY id").collect()
+    duck.execute("CREATE OR REPLACE TABLE _pii_o AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{c}')" for i, c in enumerate(cases))
+                 + ") v(id, text)")
+    drows = duck.execute(
+        f"SELECT id, {pii_count_expr(False)} AS n, "
+        f"{scrub_pii_expr(False)} AS s FROM _pii_o ORDER BY id").fetchall()
+    assert [(r["id"], r["n"], r["s"]) for r in rows] == drows
+    for r in rows:
+        n_placeholders = sum(r["s"].count(p) for p in
+                             ("<EMAIL>", "<SSN>", "<PHONE>", "<IP>"))
+        assert r["n"] == n_placeholders, (r["s"], r["n"])
+    assert rows[0]["n"] == 1   # the email consumed the SSN-shaped run
+    assert rows[1]["n"] == 2
+    spark.catalog.dropTempView("_pii_o")
