@@ -1110,6 +1110,9 @@ SELECT doc_id, lang AS actual_lang,
   CASE WHEN {size}(ln) = 0 THEN NULL
        ELSE round(1.0 - CAST({size}({distinct}(ln)) AS DOUBLE) / {size}(ln), 6)
   END AS dup_line_frac,
+  CASE WHEN {size}(sh) = 0 THEN NULL
+       ELSE round(1.0 - CAST({size}({distinct}(sh)) AS DOUBLE) / {size}(sh), 6)
+  END AS dup_3gram_frac,
   CASE WHEN {size}(ln) = 0 THEN NULL
        ELSE round(CAST({size}({flt}(ln, l -> trim(l) LIKE '-%'
             OR trim(l) LIKE '*%')) AS DOUBLE) / {size}(ln), 6)

@@ -193,3 +193,35 @@ def test_pii_overlap_counts_equal_replacements(spark, duck):
     assert rows[0]["n"] == 1   # the email consumed the SSN-shaped run
     assert rows[1]["n"] == 2
     spark.catalog.dropTempView("_pii_o")
+
+
+def test_pii_fuzz_cross_engine(spark, duck):
+    """Seeded fuzz: random texts mixing digits, dots, dashes, @ signs
+    and words — counts and scrubbed strings identical between Java
+    regex (Spark) and RE2 (DuckDB) on every case."""
+    import random
+
+    from pqstream_spark.functions.pii import pii_count_expr, scrub_pii_expr
+
+    rng = random.Random(7117)
+    frags = ["word", "42", "a.b", "x@y.zz", "555-123-4567", "1.2.3.4",
+             "123-45-6789", "..", "@", "-", " ", "q9", "no",
+             "user.name+tag@sub.example.org", "999.999.999.999",
+             "12.34", "tel 555.987.6543"]
+    cases = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+             for _ in range(80)]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "id long, text string")
+    df.createOrReplaceTempView("_pii_f")
+    s = [(r["id"], r["n"], r["s"]) for r in spark.sql(
+        f"SELECT id, {pii_count_expr(True)} AS n, "
+        f"{scrub_pii_expr(True)} AS s FROM _pii_f ORDER BY id").collect()]
+    duck.execute(
+        "CREATE OR REPLACE TABLE _pii_f (id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _pii_f VALUES (?, ?)",
+                     list(enumerate(cases)))
+    d = duck.execute(
+        f"SELECT id, {pii_count_expr(False)} AS n, "
+        f"{scrub_pii_expr(False)} AS s FROM _pii_f ORDER BY id").fetchall()
+    assert s == d
+    spark.catalog.dropTempView("_pii_f")
