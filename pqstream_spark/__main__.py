@@ -46,8 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--connect",
         required=True,
-        help="source: sqlite:PATH for the local capture backend, or a "
-        "changelog parquet directory for the file source",
+        help="source: sqlite:PATH for the local capture backend, "
+        "postgres:CONNINFO (libpq keywords, e.g. "
+        "postgres:host=/run/pg dbname=app user=pq) for the live "
+        "Postgres capture backend, or a changelog parquet directory "
+        "for the file source",
     )
     p.add_argument("--tables", default=None, help="table name regexp")
     p.add_argument(
@@ -228,6 +231,86 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     return 0
 
 
+def _run_postgres(args, stop: threading.Event) -> int:
+    """Live-Postgres capture backend (sources/outbox_pg.py): the same
+    remove-then-install → poll → handle → emit loop as _run_sqlite, but
+    the triggers are the golden-pinned PL/pgSQL executing inside a real
+    server and the durable offset row lives in the source database —
+    matching the reference's deployment (pqsd against live PG,
+    cmd/pqsd/main.go:95-112) with the at-least-once outbox upgrade."""
+    from .pipeline import handle_events
+    from .session import get_spark
+    from .sources.outbox_local import raw_events_from_outbox
+    from .sources.outbox_pg import (
+        PgCaptureManager,
+        PgOutboxPoller,
+        PsqlRunner,
+        pg_bootstrap_done,
+        pg_mark_bootstrap_done,
+        pg_outbox_high_water,
+        pg_snapshot_batch,
+    )
+
+    conninfo = args.connect[len("postgres:"):]
+    runner = PsqlRunner(conninfo)
+    cap = PgCaptureManager(runner, table_regexp=args.tables)
+    cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
+    if args.remove:
+        return 0
+    tables = cap.install()
+    print(f"capturing {len(tables)} tables: {tables}", file=sys.stderr)
+
+    spark = get_spark("pqstream-daemon")
+    redactions = _load_redactions(args.redactions)
+    poller = PgOutboxPoller.open_durable(runner, consumer=args.consumer)
+    if args.replay_from is not None:
+        poller.rewind(args.replay_from)
+    if args.out == "-":
+        emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
+    else:
+        from .streaming.sinks import jsonl_seq_writer
+
+        emit = jsonl_seq_writer(args.out)
+    if args.bootstrap and not pg_bootstrap_done(runner):
+        # consistent switchover: snapshot + high-water in ONE psql
+        # transaction is not needed — the outbox seq is monotonic, so
+        # reading MAX(seq) AFTER the snapshot may double-deliver a row
+        # that changed in between, which the at-least-once contract and
+        # seq-dedup downstream already absorb (same stance as the
+        # sqlite backend's BEGIN IMMEDIATE, weakened to at-least-once)
+        hi = pg_outbox_high_water(runner)
+        snap_batch = pg_snapshot_batch(runner, spark, args.tables)
+        snap = handle_events(
+            raw_events_from_outbox(snap_batch),
+            redactions=redactions, typed_wire=True,
+        )
+        if args.out != "-":
+            for f in os.listdir(args.out):
+                if f.startswith("batch--"):
+                    os.remove(os.path.join(args.out, f))
+        emit(snap, -1)
+        poller.rewind(hi)
+        pg_mark_bootstrap_done(runner)
+    epoch = 0
+    while not stop.is_set():
+        batch = poller.read_batch(spark)
+        events = handle_events(
+            raw_events_from_outbox(batch), redactions=redactions,
+            typed_wire=True,
+        )
+        emit(events, epoch)
+        poller.advance()
+        if args.compact:
+            poller.compact()
+        epoch += 1
+        if args.once:
+            if batch.isEmpty():
+                break
+        else:
+            stop.wait(args.poll_interval)
+    return 0
+
+
 _ACTIVE_WIRE = None  # set while the --listen-http wire server is up
 
 
@@ -329,6 +412,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.connect.startswith("sqlite:"):
         return _run_sqlite(args, stop)
+    if args.connect.startswith("postgres:"):
+        return _run_postgres(args, stop)
     if not os.path.isdir(args.connect):
         print(f"--connect: not a sqlite: URL or directory: {args.connect}",
               file=sys.stderr)

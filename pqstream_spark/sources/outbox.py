@@ -27,7 +27,14 @@ from dataclasses import dataclass
 
 OUTBOX_TABLE = "pqstream_outbox"
 
-# mirrors the notification envelope built at queries.go:26-32, plus seq/ts
+# mirrors the notification envelope built at queries.go:26-32, plus seq/ts.
+# payload/previous are JSON (not JSONB) on purpose: the reference
+# serializes with row_to_json (queries.go:17-21), whose text rendering is
+# compact ({"id":1,...}) and preserves the table's column order; jsonb
+# re-orders keys and re-spaces, which would break byte-parity between an
+# outbox-sourced envelope and the reference's NOTIFY text (verified on
+# live PG 15: to_jsonb(p)::text reorders by key length, to_json(p)::text
+# equals row_to_json(p)::text byte-for-byte).
 CREATE_OUTBOX_SQL = f"""
 CREATE TABLE IF NOT EXISTS {OUTBOX_TABLE} (
   seq         BIGSERIAL PRIMARY KEY,
@@ -36,29 +43,31 @@ CREATE TABLE IF NOT EXISTS {OUTBOX_TABLE} (
   table_name  TEXT NOT NULL,
   op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),
   id          TEXT,
-  payload     JSONB,
-  previous    JSONB
+  payload     JSON,
+  previous    JSON
 )
 """.strip()
 
 # Trigger function: same OLD/NEW selection as the reference trigger —
 # payload is NEW for INSERT/UPDATE and OLD for DELETE (queries.go:17-21),
 # previous is OLD only for UPDATE (queries.go:22-24), id is the text of
-# the row's id field if present (queries.go:30). No 8 KB degradation:
-# the outbox has no NOTIFY size cap (S2 kept as an optional transform).
+# the row's id field if present (queries.go:30). to_json (the json type,
+# equal to the reference's row_to_json on a row variable) keeps the
+# compact column-ordered rendering. No 8 KB degradation: the outbox has
+# no NOTIFY size cap (S2 kept as an optional transform).
 TRIGGER_FUNCTION_SQL = f"""
 CREATE OR REPLACE FUNCTION pqstream_outbox_capture() RETURNS TRIGGER AS $$
 DECLARE
-  row_json JSONB;
-  prev_json JSONB;
+  row_json JSON;
+  prev_json JSON;
 BEGIN
   IF TG_OP = 'DELETE' THEN
-    row_json := to_jsonb(OLD);
+    row_json := to_json(OLD);
   ELSE
-    row_json := to_jsonb(NEW);
+    row_json := to_json(NEW);
   END IF;
   IF TG_OP = 'UPDATE' THEN
-    prev_json := to_jsonb(OLD);
+    prev_json := to_json(OLD);
   END IF;
   INSERT INTO {OUTBOX_TABLE} (schema_name, table_name, op, id, payload, previous)
   VALUES (TG_TABLE_SCHEMA, TG_TABLE_NAME, TG_OP, row_json ->> 'id', row_json, prev_json);

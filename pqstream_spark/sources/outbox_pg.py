@@ -1,0 +1,557 @@
+"""Live-Postgres capture backend: the trigger → outbox → poller path
+executing against a real PostgreSQL server (SURVEY.md §2 S1/S4/S5).
+
+The reference's capture side only ever runs inside live Postgres
+(`/root/reference/queries.go:10-63` installed by `server.go:128-147`;
+every integration test provisions a throwaway database,
+`server_test.go:110-136`). This module executes the SAME golden-pinned
+DDL (`sources/outbox.py`) against a real server:
+
+- **Transport is a `psql` subprocess** — this container ships the
+  PostgreSQL 15 server binaries (`pg_ctl`, `postgres`, `psql`) but no
+  Python driver (psycopg2) and no JDBC jar, so `psql --csv` with an
+  explicit NULL marker is the supported execution path here. On a real
+  cluster you'd use `sources.outbox.OutboxPoller` (partitioned JDBC
+  reads); this backend is the driver-less equivalent with the same
+  bounded `(last_seq, last_seq + max_rows]` batch contract.
+- **Server lifecycle** (`EphemeralPostgres`) mirrors the reference's
+  test topology: throwaway cluster per suite, trust auth on a private
+  unix socket, `listen_addresses=''` (no TCP). Postgres refuses to run
+  as root, so when invoked by root every server-side command is
+  re-executed as `nobody` via `su` — the data directory is chowned
+  accordingly.
+- **Offsets are durable in the source database** (same design as the
+  sqlite backend, `outbox_local.LocalOutboxPoller.open_durable`): one
+  row per consumer in `pqstream_consumer_offset`, advanced AFTER the
+  batch is durably sunk → at-least-once, which the idempotent
+  seq-named sink collapses to exactly-once effect.
+
+NOTIFY-path parity: `notify_trigger_function_sql` is the engine's own
+rendering of the reference's fire-and-forget trigger — same
+`json_build_object` envelope, same two-tier `length(...) >= 8000`
+degradation (queries.go:26-47) — used by the parity tests to pin the
+wire bytes a live server emits against the S2 operator
+(`operators/degrade._envelope_text`) and against golden expectations.
+It is generated here, not copied: the reference's trigger is the spec,
+the text below is this engine's implementation of it.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import re
+import shlex
+import shutil
+import subprocess
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from .outbox import (
+    CREATE_OUTBOX_SQL,
+    DISCOVER_TABLES_SQL,
+    OUTBOX_TABLE,
+    TRIGGER_FUNCTION_SQL,
+    _check_ident,
+    filter_tables,
+    install_trigger_sql,
+    remove_trigger_sql,
+)
+from .outbox_local import OUTBOX_BATCH_SCHEMA
+
+PG_OFFSET_TABLE = "pqstream_consumer_offset"
+
+# psql renders NULL and empty string identically in CSV by default; an
+# explicit marker disambiguates. '\N' cannot collide with outbox data:
+# payload/previous are JSON texts (start with '{'), ops/idents are words.
+_NULL = r"\N"
+
+
+def pg_binaries() -> dict[str, str | None]:
+    """Which PostgreSQL binaries this environment ships. The transport
+    gap-watch (tests/test_transport_probe.py) asserts that when these
+    are ALL present the live-PG test suite must not skip — a binary
+    appearing flips tests from skip to required, by construction."""
+    return {name: shutil.which(name) for name in ("pg_ctl", "postgres", "psql", "initdb")}
+
+
+def pg_available() -> bool:
+    b = pg_binaries()
+    return all(b[k] for k in ("pg_ctl", "postgres", "psql"))
+
+
+class PsqlError(RuntimeError):
+    pass
+
+
+@dataclass
+class PsqlRunner:
+    """Execute SQL against a live server through `psql` subprocesses.
+
+    `conninfo` is a libpq keyword/value string ("host=/run/pg dbname=app
+    user=pq"). Each call is one psql invocation with ON_ERROR_STOP, so a
+    multi-statement script is atomic-per-statement with loud failures —
+    the same contract a DB-API cursor loop gives the sqlite backend."""
+
+    conninfo: str
+
+    def sql(self, script: str, *, check: bool = True) -> str:
+        proc = subprocess.run(
+            ["psql", self.conninfo, "-X", "-q",
+             "-v", "ON_ERROR_STOP=1", "-P", f"null={_NULL}"],
+            input=script, capture_output=True, text=True, cwd="/tmp",
+        )
+        if check and proc.returncode != 0:
+            raise PsqlError(
+                f"psql failed (rc={proc.returncode}): {proc.stderr.strip()}"
+            )
+        return proc.stdout
+
+    def query_csv(self, query: str) -> list[dict[str, str | None]]:
+        """One SELECT → list of dicts; psql --csv quoting is RFC-4180,
+        parsed by the stdlib csv module; _NULL marks SQL NULL."""
+        proc = subprocess.run(
+            ["psql", self.conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
+             "--csv", "-P", f"null={_NULL}", "-c", query],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+        if proc.returncode != 0:
+            raise PsqlError(
+                f"psql query failed (rc={proc.returncode}): {proc.stderr.strip()}"
+            )
+        rows = list(csv.reader(io.StringIO(proc.stdout)))
+        if not rows:
+            return []
+        header, data = rows[0], rows[1:]
+        return [
+            {k: (None if v == _NULL else v) for k, v in zip(header, r)}
+            for r in data
+        ]
+
+    def scalar(self, query: str) -> str | None:
+        rows = self.query_csv(query)
+        if not rows:
+            return None
+        return next(iter(rows[0].values()))
+
+
+class EphemeralPostgres:
+    """Throwaway PostgreSQL cluster on a private unix socket.
+
+    Parity with the reference's integration topology (one disposable
+    database per test run, `server_test.go:110-136`) adapted to this
+    sandbox: `pg_ctl initdb` + `pg_ctl start` under `base_dir`, trust
+    auth, no TCP (`listen_addresses=''`), fsync off (test speed). When
+    the caller is root, server commands run as `nobody` (Postgres
+    refuses root) with the base dir chowned to match."""
+
+    def __init__(self, base_dir: str, superuser: str = "pq") -> None:
+        self.base = os.path.abspath(base_dir)
+        self.data = os.path.join(self.base, "data")
+        self.sock = os.path.join(self.base, "sock")
+        self.log = os.path.join(self.base, "server.log")
+        self.superuser = superuser
+        self._running = False
+
+    @classmethod
+    def temp(cls, prefix: str = "pqstream_pg_") -> "EphemeralPostgres":
+        """Cluster under a fresh /tmp directory. Needed when the caller
+        is root and the natural location (e.g. pytest's tmp_path) sits
+        below root-0700 ancestors the demoted `nobody` server process
+        cannot traverse; /tmp itself is world-traversable."""
+        import tempfile
+
+        return cls(tempfile.mkdtemp(prefix=prefix, dir="/tmp"))
+
+    # -- process plumbing -------------------------------------------------
+    def _server_cmd(self, cmd: str) -> subprocess.CompletedProcess:
+        """Run a pg_ctl command, demoted to `nobody` when root."""
+        if os.geteuid() == 0:
+            full = ["su", "nobody", "-s", "/bin/sh", "-c", cmd]
+        else:
+            full = ["/bin/sh", "-c", cmd]
+        return subprocess.run(full, capture_output=True, text=True, cwd="/tmp")
+
+    def _chown_for_server(self) -> None:
+        if os.geteuid() == 0:
+            subprocess.run(["chown", "-R", "nobody", self.base],
+                           check=True, cwd="/tmp")
+
+    # -- lifecycle --------------------------------------------------------
+    def initdb(self) -> None:
+        os.makedirs(self.data, exist_ok=True)
+        os.makedirs(self.sock, exist_ok=True)
+        self._chown_for_server()
+        pg_ctl = shutil.which("pg_ctl")
+        proc = self._server_cmd(
+            f"{shlex.quote(pg_ctl)} initdb -D {shlex.quote(self.data)} "
+            f"-o '--auth=trust --no-sync -U {self.superuser}'"
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"initdb failed: {proc.stderr}\n{proc.stdout}")
+
+    def start(self) -> None:
+        pg_ctl = shutil.which("pg_ctl")
+        opts = (
+            f"-k {self.sock} -c listen_addresses= -c fsync=off "
+            f"-c synchronous_commit=off -c full_page_writes=off"
+        )
+        proc = self._server_cmd(
+            f"{shlex.quote(pg_ctl)} start -w -t 60 -D {shlex.quote(self.data)} "
+            f"-l {shlex.quote(self.log)} -o {shlex.quote(opts)}"
+        )
+        if proc.returncode != 0:
+            tail = ""
+            if os.path.exists(self.log):
+                with open(self.log) as f:
+                    tail = f.read()[-2000:]
+            raise RuntimeError(f"pg start failed: {proc.stderr}\n{tail}")
+        self._running = True
+        # socket dir must be world-traversable for non-nobody clients
+        os.chmod(self.sock, 0o777) if os.geteuid() == 0 else None
+        self._wait_ready()
+
+    def _wait_ready(self, timeout: float = 30.0) -> None:
+        runner = self.runner("postgres")
+        end = time.time() + timeout
+        last = ""
+        while time.time() < end:
+            try:
+                if runner.scalar("SELECT 1") == "1":
+                    return
+            except PsqlError as e:  # still starting
+                last = str(e)
+            time.sleep(0.2)
+        raise RuntimeError(f"postgres did not become ready: {last}")
+
+    def stop(self, mode: str = "immediate") -> None:
+        if not self._running:
+            return
+        pg_ctl = shutil.which("pg_ctl")
+        self._server_cmd(
+            f"{shlex.quote(pg_ctl)} stop -D {shlex.quote(self.data)} -m {mode} -t 30"
+        )
+        self._running = False
+
+    def destroy(self) -> None:
+        self.stop()
+        shutil.rmtree(self.base, ignore_errors=True)
+
+    # -- databases --------------------------------------------------------
+    def conninfo(self, dbname: str = "postgres") -> str:
+        return f"host={self.sock} dbname={dbname} user={self.superuser}"
+
+    def runner(self, dbname: str = "postgres") -> PsqlRunner:
+        return PsqlRunner(self.conninfo(dbname))
+
+    def createdb(self, name: str) -> PsqlRunner:
+        """Throwaway database per test case, like testDBConn
+        (server_test.go:110-125): drop-if-exists, create, hand back a
+        runner bound to it."""
+        if not re.fullmatch(r"[a-z_][a-z0-9_]*", name):
+            raise ValueError(f"bad database name: {name!r}")
+        admin = self.runner("postgres")
+        admin.sql(f"DROP DATABASE IF EXISTS {name}", check=False)
+        admin.sql(f"CREATE DATABASE {name}")
+        return self.runner(name)
+
+
+class PgCaptureManager:
+    """Trigger lifecycle on live Postgres — executes the golden-pinned
+    DDL from sources/outbox.py verbatim. Same contract as
+    CaptureManager/LocalCaptureManager: remove-then-install startup
+    (cmd/pqsd/main.go:95-102), install with zero matching tables is an
+    error (server.go:136-139). All install DDL ships in ONE psql
+    invocation wrapped in a transaction, so a half-installed trigger
+    set cannot survive a failure."""
+
+    def __init__(self, runner: PsqlRunner, table_regexp: str | None = None) -> None:
+        self.runner = runner
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
+        names = [r["table_name"] for r in rows]
+        return filter_tables(names, self.table_regexp)
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        stmts = ["BEGIN", CREATE_OUTBOX_SQL, TRIGGER_FUNCTION_SQL]
+        stmts += [install_trigger_sql(t) for t in tables]
+        stmts.append("COMMIT")
+        self.runner.sql(";\n".join(stmts) + ";")
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        if tables:
+            stmts = [remove_trigger_sql(t) for t in tables]
+            self.runner.sql(";\n".join(stmts) + ";")
+        return tables
+
+
+def _parse_pg_ts(ts: str) -> datetime:
+    """psql timestamptz text ('2026-08-14 17:10:00.49+00') → naive UTC,
+    matching OUTBOX_BATCH_SCHEMA's TimestampType convention."""
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+@dataclass
+class PgOutboxPoller:
+    """Bounded incremental reads of the live-PG outbox via psql CSV.
+
+    Contract-identical to LocalOutboxPoller (sources/outbox_local.py):
+    each read covers (last_seq, last_seq + max_rows]; `advance()` after
+    the downstream commit persists the high-water mark in
+    pqstream_consumer_offset inside the SAME database — a SIGKILL
+    between sink and advance replays that batch on restart
+    (at-least-once), and the seq-named idempotent sink collapses the
+    replay to exactly-once effect. The batch is bounded by max_rows, so
+    the driver-side CSV materialization is capped by construction; the
+    unbounded-scale path is the JDBC OutboxPoller."""
+
+    runner: PsqlRunner
+    max_rows: int = 100_000
+    last_seq: int = 0
+    consumer: str | None = None
+    _pending_hi: int | None = field(default=None, repr=False)
+
+    @classmethod
+    def open_durable(
+        cls, runner: PsqlRunner, consumer: str = "daemon", max_rows: int = 100_000
+    ) -> "PgOutboxPoller":
+        runner.sql(
+            f"CREATE TABLE IF NOT EXISTS {PG_OFFSET_TABLE} ("
+            "consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
+        )
+        # register at 0 on first connect — compaction's low-water mark
+        # protects consumers from first connect, not first batch
+        # (Kafka-style retention, same as the sqlite backend)
+        runner.sql(
+            f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+            f"VALUES ({_quote_lit(consumer)}, 0) "
+            "ON CONFLICT (consumer) DO NOTHING;"
+        )
+        last = runner.scalar(
+            f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
+            f"WHERE consumer = {_quote_lit(consumer)}"
+        )
+        return cls(runner, max_rows=max_rows, last_seq=int(last or 0),
+                   consumer=consumer)
+
+    def read_batch(self, spark):
+        lo, hi = self.last_seq, self.last_seq + self.max_rows
+        rows = self.runner.query_csv(
+            f"SELECT seq, ts, schema_name, table_name, op, id, "
+            f"payload::text AS payload_json, previous::text AS previous_json "
+            f"FROM {OUTBOX_TABLE} WHERE seq > {int(lo)} AND seq <= {int(hi)} "
+            f"ORDER BY seq"
+        )
+        data = [
+            (
+                int(r["seq"]),
+                _parse_pg_ts(r["ts"]),
+                r["schema_name"],
+                r["table_name"],
+                r["op"],
+                r["id"],
+                r["payload_json"],
+                r["previous_json"],
+            )
+            for r in rows
+        ]
+        self._pending_hi = data[-1][0] if data else None
+        return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
+
+    def _persist(self) -> None:
+        if self.consumer is not None:
+            self.runner.sql(
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+                f"VALUES ({_quote_lit(self.consumer)}, {int(self.last_seq)}) "
+                "ON CONFLICT (consumer) DO UPDATE "
+                "SET last_seq = excluded.last_seq;"
+            )
+
+    def advance(self) -> int:
+        if self._pending_hi is not None:
+            self.last_seq = self._pending_hi
+            self._pending_hi = None
+            self._persist()
+        return self.last_seq
+
+    def rewind(self, seq: int) -> int:
+        self.last_seq = int(seq)
+        self._pending_hi = None
+        self._persist()
+        return self.last_seq
+
+    def compact(self) -> int:
+        """Prune outbox rows below every consumer's durable offset
+        (Kafka-style low-water retention; bootstrap sentinel excluded,
+        same contract as LocalOutboxPoller.compact)."""
+        low = self.runner.scalar(
+            f"SELECT MIN(last_seq) FROM {PG_OFFSET_TABLE} "
+            "WHERE consumer NOT LIKE '%#bootstrap'"
+        )
+        if low is None or int(low) <= 0:
+            return 0
+        n = self.runner.scalar(
+            f"WITH d AS (DELETE FROM {OUTBOX_TABLE} "
+            f"WHERE seq <= {int(low)} RETURNING 1) SELECT count(*) FROM d"
+        )
+        return int(n or 0)
+
+
+def _quote_lit(s: str) -> str:
+    """SQL string literal with doubled quotes — identifiers/consumer
+    names only pass through here; payload data never does."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# -- bootstrap snapshot (CDC bootstrap-then-stream, PG flavor) ------------
+
+BOOTSTRAP_CONSUMER = "daemon#bootstrap"
+
+
+def pg_bootstrap_done(runner: PsqlRunner) -> bool:
+    runner.sql(
+        f"CREATE TABLE IF NOT EXISTS {PG_OFFSET_TABLE} ("
+        "consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
+    )
+    return (
+        runner.scalar(
+            f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
+            f"WHERE consumer = {_quote_lit(BOOTSTRAP_CONSUMER)}"
+        )
+        is not None
+    )
+
+
+def pg_mark_bootstrap_done(runner: PsqlRunner) -> None:
+    runner.sql(
+        f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+        f"VALUES ({_quote_lit(BOOTSTRAP_CONSUMER)}, 1) "
+        "ON CONFLICT (consumer) DO NOTHING;"
+    )
+
+
+def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None):
+    """Initial-state snapshot as synthetic INSERT outbox rows with
+    negative seqs, mirroring outbox_local.snapshot_batch. Payload JSON
+    is rendered server-side by to_json(t) — byte-identical to what the
+    capture trigger would have emitted for the same row."""
+    mgr = PgCaptureManager(runner, table_regexp=table_regexp)
+    tables = mgr.discover_tables()
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    rows = []
+    for t in sorted(tables):
+        ti = _check_ident(t)
+        recs = runner.query_csv(
+            f'SELECT to_json(t)::text AS payload, '
+            f"(to_json(t) ->> 'id') AS id FROM \"{ti}\" t ORDER BY to_json(t)::text"
+        )
+        for r in recs:
+            rows.append((0, now, "public", t, "INSERT", r["id"], r["payload"], None))
+    n = len(rows)
+    rows = [(i - n, *r[1:]) for i, r in enumerate(rows)]
+    return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
+
+
+def pg_outbox_high_water(runner: PsqlRunner) -> int:
+    return int(runner.scalar(f"SELECT COALESCE(MAX(seq), 0) FROM {OUTBOX_TABLE}") or 0)
+
+
+# -- NOTIFY parity trigger (reference wire semantics, our rendering) ------
+
+NOTIFY_CHANNEL = "pqstream_notify"
+
+# The reference trigger's envelope + two-tier degradation
+# (queries.go:26-47), re-expressed: json_build_object with the same six
+# keys in the same order; tier 1 drops `previous` when the full
+# envelope's text length >= 8000; tier 2 drops `payload` too. id is
+# (payload -> 'id')::text — the reference's json_extract_path(payload,
+# 'id')::text, which renders STRING ids with their JSON quotes (pinned
+# behavior, divergence from the outbox's ->> documented in SURVEY.md).
+NOTIFY_TRIGGER_FUNCTION_SQL = """
+CREATE OR REPLACE FUNCTION pqstream_notify_parity() RETURNS TRIGGER AS $$
+DECLARE
+  payload JSON;
+  previous JSON;
+  notification JSON;
+BEGIN
+  IF TG_OP = 'DELETE' THEN
+    payload := to_json(OLD);
+  ELSE
+    payload := to_json(NEW);
+  END IF;
+  IF TG_OP = 'UPDATE' THEN
+    previous := to_json(OLD);
+  END IF;
+  notification := json_build_object(
+      'schema', TG_TABLE_SCHEMA,
+      'table', TG_TABLE_NAME,
+      'op', TG_OP,
+      'id', (payload -> 'id')::text,
+      'payload', payload,
+      'previous', previous);
+  IF length(notification::text) >= 8000 THEN
+    notification := json_build_object(
+        'schema', TG_TABLE_SCHEMA,
+        'table', TG_TABLE_NAME,
+        'op', TG_OP,
+        'id', (payload -> 'id')::text,
+        'payload', payload);
+  END IF;
+  IF length(notification::text) >= 8000 THEN
+    notification := json_build_object(
+        'schema', TG_TABLE_SCHEMA,
+        'table', TG_TABLE_NAME,
+        'op', TG_OP,
+        'id', (payload -> 'id')::text);
+  END IF;
+  PERFORM pg_notify('pqstream_notify', notification::text);
+  RETURN NULL;
+END;
+$$ LANGUAGE plpgsql
+""".strip()
+
+
+def install_notify_trigger_sql(table: str) -> str:
+    t = _check_ident(table)
+    return (
+        f'DROP TRIGGER IF EXISTS pqstream_notify_parity ON "{t}"; '
+        f'CREATE TRIGGER pqstream_notify_parity '
+        f'AFTER INSERT OR UPDATE OR DELETE ON "{t}" '
+        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_notify_parity()"
+    )
+
+
+_NOTIFY_RE = re.compile(
+    r'Asynchronous notification "(?P<chan>[^"]+)" with payload '
+    r'"(?P<payload>.*)" received from server process',
+)
+
+
+def capture_notifications(
+    runner: PsqlRunner, script: str, channel: str = NOTIFY_CHANNEL
+) -> list[str]:
+    """Run `script` in a single psql session that LISTENs on `channel`
+    first; return the NOTIFY payload texts psql reports. pg_notify
+    delivery to the issuing session happens at commit, and psql prints
+    each pending notification after the next command completes — so a
+    trailing no-op SELECT flushes the last batch."""
+    full = f"LISTEN {channel};\n{script}\nSELECT 1 AS notify_flush;\n"
+    out = runner.sql(full)
+    payloads = []
+    for line in out.splitlines():
+        m = _NOTIFY_RE.search(line)
+        if m and m.group("chan") == channel:
+            payloads.append(m.group("payload"))
+    return payloads

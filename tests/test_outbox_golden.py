@@ -39,19 +39,25 @@ def _branch(body: str, cond: str) -> str:
 
 
 def test_payload_old_new_selection():
-    """queries.go:17-21 — DELETE serializes OLD, everything else NEW."""
+    """queries.go:17-21 — DELETE serializes OLD, everything else NEW.
+    to_json (not to_jsonb): the json type matches the reference's
+    row_to_json rendering byte-for-byte (compact, column-ordered);
+    jsonb would reorder keys and re-space."""
     delete_branch = _branch(TRIGGER_FUNCTION_SQL, "TG_OP = 'DELETE'")
-    assert "to_jsonb(OLD)" in delete_branch
+    assert "to_json(OLD)" in delete_branch
     assert "NEW" not in delete_branch
     m = re.search(r"ELSE(.*?)END IF", TRIGGER_FUNCTION_SQL, re.S)
-    assert "to_jsonb(NEW)" in m.group(1)
+    assert "to_json(NEW)" in m.group(1)
+    assert "to_jsonb" not in TRIGGER_FUNCTION_SQL, (
+        "jsonb reorders keys / re-spaces — breaks row_to_json parity"
+    )
 
 
 def test_previous_only_on_update():
     """queries.go:22-24 — previous is OLD for UPDATE and absent (SQL
     NULL) otherwise; only the UPDATE branch assigns it."""
     update_branch = _branch(TRIGGER_FUNCTION_SQL, "TG_OP = 'UPDATE'")
-    assert "to_jsonb(OLD)" in update_branch
+    assert "to_json(OLD)" in update_branch
     assignments = re.findall(r"prev_json\s*:=", TRIGGER_FUNCTION_SQL)
     assert len(assignments) == 1, "previous must be assigned in exactly one branch"
 

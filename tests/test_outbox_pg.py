@@ -1,0 +1,335 @@
+"""Live-PostgreSQL integration tests for the capture path (S1/S4/S5)
+— the reference's own test topology (`server_test.go:98-136`: throwaway
+database per case, scripted INSERT/UPDATE on a `notes` table) executed
+against a real server with the engine's golden-pinned DDL.
+
+Skips ONLY when the PostgreSQL server binaries are absent; the
+transport gap-watch (test_transport_probe.test_postgres_binaries_probe)
+asserts these tests cannot skip while the binaries exist, so the
+capability can never again sit unused (it did for rounds 4-6).
+
+JSON-type-rendering divergences between the sqlite re-creation and live
+PG, pinned in test_pg_json_type_rendering:
+- numerics: PG renders NUMERIC with declared scale ("12.50"), sqlite
+  renders REAL shortest-round-trip (12.5);
+- timestamps: PG json renders ISO-8601 with 'T'; sqlite stores/echoes
+  the inserted text verbatim;
+- both render compact, column-ordered objects (PG json via to_json —
+  NOT jsonb, which reorders keys), so envelope byte-parity holds where
+  the VALUES are rendered identically (text/int/null columns).
+The engine normalizes both through from_json(MAP_SS) into
+map<string,string>, so downstream transforms see one shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from pqstream_spark.sources.outbox_pg import (
+    EphemeralPostgres,
+    NOTIFY_TRIGGER_FUNCTION_SQL,
+    PgCaptureManager,
+    PgOutboxPoller,
+    capture_notifications,
+    install_notify_trigger_sql,
+    pg_available,
+)
+
+PG_AVAILABLE = pg_available()
+pytestmark = pytest.mark.skipif(
+    not PG_AVAILABLE, reason="PostgreSQL server binaries not installed"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# reference test fixtures (server_test.go:26-30)
+NOTES_DDL = "CREATE TABLE notes (id serial, created_at timestamp, note text)"
+
+
+@pytest.fixture(scope="module")
+def pg():
+    # EphemeralPostgres.temp(): pytest tmp dirs sit under root-0700
+    # ancestors the demoted server process cannot traverse
+    srv = EphemeralPostgres.temp()
+    srv.initdb()
+    srv.start()
+    yield srv
+    srv.destroy()
+
+
+def _fresh_db(pg, name):
+    r = pg.createdb(name)
+    r.sql(NOTES_DDL + ";")
+    return r
+
+
+# -- trigger semantics on live PG ----------------------------------------
+
+
+def test_trigger_capture_reference_semantics(pg):
+    """queries.go:17-30 executed for real: payload is NEW for
+    INSERT/UPDATE and OLD for DELETE, previous exists only for UPDATE,
+    id is the text of the payload's id field; rendering is compact and
+    column-ordered (row_to_json parity — json, not jsonb)."""
+    r = _fresh_db(pg, "t_semantics")
+    assert PgCaptureManager(r, table_regexp="notes").install() == ["notes"]
+    r.sql(
+        "INSERT INTO notes VALUES (default, '2020-01-02T03:04:05', 'hello');"
+        "UPDATE notes SET note = 'world' WHERE id = 1;"
+        "DELETE FROM notes WHERE id = 1;"
+    )
+    rows = r.query_csv(
+        "SELECT op, id, payload::text AS p, previous::text AS prev "
+        "FROM pqstream_outbox ORDER BY seq"
+    )
+    ins, upd, dele = rows
+    assert ins["op"] == "INSERT" and ins["id"] == "1"
+    assert ins["p"] == (
+        '{"id":1,"created_at":"2020-01-02T03:04:05","note":"hello"}'
+    )
+    assert ins["prev"] is None
+    assert upd["op"] == "UPDATE"
+    assert '"note":"world"' in upd["p"]
+    assert upd["prev"] == ins["p"], "UPDATE.previous must be the OLD row"
+    assert dele["op"] == "DELETE"
+    assert dele["p"] == upd["p"], "DELETE.payload must be the OLD row"
+    assert dele["prev"] is None, "previous only exists for UPDATE"
+
+
+def test_remove_then_install_lifecycle(pg):
+    """pqsd startup parity (cmd/pqsd/main.go:95-102): remove-then-
+    install is idempotent; removed triggers stop capturing; install
+    with zero matching tables errors (server.go:136-139)."""
+    r = _fresh_db(pg, "t_lifecycle")
+    cap = PgCaptureManager(r, table_regexp="notes")
+    cap.remove()  # nothing installed yet — must not fail
+    cap.install()
+    cap.install()  # reinstall over existing triggers — idempotent
+    r.sql("INSERT INTO notes VALUES (default, default, 'a');")
+    cap.remove()
+    r.sql("INSERT INTO notes VALUES (default, default, 'b');")
+    n = r.scalar("SELECT count(*) FROM pqstream_outbox")
+    assert n == "1", "write after remove() must not be captured"
+    with pytest.raises(RuntimeError, match="no tables match"):
+        PgCaptureManager(r, table_regexp="nope_.*").install()
+
+
+def test_pg_json_type_rendering(pg):
+    """Pin live-PG's row_to_json type renderings (the divergences vs
+    the sqlite backend documented in the module docstring): NUMERIC
+    keeps declared scale, float is shortest-round-trip, timestamp is
+    ISO-8601 with 'T', SQL NULL is json null, quotes are escaped."""
+    r = pg.createdb("t_rendering")
+    r.sql(
+        "CREATE TABLE typed (id serial, amount numeric(10,2), "
+        "flt double precision, happened timestamp, note text);"
+    )
+    PgCaptureManager(r, table_regexp="typed").install()
+    r.sql(
+        "INSERT INTO typed VALUES "
+        "(default, 12.50, 0.1, '2021-06-01T12:00:00', 'he said \"hi\"');"
+        "INSERT INTO typed VALUES (default, NULL, NULL, NULL, NULL);"
+    )
+    rows = r.query_csv(
+        "SELECT payload::text AS p FROM pqstream_outbox ORDER BY seq"
+    )
+    assert rows[0]["p"] == (
+        '{"id":1,"amount":12.50,"flt":0.1,'
+        '"happened":"2021-06-01T12:00:00","note":"he said \\"hi\\""}'
+    )
+    assert rows[1]["p"] == (
+        '{"id":2,"amount":null,"flt":null,"happened":null,"note":null}'
+    )
+    # normalization: the engine's MAP_SS parse accepts both backends'
+    # renderings — typed values become strings, null stays SQL NULL
+    payload = json.loads(rows[0]["p"])
+    assert payload["amount"] == 12.5  # JSON numeric, scale is text-level
+
+
+# -- poller / durable offsets --------------------------------------------
+
+
+def test_poller_durable_offsets_and_replay(pg, spark):
+    """LocalOutboxPoller contract on live PG: bounded batches, offset
+    persisted on advance() (re-open resumes), rewind() replays,
+    compact() prunes below the all-consumer low-water mark."""
+    r = _fresh_db(pg, "t_poller")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'n' || g "
+        "FROM generate_series(1, 25) g;"
+    )
+    p = PgOutboxPoller.open_durable(r, consumer="c1", max_rows=10)
+    b1 = p.read_batch(spark).collect()
+    assert [row.seq for row in b1] == list(range(1, 11))
+    assert p.advance() == 10
+    # a second consumer tails independently
+    p2 = PgOutboxPoller.open_durable(r, consumer="c2", max_rows=100)
+    assert len(p2.read_batch(spark).collect()) == 25
+    p2.advance()
+    # re-open c1: durable offset resumed from the database
+    p1b = PgOutboxPoller.open_durable(r, consumer="c1", max_rows=100)
+    assert p1b.last_seq == 10
+    rest = p1b.read_batch(spark).collect()
+    assert [row.seq for row in rest] == list(range(11, 26))
+    p1b.advance()
+    # rewind replays
+    p1b.rewind(20)
+    assert [row.seq for row in p1b.read_batch(spark).collect()] == list(
+        range(21, 26)
+    )
+    p1b.advance()
+    # compact prunes only below MIN(all consumer offsets) = 25
+    assert p1b.compact() == 25
+    assert r.scalar("SELECT count(*) FROM pqstream_outbox") == "0"
+    # envelope fields survive the Spark round trip
+    assert b1[0].payload_json.startswith('{"id":1,')
+    assert b1[0].op == "INSERT" and b1[0].schema_name == "public"
+
+
+# -- daemon e2e + crash recovery -----------------------------------------
+
+
+def _spawn_daemon(args, log_path):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    log = open(log_path, "ab")
+    return subprocess.Popen(
+        [sys.executable, "-m", "pqstream_spark", *args],
+        cwd=REPO, env=env, stdout=log, stderr=log,
+    )
+
+
+def _run_once(args, log_path, timeout=300.0):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    with open(log_path, "ab") as log:
+        return subprocess.run(
+            [sys.executable, "-m", "pqstream_spark", *args, "--once"],
+            cwd=REPO, env=env, stdout=log, stderr=log, timeout=timeout,
+        ).returncode
+
+
+def _out_lines(out_dir):
+    lines = []
+    if not os.path.isdir(out_dir):
+        return lines
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out_dir, name)) as f:
+                lines += [l.strip() for l in f if l.strip()]
+    return lines
+
+
+def _wait(predicate, deadline, what):
+    end = time.time() + deadline
+    while time.time() < end:
+        if predicate():
+            return
+        time.sleep(0.25)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
+def test_daemon_golden_multiset_e2e(pg, tmp_path):
+    """The daemon against live Postgres, batch mode: scripted
+    INSERT+UPDATE writes (the reference's basic_insert_and_update case,
+    server_test.go:169-180) drain into jsonl whose multiset matches the
+    golden expectation exactly — ops, ids, payload and merge-patch
+    changes."""
+    r = _fresh_db(pg, "t_daemon")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    conninfo = pg.conninfo("t_daemon")
+
+    rc = _run_once(  # install triggers + drain empty outbox
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    for i in range(1, 11):
+        r.sql(
+            f"INSERT INTO notes VALUES (default, default, 'note {i}');"
+        )
+    r.sql("UPDATE notes SET note = 'updated note' WHERE id = 1;")
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    events = [json.loads(l) for l in _out_lines(out)]
+    inserts = [e for e in events if e["op"] == "INSERT"]
+    updates = [e for e in events if e["op"] == "UPDATE"]
+    assert sorted(int(e["id"]) for e in inserts) == list(range(1, 11))
+    assert len(updates) == 1
+    upd = updates[0]
+    assert upd["payload"]["note"] == "updated note"
+    # merge patch NEW→OLD (P2): only the changed field appears
+    assert upd["changes"] == {"note": "note 1"}
+    assert all(e["table"] == "notes" and e["schema"] == "public" for e in events)
+
+
+def test_daemon_sigkill_crash_recovery(pg, tmp_path):
+    """SIGKILL the live-PG daemon mid-stream, restart on the same
+    database: the durable consumer offset resumes; after seq-dedup
+    every captured write appears exactly once and replayed events
+    render byte-identically (at-least-once transport + idempotent
+    sink = exactly-once effect) — the recovery story the reference's
+    fire-and-forget NOTIFY cannot express (server.go:249-315)."""
+    r = _fresh_db(pg, "t_crash")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    conninfo = pg.conninfo("t_crash")
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'pre' || g "
+        "FROM generate_series(1, 40) g;"
+    )
+    # note: rows written BEFORE install are not captured (trigger
+    # semantics) — install first via a quick --once, then write
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'n' || g "
+        "FROM generate_series(101, 140) g;"
+    )
+    daemon = _spawn_daemon(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--poll-interval", "0.3"], log
+    )
+    try:
+        _wait(lambda: len(_out_lines(out)) >= 40, 180,
+              "first 40 captured rows to drain")
+        r.sql(
+            "INSERT INTO notes SELECT g, now(), 'n' || g "
+            "FROM generate_series(141, 180) g;"
+        )
+        time.sleep(0.4)
+    finally:
+        daemon.kill()  # SIGKILL — no cleanup runs
+        daemon.wait(timeout=30)
+
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    events = [json.loads(l) for l in _out_lines(out)]
+    ids = [int(e["id"]) for e in events if e["op"] == "INSERT"]
+    want = set(range(101, 181))
+    assert set(ids) == want, f"lost writes: {sorted(want - set(ids))}"
+    by_id = {}
+    for e in events:
+        if e["op"] == "INSERT":
+            by_id.setdefault(int(e["id"]), set()).add(
+                json.dumps(e, sort_keys=True)
+            )
+    diverging = {i for i, renders in by_id.items() if len(renders) > 1}
+    assert not diverging, f"replay re-rendered differently: {diverging}"

@@ -16,6 +16,7 @@ framing gap can never silently outlive its excuse.
 from __future__ import annotations
 
 import importlib.util
+import shutil
 
 
 def _importable(mod: str) -> bool:
@@ -23,6 +24,52 @@ def _importable(mod: str) -> bool:
         return importlib.util.find_spec(mod) is not None
     except ModuleNotFoundError:  # parent package itself absent
         return False
+
+
+def test_postgres_binaries_probe():
+    """Binary-level gap-watch (the round-6 lesson: this suite probed
+    Python packages only and missed a runnable PostgreSQL 15 server for
+    three rounds). When the server binaries exist, the live-PG
+    integration suite MUST run — its skip flag is derived from the same
+    probe (outbox_pg.pg_available), so a binary appearing flips those
+    tests from skip to required by construction; this test additionally
+    fails loudly if the wiring ever drifts."""
+    from pqstream_spark.sources.outbox_pg import pg_available, pg_binaries
+
+    bins = pg_binaries()
+    if all(bins[k] for k in ("pg_ctl", "postgres", "psql")):
+        assert pg_available(), "probe wiring drifted"
+        import tests.test_degrade_pg as deg
+        import tests.test_outbox_pg as pgmod
+
+        assert pgmod.PG_AVAILABLE and deg.PG_AVAILABLE, (
+            "PostgreSQL server binaries exist but the live-PG suites "
+            "would skip — the capture path must execute against a real "
+            "server when it can (tests/test_outbox_pg.py, "
+            "tests/test_degrade_pg.py)"
+        )
+
+
+def test_transport_binaries_probe():
+    """Same watch for transport-layer binaries: a broker or codegen
+    binary appearing un-gates the corresponding framing work even if
+    the Python package stays absent (the PG lesson, generalized)."""
+    appeared = {
+        b: shutil.which(b)
+        for b in (
+            "kafka-server-start", "kafka-console-producer",  # Kafka broker
+            "redpanda", "rpk",                               # Kafka-compat
+            "activemq", "artemis",                           # STOMP broker
+            "grpc_cli", "protoc",                            # gRPC tooling
+        )
+        if shutil.which(b)
+    }
+    assert not appeared, (
+        f"transport binaries now available: {appeared} — run the "
+        "corresponding wire end-to-end against the live broker/tooling "
+        "(see streaming/stomp_wire.py for STOMP, streaming/wire_http.py "
+        "for the Listen contract), then delete this assert."
+    )
 
 
 def test_media_codec_packages_probe():
