@@ -64,6 +64,19 @@ HEADLINE = [
 ]
 
 
+# entries that union several certified branches under one `method`
+# discriminator: their totals move when a branch is ADDED even though
+# nothing regressed, so the bench decomposes them — a branch filter
+# over the union constant-folds every other branch away, making each
+# branch timing a genuine standalone measurement (VERDICT r6 ask #5)
+MULTI_BRANCH = {
+    "dedup_pairwise_scores",
+    "sim_topk_brute_ivf",
+    "sim_ann_lsh_quantized",
+}
+BRANCH_ITERS = 2
+
+
 def main() -> None:
     from pqstream_spark.queries import build_catalog
     from pqstream_spark.session import get_spark
@@ -75,14 +88,23 @@ def main() -> None:
 
     # warm up EVERY query shape at the smallest SF: whole-stage-codegen
     # compiles per plan shape, and first execution of a shape measures
-    # the Janino compiler, not the engine
+    # the Janino compiler, not the engine. Multi-branch entries also
+    # surrender their branch list here (tiny SF, one distinct scan).
+    branch_values: dict[str, list[str]] = {}
     for n in names:
-        queries[n](spark, WARMUP_DIR).count()
+        wdf = queries[n](spark, WARMUP_DIR)
+        wdf.count()
+        if n in MULTI_BRANCH and "method" in wdf.columns:
+            branch_values[n] = sorted(
+                r["method"]
+                for r in wdf.select("method").distinct().collect()
+            )
 
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     plans: dict[str, dict] = {}
+    branch_timings: dict[str, dict[str, float]] = {}
     for n in names:
         runs: list[float] = []
         df = None
@@ -114,6 +136,20 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        if n in branch_values:
+            per_branch: dict[str, float] = {}
+            for m in branch_values[n]:
+                bruns = []
+                for _ in range(BRANCH_ITERS):
+                    t0 = time.perf_counter()
+                    queries[n](spark, SF_DIR).where(
+                        f"method = '{m}'"
+                    ).count()
+                    bruns.append(round(time.perf_counter() - t0, 3))
+                per_branch[m] = min(bruns)
+            branch_timings[n] = per_branch
+            print(f"    branches: {per_branch}", file=sys.stderr,
+                  flush=True)
 
     total_min = round(sum(timings.values()), 3)
     total_mean = round(sum(means.values()), 3)
@@ -141,6 +177,7 @@ def main() -> None:
                 "queries_mean": means,
                 "raw_iterations": raw,
                 "plan_stats": plans,
+                "branch_timings": branch_timings,
                 "total_mean": total_mean,
                 "n_iters": N_ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -194,6 +194,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
               "corpus incrementally; build the index from it with "
               "`python -m pqstream_spark.index build`)", file=sys.stderr)
         return 2
+    if args.batch_selfdedup and not args.stream:
+        print("--batch-selfdedup requires --stream (batch mode "
+              "already near-dedups the whole input when --near-dedup "
+              "is set)", file=sys.stderr)
+        return 2
 
     from .session import get_spark
 
@@ -254,6 +259,41 @@ def main(argv: list[str] | None = None, out=None) -> int:
     # the stats both scan the materialized audit, not the lineage)
     audit_dir = os.path.join(args.out, "audit")
     corpus_dir = os.path.join(args.out, "corpus")
+    base = docs if "doc_id" in docs.columns else docs.withColumn(
+        "doc_id", F.expr("xxhash64(text)")
+    )
+    if "doc_id" in docs.columns and (args.bpe or args.scrub_pii):
+        # a USER-supplied id column can map one id to several distinct
+        # texts; the per-id joins below would then attach one arbitrary
+        # row's scrubbed text / token count to every row sharing the
+        # id. Detect and warn loudly (derived ids — xxhash64(text) —
+        # cannot collide this way short of a hash collision).
+        n_conflicts = (
+            base.groupBy("doc_id")
+            .agg(F.countDistinct(F.expr("xxhash64(text)")).alias("nfp"))
+            .where("nfp > 1")
+            .count()
+        )
+        if n_conflicts:
+            print(
+                f"WARNING: {n_conflicts} doc_id value(s) carry "
+                f"DIFFERENT texts — per-id annotations (--bpe token "
+                f"counts, --scrub-pii text) will use one arbitrary "
+                f"text per id; deduplicate or re-key the input",
+                file=sys.stderr,
+            )
+    pii = None
+    if args.scrub_pii:
+        from .functions.pii import pii_count_expr, scrub_pii_expr
+
+        # computed BEFORE the bpe block: token budgets must describe
+        # the corpus the training job reads, which carries the
+        # PLACEHOLDER text when scrubbing is on (ADVICE r6)
+        pii = base.selectExpr(
+            "doc_id",
+            f"{pii_count_expr(True)} AS n_pii",
+            f"{scrub_pii_expr(True)} AS scrubbed_text",
+        ).dropDuplicates(["doc_id"])
     if args.bpe:
         from .functions.bpe import (
             bpe_token_counts,
@@ -261,13 +301,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
             train_bpe_from,
         )
 
-        base = docs if "doc_id" in docs.columns else docs.withColumn(
-            "doc_id", F.expr("xxhash64(text)")
+        # when scrubbing, both training and counting run on the
+        # scrubbed text — the text the written corpus actually carries
+        bpe_input = (
+            pii.selectExpr("doc_id", "scrubbed_text AS text")
+            if pii is not None
+            else base.select("doc_id", "text")
         )
         if args.merges:
             merges = load_merges(args.merges)
         else:
-            merges = train_bpe_from(base.select("doc_id", "text"))
+            merges = train_bpe_from(bpe_input)
             os.makedirs(args.out, exist_ok=True)
             with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
                 json.dump({"merges": merges}, f)
@@ -277,7 +321,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # whose `docs` no longer equals the input row count. Counts are
         # identical for identical text, so one row per id is lossless.
         cur = cur.join(
-            bpe_token_counts(base.select("doc_id", "text"), merges)
+            bpe_token_counts(bpe_input, merges)
             .select("doc_id", "n_bpe_tokens").dropDuplicates(["doc_id"]),
             "doc_id", "left",
         )
@@ -301,21 +345,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 F.expr(f"CASE WHEN kept THEN CAST(floor((_cum_bpe "
                        f"- n_bpe_tokens) / {PACK_BUDGET}.0) AS BIGINT) END"),
             ).drop("_cum_bpe")
-    if args.scrub_pii:
-        from .functions.pii import pii_count_expr, scrub_pii_expr
-
-        # the curation frame carries ids + annotations, not text;
-        # derive ids the same way curate() does and join counts +
-        # scrubbed text back in (dropDuplicates: identical texts share
-        # an id, one row is lossless — the --bpe join's discipline)
-        base = docs if "doc_id" in docs.columns else docs.withColumn(
-            "doc_id", F.expr("xxhash64(text)")
-        )
-        pii = base.selectExpr(
-            "doc_id",
-            f"{pii_count_expr(True)} AS n_pii",
-            f"{scrub_pii_expr(True)} AS scrubbed_text",
-        ).dropDuplicates(["doc_id"])
+    if pii is not None:
+        # the curation frame carries ids + annotations, not text; join
+        # the counts + scrubbed text (computed above, before --bpe)
+        # back in
         cur = cur.join(pii, "doc_id", "left")
     cur.write.mode("overwrite").parquet(audit_dir)
     audited = spark.read.parquet(audit_dir)
@@ -381,8 +414,13 @@ def main(argv: list[str] | None = None, out=None) -> int:
             assign_ivf_cells(emb, cb).repartition("cell") \
                 .write.mode("overwrite").partitionBy("cell") \
                 .parquet(os.path.join(idx_dir, "cells"))
+            from .functions.embeddings import EMBEDDER_ID
+
             with open(os.path.join(idx_dir, "codebook.json"), "w") as f:
-                json.dump({"codebook": cb}, f)
+                # this index IS built from embed_documents output, so
+                # record the embedder identity — `index search
+                # --documents` refuses indexes lacking it (ADVICE r6)
+                json.dump({"codebook": cb, "embedder": EMBEDDER_ID}, f)
             extra["index"] = {"cells": len(cb), "dir": idx_dir}
     if args.scrub_pii:
         extra["pii_matches_scrubbed"] = int(

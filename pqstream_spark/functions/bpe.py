@@ -142,6 +142,17 @@ def bpe_count_sql(merges: list[tuple[str, str]], spark: bool = True,
     form before it) unless two different merges concatenate to the
     same string, which the FROZEN_MERGES test corpus pins against.
     Token count = number of '|' cells left standing."""
+    if is_byte_level(merges):
+        # mirror bpe_token_counts' auto-detection contract: this
+        # formulation hardwires the word-level [a-z0-9] pre-tokenizer,
+        # so a GPT-2-style byte-level table would silently count
+        # tokens that never line up with bpe_segment_bytes
+        raise ValueError(
+            "bpe_count_sql: byte-level (GPT-2 style) merge table — "
+            "this word-level SQL formulation cannot apply it; use "
+            "bpe_token_counts, which auto-detects and routes "
+            "byte-level tables through bpe_segment_bytes"
+        )
     if spark:
         words = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
         joined = f"array_join({words}, chr(1))"

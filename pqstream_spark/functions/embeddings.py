@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 
 EMBED_DIM = 64
 
+# Identity of this embedder, recorded in index artifacts
+# (index.py build) so a text search (`index search --documents`) can
+# refuse to run against an index whose vectors came from a DIFFERENT
+# embedding source — cosine between unrelated embedding spaces is
+# silently meaningless. Bump when the hashing scheme changes shape.
+EMBEDDER_ID = "md5-hash-v1"
+
 
 def md5_nib_sql(h: str, k: int, spark: bool = True) -> str:
     """Value of hex nibble `k` (1-based) of an md5 hex column — the

@@ -77,12 +77,22 @@ def train_pq_codebooks(
         )
     # driver-side re-sort is a no-op cross-check of the engine's order
     rows = sort_and_cap(rows, "vec_id", SAMPLE_CAP)
-    dim = len(rows[0]["qv"])
+    return _lloyd_subspace_books([list(r["qv"]) for r in rows], m, ksub)
+
+
+def _lloyd_subspace_books(
+    qvs: list[list[int]], m: int, ksub: int
+) -> list[list[list[int]]]:
+    """Deterministic per-subspace k-means over integer vectors — the
+    shared training tail of the raw and residual PQ trainers:
+    farthest-point seeding, two Lloyd steps, exact integer/rational
+    arithmetic, empty clusters keep their centroid."""
+    dim = len(qvs[0])
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m={m}"
     books: list[list[list[int]]] = []
     for mi in range(m):
-        vecs = [list(r["qv"][mi * sub:(mi + 1) * sub]) for r in rows]
+        vecs = [v[mi * sub:(mi + 1) * sub] for v in qvs]
         # deterministic farthest-point (maxmin) seeding: start from the
         # hash-first vector, repeatedly add the point farthest from its
         # nearest chosen seed (ties → earlier point). Far better spread
@@ -362,6 +372,7 @@ def pq_encode(df: DataFrame, books: list[list[list[int]]],
 
 def _query_luts_frame(
     queries: DataFrame, books: list[list[list[int]]],
+    keep_qv: bool = False,
 ) -> DataFrame:
     """(q_id, embedding) → (q_id, luts) with the M×ksub ADC lookup
     table computed IN-ENGINE: quantize qv once (localCheckpoint — the
@@ -385,16 +396,24 @@ def _query_luts_frame(
         )
         .localCheckpoint(eager=True)
     )
-    return base.selectExpr(
-        "q_id", f"{pq_lut_expr(books, True)} AS luts"
-    )
+    cols = ["q_id", f"{pq_lut_expr(books, True)} AS luts"]
+    if keep_qv:
+        # residual IVF-PQ needs the raw quantized query again for the
+        # per-cell coarse offset dot(q, centroid(cell))
+        cols.append("qv")
+    return base.selectExpr(*cols)
 
 
 def _adc_topk(codes: DataFrame, luts_df: DataFrame, m: int, k: int,
-              exclude_self: bool, on_cell: bool) -> DataFrame:
+              exclude_self: bool, on_cell: bool,
+              with_offset: bool = False) -> DataFrame:
     """Shared ADC scoring tail: broadcast the LUT side, join (on cell
     for IVF-PQ, nested-loop for the full linear scan), score each
-    candidate with M shifts + M lookups, window top-k."""
+    candidate with M shifts + M lookups, window top-k. When the LUT
+    frame carries a per-(query, cell) `cell_offset` (residual IVF-PQ's
+    coarse term dot(q, centroid(cell))), it is added to the ADC sum —
+    that makes scores comparable ACROSS probed cells, which the
+    residual decomposition requires for nprobe > 1."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -405,6 +424,8 @@ def _adc_topk(codes: DataFrame, luts_df: DataFrame, m: int, k: int,
         # independent of ksub
         f"CAST(shiftright(code, mi * 4) % 16 AS INT) + 1))"
     )
+    if with_offset:
+        score = f"(cell_offset + {score})"
     if on_cell:
         joined = F.broadcast(luts_df).join(codes, "cell")
     else:
@@ -478,6 +499,15 @@ def pq_search(
     return _adc_topk(codes, luts_df, m, k, exclude_self, on_cell=False)
 
 
+def _cb_lit(codebook: list[list[int]]) -> str:
+    """The IVF coarse codebook as one literal array<array<bigint>> —
+    centroid lookup by 1-based cell id via element_at."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in cv) + ")"
+        for cv in codebook
+    ) + ")"
+
+
 def ivfpq_search(
     codes: DataFrame,
     queries: DataFrame,
@@ -486,6 +516,7 @@ def ivfpq_search(
     k: int = 5,
     nprobe: int = 1,
     exclude_self: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the composition both halves were built for: `codes` is
     (vec_id, code, cell) (pq_encode joined with the IVF cell
@@ -511,7 +542,7 @@ def ivfpq_search(
     # lookups per score, file pruning per probe. No driver collect
     # (broadcast bound: see _query_luts_frame).
     luts_df = _query_luts_frame(
-        queries.selectExpr("q_id", "embedding"), books,
+        queries.selectExpr("q_id", "embedding"), books, keep_qv=residual,
     )
     cells_df = queries.selectExpr(
         "q_id AS _qc_id",
@@ -519,7 +550,147 @@ def ivfpq_search(
     ).where("cells IS NOT NULL").selectExpr(
         "_qc_id", "explode(cells) AS cell"
     )
-    luts_cells = luts_df.join(
-        cells_df, luts_df.q_id == cells_df._qc_id
-    ).select("q_id", "cell", "luts")
-    return _adc_topk(codes, luts_cells, m, k, exclude_self, on_cell=True)
+    joined = luts_df.join(cells_df, luts_df.q_id == cells_df._qc_id)
+    if not residual:
+        luts_cells = joined.select("q_id", "cell", "luts")
+        return _adc_topk(codes, luts_cells, m, k, exclude_self,
+                         on_cell=True)
+    # True IVFADC (Jégou et al. 2011 §III, inner-product/integer
+    # adaptation): `codes` carries PQ codes of the RESIDUAL
+    # x − centroid(cell) (pq_encode_ivf), so scoring decomposes
+    # exactly as dot(q, x̂) = dot(q, centroid(cell)) + Σ_m q_m ·
+    # book_m[code_m]. The coarse term is a per-(query, probed-cell)
+    # integer fold over the literal codebook — `cell_offset` — added
+    # to the ADC sum so scores stay comparable ACROSS probed cells.
+    # LUTs use the RAW quantized query against the residual books
+    # (inner-product ADC needs no query residual).
+    offset = (
+        f"aggregate(zip_with(qv, element_at({_cb_lit(codebook)}, "
+        f"CAST(cell AS INT)), (x, c) -> x * c), CAST(0 AS BIGINT), "
+        f"(a, e) -> a + e)"
+    )
+    luts_cells = joined.selectExpr(
+        "q_id", "cell", "luts", f"{offset} AS cell_offset"
+    )
+    return _adc_topk(codes, luts_cells, m, k, exclude_self,
+                     on_cell=True, with_offset=True)
+
+
+def train_pq_codebooks_residual(
+    df: DataFrame, codebook: list[list[int]], m: int = 8, ksub: int = 16
+) -> list[list[list[int]]]:
+    """Residual PQ training — the IVFADC half of Jégou et al. 2011
+    §III: sub-codebooks are learned over x − centroid(cell(x)), not x.
+    Residuals of a clustered corpus have much smaller magnitude than
+    the vectors, so ksub centroids per subspace describe the
+    WITHIN-cell structure instead of re-describing cell identity —
+    the known fix for the raw-code recall floor on clustered data.
+
+    Same discipline as `train_pq_codebooks`: deterministic
+    hash-predicate sample capped IN-ENGINE (sorted LIMIT — no
+    unbounded driver collect) BEFORE any per-row assignment work;
+    cells + residuals for the ≤SAMPLE_CAP collected rows are then one
+    exact-integer numpy matmul + argmax on the driver (the same
+    integer dot / FIRST-max / 1-based contract as assign_ivf_cells —
+    running the HOF `ivf_cell_expr` pre-cap instead measured 50 s of
+    interpreted lambda evals over the 25% hash sample at K=64/100k),
+    then the shared integer Lloyd trainer."""
+    import numpy as _np
+
+    from ..queries.llm import _norm2_expr, _norm_vec_expr
+
+    assert 2 <= ksub <= 16 and m * 4 <= 63
+    n2 = _norm2_expr(True)
+    nv = _norm_vec_expr(True)
+    rows = capped_sample_df(
+        df.where(f"{n2} > 0")
+        .where(SAMPLE_PRED)
+        .selectExpr(
+            "vec_id",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        ),
+        "vec_id", SAMPLE_CAP,
+    ).collect()
+    if not rows:
+        raise ValueError(
+            "train_pq_codebooks_residual: empty training sample — "
+            "see train_pq_codebooks for the remedy"
+        )
+    rows = sort_and_cap(rows, "vec_id", SAMPLE_CAP)
+    qv = _np.array([list(r["qv"]) for r in rows], dtype=_np.int64)
+    cbm = _np.array(codebook, dtype=_np.int64)          # K × dim
+    cells = (qv @ cbm.T).argmax(axis=1)                 # first-max
+    residuals = qv - cbm[cells]
+    return _lloyd_subspace_books(
+        [[int(x) for x in v] for v in residuals], m, ksub)
+
+
+def pq_encode_ivf(
+    df: DataFrame,
+    codebook: list[list[int]],
+    books: list[list[list[int]]],
+    arrow: bool = False,
+) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, cell, code): the IVFADC index
+    build — assign each vector to its coarse cell (assign_ivf_cells:
+    static-sum codegen at small K, Arrow matmul above
+    ASSIGN_STATIC_MAX_K), PQ-encode the RESIDUAL x − centroid(cell)
+    with residual-trained `books` (train_pq_codebooks_residual).
+    Search side: `ivfpq_search(..., residual=True)`. Zero-norm
+    vectors drop (cell is NULL), same contract as the IVF paths.
+
+    `arrow=True` routes the residual argmin through the same
+    numpy-matmul kernel shape as `pq_encode(arrow=True)` — subtract
+    the cell centroid per batch, then per-subspace cost matmuls;
+    first-min tie-break identical to array_position (pinned equal by
+    test)."""
+    from ..queries.llm import _norm_vec_expr, assign_ivf_cells
+
+    nv = _norm_vec_expr(True)
+    assigned = assign_ivf_cells(df, codebook)  # drops zero-norm rows
+    base = (
+        assigned.selectExpr(
+            "vec_id", "cell",
+            f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+        )
+        .selectExpr(
+            "vec_id", "cell",
+            f"zip_with(qv, element_at({_cb_lit(codebook)}, "
+            f"CAST(cell AS INT)), (x, c) -> x - c) AS qv",
+        )
+        .localCheckpoint(eager=True)  # materialize before the static sums
+    )
+    if not arrow:
+        return base.selectExpr(
+            "vec_id", "cell", f"{pq_encode_expr(books)} AS code"
+        )
+
+    from collections.abc import Iterator
+
+    import numpy as _np
+    import pandas as _pd
+
+    if not books:
+        raise ValueError("pq_encode_ivf: empty codebook")
+    m = len(books)
+    sub = len(books[0][0])
+    bks = [_np.array(bk, dtype=_np.int64) for bk in books]
+
+    def enc(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rv = _np.stack(
+                [_np.asarray(v, dtype=_np.int64) for v in pdf["qv"]]
+            )
+            code = _np.zeros(len(pdf), dtype=_np.int64)
+            for mi in range(m):
+                x = rv[:, mi * sub:(mi + 1) * sub]
+                bk = bks[mi]
+                costs = (bk * bk).sum(axis=1)[None, :] - 2 * (x @ bk.T)
+                code |= costs.argmin(axis=1).astype(_np.int64) << (4 * mi)
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"], "cell": pdf["cell"], "code": code,
+            })
+
+    return base.mapInPandas(enc, "vec_id long, cell long, code long")

@@ -49,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--pq", action="store_true",
                    help="also train PQ sub-codebooks and store an 8-byte"
                    " packed code per vector (enables search --adc)")
+    b.add_argument("--residual", action="store_true",
+                   help="with --pq: encode the RESIDUAL x - "
+                   "centroid(cell) instead of the raw vector (true "
+                   "IVFADC, Jegou 2011 - better recall per byte on "
+                   "clustered corpora; search --adc scores add the "
+                   "exact per-cell coarse term automatically)")
+    b.add_argument("--embedder", default=None, metavar="ID",
+                   help="record the embedding source identity (e.g. "
+                   "md5-hash-v1 for functions/embeddings.embed_documents"
+                   " output) - search --documents refuses indexes built"
+                   " from a different or unrecorded embedder")
     b.add_argument("--cells", type=int, default=8,
                    help="IVF cell count K (default 8). Production IVF "
                    "scales K with corpus size (K ~ sqrt(N)); each "
@@ -152,16 +163,32 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # files — measured 31 s of filesystem churn at K=64/100k rows);
         # with it each cell is a few compact files, which is also the
         # read-side contract (probe one cell → read one file).
+        if args.residual and not args.pq:
+            print("--residual requires --pq", file=sys.stderr)
+            return 2
         assigned = assign_ivf_cells(emb, cb)
         meta = {"codebook": cb}
+        if args.embedder:
+            meta["embedder"] = args.embedder
         if args.pq:
-            from .functions.pq import pq_encode, train_pq_codebooks
+            if args.residual:
+                from .functions.pq import (
+                    pq_encode_ivf,
+                    train_pq_codebooks_residual,
+                )
 
-            books = train_pq_codebooks(emb)
-            meta["pq_books"] = books
+                books = train_pq_codebooks_residual(emb, cb)
+                meta["pq_books"] = books
+                meta["pq_residual"] = True
+                codes = pq_encode_ivf(emb, cb, books, arrow=True)
+            else:
+                from .functions.pq import pq_encode, train_pq_codebooks
+
+                books = train_pq_codebooks(emb)
+                meta["pq_books"] = books
+                codes = pq_encode(emb, books, arrow=True)
             assigned = assigned.join(
-                pq_encode(emb, books, arrow=True).select("vec_id", "code"),
-                "vec_id",
+                codes.select("vec_id", "code"), "vec_id",
             )
         # repartition LAST (a vec_id join would re-shuffle away the
         # cell clustering): each cell lands as a few compact files
@@ -193,11 +220,17 @@ def main(argv: list[str] | None = None, out=None) -> int:
             # (NULL codes under the build files' schema). Encode the
             # additions against the STORED sub-codebooks — the same
             # artifact search uses, so old and new codes score alike.
-            from .functions.pq import pq_encode
+            if meta.get("pq_residual"):
+                from .functions.pq import pq_encode_ivf
 
+                codes = pq_encode_ivf(emb, cb, meta["pq_books"],
+                                      arrow=True)
+            else:
+                from .functions.pq import pq_encode
+
+                codes = pq_encode(emb, meta["pq_books"], arrow=True)
             assigned = assigned.join(
-                pq_encode(emb, meta["pq_books"], arrow=True).select("vec_id", "code"),
-                "vec_id",
+                codes.select("vec_id", "code"), "vec_id",
             )
         assigned.write.mode("append").partitionBy("cell").parquet(
             _cells_path(args.index)
@@ -267,6 +300,21 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return 1
         if "doc_id" not in qdocs.columns:
             qdocs = qdocs.withColumn("doc_id", F.expr("xxhash64(text)"))
+        from .functions.embeddings import EMBEDDER_ID
+
+        if meta.get("embedder") != EMBEDDER_ID:
+            # cosine between unrelated embedding spaces is silently
+            # meaningless — refuse unless the build recorded that its
+            # vectors came from this module's embedder
+            print(
+                f"--documents requires an index built from "
+                f"{EMBEDDER_ID} embeddings (build with "
+                f"--embedder {EMBEDDER_ID} over embed_documents "
+                f"output); this index records "
+                f"embedder={meta.get('embedder')!r}",
+                file=sys.stderr,
+            )
+            return 2
         dim = len(cb[0])
         queries = embed_documents(
             qdocs.select("doc_id", "text"), dim=dim
@@ -286,6 +334,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             index.select("vec_id", "code", "cell"), queries, cb,
             meta["pq_books"], k=args.k, nprobe=args.nprobe,
             exclude_self=not args.include_self,
+            residual=bool(meta.get("pq_residual")),
         )
         for r in hits.orderBy("q_id", "rn").collect():
             print(json.dumps(

@@ -2102,11 +2102,16 @@ def search_ivf_index_arrow(
     k: int = 5,
     exclude_self: bool = True,
     nprobe: int = 1,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Arrow/numpy re-rank variant of `search_ivf_index` for LARGE
-    candidate volumes: the query batch (bounded — the interactive
-    search contract; candidate count is the scale axis, not |Q|) is
-    collected, normalized, and shipped in the kernel closure; each
+    candidate volumes: the query batch (bounded BY CONSTRUCTION — the
+    collect below runs through an in-engine LIMIT of `max_queries`+1,
+    so the driver never materializes more, and a larger frame raises
+    a clear error steering to the zero-collect expression path; the
+    interactive search contract is tens–hundreds of queries, candidate
+    count is the scale axis) is collected, normalized, and shipped in
+    the kernel closure; each
     Arrow batch of index rows does ONE (batch×dim)·(dim×Q) float64
     matmul against the queries probing its cells and emits only its
     per-query partial top-k, so the final window ranks Q·k·n_batches
@@ -2126,8 +2131,18 @@ def search_ivf_index_arrow(
             f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
         )
         .where("cells IS NOT NULL")
+        .limit(max_queries + 1)  # in-engine bound BEFORE the collect
         .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"search_ivf_index_arrow: query frame exceeds "
+            f"max_queries={max_queries} — this path ships the query "
+            f"batch in the kernel closure and is meant for the "
+            f"interactive contract; route large query frames through "
+            f"search_ivf_index (zero driver collect, broadcast "
+            f"query side) or raise max_queries explicitly"
+        )
     spark = index.sparkSession
     if not qrows:
         return spark.createDataFrame(

@@ -222,3 +222,74 @@ def test_curate_build_index(spark, tmp_path):
                        "--k", "3", "--nprobe", str(ncells)], out=buf) == 0
     hits = [json.loads(line) for line in buf.getvalue().splitlines()]
     assert hits and min(hits, key=lambda h: h["rn"])["c_id"] == kept_id
+
+
+def test_batch_selfdedup_requires_stream():
+    """ADVICE r6: --batch-selfdedup outside --stream must fail loudly
+    (exit 2) like the other dependent flags, not silently no-op."""
+    from pqstream_spark.curate import main
+
+    assert main(["--documents", "x.parquet", "--out", "/tmp/nope",
+                 "--batch-selfdedup"]) == 2
+
+
+def test_bpe_count_sql_rejects_byte_level_tables():
+    """ADVICE r6: bpe_count_sql hardwires the word-level pre-tokenizer;
+    handed a GPT-2-style byte-level table it must raise instead of
+    producing counts that never line up with bpe_segment_bytes."""
+    import pytest
+
+    from pqstream_spark.functions.bpe import bpe_count_sql
+
+    with pytest.raises(ValueError, match="byte-level"):
+        bpe_count_sql([("Ġt", "he")])
+    # word-level tables still render
+    assert "replace" in bpe_count_sql([("t", "h")])
+
+
+def test_scrub_pii_bpe_counts_use_scrubbed_text(spark, tmp_path):
+    """ADVICE r6: with --scrub-pii --bpe, n_bpe_tokens must describe
+    the SCRUBBED text the written corpus carries (what a trainer
+    tokenizes), not the original."""
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.functions.bpe import bpe_token_counts, train_bpe_from
+    from pqstream_spark.functions.pii import scrub_pii_expr
+
+    from pqstream_spark.sources.tables import load_table
+
+    # real corpus docs (so the quality gates keep most of them), with
+    # an email planted in one so scrubbing actually rewrites text
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .where("doc_id < 30").selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id = 3 THEN concat(text, "
+            "' contact someone@example.com for details') "
+            "ELSE text END AS text",
+        )
+    inp = str(tmp_path / "pii_bpe_in.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "pii_bpe_out")
+
+    buf = io.StringIO()
+    rc = main(["--documents", inp, "--out", out_dir,
+               "--scrub-pii", "--bpe"], out=buf)
+    assert rc == 0
+
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in audit.select("doc_id", "n_bpe_tokens").collect()}
+
+    # recompute the expectation exactly: train + count on scrubbed text
+    scrubbed = docs.selectExpr(
+        "doc_id", f"{scrub_pii_expr(True)} AS text")
+    merges = train_bpe_from(scrubbed)
+    want = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(scrubbed, merges).collect()}
+    assert got == want
+    # and the written corpus text IS the scrubbed text (token budgets
+    # describe what a trainer reading it will tokenize)
+    corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    email_rows = corpus.where(F.col("text").contains("example.com")).count()
+    assert email_rows == 0

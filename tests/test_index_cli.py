@@ -178,7 +178,8 @@ def test_index_search_by_documents(spark, tmp_path):
     ep = str(tmp_path / "emb.parquet")
     emb.coalesce(1).write.mode("overwrite").parquet(ep)
     idx = str(tmp_path / "idx")
-    assert main(["build", "--embeddings", ep, "--out", idx],
+    assert main(["build", "--embeddings", ep, "--out", idx,
+                 "--embedder", "md5-hash-v1"],
                 out=io.StringIO()) == 0
 
     target = docs.where("doc_id = 42").collect()[0]["text"]
@@ -196,3 +197,62 @@ def test_index_search_by_documents(spark, tmp_path):
                  "--k", "3", "--nprobe", str(ncells)], out=buf) == 0
     hits = [json.loads(line) for line in buf.getvalue().splitlines()]
     assert hits and min(hits, key=lambda h: h["rn"])["c_id"] == 42, hits
+
+    # an index that does NOT record the md5-hash-v1 embedder identity
+    # must refuse --documents (cosine across unrelated embedding
+    # spaces is silently meaningless — ADVICE r6)
+    idx2 = str(tmp_path / "idx_noembedder")
+    assert main(["build", "--embeddings", ep, "--out", idx2],
+                out=io.StringIO()) == 0
+    assert main(["search", "--index", idx2, "--documents", qp,
+                 "--k", "3"], out=io.StringIO()) == 2
+
+
+def test_index_pq_residual_build_add_and_adc_search(spark, tmp_path):
+    """--pq --residual stores IVFADC residual codes; search --adc
+    transparently applies the per-cell coarse term (meta.pq_residual)
+    and still retrieves a perturbed vector's original; `add` encodes
+    additions as residuals against the STORED codebooks so old and new
+    codes score alike."""
+    import io
+    import json as _json
+
+    from pqstream_spark.index import main
+    from pqstream_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "embedding"
+    )
+    base = str(tmp_path / "res_base.parquet")
+    emb.where("vec_id < 400").coalesce(1).write.mode("overwrite").parquet(base)
+    idx = str(tmp_path / "res_idx")
+
+    buf = io.StringIO()
+    assert main(["build", "--embeddings", base, "--out", idx, "--pq",
+                 "--residual"], out=buf) == 0
+    meta = _json.load(open(os.path.join(idx, "codebook.json")))
+    assert meta.get("pq_residual") is True and "pq_books" in meta
+
+    # --residual without --pq is a usage error
+    assert main(["build", "--embeddings", base,
+                 "--out", str(tmp_path / "bad"), "--residual"]) == 2
+
+    # add the remaining vectors — encoded as residuals via stored books
+    rest = str(tmp_path / "res_rest.parquet")
+    emb.where("vec_id >= 400").coalesce(1).write.mode("overwrite").parquet(rest)
+    buf = io.StringIO()
+    assert main(["add", "--index", idx, "--embeddings", rest], out=buf) == 0
+    assert _json.loads(buf.getvalue())["added"] > 0
+
+    # a perturbed copy of an ADDED vector retrieves its original
+    probe = emb.where("vec_id = 450").selectExpr(
+        "900450 AS vec_id",
+        "transform(embedding, x -> x * CAST(1.001 AS DOUBLE)) AS embedding",
+    )
+    qp = str(tmp_path / "res_q.parquet")
+    probe.coalesce(1).write.mode("overwrite").parquet(qp)
+    buf = io.StringIO()
+    assert main(["search", "--index", idx, "--queries", qp, "--k", "3",
+                 "--adc"], out=buf) == 0
+    hits = [_json.loads(l) for l in buf.getvalue().splitlines()]
+    assert hits and hits[0]["rn"] == 1 and hits[0]["c_id"] == 450, hits

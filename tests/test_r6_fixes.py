@@ -161,3 +161,33 @@ def test_trainer_caps_run_in_engine(spark):
         .select("doc_id", "text")
     assert train_bpe_from(docs, n_merges=30) == \
         train_bpe_from(docs, n_merges=30)
+
+
+def test_arrow_search_query_collect_is_bounded(spark):
+    """Round-7 ask #4: search_ivf_index_arrow must never materialize
+    an unbounded query frame on the driver — the collect runs through
+    an in-engine LIMIT, and exceeding max_queries raises a clear error
+    steering to the zero-collect expression path."""
+    import pytest
+
+    from pqstream_spark.queries.llm import (
+        search_ivf_index_arrow,
+        train_ivf_codebook,
+    )
+    from pqstream_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    cb = train_ivf_codebook(spark, SF_SMOKE)
+    from pqstream_spark.queries.llm import assign_ivf_cells
+
+    index = assign_ivf_cells(emb, cb)
+    queries = emb.selectExpr("vec_id AS q_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        search_ivf_index_arrow(index, queries, cb, k=3, max_queries=100)
+    # within the bound it works unchanged
+    small = queries.where("q_id < 5")
+    assert search_ivf_index_arrow(index, small, cb, k=3,
+                                  max_queries=100).count() == 15

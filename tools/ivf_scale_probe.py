@@ -95,7 +95,9 @@ def main() -> None:
     from pqstream_spark.functions.pq import (
         ivfpq_search,
         pq_encode,
+        pq_encode_ivf,
         train_pq_codebooks,
+        train_pq_codebooks_residual,
     )
     from pqstream_spark.queries.llm import search_ivf_index_arrow
 
@@ -106,6 +108,14 @@ def main() -> None:
         index.select("vec_id", "cell"), "vec_id"
     ).localCheckpoint(eager=True)
     t_pq_build = time.time() - t0
+
+    # residual IVF-PQ (true IVFADC, round-7): codes quantize
+    # x − centroid(cell); search adds the exact coarse term per cell
+    t0 = time.time()
+    rbooks = train_pq_codebooks_residual(corpus, cb)
+    rcodes = pq_encode_ivf(corpus, cb, rbooks,
+                           arrow=True).localCheckpoint(eager=True)
+    t_pqr_build = time.time() - t0
 
     probes = []
     for nprobe in (1, 4, 16, 64):
@@ -145,17 +155,34 @@ def main() -> None:
                 got_pq.setdefault(r["q_id"], set()).add(r["c_id"])
         recall_pq = sum(len(exact[q] & got_pq.get(q, set()))
                         for q in range(10)) / 50.0
+        ivfpq_search(rcodes, queries, cb, rbooks, k=5,
+                     nprobe=nprobe, residual=True).count()
+        rt = []
+        got_r = {}
+        for _ in range(3):
+            t0 = time.time()
+            hits_r = ivfpq_search(rcodes, queries, cb, rbooks, k=5,
+                                  nprobe=nprobe, residual=True).collect()
+            rt.append(time.time() - t0)
+            got_r = {}
+            for r in hits_r:
+                got_r.setdefault(r["q_id"], set()).add(r["c_id"])
+        recall_r = sum(len(exact[q] & got_r.get(q, set()))
+                       for q in range(10)) / 50.0
         # candidate volume actually scanned = Σ widths of probed cells
         probes.append({"nprobe": nprobe, "t_min": round(min(times), 3),
                        "t_min_arrow": round(min(at), 3),
                        "t_min_adc": round(min(pt), 3),
+                       "t_min_adc_residual": round(min(rt), 3),
                        "recall_at_5": recall,
-                       "recall_at_5_adc": recall_pq})
+                       "recall_at_5_adc": recall_pq,
+                       "recall_at_5_adc_residual": recall_r})
     print(json.dumps({
         "n_vectors": n, "k_cells": len(cb),
         "t_train_s": round(t_train, 2), "t_assign_s": round(t_assign, 2),
         "t_write_s": round(t_write, 2),
         "t_pq_build_s": round(t_pq_build, 2),
+        "t_pq_residual_build_s": round(t_pqr_build, 2),
         "min_cell": min(cell_widths.values()),
         "max_cell": max(cell_widths.values()),
         "probes": probes,
