@@ -279,6 +279,16 @@ def q_minhash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup: cluster resolution (connected components over candidate pairs) ------
 
+# Below this many edges the per-round label/neighbor-min frames are
+# hinted broadcast: localCheckpoint yields LogicalRDDs with UNKNOWN
+# size stats, so AQE never auto-broadcasts them and every round pays
+# two shuffle joins of tiny frames (measured ~2.1 s of the 3.9 s
+# dedup_pipeline_corpus entry at sf0.1). Above it, the hints vanish
+# and the rounds stay shuffle joins — the only correct shape when the
+# label frame itself is beyond executor memory.
+PROPAGATE_BROADCAST_EDGES = 2_000_000
+
+
 def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     """Connected components over (doc_a, doc_b) pairs via iterative
     min-label propagation: each doc's label converges to the min doc_id
@@ -306,12 +316,18 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     # pointless: LogicalRDD drops partitioning info, so each round's
     # join re-shuffles the narrow edge list regardless.)
     edges = edges.localCheckpoint()
+    # the checkpoint is already materialized, so this count is a cheap
+    # metadata-ish action — it buys the broadcast decision below (the
+    # LogicalRDD has no size stats, so AQE cannot make it for us; the
+    # label frame is bounded by the node count ≤ 2·edges)
+    small_graph = edges.count() <= PROPAGATE_BROADCAST_EDGES
+    _maybe_b = F.broadcast if small_graph else (lambda df: df)
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     converged = False
     for _ in range(max_rounds):
         neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
+            edges.join(_maybe_b(labels), edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
             .agg(F.min("label").alias("nmin"))
         )
@@ -319,7 +335,9 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         # filter over the already-materialized checkpoint, not an extra
         # shuffle join per round
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            labels.join(
+                _maybe_b(neighbor_min),
+                labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nmin", "label")).alias("label"),
