@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
         "its offset inside the source database automatically)",
     )
     p.add_argument(
+        "--transport", choices=("outbox", "notify"), default="outbox",
+        help="postgres backend: 'outbox' (durable seqs, replay, "
+        "at-least-once — the default, this engine's upgrade) or "
+        "'notify' (the reference's live LISTEN wire: pg_notify "
+        "envelope with the two-tier 8KB degradation, AT-MOST-ONCE — "
+        "events fired while the daemon is down are lost, exactly the "
+        "reference's semantics)",
+    )
+    p.add_argument(
         "--listen-http", type=int, default=None, metavar="PORT",
         help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
         "(directory backend only; 0 picks an ephemeral port)",
@@ -253,6 +262,8 @@ def _run_postgres(args, stop: threading.Event) -> int:
 
     conninfo = args.connect[len("postgres:"):]
     runner = PsqlRunner(conninfo)
+    if args.transport == "notify":
+        return _run_postgres_notify(args, stop, runner)
     cap = PgCaptureManager(runner, table_regexp=args.tables)
     cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
     if args.remove:
@@ -308,6 +319,66 @@ def _run_postgres(args, stop: threading.Event) -> int:
                 break
         else:
             stop.wait(args.poll_interval)
+    return 0
+
+
+def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
+    """`--transport notify`: the reference's own data path, live —
+    pqsd's remove-then-install of the NOTIFY trigger, one LISTEN
+    session, envelopes handled per micro-batch. At-most-once by
+    design: no offsets, no replay (the flags that imply durability
+    are rejected up front rather than silently ignored)."""
+    from .pipeline import handle_events
+    from .session import get_spark
+    from .sources.notify_pg import NotifyListener
+    from .sources.outbox_local import raw_events_from_outbox
+    from .sources.outbox_pg import PgNotifyCaptureManager
+
+    for flag, name in ((args.replay_from is not None, "--replay-from"),
+                       (args.compact, "--compact"),
+                       (args.bootstrap, "--bootstrap")):
+        if flag:
+            print(f"{name} requires the durable outbox transport "
+                  "(NOTIFY has no cursor to replay or compact from)",
+                  file=sys.stderr)
+            return 2
+    cap = PgNotifyCaptureManager(runner, table_regexp=args.tables)
+    cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
+    if args.remove:
+        return 0
+    tables = cap.install()
+    print(f"NOTIFY capture on {len(tables)} tables: {tables}",
+          file=sys.stderr)
+
+    spark = get_spark("pqstream-daemon")
+    redactions = _load_redactions(args.redactions)
+    if args.out == "-":
+        emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
+    else:
+        import time as _time
+
+        from .streaming.sinks import jsonl_seq_writer
+
+        # per-run prefix: notify seqs are session-local (restart at 1
+        # per listener), so seq-named files would collide across
+        # daemon restarts and overwrite earlier output
+        emit = jsonl_seq_writer(
+            args.out, prefix=f"notify-{int(_time.time() * 1000):x}"
+        )
+    conninfo = args.connect[len("postgres:"):]
+    epoch = 0
+    with NotifyListener(conninfo) as lis:
+        while not stop.is_set():
+            payloads = lis.poll(timeout=args.poll_interval)
+            batch = lis.batch_df(spark, payloads)
+            events = handle_events(
+                raw_events_from_outbox(batch), redactions=redactions,
+                typed_wire=True,
+            )
+            emit(events, epoch)
+            epoch += 1
+            if args.once and not payloads:
+                break
     return 0
 
 

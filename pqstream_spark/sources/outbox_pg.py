@@ -555,3 +555,65 @@ def capture_notifications(
         if m and m.group("chan") == channel:
             payloads.append(m.group("payload"))
     return payloads
+
+
+def pg_fetch_row_by_id(
+    runner: PsqlRunner, table: str, id_value: str,
+    id_type: str = "integer",
+) -> str | None:
+    """P3 fallback point lookup against LIVE Postgres — the
+    reference's sqlFetchRowByID (`queries.go:62-64`, invoked at
+    `server.go:194-212` when degradation dropped the payload but kept
+    the id): re-SELECT the row and render it with row_to_json, the
+    same serializer the trigger used, so a recovered payload is
+    byte-identical to what an undegraded envelope would have carried.
+    Returns None when the row no longer exists (DELETEs are
+    unrecoverable — same reference behavior)."""
+    t = _check_ident(table)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", id_type):
+        raise ValueError(f"bad id type: {id_type!r}")
+    lit = _quote_lit(str(id_value))
+    return runner.scalar(
+        f'SELECT row_to_json(r)::text FROM '
+        f'(SELECT * FROM "{t}" WHERE id = {lit}::{id_type}) r'
+    )
+
+
+def remove_notify_trigger_sql(table: str) -> str:
+    t = _check_ident(table)
+    return f'DROP TRIGGER IF EXISTS pqstream_notify_parity ON "{t}"'
+
+
+class PgNotifyCaptureManager:
+    """Lifecycle for the fire-and-forget NOTIFY trigger — the daemon's
+    `--transport notify` capture side, same remove-then-install
+    contract as the outbox managers but installing the reference's
+    wire (pg_notify envelope + two-tier degradation) instead of the
+    durable outbox write."""
+
+    def __init__(self, runner: PsqlRunner, table_regexp: str | None = None) -> None:
+        self.runner = runner
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
+        return filter_tables([r["table_name"] for r in rows],
+                             self.table_regexp)
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        stmts = ["BEGIN", NOTIFY_TRIGGER_FUNCTION_SQL]
+        stmts += [install_notify_trigger_sql(t) for t in tables]
+        stmts.append("COMMIT")
+        self.runner.sql(";\n".join(stmts) + ";")
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        if tables:
+            self.runner.sql(
+                ";\n".join(remove_notify_trigger_sql(t) for t in tables) + ";"
+            )
+        return tables

@@ -95,7 +95,9 @@ def jsonl_dir_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
-def jsonl_seq_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+def jsonl_seq_writer(
+    out_dir: str, prefix: str = "batch"
+) -> Callable[[DataFrame, int], None]:
     """Like jsonl_dir_writer, but names each file by the batch's seq
     range (`batch-{lo}-{hi}.jsonl`) instead of the epoch id.
 
@@ -108,11 +110,17 @@ def jsonl_seq_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     (sources/outbox_local.py LocalOutboxPoller.open_durable) this gives
     at-least-once transport + idempotent sink = exactly-once effect —
     the upgrade over the reference's lossy fire-and-forget NOTIFY
-    delivery (server.go:249-315 has no redelivery at all)."""
+    delivery (server.go:249-315 has no redelivery at all).
+
+    `prefix` keys the file namespace: the NOTIFY transport's synthetic
+    seqs restart at 1 per listener session, so it passes a per-run
+    nonce prefix — restart collisions would otherwise overwrite
+    earlier output (durable-outbox runs keep the default, where
+    identical names ARE the idempotency)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        tmp = os.path.join(out_dir, f".inflight-{epoch_id}.tmp")
+        tmp = os.path.join(out_dir, f".inflight-{prefix}-{epoch_id}.tmp")
         lo = hi = None
         with open(tmp, "w") as f:
             for r in batch_df.orderBy("seq").toLocalIterator():
@@ -124,7 +132,10 @@ def jsonl_seq_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
         if lo is None:
             os.remove(tmp)
             return
-        os.replace(tmp, os.path.join(out_dir, f"batch-{lo:012d}-{hi:012d}.jsonl"))
+        os.replace(
+            tmp,
+            os.path.join(out_dir, f"{prefix}-{lo:012d}-{hi:012d}.jsonl"),
+        )
 
     return write
 

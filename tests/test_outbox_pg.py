@@ -333,3 +333,49 @@ def test_daemon_sigkill_crash_recovery(pg, tmp_path):
             )
     diverging = {i for i, renders in by_id.items() if len(renders) > 1}
     assert not diverging, f"replay re-rendered differently: {diverging}"
+
+
+def test_daemon_bootstrap_snapshot_then_stream(pg, tmp_path):
+    """--bootstrap on the PG backend: rows that existed BEFORE capture
+    was installed are emitted once as synthetic INSERT events (negative
+    seqs — the CDC bootstrap the reference's NOTIFY-only design cannot
+    express), then the changelog takes over; a second run does not
+    re-snapshot."""
+    r = _fresh_db(pg, "t_bootstrap")
+    conninfo = pg.conninfo("t_bootstrap")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'pre' || g "
+        "FROM generate_series(1, 15) g;"
+    )
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--bootstrap"], log
+    )
+    assert rc == 0
+    # snapshot rows carry negative seqs, which land in `batch--*.jsonl`
+    # files (the wire format itself omits seq — reference byte-parity)
+    snap_files = [f for f in os.listdir(out) if f.startswith("batch--")]
+    assert snap_files, "bootstrap must write a negative-seq snapshot file"
+    events = [json.loads(l) for l in _out_lines(out)]
+    ids = sorted(int(e["id"]) for e in events if e["op"] == "INSERT")
+    assert ids == list(range(1, 16)), "snapshot must cover pre-capture rows"
+
+    # post-install writes stream normally; re-running --bootstrap does
+    # not re-snapshot (sentinel row) and drains only the changelog
+    r.sql("INSERT INTO notes VALUES (100, now(), 'live');")
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--bootstrap"], log
+    )
+    assert rc == 0
+    assert sorted(
+        f for f in os.listdir(out) if f.startswith("batch--")
+    ) == sorted(snap_files), "re-run must not rewrite or grow the snapshot"
+    events = [json.loads(l) for l in _out_lines(out)]
+    ids = sorted(int(e["id"]) for e in events if e["op"] == "INSERT")
+    assert ids == list(range(1, 16)) + [100], (
+        "changelog events append after the snapshot, exactly once"
+    )
