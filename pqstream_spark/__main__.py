@@ -70,8 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="sqlite poller cadence in seconds (reference e2e runs at 1s)",
     )
     p.add_argument(
-        "--consumer", default="daemon", metavar="NAME",
-        help="sqlite backend: name of this consumer's durable offset "
+        "--consumer", default=None, metavar="NAME",
+        help="outbox backends (sqlite/postgres; default 'daemon'): name "
+        "of this consumer's durable offset "
         "row — two daemons with different names tail the same outbox "
         "independently, each at-least-once (outbox-level fan-out; "
         "--compact prunes only below ALL consumers' offsets)",
@@ -171,7 +172,8 @@ def _run_sqlite(args, stop: threading.Event) -> int:
     # resumes from the last advanced seq; a batch emitted but not yet
     # advanced replays, and the seq-named idempotent sink rewrites the
     # same file — exactly-once effect end to end
-    poller = LocalOutboxPoller.open_durable(conn, consumer=args.consumer)
+    poller = LocalOutboxPoller.open_durable(
+        conn, consumer=args.consumer or "daemon")
     if args.replay_from is not None:
         poller.rewind(args.replay_from)
     if args.out == "-":
@@ -265,7 +267,14 @@ def _run_postgres(args, stop: threading.Event) -> int:
     if args.transport == "notify":
         return _run_postgres_notify(args, stop, runner)
     cap = PgCaptureManager(runner, table_regexp=args.tables)
-    cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
+    # remove-then-install (cmd/pqsd/main.go:95-102) — including the
+    # OTHER transport's triggers: a daemon restarted with a different
+    # --transport must not leave orphaned capture firing into an
+    # unconsumed outbox (or an unlistened channel) forever
+    from .sources.outbox_pg import PgNotifyCaptureManager
+
+    cap.remove()
+    PgNotifyCaptureManager(runner, table_regexp=args.tables).remove()
     if args.remove:
         return 0
     tables = cap.install()
@@ -273,7 +282,8 @@ def _run_postgres(args, stop: threading.Event) -> int:
 
     spark = get_spark("pqstream-daemon")
     redactions = _load_redactions(args.redactions)
-    poller = PgOutboxPoller.open_durable(runner, consumer=args.consumer)
+    poller = PgOutboxPoller.open_durable(
+        runner, consumer=args.consumer or "daemon")
     if args.replay_from is not None:
         poller.rewind(args.replay_from)
     if args.out == "-":
@@ -336,14 +346,21 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
 
     for flag, name in ((args.replay_from is not None, "--replay-from"),
                        (args.compact, "--compact"),
-                       (args.bootstrap, "--bootstrap")):
+                       (args.bootstrap, "--bootstrap"),
+                       (args.consumer is not None, "--consumer")):
         if flag:
             print(f"{name} requires the durable outbox transport "
-                  "(NOTIFY has no cursor to replay or compact from)",
+                  "(NOTIFY has no cursor, offsets, or replay)",
                   file=sys.stderr)
             return 2
+    from .sources.outbox_pg import PgCaptureManager as _OutboxCap
+
     cap = PgNotifyCaptureManager(runner, table_regexp=args.tables)
-    cap.remove()  # remove-then-install (cmd/pqsd/main.go:95-102)
+    # remove BOTH transports' triggers (see _run_postgres): an outbox
+    # trigger left behind by a previous run would keep filling
+    # pqstream_outbox with no consumer
+    cap.remove()
+    _OutboxCap(runner, table_regexp=args.tables).remove()
     if args.remove:
         return 0
     tables = cap.install()

@@ -262,26 +262,34 @@ def main(argv: list[str] | None = None, out=None) -> int:
     base = docs if "doc_id" in docs.columns else docs.withColumn(
         "doc_id", F.expr("xxhash64(text)")
     )
-    if "doc_id" in docs.columns and (args.bpe or args.scrub_pii):
-        # a USER-supplied id column can map one id to several distinct
-        # texts; the per-id joins below would then attach one arbitrary
-        # row's scrubbed text / token count to every row sharing the
-        # id. Detect and warn loudly (derived ids — xxhash64(text) —
-        # cannot collide this way short of a hash collision).
-        n_conflicts = (
-            base.groupBy("doc_id")
-            .agg(F.countDistinct(F.expr("xxhash64(text)")).alias("nfp"))
-            .where("nfp > 1")
-            .count()
-        )
-        if n_conflicts:
-            print(
-                f"WARNING: {n_conflicts} doc_id value(s) carry "
-                f"DIFFERENT texts — per-id annotations (--bpe token "
-                f"counts, --scrub-pii text) will use one arbitrary "
-                f"text per id; deduplicate or re-key the input",
-                file=sys.stderr,
-            )
+    per_id = None
+    if args.bpe or args.scrub_pii:
+        if "doc_id" in docs.columns:
+            # a USER-supplied id column can map one id to several
+            # distinct texts; the per-id joins below would then attach
+            # one arbitrary row's scrubbed text / token count to every
+            # row sharing the id. ONE aggregation yields both the
+            # per-id representative text (what dropDuplicates picked
+            # before) and the conflict signal — no extra input scan.
+            per_id = base.groupBy("doc_id").agg(
+                F.first("text").alias("text"),
+                F.countDistinct(F.expr("xxhash64(text)")).alias("_nfp"),
+            ).localCheckpoint(eager=True)
+            n_conflicts = per_id.where("_nfp > 1").count()
+            if n_conflicts:
+                print(
+                    f"WARNING: {n_conflicts} doc_id value(s) carry "
+                    f"DIFFERENT texts — per-id annotations (--bpe token "
+                    f"counts, --scrub-pii text) will use one arbitrary "
+                    f"text per id; deduplicate or re-key the input",
+                    file=sys.stderr,
+                )
+            per_id = per_id.select("doc_id", "text")
+        else:
+            # derived ids: identical text ⇒ identical id, one row is
+            # lossless by construction (no conflict scan needed)
+            per_id = base.select("doc_id", "text").dropDuplicates(
+                ["doc_id"])
     pii = None
     if args.scrub_pii:
         from .functions.pii import pii_count_expr, scrub_pii_expr
@@ -289,11 +297,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # computed BEFORE the bpe block: token budgets must describe
         # the corpus the training job reads, which carries the
         # PLACEHOLDER text when scrubbing is on (ADVICE r6)
-        pii = base.selectExpr(
+        pii = per_id.selectExpr(
             "doc_id",
             f"{pii_count_expr(True)} AS n_pii",
             f"{scrub_pii_expr(True)} AS scrubbed_text",
-        ).dropDuplicates(["doc_id"])
+        )
     if args.bpe:
         from .functions.bpe import (
             bpe_token_counts,
@@ -301,28 +309,35 @@ def main(argv: list[str] | None = None, out=None) -> int:
             train_bpe_from,
         )
 
-        # when scrubbing, both training and counting run on the
-        # scrubbed text — the text the written corpus actually carries
-        bpe_input = (
-            pii.selectExpr("doc_id", "scrubbed_text AS text")
-            if pii is not None
-            else base.select("doc_id", "text")
-        )
+        # when scrubbing, training and counting both run on the
+        # scrubbed text — the text the written corpus actually carries.
+        # Training keeps the input's ORIGINAL row multiplicity (join
+        # the scrubbed text back onto base): duplicate frequency
+        # legitimately influences merge selection, and deduplicating
+        # only on the scrub path would make bpe_merges.json diverge
+        # for reasons unrelated to scrubbing.
+        if pii is not None:
+            bpe_train_input = base.select("doc_id").join(
+                pii.selectExpr("doc_id", "scrubbed_text AS text"),
+                "doc_id",
+            )
+            bpe_count_input = pii.selectExpr(
+                "doc_id", "scrubbed_text AS text")
+        else:
+            bpe_train_input = base.select("doc_id", "text")
+            bpe_count_input = per_id
         if args.merges:
             merges = load_merges(args.merges)
         else:
-            merges = train_bpe_from(bpe_input)
+            merges = train_bpe_from(bpe_train_input)
             os.makedirs(args.out, exist_ok=True)
             with open(os.path.join(args.out, "bpe_merges.json"), "w") as f:
                 json.dump({"merges": merges}, f)
-        # duplicate doc_ids (exact-dup texts hash to the same id, or a
-        # user-supplied id column with dups) would appear k times on
-        # BOTH sides of this join → k² audit rows and a stats line
-        # whose `docs` no longer equals the input row count. Counts are
-        # identical for identical text, so one row per id is lossless.
+        # counts join per-id (one row per doc_id): duplicate ids on
+        # both sides of this join would k²-blow-up the audit rows
         cur = cur.join(
-            bpe_token_counts(bpe_input, merges)
-            .select("doc_id", "n_bpe_tokens").dropDuplicates(["doc_id"]),
+            bpe_token_counts(bpe_count_input, merges)
+            .select("doc_id", "n_bpe_tokens"),
             "doc_id", "left",
         )
         if args.pack_by_bpe:

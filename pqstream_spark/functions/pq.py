@@ -630,6 +630,7 @@ def pq_encode_ivf(
     codebook: list[list[int]],
     books: list[list[list[int]]],
     arrow: bool = False,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, embedding) → (vec_id, cell, code): the IVFADC index
     build — assign each vector to its coarse cell (assign_ivf_cells:
@@ -643,11 +644,17 @@ def pq_encode_ivf(
     numpy-matmul kernel shape as `pq_encode(arrow=True)` — subtract
     the cell centroid per batch, then per-subspace cost matmuls;
     first-min tie-break identical to array_position (pinned equal by
-    test)."""
+    test).
+
+    `assigned` short-circuits the coarse assignment with a caller-
+    provided (vec_id, embedding, cell) frame (assign_ivf_cells output)
+    — the index CLI computes the assignment once for the partitioned
+    layout and must not pay the per-row argmax a second time here."""
     from ..queries.llm import _norm_vec_expr, assign_ivf_cells
 
     nv = _norm_vec_expr(True)
-    assigned = assign_ivf_cells(df, codebook)  # drops zero-norm rows
+    if assigned is None:
+        assigned = assign_ivf_cells(df, codebook)  # drops zero-norm rows
     base = (
         assigned.selectExpr(
             "vec_id", "cell",

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="numpy-matmul re-rank (search_ivf_index_arrow)"
                    " — same results as the default expression path, "
                    "faster at large probed-candidate volumes")
+    s.add_argument("--max-queries", type=int, default=10_000,
+                   help="with --arrow: cap on the query-frame size the "
+                   "kernel ships driver-side (exceeding it errors with "
+                   "guidance; the default non-arrow path has no cap — "
+                   "its query side never leaves the engine)")
     s.add_argument("--adc", action="store_true",
                    help="score candidates from the 8-byte PQ codes "
                    "(asymmetric distance; index must be built --pq) "
@@ -145,6 +150,11 @@ def main(argv: list[str] | None = None, out=None) -> int:
     spark = get_spark("pqstream-index", cpus=args.cpus)
 
     if args.cmd == "build":
+        # pure-argparse validation BEFORE any Spark work — a forgotten
+        # --pq must not cost a full codebook training run
+        if args.residual and not args.pq:
+            print("--residual requires --pq", file=sys.stderr)
+            return 2
         emb = _load_embeddings(spark, args.embeddings)
         if args.cells < 1:
             print("--cells must be >= 1", file=sys.stderr)
@@ -163,9 +173,6 @@ def main(argv: list[str] | None = None, out=None) -> int:
         # files — measured 31 s of filesystem churn at K=64/100k rows);
         # with it each cell is a few compact files, which is also the
         # read-side contract (probe one cell → read one file).
-        if args.residual and not args.pq:
-            print("--residual requires --pq", file=sys.stderr)
-            return 2
         assigned = assign_ivf_cells(emb, cb)
         meta = {"codebook": cb}
         if args.embedder:
@@ -180,7 +187,14 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 books = train_pq_codebooks_residual(emb, cb)
                 meta["pq_books"] = books
                 meta["pq_residual"] = True
-                codes = pq_encode_ivf(emb, cb, books, arrow=True)
+                # reuse the assignment computed above — the per-row
+                # argmax is the expensive half of the build and must
+                # not run twice. Checkpoint so both consumers (the
+                # partitioned write and the residual encode) read the
+                # materialized frame instead of re-deriving it.
+                assigned = assigned.localCheckpoint(eager=True)
+                codes = pq_encode_ivf(emb, cb, books, arrow=True,
+                                      assigned=assigned)
             else:
                 from .functions.pq import pq_encode, train_pq_codebooks
 
@@ -223,8 +237,12 @@ def main(argv: list[str] | None = None, out=None) -> int:
             if meta.get("pq_residual"):
                 from .functions.pq import pq_encode_ivf
 
+                # reuse this add's own cell assignment (same contract
+                # as assign_ivf_cells, pinned equal) instead of
+                # recomputing the argmax inside the encoder
+                assigned = assigned.localCheckpoint(eager=True)
                 codes = pq_encode_ivf(emb, cb, meta["pq_books"],
-                                      arrow=True)
+                                      arrow=True, assigned=assigned)
             else:
                 from .functions.pq import pq_encode
 
@@ -343,13 +361,18 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 separators=(",", ":")), file=out)
         return 0
     if args.arrow:
-        from .queries.llm import search_ivf_index_arrow as _search
+        from .queries.llm import search_ivf_index_arrow
+
+        hits = search_ivf_index_arrow(
+            index, queries, cb, k=args.k,
+            exclude_self=not args.include_self, nprobe=args.nprobe,
+            max_queries=args.max_queries,
+        )
     else:
-        _search = search_ivf_index
-    hits = _search(
-        index, queries, cb, k=args.k,
-        exclude_self=not args.include_self, nprobe=args.nprobe,
-    )
+        hits = search_ivf_index(
+            index, queries, cb, k=args.k,
+            exclude_self=not args.include_self, nprobe=args.nprobe,
+        )
     for r in hits.orderBy("q_id", "rn").collect():
         print(json.dumps(
             {"q_id": r["q_id"], "c_id": r["c_id"], "cos": r["cos"],

@@ -96,6 +96,7 @@ class NotifyListener:
         self._q: queue.Queue[str] = queue.Queue()
         self._proc: subprocess.Popen | None = None
         self._stop = threading.Event()
+        self._ready = threading.Event()
         self._threads: list[threading.Thread] = []
         self._seq = 0  # session-local synthetic seq (NOT durable)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", channel):
@@ -130,21 +131,12 @@ class NotifyListener:
         t_read.start()
         t_pump.start()
         self._threads = [t_read, t_pump]
-        deadline = time.time() + 15
-        early: list[str] = []
-        ready = False
-        while time.time() < deadline:
-            try:
-                got = self._q.get(timeout=max(0.05, deadline - time.time()))
-            except queue.Empty:
-                break
-            if got == self._READY:
-                ready = True
-                break
-            early.append(got)  # an event raced in — keep it, keep waiting
-        for p in early:
-            self._q.put(p)
-        if not ready:
+        # the READY sentinel is consumed by the READER thread (not
+        # re-enqueued here): pulling-and-re-queueing racing events in
+        # start() would put them BEHIND later arrivals and invert the
+        # synthetic seq order FIFO guarantees downstream
+        if not self._ready.wait(timeout=15):
+            self.close()  # no leaked psql session / pump thread
             raise RuntimeError(
                 f"NotifyListener: LISTEN on {self.channel!r} did not "
                 "acknowledge within 15 s"
@@ -156,7 +148,14 @@ class NotifyListener:
         for line in self._proc.stdout:
             m = _NOTIFY_RE.search(line)
             if m and m.group("chan") == self.channel:
-                self._q.put(m.group("payload"))
+                payload = m.group("payload")
+                # swallow only the handshake's own sentinel (first
+                # occurrence, pre-ready); a user payload that happens
+                # to equal it later still flows through
+                if not self._ready.is_set() and payload == self._READY:
+                    self._ready.set()
+                else:
+                    self._q.put(payload)
             if self._stop.is_set():
                 break
 
@@ -181,7 +180,11 @@ class NotifyListener:
             except BrokenPipeError:
                 pass
             self._proc.terminate()
-            self._proc.wait(timeout=10)
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+                self._proc.wait(timeout=10)
             self._proc = None
 
     def __enter__(self) -> "NotifyListener":

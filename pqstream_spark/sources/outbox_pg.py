@@ -568,11 +568,27 @@ def pg_fetch_row_by_id(
     same serializer the trigger used, so a recovered payload is
     byte-identical to what an undegraded envelope would have carried.
     Returns None when the row no longer exists (DELETEs are
-    unrecoverable — same reference behavior)."""
+    unrecoverable — same reference behavior).
+
+    String-id note: the NOTIFY envelope's id field is
+    `(payload -> 'id')::text` — the JSON literal, so TEXT primary keys
+    arrive WITH their JSON quotes ('"abc"'). Those are stripped here
+    before the lookup; the reference itself never handles this (its
+    fallback hardcodes `id = $1::integer`, server.go:26 — text ids
+    are simply broken there), so this is a documented upgrade, not a
+    divergence."""
+    import json as _json
+
     t = _check_ident(table)
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", id_type):
         raise ValueError(f"bad id type: {id_type!r}")
-    lit = _quote_lit(str(id_value))
+    sid = str(id_value)
+    if sid.startswith('"') and sid.endswith('"') and len(sid) >= 2:
+        try:
+            sid = _json.loads(sid)
+        except (ValueError, TypeError):
+            pass  # not a JSON string literal after all — use verbatim
+    lit = _quote_lit(sid)
     return runner.scalar(
         f'SELECT row_to_json(r)::text FROM '
         f'(SELECT * FROM "{t}" WHERE id = {lit}::{id_type}) r'

@@ -272,3 +272,72 @@ def test_daemon_notify_transport_e2e(pg, tmp_path):
     finally:
         daemon2.kill()
         daemon2.wait(timeout=30)
+
+
+def test_transport_switch_removes_other_triggers(pg):
+    """Review finding (r7): restarting the daemon with a different
+    --transport must tear the OTHER transport's triggers down —
+    an orphaned outbox trigger would fill pqstream_outbox forever with
+    no consumer. Exercised at the manager level: each transport's
+    startup removes both trigger sets (as the daemon does)."""
+    from pqstream_spark.sources.outbox_pg import (
+        PgNotifyCaptureManager,
+        remove_notify_trigger_sql,
+    )
+
+    r = pg.createdb("n_switch")
+    r.sql(NOTES_DDL + ";")
+    # outbox transport was running...
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes VALUES (1, now(), 'a');")
+    assert r.scalar("SELECT count(*) FROM pqstream_outbox") == "1"
+    # ...daemon restarted with --transport notify: both removals run
+    PgNotifyCaptureManager(r, table_regexp="notes").remove()
+    PgCaptureManager(r, table_regexp="notes").remove()
+    PgNotifyCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes VALUES (2, now(), 'b');")
+    assert r.scalar("SELECT count(*) FROM pqstream_outbox") == "1", (
+        "outbox trigger must be gone after switching to notify"
+    )
+    # sanity: the notify trigger is the one firing now
+    with NotifyListener(pg.conninfo("n_switch")) as lis:
+        r.sql("INSERT INTO notes VALUES (3, now(), 'c');")
+        assert len(lis.poll(timeout=10.0)) == 1
+    assert "DROP TRIGGER" in remove_notify_trigger_sql("notes")
+
+
+def test_fetch_row_by_id_text_primary_key(pg):
+    """Review finding (r7): TEXT primary keys arrive in the envelope
+    WITH their JSON quotes ((payload -> 'id')::text); the fallback must
+    strip them or every string-id lookup silently misses. (The
+    reference hardcodes ::integer and simply cannot do this —
+    documented upgrade.)"""
+    r = pg.createdb("n_textid")
+    r.sql("CREATE TABLE t2 (id text, note text);")
+    r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+    r.sql(install_notify_trigger_sql("t2") + ";")
+    big = "y" * 8100
+    with NotifyListener(pg.conninfo("n_textid")) as lis:
+        r.sql(f"INSERT INTO t2 VALUES ('doc-abc', '{big}');")
+        payloads = lis.poll(timeout=10.0)
+    env = parse_notify_envelope(payloads[0])
+    assert env["id"] == '"doc-abc"', "envelope id keeps JSON quotes"
+    got = pg_fetch_row_by_id(r, "t2", env["id"], id_type="text")
+    assert got is not None and '"id":"doc-abc"' in got
+
+
+def test_daemon_notify_rejects_consumer_flag(pg, tmp_path):
+    """--consumer implies a durable offset the notify transport does
+    not have — rejected up front, not silently ignored."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    rc = subprocess.run(
+        [_sys.executable, "-m", "pqstream_spark",
+         "--connect", f"postgres:{pg.conninfo()}", "--transport", "notify",
+         "--consumer", "analytics", "--out", str(tmp_path / "o")],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+    )
+    assert rc.returncode == 2 and "--consumer" in rc.stderr
