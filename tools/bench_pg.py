@@ -1,0 +1,119 @@
+"""Live-Postgres capture-path microbenchmark: what does the capture
+side COST on a real server, and what does the poller DRAIN?
+
+Measures, on an ephemeral PostgreSQL 15 cluster (same harness as the
+integration tests):
+
+1. write amplification of the outbox trigger — rows/s for bulk INSERTs
+   into a captured vs an uncaptured table (the trigger doubles every
+   write: one row into the table, one into the outbox);
+2. poller drain throughput — outbox rows/s through
+   PgOutboxPoller.read_batch into a Spark frame (psql CSV transport;
+   the JDBC OutboxPoller is the cluster-scale path);
+3. NOTIFY transport delivery rate — events/s through a live LISTEN
+   session (the reference's wire), including the two-tier degradation
+   trigger cost.
+
+    python tools/bench_pg.py          # one JSON line to stdout
+
+Results land in README's performance notes (run when the PG path
+changes). Not part of bench.py: the driver's bench contract is the
+query catalog; this is transport evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 20_000
+N_NOTIFY = 2_000
+
+
+def main() -> None:
+    from pqstream_spark.session import get_spark
+    from pqstream_spark.sources.notify_pg import NotifyListener
+    from pqstream_spark.sources.outbox_pg import (
+        EphemeralPostgres,
+        NOTIFY_TRIGGER_FUNCTION_SQL,
+        PgCaptureManager,
+        PgOutboxPoller,
+        install_notify_trigger_sql,
+        pg_available,
+    )
+
+    if not pg_available():
+        print(json.dumps({"error": "postgres binaries not available"}))
+        return
+
+    pg = EphemeralPostgres.temp(prefix="pqstream_bench_pg_")
+    try:
+        pg.initdb()
+        pg.start()
+        r = pg.createdb("bench")
+        r.sql("CREATE TABLE plain (id serial, created_at timestamp, note text);"
+              "CREATE TABLE captured (id serial, created_at timestamp, note text);")
+        PgCaptureManager(r, table_regexp="captured").install()
+
+        def bulk_insert(table: str, n: int) -> float:
+            t0 = time.time()
+            r.sql(
+                f"INSERT INTO {table} SELECT g, now(), 'note-' || g "
+                f"FROM generate_series(1, {n}) g;"
+            )
+            return time.time() - t0
+
+        # warm both paths once
+        bulk_insert("plain", 1000)
+        bulk_insert("captured", 1000)
+        t_plain = bulk_insert("plain", N_ROWS)
+        t_cap = bulk_insert("captured", N_ROWS)
+
+        spark = get_spark("bench-pg", cpus=8)
+        poller = PgOutboxPoller.open_durable(r, consumer="bench",
+                                             max_rows=N_ROWS + 1000)
+        t0 = time.time()
+        batch = poller.read_batch(spark)
+        n_drained = batch.count()
+        t_drain = time.time() - t0
+        poller.advance()
+
+        # NOTIFY transport: degradation trigger + live LISTEN delivery
+        r.sql("CREATE TABLE notified (id serial, created_at timestamp, note text);")
+        r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+        r.sql(install_notify_trigger_sql("notified") + ";")
+        with NotifyListener(pg.conninfo("bench")) as lis:
+            t0 = time.time()
+            r.sql(
+                f"INSERT INTO notified SELECT g, now(), 'n-' || g "
+                f"FROM generate_series(1, {N_NOTIFY}) g;"
+            )
+            got: list[str] = []
+            deadline = time.time() + 120
+            while len(got) < N_NOTIFY and time.time() < deadline:
+                got += lis.poll(timeout=2.0)
+            t_notify = time.time() - t0
+
+        out = {
+            "metric": "pg_capture_path",
+            "insert_rows": N_ROWS,
+            "plain_rows_per_s": round(N_ROWS / t_plain),
+            "captured_rows_per_s": round(N_ROWS / t_cap),
+            "trigger_overhead_x": round(t_cap / t_plain, 2),
+            "drain_rows": n_drained,
+            "drain_rows_per_s": round(n_drained / t_drain),
+            "notify_events": len(got),
+            "notify_events_per_s": round(len(got) / t_notify),
+            "notify_lossless_here": len(got) == N_NOTIFY,
+        }
+        print(json.dumps(out))
+    finally:
+        pg.destroy()
+
+
+if __name__ == "__main__":
+    main()
