@@ -152,6 +152,18 @@ def demo_books(m: int = 8, ksub: int = 16, sub: int = 8) -> list[list[list[int]]
     ]
 
 
+def demo_coarse_codebook(k: int = 8, dim: int = 64) -> list[list[int]]:
+    """Formula-derived coarse (IVF) codebook — the certification twin
+    of `train_ivf_codebook_from` for the residual-ADC oracle branch:
+    K × dim integers in [-63, 63], a pure function of the indices so
+    both engines inline identical literals. Trained codebooks flow
+    through the same cell-assign / residual / offset expressions."""
+    return [
+        [((ci * 37 + j * 11 + (ci * j) % 13) % 127) - 63 for j in range(dim)]
+        for ci in range(k)
+    ]
+
+
 def pq_encode_expr(books: list[list[list[int]]], spark: bool = True) -> str:
     """Static SQL (both dialects): a `qv` array/list<bigint> column →
     ONE packed BIGINT of M 4-bit codes. Per subspace, argmin over ksub
@@ -701,3 +713,65 @@ def pq_encode_ivf(
             })
 
     return base.mapInPandas(enc, "vec_id long, cell long, code long")
+
+
+def pq_residual_lut_hof_expr(
+    books: list[list[list[int]]], coarse: list[list[int]],
+    spark: bool = True,
+) -> str:
+    """Per-query residual-IVFADC lookup table (both dialects):
+    T[m][cell][c] = q_m · (centroid(cell)_m + book_m[c]) — the coarse
+    term folded INTO the ADC table exactly as Jégou 2011 §III's
+    per-cell distance tables, so scoring a pair costs M triple
+    lookups with NO per-pair fold and no offset join. Size per query:
+    M × K × ksub ints (8·8·16 = 1 KB here)."""
+    m = len(books)
+    sub = len(books[0][0])
+    k = len(coarse)
+    bl = _books_lit(books, spark)
+    cl = _cb_lit(coarse) if spark else (
+        "list_value(" + ", ".join(
+            "list_value(" + ", ".join(str(int(v)) for v in cv) + ")"
+            for cv in coarse) + ")"
+    )
+    outer = []
+    for mi in range(m):
+        if spark:
+            outer.append(
+                f"transform(sequence(1, {k}), ci -> "
+                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), "
+                f"zip_with(slice(element_at({cl}, ci), {mi * sub + 1}, "
+                f"{sub}), cv, (a, b) -> a + b), (x, s) -> x * s), "
+                f"CAST(0 AS BIGINT), (a, e) -> a + e)))"
+            )
+        else:
+            outer.append(
+                f"list_transform(range(1, {k} + 1), ci -> "
+                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_sum(list_transform(range(1, {sub + 1}), j -> "
+                f"qv[{mi * sub} + j] * ({cl}[ci][{mi * sub} + j] + cv[j])))))"
+            )
+    return ("array(" if spark else "list_value(") + ", ".join(outer) + ")"
+
+
+def pq_adc_residual_score_expr(
+    m: int, luts_col: str, cell_col: str, code_col: str,
+    spark: bool = True,
+) -> str:
+    """Score = Σ_m T[m][cell][code_m] over the residual-IVFADC table —
+    M nibble shifts + M triple lookups per candidate, integer-exact."""
+    parts = []
+    for mi in range(m):
+        if spark:
+            parts.append(
+                f"element_at(element_at(element_at({luts_col}, {mi + 1}), "
+                f"CAST({cell_col} AS INT)), "
+                f"CAST(shiftright({code_col}, {4 * mi}) % 16 AS INT) + 1)"
+            )
+        else:
+            parts.append(
+                f"{luts_col}[{mi + 1}][{cell_col}]"
+                f"[CAST(({code_col} >> {4 * mi}) % 16 AS INTEGER) + 1]"
+            )
+    return "(" + " + ".join(parts) + ")"

@@ -958,6 +958,115 @@ SELECT q_id, c_id, score, rn FROM (
 """
 
 
+# --- similarity: residual PQ/ADC (IVFADC) certification branch ---------------------
+# Round-7's residual IVF-PQ (functions/pq.py pq_encode_ivf /
+# ivfpq_search(residual=True) — Jégou 2011 §III) run through BOTH
+# engines: coarse cell = integer-dot argmax against a formula-derived
+# demo codebook, codes quantize the RESIDUAL qv − centroid(cell) with
+# demo_books, and each pair's score is the exact decomposition
+# dot(q, centroid(cell_c)) + Σ_m LUT[m][code_m]. All integers — any
+# drift in assignment ties, residual arithmetic, packing, or the
+# coarse offset breaks the hash.
+
+
+def _coarse_lit(cb: list[list[int]], spark: bool) -> str:
+    arr = "array" if spark else "list_value"
+    suf = "L" if spark else ""
+    return f"{arr}(" + ", ".join(
+        f"{arr}(" + ", ".join(f"{int(v)}{suf}" for v in cv) + ")"
+        for cv in cb
+    ) + ")"
+
+
+def _residual_rel_sql(spark: bool, rel: str) -> str:
+    """The residual relation (vec_id, cell, qv = qv − centroid(cell))
+    over a (vec_id, qv) relation `rel` — one SELECT chain shared by
+    the one-statement oracle form and the Spark side's materialized
+    view (q_sim_ann checkpoints it: the cell argmax would otherwise
+    re-inline into every one of the encoder's per-subspace
+    references — the CollapseProject tax, measured ~+2 s at sf0.1)."""
+    from ..functions.pq import demo_coarse_codebook
+
+    coarse = demo_coarse_codebook()
+    cb = _coarse_lit(coarse, spark)
+    p = _ivf_parts(spark)
+    if spark:
+        # static-sum ds (whole-stage codegen over the materialized qv
+        # column — K×dim literal terms, the assign_ivf_cells small-K
+        # discipline): the HOF fold here is ~K·dim interpreted lambda
+        # evals PER ROW and measured ~1 s at sf0.1 just to build the
+        # checkpoint. The oracle keeps the HOF form — the values are
+        # exact integers either way.
+        sums = []
+        for cv in coarse:
+            terms = [f"qv[{i}] * {int(c)}"
+                     for i, c in enumerate(cv) if int(c) != 0]
+            sums.append("(" + " + ".join(terms) + ")" if terms
+                        else "CAST(0 AS BIGINT)")
+        ds = "array(" + ", ".join(sums) + ")"
+        rv = f"zip_with(qv, element_at({cb}, cell), (x, c) -> x - c)"
+    else:
+        ds = p["ds"]("qv", cb)
+        rv = (f"list_transform(range(1, len(qv) + 1), "
+              f"i -> qv[i] - {cb}[cell][i])")
+    return f"""
+SELECT vec_id, cell, {rv} AS qv FROM (
+  SELECT vec_id, qv, CAST({p['argmax']} AS INT) AS cell FROM (
+    SELECT vec_id, qv, {ds} AS ds FROM {rel}
+  ) cds
+) cell_assigned
+"""
+
+
+def _pq_adc_residual_sql(spark: bool, base: str | None = None,
+                         resid_base: str | None = None) -> str:
+    """`base`/`resid_base` (Spark side): materialized (vec_id, qv) and
+    (vec_id, cell, qv=residual) views — the quantize chain and the
+    cell-argmax+residual chain each materialize once, and every
+    downstream static/HOF expression references plain columns."""
+    from ..functions.pq import (
+        demo_books,
+        demo_coarse_codebook,
+        pq_adc_residual_score_expr,
+        pq_encode_hof_expr,
+        pq_residual_lut_hof_expr,
+    )
+
+    books = demo_books()
+    n2 = _norm2_expr(spark)
+    nv = _norm_vec_expr(spark)
+    tmap = "transform" if spark else "list_transform"
+    qv = f"{tmap}({nv}, x -> CAST(round(x * 127, 0) AS BIGINT))"
+    prefix = ("" if base else
+              f"pqb AS (SELECT vec_id, {qv} AS qv FROM embeddings "
+              f"WHERE {n2} > 0),\n")
+    rel = base or "pqb"
+    resid = resid_base or f"({_residual_rel_sql(spark, rel).strip()})"
+    # the coarse term folds INTO the per-query lookup table
+    # (pq_residual_lut_hof_expr: T[m][cell][c] = q_m·(centroid_m +
+    # book_c) — Jégou 2011 §III's per-cell distance tables), so a pair
+    # costs M triple lookups with no per-pair fold and no offset join
+    score = pq_adc_residual_score_expr(
+        len(books), "q.luts", "c.cell", "c.code", spark)
+    return f"""
+WITH {prefix}rcodes AS (SELECT vec_id, cell,
+       {pq_encode_hof_expr(books, spark)} AS code FROM {resid} resid),
+q AS (SELECT vec_id AS q_id,
+      {pq_residual_lut_hof_expr(books, demo_coarse_codebook(), spark)} AS luts
+      FROM {rel} WHERE vec_id < 10),
+adc_scored AS (
+  SELECT q.q_id, c.vec_id AS c_id, CAST({score} AS DOUBLE) AS score
+  FROM q JOIN rcodes c ON q.q_id <> c.vec_id
+)
+SELECT q_id, c_id, score, rn FROM (
+  SELECT q_id, c_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, c_id) AS rn
+  FROM adc_scored
+) ranked WHERE rn <= 5
+"""
+
+
 # --- similarity: hashing-trick embedding certification branch ----------------------
 # functions/embeddings.embed_documents as SQL both engines run: md5-
 # nibble bucket/sign hashing (shared expression builders, so library
@@ -2424,7 +2533,8 @@ UNION ALL
 
 
 def _sim_ann_sql(spark: bool, pq_base: str | None = None,
-                 embed_bk: str | None = None) -> str:
+                 embed_bk: str | None = None,
+                 resid_base: str | None = None) -> str:
     """Random-hyperplane LSH (bucketed, exact re-rank) ∪ int8-quantized
     integer-dot-product top-k — the two label-free ANN scale paths —
     ∪ (round 6) the PQ/ADC and hashing-trick-embedding certification
@@ -2439,6 +2549,10 @@ FROM ({_quant_topk_sql(spark).strip()})
 UNION ALL
 SELECT 'pq_adc' AS method, q_id, c_id, score, rn
 FROM ({_pq_adc_sql(spark, base=pq_base).strip()})
+UNION ALL
+SELECT 'pq_adc_residual' AS method, q_id, c_id, score, rn
+FROM ({_pq_adc_residual_sql(spark, base=pq_base,
+                            resid_base=resid_base).strip()})
 UNION ALL
 SELECT 'embed_hash' AS method, CAST(q_id AS BIGINT) AS q_id,
        CAST(c_id AS BIGINT) AS c_id, score, rn
@@ -2469,6 +2583,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _norm2_expr(True)
     vpq = f"_pqb_{_uuid.uuid4().hex[:8]}"
     vbk = f"_ebk_{_uuid.uuid4().hex[:8]}"
+    vres = f"_res_{_uuid.uuid4().hex[:8]}"
     spark.sql(
         f"SELECT vec_id, transform({nv}, x -> CAST(round(x * 127, 0) "
         f"AS BIGINT)) AS qv FROM embeddings WHERE {n2} > 0"
@@ -2476,9 +2591,17 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(_embed_bk_sql(True)).localCheckpoint(
         eager=True
     ).createOrReplaceTempView(vbk)
-    out = spark.sql(_sim_ann_sql(True, pq_base=vpq, embed_bk=vbk))
+    # residual relation (cell argmax + qv - centroid) materialized
+    # once: the encoder references its qv column per subspace and
+    # would otherwise re-inline the whole argmax chain each time
+    spark.sql(_residual_rel_sql(True, vpq)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(vres)
+    out = spark.sql(_sim_ann_sql(True, pq_base=vpq, embed_bk=vbk,
+                                 resid_base=vres))
     spark.catalog.dropTempView(vpq)
     spark.catalog.dropTempView(vbk)
+    spark.catalog.dropTempView(vres)
     return out
 
 

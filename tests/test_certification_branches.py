@@ -137,7 +137,7 @@ def test_sim_ann_branch_quality(spark):
     for r in rows:
         by_method.setdefault(r["method"], []).append(r)
     assert set(by_method) == {"lsh_hyperplane", "int8_quantized",
-                              "pq_adc", "embed_hash"}
+                              "pq_adc", "pq_adc_residual", "embed_hash"}
     top1 = {r["q_id"]: r["c_id"]
             for r in by_method["embed_hash"] if r["rn"] == 1}
     hits = sum(1 for q, c in top1.items() if c == q + 100000)
@@ -148,3 +148,65 @@ def test_sim_ann_branch_quality(spark):
     adc = by_method["pq_adc"]
     assert len(adc) == 50 and all(float(r["score"]).is_integer()
                                   for r in adc)
+
+
+def test_pq_adc_residual_branch_decomposition(spark):
+    """The round-7 residual branch scores ARE the exact IVFADC
+    decomposition: T-table scoring equals dot(q, centroid(cell) +
+    reconstructed residual) recomputed driver-side from demo constants
+    — integer-exact, so any drift in cell assignment, residual
+    arithmetic, packing, or the folded coarse term shows up here
+    before the oracle hash does."""
+    import numpy as np
+
+    from pqstream_spark.functions.pq import demo_books, demo_coarse_codebook
+    from pqstream_spark.queries.llm import (
+        _norm_vec_expr,
+        _residual_rel_sql,
+        q_sim_ann,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    rows = [r for r in q_sim_ann(spark, SF_SMOKE).collect()
+            if r["method"] == "pq_adc_residual"]
+    assert len(rows) == 50 and all(
+        float(r["score"]).is_integer() for r in rows)
+
+    books, coarse = demo_books(), np.array(demo_coarse_codebook())
+    emb = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    nv = _norm_vec_expr(True)
+    qv_rows = {r["vec_id"]: np.array(r["qv"], dtype=np.int64)
+               for r in emb.selectExpr(
+        "vec_id",
+        f"transform({nv}, x -> CAST(round(x * 127, 0) AS BIGINT)) AS qv",
+    ).where("vec_id < 600").collect()}
+    # recompute cell + residual code driver-side from the same demo math
+    m, sub = len(books), len(books[0][0])
+
+    def cell_of(qv):
+        return int((qv @ coarse.T).argmax())  # first-max, 0-based
+
+    def code_of(rv):
+        code = 0
+        for mi in range(m):
+            x = rv[mi * sub:(mi + 1) * sub]
+            costs = [sum((int(a) - b) ** 2 for a, b in zip(x, cv))
+                     for cv in books[mi]]
+            code |= costs.index(min(costs)) << (4 * mi)
+        return code
+
+    checked = 0
+    for r in rows[:20]:
+        q, c = qv_rows[r["q_id"]], qv_rows[r["c_id"]]
+        cell = cell_of(c)
+        rv = c - coarse[cell]
+        code = code_of(rv)
+        recon = coarse[cell].copy()
+        for mi in range(m):
+            recon[mi * sub:(mi + 1) * sub] += np.array(
+                books[mi][(code >> (4 * mi)) & 15])
+        want = int(q @ recon)
+        assert int(r["score"]) == want, (r, want)
+        checked += 1
+    assert checked == 20
