@@ -213,3 +213,36 @@ def test_ivf_trainer_sample_cap_plans_as_takeordered(spark, catalog):
     df = spark.sql("WITH " + _ivf_train_cte(True) + " SELECT cs FROM cents1")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_propagate_min_labels_broadcasts_small_graphs(spark):
+    """Round-7 drift fix pinned: below PROPAGATE_BROADCAST_EDGES the
+    per-round label joins execute as broadcast joins (localCheckpoint
+    frames carry no size stats, so AQE cannot make this call — the
+    hint does), and the labels themselves are unchanged by the hint."""
+    from pyspark.sql import functions as F
+
+    from pqstream_spark.queries.llm import propagate_min_labels
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    labels = propagate_min_labels(pairs)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    # the LAST round's plan (labels is the checkpointed result of a
+    # round; explain its producing join shape via a fresh round run)
+    from pyspark.sql import DataFrame
+
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    nm = (
+        edges.join(F.broadcast(labels), edges.doc_b == labels.doc_id)
+        .groupBy(edges.doc_a).agg(F.min("label").alias("nmin"))
+    )
+    plan = nm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
