@@ -997,14 +997,22 @@ def _residual_rel_sql(spark: bool, rel: str) -> str:
         # evals PER ROW and measured ~1 s at sf0.1 just to build the
         # checkpoint. The oracle keeps the HOF form — the values are
         # exact integers either way.
+        # get() not [i]: the demo codebook is a FIXED dim (unlike the
+        # trained-IVF path, whose centroids inherit the corpus dim), so
+        # a shorter vector would raise INVALID_ARRAY_INDEX under ANSI.
+        # get() → NULL → coalesce 0 reproduces DuckDB's out-of-bounds
+        # list semantics (missing components contribute nothing).
         sums = []
         for cv in coarse:
-            terms = [f"qv[{i}] * {int(c)}"
+            terms = [f"coalesce(get(qv, {i}), CAST(0 AS BIGINT)) * {int(c)}"
                      for i, c in enumerate(cv) if int(c) != 0]
             sums.append("(" + " + ".join(terms) + ")" if terms
                         else "CAST(0 AS BIGINT)")
         ds = "array(" + ", ".join(sums) + ")"
-        rv = f"zip_with(qv, element_at({cb}, cell), (x, c) -> x - c)"
+        # slice the centroid to the vector's length so the residual
+        # keeps size(qv) — DuckDB's HOF form iterates len(qv) exactly
+        rv = (f"zip_with(qv, slice(element_at({cb}, cell), 1, "
+              f"size(qv)), (x, c) -> x - c)")
     else:
         ds = p["ds"]("qv", cb)
         rv = (f"list_transform(range(1, len(qv) + 1), "
