@@ -1180,7 +1180,85 @@ def _pii_hits(spark: bool) -> str:
     return pii_count_expr(spark)
 
 
-def _annotations_sql(spark: bool, src: str = "documents") -> str:
+def _lm_ctes(spark: bool) -> str:
+    """In-corpus bigram LM CTE block (both dialects), appended to the
+    annotations query: CCNet's core quality signal (Wenzek et al. 2020
+    §4.2 scores documents by LM perplexity; KenLM's n-gram model,
+    Heafield 2011, is the public reference family). Here the LM is
+    trained on the corpus being scored — add-one (Laplace) smoothed
+    bigrams over the shared tokenizer with a BOS context — so a
+    document's score measures how typical its token transitions are of
+    the corpus; boilerplate and gibberish land in the high-perplexity
+    tail exactly as in CCNet's head/middle/tail split.
+
+    Engine-exactness: every count is an integer; each bigram's cost
+    ln(c_prefix + V) − ln(c_bigram + 1) is rounded to integer
+    MICRO-NATS before any summation (the curation classifier's
+    micro-unit discipline — float sums would be order-sensitive across
+    partitions), so per-doc totals are exact BIGINTs in both engines.
+
+    Scale: one explode + two hash aggregations (per-doc bigram counts,
+    corpus bigram counts) + one shuffle join on the bigram key + one
+    vocab-keyed join — the standard distribute-the-LM-table shape; the
+    unigram/vocab relations are vocab-sized and broadcastable."""
+    size = "size" if spark else "len"
+    if spark:
+        # outer CASE: the WHERE size(tok) > 0 on lmdocs does NOT
+        # guarantee evaluation order after optimization (Spark may
+        # evaluate an inferred Generate predicate first), so the
+        # expression itself must be total on empty arrays under ANSI
+        bg = (
+            "CASE WHEN size(tok) >= 1 THEN "
+            "concat(array(concat('<s>', chr(1), element_at(tok, 1))), "
+            "CASE WHEN size(tok) >= 2 THEN transform(sequence(2, size(tok)), "
+            "i -> concat(element_at(tok, i - 1), chr(1), element_at(tok, i))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        ex = "SELECT doc_id, b FROM lmdocs LATERAL VIEW explode(bg) x AS b"
+        tokex = "SELECT t FROM toks LATERAL VIEW explode(tok) x AS t"
+    else:
+        bg = (
+            "list_prepend('<s>' || chr(1) || tok[1], "
+            "list_transform(range(2, len(tok) + 1), "
+            "i -> tok[i - 1] || chr(1) || tok[i]))"
+        )
+        ex = "SELECT doc_id, unnest(bg) AS b FROM lmdocs"
+        tokex = "SELECT unnest(tok) AS t FROM toks"
+    return f"""
+lmdocs AS (SELECT doc_id, {bg} AS bg FROM toks WHERE {size}(tok) > 0),
+lmex AS ({ex}),
+lmexc AS (SELECT doc_id, b, COUNT(*) AS n FROM lmex GROUP BY doc_id, b),
+lmbgc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM lmexc GROUP BY b),
+lmuni AS (SELECT t AS w, COUNT(*) AS c FROM ({tokex}) tst GROUP BY t
+          UNION ALL SELECT '<s>', COUNT(*) FROM lmdocs),
+lmvocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lmuni WHERE w <> '<s>'),
+lmscored AS (
+  SELECT e.doc_id, e.n,
+         CAST(round((ln(u.c + v.v) - ln(g.c + 1)) * 1000000) AS BIGINT) AS mcost
+  FROM lmexc e
+  JOIN lmbgc g ON e.b = g.b
+  JOIN lmuni u ON u.w = split_part(e.b, chr(1), 1)
+  CROSS JOIN lmvocab v
+),
+lm AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS lm_bigrams,
+              CAST(SUM(n * mcost) AS BIGINT) AS total_mnats
+       FROM lmscored GROUP BY doc_id)
+"""
+
+
+def _annotations_sql(spark: bool, src: str = "documents",
+                     lm: bool = True, toks_rel: str | None = None) -> str:
+    """Per-document quality/fingerprint annotations. `lm=False` drops
+    the corpus-bigram-LM columns — the streaming ingest gate uses it
+    (an LM trained on a 10-doc microbatch is noise; the gate stays a
+    narrow per-batch projection). `toks_rel` (Spark side): a
+    materialized (doc_id, lang, text, tok) view — with the LM CTEs the
+    tokenizer relation is referenced three times (signals, bigrams,
+    unigrams) and CTE inlining would re-scan and re-tokenize the corpus
+    per reference; `q_annotations` checkpoints it once, the
+    stage-the-tokens step every production pipeline runs before
+    n-gram statistics."""
     tok_expr = TOK_SPARK if spark else TOK_DUCK
     shingle = SHINGLE_SPARK if spark else SHINGLE_DUCK
     size = "size" if spark else "len"
@@ -1227,11 +1305,27 @@ def _annotations_sql(spark: bool, src: str = "documents") -> str:
         + f" THEN '{lang}'"
         for lang in langs[:-1]
     )
+    idiv = "DIV" if spark else "//"
+    toks_src = (f"SELECT doc_id, lang, text, tok FROM {toks_rel}"
+                if toks_rel else
+                f"SELECT doc_id, lang, text, {tok_expr} AS tok FROM {src}")
+    lm_block = f",\n{_lm_ctes(spark).strip()}" if lm else ""
+    lm_cols = (f""",
+  COALESCE(lm.lm_bigrams, CAST(0 AS BIGINT)) AS lm_bigrams,
+  CASE WHEN lm.lm_bigrams IS NULL THEN NULL
+       ELSE CAST(lm.total_mnats {idiv} lm.lm_bigrams AS BIGINT)
+  END AS lm_avg_cost_mnats,
+  CASE WHEN lm.lm_bigrams IS NULL THEN NULL
+       ELSE round(exp(CAST(lm.total_mnats AS DOUBLE) / lm.lm_bigrams
+            / 1000000), 2)
+  END AS lm_ppl""" if lm else "")
+    tail = ("FROM pre LEFT JOIN lm ON pre.doc_id = lm.doc_id" if lm
+            else "FROM pre")
     return f"""
-WITH toks AS (SELECT doc_id, lang, text, {tok_expr} AS tok FROM {src}),
+WITH toks AS ({toks_src}),
 pre AS (SELECT doc_id, lang, text, tok, {shingle} AS sh, {lines} AS ln,
-        {hashed} AS dtokh, {scores} FROM toks)
-SELECT doc_id, lang AS actual_lang,
+        {hashed} AS dtokh, {scores} FROM toks){lm_block}
+SELECT pre.doc_id, lang AS actual_lang,
   CASE {pred_cases} ELSE '{langs[-1]}' END AS predicted_lang,
   s_de, s_en, s_es, s_fr, s_zh,
   length(text) AS n_chars,
@@ -1268,9 +1362,30 @@ SELECT doc_id, lang AS actual_lang,
   CAST(round(length(text) / 4.0, 0) AS BIGINT) AS chars_div4_estimate,
   md5({join}) AS norm_fingerprint,
   {amin}({tmap}(sh, s -> md5(s))) AS min_shingle_hash,
-  {_simhash_expr("dtokh", spark)} AS simhash
-FROM pre
+  {_simhash_expr("dtokh", spark)} AS simhash{lm_cols}
+{tail}
 """
+
+
+def q_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of `text_annotations`. The narrow signal columns are
+    one codegen'd projection; the LM columns reference the tokenized
+    relation three times (per-doc bigrams, corpus bigram counts,
+    unigram/vocab counts), so it is materialized ONCE (localCheckpoint
+    + unique temp view, the q_sim_ann discipline) instead of letting
+    CTE inlining re-scan and re-tokenize the corpus per reference. The
+    DuckDB oracle runs the identical math as one SQL statement
+    (`_annotations_sql(False)`)."""
+    import uuid as _uuid
+
+    register_views(spark, sf_dir)
+    tok_view = f"_ann_toks_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"SELECT doc_id, lang, text, {TOK_SPARK} AS tok FROM documents"
+    ).localCheckpoint(eager=True).createOrReplaceTempView(tok_view)
+    out = spark.sql(_annotations_sql(True, toks_rel=tok_view))
+    spark.catalog.dropTempView(tok_view)
+    return out
 
 
 # --- text curation pipeline: annotate → score → dedup → keep ------------------------
@@ -2616,7 +2731,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register(queries: dict, oracles: dict) -> None:
     # previously-unchecked surface first (annotations, similarity), the
     # r1-green heavy dedup compositions last
-    queries["text_annotations"] = _sql(_annotations_sql(True))
+    queries["text_annotations"] = q_annotations
     oracles["text_annotations"] = _annotations_sql(False)
     queries["sim_topk_brute_ivf"] = q_sim_topk
     oracles["sim_topk_brute_ivf"] = _sim_topk_sql(False)

@@ -195,7 +195,9 @@ def curate_ingest(
         spark = batch_df.sparkSession
         batch_df.createOrReplaceTempView(view)
         try:
-            ann = spark.sql(_annotations_sql(True, src=view))
+            # lm=False: an in-batch bigram LM over a microbatch is
+            # noise, and the gate stays a narrow per-batch projection
+            ann = spark.sql(_annotations_sql(True, src=view, lm=False))
             matched = (
                 _band_rows(minhash_bands_narrow(batch_df), "doc_id")
                 .join(corpus_bands, ["band_idx", "bucket"])

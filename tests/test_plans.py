@@ -169,13 +169,34 @@ def test_partitioned_landing_scan_prunes(spark, tmp_path):
 
 
 def test_text_annotations_single_scan_no_key_shuffle(spark, catalog):
-    """text_annotations (langid + quality + fingerprints + simhash) is
-    one codegen'd projection over one scan of documents — no key
-    shuffle anywhere. (The loader's RoundRobin spread of the one-file
-    table across cores is allowed; Hash/Range exchanges are not.)"""
-    plan = _plan(catalog["text_annotations"](spark, SF_DIR))
+    """The narrow annotation projection (langid + quality +
+    fingerprints + simhash — the `lm=False` form the streaming ingest
+    gate runs per batch) is one codegen'd projection over one scan of
+    documents — no key shuffle anywhere. (The loader's RoundRobin
+    spread of the one-file table across cores is allowed; Hash/Range
+    exchanges are not.)"""
+    from pqstream_spark.queries.llm import _annotations_sql
+    from pqstream_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    plan = _plan(spark.sql(_annotations_sql(True, lm=False)))
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_text_annotations_lm_tokenizes_once(spark, catalog):
+    """The full catalog entry adds the corpus-bigram-LM columns, whose
+    aggregations reference the tokenized relation three times. Pin the
+    q_annotations discipline: the tokenizer regex never appears in the
+    executed plan (it ran once into the checkpointed relation), and
+    the LM's key shuffles are the only ones (bounded count)."""
+    plan = _plan(catalog["text_annotations"](spark, SF_DIR))
+    assert "filter(split(regexp_replace" not in plan, (
+        "tokenizer must run once into the checkpointed toks relation"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 8, (
+        "LM aggregations/joins only"
+    )
 
 
 def test_generate_prefilter_never_inlines_tokenizer(spark, catalog):
