@@ -1180,6 +1180,21 @@ def _pii_hits(spark: bool) -> str:
     return pii_count_expr(spark)
 
 
+# chr(1)-joined bigram strings over the shared tokenizer, BOS context
+# first. Outer CASE: a WHERE size(tok) > 0 upstream does NOT guarantee
+# evaluation order after optimization (Spark may evaluate an inferred
+# Generate predicate first), so the expression itself must be total on
+# empty arrays under ANSI.
+LM_BIGRAMS_SPARK = (
+    "CASE WHEN size(tok) >= 1 THEN "
+    "concat(array(concat('<s>', chr(1), element_at(tok, 1))), "
+    "CASE WHEN size(tok) >= 2 THEN transform(sequence(2, size(tok)), "
+    "i -> concat(element_at(tok, i - 1), chr(1), element_at(tok, i))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
 def _lm_ctes(spark: bool) -> str:
     """In-corpus bigram LM CTE block (both dialects), appended to the
     annotations query: CCNet's core quality signal (Wenzek et al. 2020
@@ -1203,18 +1218,7 @@ def _lm_ctes(spark: bool) -> str:
     unigram/vocab relations are vocab-sized and broadcastable."""
     size = "size" if spark else "len"
     if spark:
-        # outer CASE: the WHERE size(tok) > 0 on lmdocs does NOT
-        # guarantee evaluation order after optimization (Spark may
-        # evaluate an inferred Generate predicate first), so the
-        # expression itself must be total on empty arrays under ANSI
-        bg = (
-            "CASE WHEN size(tok) >= 1 THEN "
-            "concat(array(concat('<s>', chr(1), element_at(tok, 1))), "
-            "CASE WHEN size(tok) >= 2 THEN transform(sequence(2, size(tok)), "
-            "i -> concat(element_at(tok, i - 1), chr(1), element_at(tok, i))) "
-            "ELSE CAST(array() AS ARRAY<STRING>) END) "
-            "ELSE CAST(array() AS ARRAY<STRING>) END"
-        )
+        bg = LM_BIGRAMS_SPARK
         ex = "SELECT doc_id, b FROM lmdocs LATERAL VIEW explode(bg) x AS b"
         tokex = "SELECT t FROM toks LATERAL VIEW explode(tok) x AS t"
     else:
@@ -1386,6 +1390,105 @@ def q_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(_annotations_sql(True, toks_rel=tok_view))
     spark.catalog.dropTempView(tok_view)
     return out
+
+
+def corpus_lm_tables(corpus: DataFrame):
+    """Static bigram-LM tables from a (doc_id, text) corpus, for
+    scoring OTHER documents against it (the CCNet deployment shape:
+    the LM is trained on the reference corpus, incoming text is
+    scored by it — Wenzek et al. 2020 §4.2). Returns
+    (bigram_counts(b, c), prefix_counts(w, c), vocab_size):
+
+    - bigram_counts: corpus-sized aggregate, one shuffle on the bigram
+      key; at 100 TB this is written/bucketed by `b` once and
+      stream-static-joined per batch.
+    - prefix_counts: vocab-sized (unigrams + the BOS row) —
+      broadcastable.
+    - vocab_size: one driver-side int (the bounded-artifact rule).
+
+    Same tokenizer, BOS convention, and count definitions as the
+    in-corpus LM certified in `text_annotations` — one model family,
+    two surfaces."""
+    from pyspark.sql import functions as F
+
+    toks = corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
+    docs = toks.where("size(tok) > 0")
+    bgc = (
+        docs.selectExpr(f"explode({LM_BIGRAMS_SPARK}) AS b")
+        .groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    )
+    uni = (
+        docs.selectExpr("explode(tok) AS w")
+        .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab_size = uni.count()
+    bos = docs.agg(F.count("*").cast("long").alias("c")).select(
+        F.lit("<s>").alias("w"), "c"
+    )
+    return bgc, uni.unionByName(bos), int(vocab_size)
+
+
+def score_against_corpus_lm(
+    docs: DataFrame, bgc: DataFrame, uni: DataFrame, vocab_size: int
+) -> DataFrame:
+    """Annotate (doc_id, ..., text) rows with lm_bigrams /
+    lm_avg_cost_mnats / lm_ppl measured against a STATIC corpus LM
+    from `corpus_lm_tables`. Unlike the in-corpus form, scored
+    documents may contain transitions the corpus never saw — the same
+    Laplace estimate handles them with zero-coalesced counts
+    (cost = ln(c_prefix + V) − ln(c_bigram + 1), c = 0 when absent),
+    so out-of-domain text degrades smoothly instead of erroring.
+    Micro-nat integer discipline as everywhere: exact BIGINT totals,
+    float only in the presentational ppl.
+
+    Plan shape: per-doc bigram explode (narrow) → left join the
+    bigram table on `b` (the one real shuffle; stream-static per
+    batch in the gate) → left join the broadcastable prefix table →
+    one per-doc aggregation. No corpus pass at score time."""
+    from pyspark.sql import functions as F
+
+    base = docs.selectExpr("*", f"{TOK_SPARK} AS tok")
+    pairs = (
+        base.where("size(tok) > 0")
+        .selectExpr("doc_id", f"explode({LM_BIGRAMS_SPARK}) AS b")
+        .groupBy("doc_id", "b").agg(F.count("*").cast("long").alias("n"))
+        .withColumn("p", F.expr("split_part(b, chr(1), 1)"))
+    )
+    cost = (
+        f"CAST(round((ln(coalesce(uc, CAST(0 AS BIGINT)) + {vocab_size}) "
+        f"- ln(coalesce(bc, CAST(0 AS BIGINT)) + 1)) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        pairs.join(bgc.withColumnRenamed("c", "bc"), "b", "left")
+        .join(
+            uni.withColumnRenamed("w", "p").withColumnRenamed("c", "uc"),
+            "p", "left",
+        )
+        .selectExpr("doc_id", "n", f"{cost} AS mcost")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(n) AS BIGINT)").alias("lm_bigrams"),
+            F.expr("CAST(SUM(n * mcost) AS BIGINT)").alias("total_mnats"),
+        )
+    )
+    return (
+        docs.join(scored, "doc_id", "left")
+        .withColumn(
+            "lm_avg_cost_mnats",
+            F.expr("CAST(total_mnats DIV lm_bigrams AS BIGINT)"),
+        )
+        .withColumn(
+            "lm_ppl",
+            F.expr(
+                "round(exp(CAST(total_mnats AS DOUBLE) / lm_bigrams"
+                " / 1000000), 2)"
+            ),
+        )
+        .withColumn(
+            "lm_bigrams", F.expr("coalesce(lm_bigrams, CAST(0 AS BIGINT))")
+        )
+        .drop("total_mnats")
+    )
 
 
 # --- text curation pipeline: annotate → score → dedup → keep ------------------------

@@ -158,6 +158,7 @@ def curate_ingest(
     corpus: DataFrame,
     emit,
     checkpoint_dir: str | None = None,
+    lm_max_cost_mnats: int | None = None,
 ):
     """Ingest-time curation gate — the streaming door of a training-data
     pipeline: each micro-batch of incoming (doc_id, lang, text)
@@ -178,6 +179,15 @@ def curate_ingest(
     the production shape for "merge the batch against the big static
     thing": state lives in the data layout, not the stream.
 
+    `lm_max_cost_mnats`: when set, each batch is additionally scored
+    against the CORPUS bigram LM (queries/llm.corpus_lm_tables /
+    score_against_corpus_lm — CCNet's deployment shape: LM trained on
+    the reference corpus, incoming text scored by it) and documents
+    whose average transition cost exceeds the cap fail admission
+    (`lm_ok` column). Static LM tables, stream-static joins, zero
+    streaming state — the same architecture as the band index; docs
+    with no bigrams pass (no evidence either way).
+
     Returns the started StreamingQuery."""
     import uuid as _uuid
 
@@ -185,10 +195,15 @@ def curate_ingest(
         CLF_MARGIN_EXPR,
         _annotations_sql,
         _minhash_signatures,
+        corpus_lm_tables,
         minhash_bands_narrow,
+        score_against_corpus_lm,
     )
 
     corpus_bands = _band_rows(_minhash_signatures(corpus), "corpus_doc_id")
+    lm_tables = (
+        corpus_lm_tables(corpus) if lm_max_cost_mnats is not None else None
+    )
     view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
@@ -210,10 +225,24 @@ def curate_ingest(
                 ann.join(matched, "doc_id", "left")
                 .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
                 .withColumn("clf_keep", F.expr(f"({CLF_MARGIN_EXPR}) >= 0"))
-                .withColumn(
-                    "admitted", F.expr("clf_keep AND NOT near_dup")
-                )
             )
+            if lm_tables is not None:
+                bgc, uni, vsz = lm_tables
+                lm_scores = score_against_corpus_lm(
+                    batch_df, bgc, uni, vsz
+                ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats",
+                         "lm_ppl")
+                kept = kept.join(lm_scores, "doc_id", "left").withColumn(
+                    "lm_ok",
+                    F.expr(
+                        "lm_avg_cost_mnats IS NULL OR "
+                        f"lm_avg_cost_mnats <= {int(lm_max_cost_mnats)}"
+                    ),
+                )
+                admit = "clf_keep AND NOT near_dup AND lm_ok"
+            else:
+                admit = "clf_keep AND NOT near_dup"
+            kept = kept.withColumn("admitted", F.expr(admit))
             emit(kept, epoch_id)
         finally:
             spark.catalog.dropTempView(view)

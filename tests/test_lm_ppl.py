@@ -81,6 +81,109 @@ def test_lm_edge_docs(spark):
     assert out[3]["lm_bigrams"] == 2
 
 
+def test_corpus_lm_self_scoring_matches_annotations(spark):
+    """score_against_corpus_lm over the SAME corpus its tables were
+    built from must reproduce text_annotations' certified in-corpus LM
+    columns exactly — one model family, two surfaces (the
+    CLF_MARGIN_EXPR discipline)."""
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        score_against_corpus_lm,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    corpus = load_table(spark, SF, "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    bgc, uni, vsz = corpus_lm_tables(corpus)
+    got = {
+        r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"], r["lm_ppl"])
+        for r in score_against_corpus_lm(corpus, bgc, uni, vsz).collect()
+    }
+
+    import __spark_entry__ as e
+
+    want = {
+        r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"], r["lm_ppl"])
+        for r in e.queries()["text_annotations"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_corpus_lm_unseen_bigrams_hand_computed(spark):
+    """Scoring OUT-OF-CORPUS text: corpus 'a b' ×2 → unigrams a×2 b×2
+    (V=2), BOS×2; bigrams (<s>,a)×2 (a,b)×2. Doc 'a q' pays the seen
+    BOS cost plus the unseen-continuation cost ln(c_a + V) − ln(0+1);
+    doc 'q z' pays ln(c_BOS + V) for the unseen BOS continuation (BOS
+    itself is always a known prefix) and ln(0 + V) for the fully-
+    unseen (q, z)."""
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        score_against_corpus_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id LONG, text STRING"
+    )
+    bgc, uni, vsz = corpus_lm_tables(corpus)
+    assert vsz == 2
+    docs = spark.createDataFrame(
+        [(10, "a q"), (11, "q z")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_against_corpus_lm(docs, bgc, uni, vsz).collect()
+    }
+    m = 1_000_000
+    c_bos_a = round((math.log(2 + 2) - math.log(2 + 1)) * m)
+    c_a_q = round((math.log(2 + 2) - math.log(0 + 1)) * m)
+    c_bos_q = round((math.log(2 + 2) - math.log(0 + 1)) * m)
+    c_q_z = round((math.log(0 + 2) - math.log(0 + 1)) * m)  # ln(V)
+    assert out[10]["lm_avg_cost_mnats"] == (c_bos_a + c_a_q) // 2
+    assert out[11]["lm_avg_cost_mnats"] == (c_bos_q + c_q_z) // 2
+
+
+def test_curate_ingest_lm_gate(spark, tmp_path):
+    """The gate's optional perplexity cap: with lm_max_cost_mnats set,
+    a classifier-passing document whose transitions are alien to the
+    corpus LM is rejected (lm_ok False), while corpus-typical text is
+    admitted; without the cap the schema carries no lm columns."""
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.stateful import curate_ingest
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    # both docs pass the classifier head (long, alpha-rich, stopword-
+    # bearing); doc 1 walks corpus bigrams (measured ~3.53e6 mnats,
+    # zero band collisions), doc 2's transitions are out-of-corpus
+    # (measured ~4.12e6) — the cap sits in the gap
+    typical = "the a small stream big join data line the batch value merge " * 30
+    alien = "the zzq vvk wjx qqp " * 40
+    incoming = spark.createDataFrame(
+        [(1, "en", typical), (2, "en", alien)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    inc_dir = str(tmp_path / "lm_gate_in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    got: dict = {}
+
+    def emit(df, epoch):
+        got.setdefault("rows", []).extend(df.collect())
+
+    from tests.test_streaming import drain
+
+    stream = spark.readStream.schema(incoming.schema).parquet(inc_dir)
+    q = curate_ingest(stream, corpus, emit, lm_max_cost_mnats=3_800_000)
+    drain(q)
+    rows = {r["doc_id"]: r for r in got["rows"]}
+    assert rows[1]["clf_keep"] and rows[2]["clf_keep"], (
+        "both must pass the classifier so the LM cap is the deciding gate"
+    )
+    assert rows[1]["lm_ok"] and rows[1]["admitted"]
+    assert not rows[2]["lm_ok"] and not rows[2]["admitted"]
+    assert rows[2]["lm_avg_cost_mnats"] > rows[1]["lm_avg_cost_mnats"]
+
+
 def test_lm_gate_form_stays_narrow(spark):
     """The lm=False form (streaming ingest gate) must not emit LM
     columns and must not reference the lm relations."""
