@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "functions/pii.py's portable pattern set) with "
                    "typed placeholders in the corpus text; the audit "
                    "keeps the original text plus an n_pii count")
+    p.add_argument("--lm-cap", type=int, default=None, metavar="MNATS",
+                   help="batch mode: train the in-corpus bigram LM "
+                   "(the oracle-certified text_annotations model) and "
+                   "reject documents whose average transition cost "
+                   "exceeds MNATS micro-nats — CCNet-style perplexity "
+                   "filtering; audit carries lm_avg_cost_mnats/lm_ppl")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
@@ -110,7 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
-           benchmark=None):
+           benchmark=None, lm_max_cost_mnats: int | None = None):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
     (doc_id, lang). `benchmark` (optional, (text) frame): reject docs
@@ -171,10 +177,29 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
         cur = cur.withColumn(
             "contaminated_by", F.lit(None).cast("long")
         ).withColumn("contaminated", F.lit(False))
+    if lm_max_cost_mnats is not None:
+        from .queries.llm import corpus_lm_tables, score_against_corpus_lm
+
+        bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"))
+        lm_scores = score_against_corpus_lm(
+            docs.select("doc_id", "text"), bgc, uni, vsz
+        ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats", "lm_ppl")
+        cur = cur.join(lm_scores, "doc_id", "left").withColumn(
+            "lm_ok",
+            F.expr("lm_avg_cost_mnats IS NULL OR "
+                   f"lm_avg_cost_mnats <= {int(lm_max_cost_mnats)}"),
+        )
+    else:
+        cur = (
+            cur.withColumn("lm_bigrams", F.lit(None).cast("long"))
+            .withColumn("lm_avg_cost_mnats", F.lit(None).cast("long"))
+            .withColumn("lm_ppl", F.lit(None).cast("double"))
+            .withColumn("lm_ok", F.lit(True))
+        )
     return cur.withColumn(
         "final_keep",
         F.expr(f"kept AND mix_keep AND clf_margin >= {min_clf} "
-               "AND near_dup_kept AND NOT contaminated"),
+               "AND near_dup_kept AND NOT contaminated AND lm_ok"),
     )
 
 
@@ -198,6 +223,12 @@ def main(argv: list[str] | None = None, out=None) -> int:
         print("--batch-selfdedup requires --stream (batch mode "
               "already near-dedups the whole input when --near-dedup "
               "is set)", file=sys.stderr)
+        return 2
+    if args.lm_cap is not None and args.stream:
+        print("--lm-cap is batch-only (an in-batch LM over a "
+              "microbatch is noise; for streaming, score against a "
+              "reference corpus with streaming.stateful.curate_ingest("
+              "lm_max_cost_mnats=...))", file=sys.stderr)
         return 2
 
     from .session import get_spark
@@ -250,7 +281,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
             return 1
 
     cur = curate(docs, near_dedup=args.near_dedup,
-                 min_clf=args.min_clf, benchmark=benchmark)
+                 min_clf=args.min_clf, benchmark=benchmark,
+                 lm_max_cost_mnats=args.lm_cap)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
     # rejected, with full annotations and the rejection verdicts —
@@ -388,6 +420,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "WHEN NOT kept THEN 'quality_or_exact_dup' "
         "WHEN NOT near_dup_kept THEN 'near_dup' "
         "WHEN contaminated THEN 'contaminated' "
+        "WHEN NOT lm_ok THEN 'lm_perplexity' "
         f"WHEN clf_margin < {args.min_clf} THEN 'classifier' "
         "ELSE 'mixture_sampled_out' END"
     )
@@ -450,7 +483,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "rejected": {
             k: causes.get(k, 0)
             for k in ("quality_or_exact_dup", "near_dup", "contaminated",
-                      "classifier", "mixture_sampled_out",
+                      "lm_perplexity", "classifier", "mixture_sampled_out",
                       "null_annotations")
         },
         "kept_by_split": splits,

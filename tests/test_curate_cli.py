@@ -293,3 +293,55 @@ def test_scrub_pii_bpe_counts_use_scrubbed_text(spark, tmp_path):
     corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
     email_rows = corpus.where(F.col("text").contains("example.com")).count()
     assert email_rows == 0
+
+
+def test_curate_lm_cap(spark, tmp_path):
+    """--lm-cap: CCNet-style perplexity filtering — an alien-
+    transition doc (planted, classifier-passing) is rejected with the
+    disjoint 'lm_perplexity' cause; the audit carries the LM columns;
+    without the flag the columns are NULL/lm_ok and nothing changes."""
+    import io
+    import json
+    import os
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    # alien UNIQUE transitions (repetition would self-train the
+    # in-corpus LM and come out cheap), long/alpha -> passes the
+    # classifier, fails only the LM cap. Measured: planted 4.21e6
+    # mnats vs corpus max 3.70e6 — the cap sits in the gap.
+    planted = spark.createDataFrame(
+        [(700001, "en", " ".join(f"zq{i:03d}" for i in range(100)))],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    inp = str(tmp_path / "lm_docs.parquet")
+    docs.unionAll(planted).coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "lm_curated")
+
+    buf = io.StringIO()
+    rc = main(["--documents", inp, "--out", out_dir,
+               "--lm-cap", "3950000"], out=buf)
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["kept"] + sum(stats["rejected"].values()) == stats["docs"]
+    assert stats["rejected"].get("lm_perplexity", 0) >= 1
+
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    row = audit.filter("doc_id = 700001").collect()[0]
+    assert row["clf_margin"] >= 0, "planted doc must fail ONLY the LM gate"
+    assert not row["lm_ok"] and not row["final_keep"]
+    assert row["lm_avg_cost_mnats"] > 3_950_000
+    assert row["lm_ppl"] > 0
+
+
+def test_lm_cap_requires_batch():
+    """--lm-cap with --stream must fail loudly (exit 2): a microbatch
+    LM is noise; streaming LM-gating goes through curate_ingest."""
+    from pqstream_spark.curate import main
+
+    assert main(["--documents", "x", "--out", "/tmp/nope",
+                 "--stream", "--lm-cap", "4000000"]) == 2
