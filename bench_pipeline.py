@@ -127,6 +127,26 @@ def main() -> None:
     _, t = timed(scrub)
     out["scrub_pii_docs_per_sec"] = round(n_docs / t)
 
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        score_against_corpus_lm,
+    )
+
+    # train once (the deployment shape), then steady-state scoring rate
+    bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"))
+    bgc = bgc.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=True)
+    lm_score = lambda: score_against_corpus_lm(  # noqa: E731
+        docs.select("doc_id", "text"), bgc, uni, vsz
+    ).count()
+    lm_score()
+    _, t = timed(lm_score)
+    out["lm_score_docs_per_sec"] = round(n_docs / t)
+    _, t = timed(
+        lambda: corpus_lm_tables(docs.select("doc_id", "text"))[0].count()
+    )
+    out["lm_train_docs_per_sec"] = round(n_docs / t)
+
     print(json.dumps(out, separators=(",", ":")))
 
 
