@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
-
 from pqstream_spark.sources.tables import register_views, shadow_views
 
 SF = "/root/testdata/sf0.001"
@@ -194,3 +192,62 @@ def test_lm_gate_form_stays_narrow(spark):
     register_views(spark, SF)
     cols = spark.sql(sql).columns
     assert "lm_ppl" not in cols and "simhash" in cols
+
+
+def test_lm_randomized_differential_vs_python(spark):
+    """Differential pin (the randomized-BPE-equivalence discipline):
+    for seeded random corpora, a from-scratch pure-Python bigram-LM
+    replica (counts, Laplace micro-nat costs, integer floor-division)
+    must reproduce the engine's lm columns exactly — catching any
+    drift in tokenization, BOS handling, count definitions, or the
+    rounding discipline."""
+    import random
+    from collections import Counter
+
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        score_against_corpus_lm,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 9))))
+            for i in range(40)
+        ]
+
+        toks = {d: t.split() for d, t in rows}
+        uni = Counter(w for ws in toks.values() for w in ws)
+        nonempty = [d for d, ws in toks.items() if ws]
+        uni["<s>"] = len(nonempty)
+        bigs = {
+            d: list(zip(["<s>"] + toks[d][:-1], toks[d])) for d in nonempty
+        }
+        bgc = Counter(b for bs in bigs.values() for b in bs)
+        v = len(uni) - 1  # vocab excludes BOS
+
+        def cost(b):
+            return round(
+                (math.log(uni[b[0]] + v) - math.log(bgc[b] + 1)) * 1_000_000
+            )
+
+        want = {}
+        for d, _ in rows:
+            if d in bigs:
+                total = sum(cost(b) for b in bigs[d])
+                n = len(bigs[d])
+                want[d] = (n, total // n)
+            else:
+                want[d] = (0, None)
+
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        tb, tu, tv = corpus_lm_tables(docs)
+        assert tv == v, (seed, tv, v)
+        got = {
+            r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+            for r in score_against_corpus_lm(docs, tb, tu, tv).collect()
+        }
+        assert got == want, (seed, {
+            d: (got[d], want[d]) for d in got if got[d] != want[d]
+        })
