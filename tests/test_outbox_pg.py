@@ -379,3 +379,74 @@ def test_daemon_bootstrap_snapshot_then_stream(pg, tmp_path):
     assert ids == list(range(1, 16)) + [100], (
         "changelog events append after the snapshot, exactly once"
     )
+
+
+def test_distributed_read_matches_poller(pg, spark):
+    """pg_read_outbox_distributed — the executor-side fan-out of the
+    psql transport — must be row-identical to the driver-side poller
+    over the same seq range, across uneven partition splits, with
+    NULL `previous` (INSERTs), populated `previous` (UPDATEs), and
+    empty sub-ranges all represented."""
+    from pqstream_spark.sources.outbox_pg import pg_read_outbox_distributed
+
+    r = _fresh_db(pg, "t_dist")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'd' || g "
+        "FROM generate_series(1, 37) g;"
+        "UPDATE notes SET note = note || '!' WHERE id % 5 = 0;"
+    )
+    p = PgOutboxPoller.open_durable(r, consumer="dist", max_rows=1000)
+    want = p.read_batch(spark)
+    n = want.count()
+    assert n == 37 + 7  # 37 inserts + 7 updates
+
+    got = pg_read_outbox_distributed(
+        spark, r.conninfo, lo=0, hi=n, num_partitions=5
+    )
+    assert got.schema == want.schema
+    assert got.count() == n
+    # exact multiset equality, every column
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+    # update rows carry previous_json, insert rows NULL
+    ups = got.filter("op = 'UPDATE'").collect()
+    assert len(ups) == 7 and all(u.previous_json for u in ups)
+    assert got.filter("op = 'INSERT' AND previous_json IS NOT NULL").count() == 0
+    # a sub-range beyond the data and a degenerate range are empty
+    assert pg_read_outbox_distributed(
+        spark, r.conninfo, lo=n, hi=n + 50, num_partitions=3
+    ).count() == 0
+    assert pg_read_outbox_distributed(
+        spark, r.conninfo, lo=5, hi=5, num_partitions=4
+    ).count() == 0
+    # more partitions than rows still covers everything exactly once
+    assert pg_read_outbox_distributed(
+        spark, r.conninfo, lo=0, hi=n, num_partitions=64
+    ).count() == n
+
+
+def test_poller_distributed_batch_contract(pg, spark):
+    """read_batch_distributed honors the bounded-batch + durable-offset
+    contract: same rows as read_batch, advance() persists the true
+    high-water mark (from the one scalar MAX round trip), and the next
+    batch resumes past it."""
+    r = _fresh_db(pg, "t_dist_poller")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'p' || g "
+        "FROM generate_series(1, 23) g;"
+    )
+    p = PgOutboxPoller.open_durable(r, consumer="dc", max_rows=10)
+    b1 = p.read_batch_distributed(spark, num_partitions=4)
+    assert sorted(row.seq for row in b1.collect()) == list(range(1, 11))
+    assert p.advance() == 10
+    # durable: a re-open resumes from the distributed batch's mark
+    p2 = PgOutboxPoller.open_durable(r, consumer="dc", max_rows=100)
+    assert p2.last_seq == 10
+    b2 = p2.read_batch_distributed(spark, num_partitions=4)
+    assert sorted(row.seq for row in b2.collect()) == list(range(11, 24))
+    assert p2.advance() == 23
+    # drained: empty distributed batch, advance is a no-op
+    assert p2.read_batch_distributed(spark).count() == 0
+    assert p2.advance() == 23
