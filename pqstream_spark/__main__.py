@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
         "reference's semantics)",
     )
     p.add_argument(
+        "--parallel-read", type=int, default=None, metavar="N",
+        help="postgres outbox backend: read each poll batch through N "
+        "executor-side psql sub-range reads (mapInPandas) instead of "
+        "one driver-side psql — the no-JDBC scale path; size N to the "
+        "server's connection budget",
+    )
+    p.add_argument(
         "--listen-http", type=int, default=None, metavar="PORT",
         help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
         "(directory backend only; 0 picks an ephemeral port)",
@@ -314,7 +321,12 @@ def _run_postgres(args, stop: threading.Event) -> int:
         pg_mark_bootstrap_done(runner)
     epoch = 0
     while not stop.is_set():
-        batch = poller.read_batch(spark)
+        if args.parallel_read:
+            batch = poller.read_batch_distributed(
+                spark, num_partitions=args.parallel_read
+            )
+        else:
+            batch = poller.read_batch(spark)
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,
@@ -498,6 +510,15 @@ def main(argv: list[str] | None = None) -> int:
         signal.signal(signal.SIGINT, lambda *_: stop.set())
         signal.signal(signal.SIGTERM, lambda *_: stop.set())
 
+    if args.parallel_read is not None and (
+        not args.connect.startswith("postgres:")
+        or args.transport != "outbox"
+    ):
+        print("--parallel-read requires the postgres outbox backend "
+              "(--connect postgres:... --transport outbox): the other "
+              "backends have no seq-partitionable server-side table",
+              file=sys.stderr)
+        return 2
     if args.connect.startswith("sqlite:"):
         return _run_sqlite(args, stop)
     if args.connect.startswith("postgres:"):

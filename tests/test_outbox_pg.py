@@ -450,3 +450,47 @@ def test_poller_distributed_batch_contract(pg, spark):
     # drained: empty distributed batch, advance is a no-op
     assert p2.read_batch_distributed(spark).count() == 0
     assert p2.advance() == 23
+
+
+def test_daemon_parallel_read_e2e(pg, tmp_path):
+    """--parallel-read N: the daemon drains through executor-side psql
+    sub-range reads and produces the same event multiset the serial
+    transport does — and the flag is rejected off the postgres outbox
+    backend."""
+    import json
+
+    r = _fresh_db(pg, "t_daemon_par")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    conninfo = pg.conninfo("t_daemon_par")
+
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--parallel-read", "4"], log
+    )
+    assert rc == 0
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'par ' || g "
+        "FROM generate_series(1, 12) g;"
+        "UPDATE notes SET note = 'redone' WHERE id = 3;"
+    )
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--parallel-read", "4"], log
+    )
+    assert rc == 0
+    events = [json.loads(l) for l in _out_lines(out)]
+    assert sorted(int(e["id"]) for e in events if e["op"] == "INSERT") == list(
+        range(1, 13)
+    )
+    upd = [e for e in events if e["op"] == "UPDATE"]
+    assert len(upd) == 1 and upd[0]["changes"] == {"note": "par 3"}
+
+    from pqstream_spark.__main__ import main as daemon_main
+
+    assert daemon_main(["--connect", "sqlite:/tmp/x.db",
+                        "--parallel-read", "4", "--once"]) == 2
+    assert daemon_main(["--connect", f"postgres:{conninfo}",
+                        "--transport", "notify",
+                        "--parallel-read", "4", "--once"]) == 2
