@@ -80,6 +80,13 @@ def main() -> None:
         batch = poller.read_batch(spark)
         n_drained = batch.count()
         t_drain = time.time() - t0
+
+        # executor-side partitioned drain over the same rows (the
+        # --parallel-read path): rewind, re-read distributed, compare
+        poller.rewind(0)
+        t0 = time.time()
+        n_par = poller.read_batch_distributed(spark, num_partitions=8).count()
+        t_par = time.time() - t0
         poller.advance()
 
         # NOTIFY transport: degradation trigger + live LISTEN delivery
@@ -106,6 +113,8 @@ def main() -> None:
             "trigger_overhead_x": round(t_cap / t_plain, 2),
             "drain_rows": n_drained,
             "drain_rows_per_s": round(n_drained / t_drain),
+            "parallel_drain_rows": n_par,
+            "parallel_drain_rows_per_s": round(n_par / t_par),
             "notify_events": len(got),
             "notify_events_per_s": round(len(got) / t_notify),
             "notify_lossless_here": len(got) == N_NOTIFY,
