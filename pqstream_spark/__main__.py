@@ -327,6 +327,10 @@ def _run_postgres(args, stop: threading.Event) -> int:
             )
         else:
             batch = poller.read_batch(spark)
+        # _pending_hi is None exactly when the batch is empty (both
+        # transports), and it is free — batch.isEmpty() on the
+        # distributed read would re-run all N psql sub-range reads
+        batch_empty = poller._pending_hi is None
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,
@@ -337,7 +341,7 @@ def _run_postgres(args, stop: threading.Event) -> int:
             poller.compact()
         epoch += 1
         if args.once:
-            if batch.isEmpty():
+            if batch_empty:
                 break
         else:
             stop.wait(args.poll_interval)
@@ -517,6 +521,13 @@ def main(argv: list[str] | None = None) -> int:
         print("--parallel-read requires the postgres outbox backend "
               "(--connect postgres:... --transport outbox): the other "
               "backends have no seq-partitionable server-side table",
+              file=sys.stderr)
+        return 2
+    if args.parallel_read is not None and args.parallel_read < 1:
+        # 0 would be falsy at the dispatch check and silently fall
+        # back to the serial read — the operator must not believe the
+        # scale path is active when it is not
+        print(f"--parallel-read: N must be >= 1 (got {args.parallel_read})",
               file=sys.stderr)
         return 2
     if args.connect.startswith("sqlite:"):

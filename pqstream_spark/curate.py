@@ -181,8 +181,13 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
         from .queries.llm import corpus_lm_tables, score_against_corpus_lm
 
         bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"))
+        # score ONE row per doc_id: score_against_corpus_lm returns one
+        # row per input row, and duplicate ids (exact-dup texts under
+        # the derived xxhash64 id) would fan the join out row×row,
+        # breaking the kept+rejected==docs accounting
         lm_scores = score_against_corpus_lm(
-            docs.select("doc_id", "text"), bgc, uni, vsz
+            docs.select("doc_id", "text").dropDuplicates(["doc_id"]),
+            bgc, uni, vsz,
         ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats", "lm_ppl")
         cur = cur.join(lm_scores, "doc_id", "left").withColumn(
             "lm_ok",

@@ -375,13 +375,22 @@ class PgOutboxPoller:
         rows flow through `pg_read_outbox_distributed` — N psql
         sub-range reads on executors, zero driver materialization.
         The high-water mark for advance() comes from one scalar MAX
-        query (the only driver-side round trip)."""
-        lo, hi = self.last_seq, self.last_seq + self.max_rows
+        query (the only driver-side round trip), and the distributed
+        read's upper bound IS that snapshot: the lazy executor read
+        runs later than the MAX, so bounding it at `top` (a) keeps
+        rows committed in between OUT of this batch — they would
+        exceed _pending_hi and be re-emitted next poll under a second
+        seq-range filename, breaking the seq-named sink's idempotent
+        replay — and (b) splits the sub-ranges over the ACTUAL data
+        extent instead of the max_rows window, so a small backlog
+        still spreads across the N readers."""
+        lo = self.last_seq
         top = self.runner.scalar(
             f"SELECT MAX(seq) FROM {OUTBOX_TABLE} "
-            f"WHERE seq > {int(lo)} AND seq <= {int(hi)}"
+            f"WHERE seq > {int(lo)} AND seq <= {int(lo + self.max_rows)}"
         )
         self._pending_hi = int(top) if top is not None else None
+        hi = self._pending_hi if self._pending_hi is not None else lo
         return pg_read_outbox_distributed(
             spark, self.runner.conninfo, lo, hi, num_partitions
         )

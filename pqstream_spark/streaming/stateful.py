@@ -201,9 +201,19 @@ def curate_ingest(
     )
 
     corpus_bands = _band_rows(_minhash_signatures(corpus), "corpus_doc_id")
-    lm_tables = (
-        corpus_lm_tables(corpus) if lm_max_cost_mnats is not None else None
-    )
+    lm_tables = None
+    if lm_max_cost_mnats is not None:
+        bgc0, uni0, vsz0 = corpus_lm_tables(corpus)
+        # materialize ONCE at gate setup: left lazy, every micro-batch
+        # would re-tokenize the whole corpus and re-run both global
+        # aggregations — gate latency must track batch size, not
+        # corpus size (at 100 TB: persist these bucketed by `b`, see
+        # DEPLOY §3)
+        lm_tables = (
+            bgc0.localCheckpoint(eager=True),
+            uni0.localCheckpoint(eager=True),
+            vsz0,
+        )
     view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
@@ -228,8 +238,10 @@ def curate_ingest(
             )
             if lm_tables is not None:
                 bgc, uni, vsz = lm_tables
+                # one score row per doc_id even if a producer file
+                # carries duplicate ids — the join must not fan out
                 lm_scores = score_against_corpus_lm(
-                    batch_df, bgc, uni, vsz
+                    batch_df.dropDuplicates(["doc_id"]), bgc, uni, vsz
                 ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats",
                          "lm_ppl")
                 kept = kept.join(lm_scores, "doc_id", "left").withColumn(

@@ -345,3 +345,31 @@ def test_lm_cap_requires_batch():
 
     assert main(["--documents", "x", "--out", "/tmp/nope",
                  "--stream", "--lm-cap", "4000000"]) == 2
+
+
+def test_lm_cap_duplicate_texts_accounting(spark, tmp_path):
+    """Review fix: with derived doc_ids (xxhash64(text)), duplicate
+    texts share an id — the LM-score join must stay one-row-per-id or
+    the audit fans out quadratically and kept+rejected != docs."""
+    import io
+    import json
+
+    from pqstream_spark.curate import main
+
+    rows = [(None, "en", f"alpha beta gamma delta {i}") for i in range(20)]
+    # 3 copies of one text -> one derived id carried by 3 rows
+    rows += [(None, "en", "the same exact text twice")] * 3
+    docs = spark.createDataFrame(
+        [(r[1], r[2]) for r in rows], "lang STRING, text STRING"
+    )
+    inp = str(tmp_path / "dup_docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "dup_curated")
+
+    buf = io.StringIO()
+    rc = main(["--documents", inp, "--out", out_dir,
+               "--lm-cap", "99000000"], out=buf)
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["docs"] == 23
+    assert stats["kept"] + sum(stats["rejected"].values()) == 23

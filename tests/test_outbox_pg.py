@@ -494,3 +494,12 @@ def test_daemon_parallel_read_e2e(pg, tmp_path):
     assert daemon_main(["--connect", f"postgres:{conninfo}",
                         "--transport", "notify",
                         "--parallel-read", "4", "--once"]) == 2
+
+
+def test_parallel_read_zero_rejected():
+    """Review fix: --parallel-read 0 must exit 2, not silently fall
+    back to the serial driver-side read."""
+    from pqstream_spark.__main__ import main as daemon_main
+
+    assert daemon_main(["--connect", "postgres:host=/nope",
+                        "--parallel-read", "0", "--once"]) == 2
