@@ -89,12 +89,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "functions/pii.py's portable pattern set) with "
                    "typed placeholders in the corpus text; the audit "
                    "keeps the original text plus an n_pii count")
+    p.add_argument("--lm-order", type=int, default=2, metavar="N",
+                   help="with --lm-cap: n-gram order of the in-corpus "
+                   "LM (2 = the oracle-certified bigram model; 3+ = "
+                   "sharper context, sparser counts)")
     p.add_argument("--lm-cap", type=int, default=None, metavar="MNATS",
-                   help="batch mode: train the in-corpus bigram LM "
-                   "(the oracle-certified text_annotations model) and "
-                   "reject documents whose average transition cost "
-                   "exceeds MNATS micro-nats — CCNet-style perplexity "
-                   "filtering; audit carries lm_avg_cost_mnats/lm_ppl")
+                   help="batch mode: train the in-corpus n-gram LM "
+                   "(order --lm-order; at 2 it is the oracle-certified "
+                   "text_annotations model) and reject documents whose "
+                   "average transition cost exceeds MNATS micro-nats — "
+                   "CCNet-style perplexity filtering; audit carries "
+                   "lm_avg_cost_mnats/lm_ppl")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
@@ -116,7 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
-           benchmark=None, lm_max_cost_mnats: int | None = None):
+           benchmark=None, lm_max_cost_mnats: int | None = None,
+           lm_order: int = 2):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
     (doc_id, lang). `benchmark` (optional, (text) frame): reject docs
@@ -180,14 +186,15 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
     if lm_max_cost_mnats is not None:
         from .queries.llm import corpus_lm_tables, score_against_corpus_lm
 
-        bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"))
+        bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"),
+                                         n=lm_order)
         # score ONE row per doc_id: score_against_corpus_lm returns one
         # row per input row, and duplicate ids (exact-dup texts under
         # the derived xxhash64 id) would fan the join out row×row,
         # breaking the kept+rejected==docs accounting
         lm_scores = score_against_corpus_lm(
             docs.select("doc_id", "text").dropDuplicates(["doc_id"]),
-            bgc, uni, vsz,
+            bgc, uni, vsz, n=lm_order,
         ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats", "lm_ppl")
         cur = cur.join(lm_scores, "doc_id", "left").withColumn(
             "lm_ok",
@@ -228,6 +235,10 @@ def main(argv: list[str] | None = None, out=None) -> int:
         print("--batch-selfdedup requires --stream (batch mode "
               "already near-dedups the whole input when --near-dedup "
               "is set)", file=sys.stderr)
+        return 2
+    if args.lm_cap is not None and args.lm_order < 2:
+        print(f"--lm-order: must be >= 2 (got {args.lm_order})",
+              file=sys.stderr)
         return 2
     if args.lm_cap is not None and args.stream:
         print("--lm-cap is batch-only (an in-batch LM over a "
@@ -287,7 +298,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
 
     cur = curate(docs, near_dedup=args.near_dedup,
                  min_clf=args.min_clf, benchmark=benchmark,
-                 lm_max_cost_mnats=args.lm_cap)
+                 lm_max_cost_mnats=args.lm_cap,
+                 lm_order=args.lm_order)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
     # rejected, with full annotations and the rejection verdicts —

@@ -1392,67 +1392,105 @@ def q_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def corpus_lm_tables(corpus: DataFrame):
-    """Static bigram-LM tables from a (doc_id, text) corpus, for
+def _lm_padded_pairs_expr(n: int) -> str:
+    """Per-row array<struct<p, g>> of (context, n-gram) chr(1)-joined
+    strings over a BOS-padded token stream: pad = (n−1)×'<s>' ++ tok,
+    gram at i = pad[i−n+1 .. i], context = its first n−1 tokens. At
+    n=2 this reproduces the certified bigram construction exactly
+    (one BOS pad, context = previous token)."""
+    if n < 2:
+        raise ValueError(f"lm ngram order must be >= 2, got {n}")
+    pad = f"concat(array_repeat('<s>', {n - 1}), tok)"
+    return (
+        f"CASE WHEN size(tok) >= 1 THEN "
+        f"transform(sequence({n}, size(tok) + {n - 1}), i -> named_struct("
+        f"'p', concat_ws(chr(1), slice({pad}, i - {n - 1}, {n - 1})), "
+        f"'g', concat_ws(chr(1), slice({pad}, i - {n - 1}, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<p: STRING, g: STRING>>) END"
+    )
+
+
+def _lm_padded_prefix_expr(n: int) -> str:
+    """Per-row array of ALL (n−1)-grams of the padded stream (final
+    position included) — the prefix-count relation. At n=2 this is
+    raw unigram occurrences plus one BOS per doc, identical to the
+    certified bigram form's prefix table."""
+    pad = f"concat(array_repeat('<s>', {n - 1}), tok)"
+    return (
+        f"CASE WHEN size(tok) >= 1 THEN "
+        f"transform(sequence({n - 1}, size(tok) + {n - 1}), i -> "
+        f"concat_ws(chr(1), slice({pad}, i - {n - 2}, {n - 1}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def corpus_lm_tables(corpus: DataFrame, n: int = 2):
+    """Static n-gram-LM tables from a (doc_id, text) corpus, for
     scoring OTHER documents against it (the CCNet deployment shape:
     the LM is trained on the reference corpus, incoming text is
-    scored by it — Wenzek et al. 2020 §4.2). Returns
-    (bigram_counts(b, c), prefix_counts(w, c), vocab_size):
+    scored by it — Wenzek et al. 2020 §4.2; higher orders are the
+    KenLM direction, here with the same add-one estimate). Returns
+    (ngram_counts(b, c), prefix_counts(w, c), vocab_size):
 
-    - bigram_counts: corpus-sized aggregate, one shuffle on the bigram
+    - ngram_counts: corpus-sized aggregate, one shuffle on the n-gram
       key; at 100 TB this is written/bucketed by `b` once and
       stream-static-joined per batch.
-    - prefix_counts: vocab-sized (unigrams + the BOS row) —
-      broadcastable.
-    - vocab_size: one driver-side int (the bounded-artifact rule).
+    - prefix_counts: (n−1)-gram context counts over the BOS-padded
+      stream — vocab-sized at n=2 (broadcastable), observed-bigram-
+      sized at n=3.
+    - vocab_size: distinct TOKENS (the event space, order-independent)
+      — one driver-side int (the bounded-artifact rule).
 
-    Same tokenizer, BOS convention, and count definitions as the
-    in-corpus LM certified in `text_annotations` — one model family,
-    two surfaces."""
+    At n=2 the tables are value-identical to the in-corpus bigram LM
+    certified in `text_annotations` (pinned by the self-scoring parity
+    test) — one model family, two surfaces."""
     from pyspark.sql import functions as F
 
     toks = corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
     docs = toks.where("size(tok) > 0")
     bgc = (
-        docs.selectExpr(f"explode({LM_BIGRAMS_SPARK}) AS b")
+        docs.selectExpr(f"explode({_lm_padded_pairs_expr(n)}) AS pg")
+        .selectExpr("pg.g AS b")
         .groupBy("b").agg(F.count("*").cast("long").alias("c"))
     )
     uni = (
-        docs.selectExpr("explode(tok) AS w")
+        docs.selectExpr(f"explode({_lm_padded_prefix_expr(n)}) AS w")
         .groupBy("w").agg(F.count("*").cast("long").alias("c"))
     )
-    vocab_size = uni.count()
-    bos = docs.agg(F.count("*").cast("long").alias("c")).select(
-        F.lit("<s>").alias("w"), "c"
+    vocab_size = (
+        docs.selectExpr("explode(tok) AS t").select("t").distinct().count()
     )
-    return bgc, uni.unionByName(bos), int(vocab_size)
+    return bgc, uni, int(vocab_size)
 
 
 def score_against_corpus_lm(
-    docs: DataFrame, bgc: DataFrame, uni: DataFrame, vocab_size: int
+    docs: DataFrame, bgc: DataFrame, uni: DataFrame, vocab_size: int,
+    n: int = 2,
 ) -> DataFrame:
     """Annotate (doc_id, ..., text) rows with lm_bigrams /
     lm_avg_cost_mnats / lm_ppl measured against a STATIC corpus LM
-    from `corpus_lm_tables`. Unlike the in-corpus form, scored
-    documents may contain transitions the corpus never saw — the same
-    Laplace estimate handles them with zero-coalesced counts
-    (cost = ln(c_prefix + V) − ln(c_bigram + 1), c = 0 when absent),
-    so out-of-domain text degrades smoothly instead of erroring.
-    Micro-nat integer discipline as everywhere: exact BIGINT totals,
-    float only in the presentational ppl.
+    from `corpus_lm_tables` (pass the SAME `n`; the stable column
+    name lm_bigrams counts scored n-grams at any order). Unlike the
+    in-corpus form, scored documents may contain transitions the
+    corpus never saw — the same Laplace estimate handles them with
+    zero-coalesced counts (cost = ln(c_prefix + V) − ln(c_ngram + 1),
+    c = 0 when absent), so out-of-domain text degrades smoothly
+    instead of erroring. Micro-nat integer discipline as everywhere:
+    exact BIGINT totals, float only in the presentational ppl.
 
-    Plan shape: per-doc bigram explode (narrow) → left join the
-    bigram table on `b` (the one real shuffle; stream-static per
-    batch in the gate) → left join the broadcastable prefix table →
-    one per-doc aggregation. No corpus pass at score time."""
+    Plan shape: per-doc n-gram explode (narrow) → left join the
+    n-gram table on `b` (the one real shuffle; stream-static per
+    batch in the gate) → left join the prefix table (broadcastable at
+    n=2) → one per-doc aggregation. No corpus pass at score time."""
     from pyspark.sql import functions as F
 
     base = docs.selectExpr("*", f"{TOK_SPARK} AS tok")
     pairs = (
         base.where("size(tok) > 0")
-        .selectExpr("doc_id", f"explode({LM_BIGRAMS_SPARK}) AS b")
-        .groupBy("doc_id", "b").agg(F.count("*").cast("long").alias("n"))
-        .withColumn("p", F.expr("split_part(b, chr(1), 1)"))
+        .selectExpr("doc_id", f"explode({_lm_padded_pairs_expr(n)}) AS pg")
+        .selectExpr("doc_id", "pg.p AS p", "pg.g AS b")
+        .groupBy("doc_id", "b", "p")
+        .agg(F.count("*").cast("long").alias("n"))
     )
     cost = (
         f"CAST(round((ln(coalesce(uc, CAST(0 AS BIGINT)) + {vocab_size}) "

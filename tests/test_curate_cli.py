@@ -373,3 +373,44 @@ def test_lm_cap_duplicate_texts_accounting(spark, tmp_path):
     stats = json.loads(buf.getvalue())
     assert stats["docs"] == 23
     assert stats["kept"] + sum(stats["rejected"].values()) == 23
+
+
+def test_lm_order_trigram_cli(spark, tmp_path):
+    """--lm-order 3 runs the trigram in-corpus LM end-to-end: the
+    unique-transition alien doc is still the outlier (trigram contexts
+    are sparser, so costs shift but the ordering holds) and the
+    accounting stays balanced; --lm-order 1 exits 2."""
+    import io
+    import json
+    import os
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    planted = spark.createDataFrame(
+        [(700001, "en", " ".join(f"zq{i:03d}" for i in range(100)))],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    inp = str(tmp_path / "tri_docs.parquet")
+    docs.unionAll(planted).coalesce(1).write.mode("overwrite").parquet(inp)
+    out_dir = str(tmp_path / "tri_curated")
+
+    buf = io.StringIO()
+    rc = main(["--documents", inp, "--out", out_dir,
+               "--lm-cap", "99000000", "--lm-order", "3"], out=buf)
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["kept"] + sum(stats["rejected"].values()) == stats["docs"]
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    costs = {r["doc_id"]: r["lm_avg_cost_mnats"]
+             for r in audit.select("doc_id", "lm_avg_cost_mnats").collect()}
+    others = [v for k, v in costs.items() if k != 700001 and v is not None]
+    assert costs[700001] > max(others), (
+        "unique-transition doc must be the trigram-cost outlier"
+    )
+
+    assert main(["--documents", inp, "--out", out_dir,
+                 "--lm-cap", "1", "--lm-order", "1"]) == 2

@@ -251,3 +251,70 @@ def test_lm_randomized_differential_vs_python(spark):
         assert got == want, (seed, {
             d: (got[d], want[d]) for d in got if got[d] != want[d]
         })
+
+
+def test_lm_trigram_differential_vs_python(spark):
+    """Order generalization (n=3): the padded-stream formulation must
+    match a pure-Python trigram replica — 2×BOS padding, context =
+    previous two tokens, prefix counts = all padded bigram
+    occurrences, unseen contexts/grams zero-coalesced."""
+    import random
+    from collections import Counter
+
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        score_against_corpus_lm,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 7))))
+        for i in range(30)
+    ]
+    # plus out-of-corpus docs scored against the same tables
+    score_rows = rows + [(100, "w0 w1 zz w2"), (101, ""), (102, "solo")]
+
+    def padded(ws):
+        return ["<s>", "<s>"] + ws
+
+    toks = {d: t.split() for d, t in rows}
+    grams = Counter()
+    prefixes = Counter()
+    for ws in toks.values():
+        if not ws:
+            continue
+        p = padded(ws)
+        for i in range(2, len(p)):
+            grams[tuple(p[i - 2:i + 1])] += 1
+        for i in range(1, len(p)):
+            prefixes[tuple(p[i - 1:i + 1])] += 1
+    v = len({w for ws in toks.values() for w in ws})
+
+    want = {}
+    for d, t in score_rows:
+        ws = t.split()
+        if not ws:
+            want[d] = (0, None)
+            continue
+        p = padded(ws)
+        total, cnt = 0, 0
+        for i in range(2, len(p)):
+            g = tuple(p[i - 2:i + 1])
+            pre = tuple(p[i - 2:i])
+            total += round(
+                (math.log(prefixes.get(pre, 0) + v)
+                 - math.log(grams.get(g, 0) + 1)) * 1_000_000
+            )
+            cnt += 1
+        want[d] = (cnt, total // cnt)
+
+    corpus = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    tb, tu, tv = corpus_lm_tables(corpus, n=3)
+    assert tv == v
+    sdocs = spark.createDataFrame(score_rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+        for r in score_against_corpus_lm(sdocs, tb, tu, tv, n=3).collect()
+    }
+    assert got == want, {d: (got[d], want[d]) for d in got if got[d] != want[d]}
