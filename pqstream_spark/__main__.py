@@ -300,12 +300,14 @@ def _run_postgres(args, stop: threading.Event) -> int:
 
         emit = jsonl_seq_writer(args.out)
     if args.bootstrap and not pg_bootstrap_done(runner):
-        # consistent switchover: snapshot + high-water in ONE psql
-        # transaction is not needed — the outbox seq is monotonic, so
-        # reading MAX(seq) AFTER the snapshot may double-deliver a row
-        # that changed in between, which the at-least-once contract and
-        # seq-dedup downstream already absorb (same stance as the
-        # sqlite backend's BEGIN IMMEDIATE, weakened to at-least-once)
+        # consistent switchover: the high-water mark is the FENCED safe
+        # ceiling (PgSeqFence), never the visible MAX(seq) — rewinding
+        # past a seq an in-flight writer could still commit below would
+        # lose that row forever. A fenced mark can only double-deliver
+        # rows the snapshot also caught, which the at-least-once
+        # contract and seq-dedup downstream already absorb (same stance
+        # as the sqlite backend's BEGIN IMMEDIATE, weakened to
+        # at-least-once)
         hi = pg_outbox_high_water(runner)
         snap_batch = pg_snapshot_batch(runner, spark, args.tables)
         snap = handle_events(

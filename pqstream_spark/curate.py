@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--documents", required=True,
                    help="input path (.parquet, or .csv with a header)")
-    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--out", default=None,
+                   help="output directory (required except with "
+                   "--lm-train, whose artifact dir is its own output)")
     p.add_argument("--near-dedup", action="store_true",
                    help="also run the LSH near-dup pass (exact-dup "
                    "canonicalization always runs)")
@@ -100,6 +102,18 @@ def build_parser() -> argparse.ArgumentParser:
                    "average transition cost exceeds MNATS micro-nats — "
                    "CCNet-style perplexity filtering; audit carries "
                    "lm_avg_cost_mnats/lm_ppl")
+    p.add_argument("--lm-train", default=None, metavar="DIR",
+                   help="train the corpus n-gram LM (order --lm-order) "
+                   "on the input documents and persist it to DIR "
+                   "(ngram/ + prefix/ parquet + meta.json), then exit "
+                   "— the train-once half of CCNet's train-once/"
+                   "score-many deployment; score later runs with "
+                   "--lm-cap --lm-tables DIR")
+    p.add_argument("--lm-tables", default=None, metavar="DIR",
+                   help="with --lm-cap: score against the PERSISTED "
+                   "corpus LM in DIR (from --lm-train) instead of "
+                   "training an in-corpus LM per run; the LM order "
+                   "comes from the artifact's meta.json")
     p.add_argument("--stream", action="store_true",
                    help="run as a streaming daemon: --documents is a "
                    "DIRECTORY watched for parquet files; each batch is "
@@ -122,7 +136,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
            benchmark=None, lm_max_cost_mnats: int | None = None,
-           lm_order: int = 2):
+           lm_order: int = 2, lm_tables=None):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
     (doc_id, lang). `benchmark` (optional, (text) frame): reject docs
@@ -186,8 +200,14 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
     if lm_max_cost_mnats is not None:
         from .queries.llm import corpus_lm_tables, score_against_corpus_lm
 
-        bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"),
-                                         n=lm_order)
+        if lm_tables is not None:
+            # persisted reference LM (save_corpus_lm / --lm-train): the
+            # gate scores against it without retraining per run — the
+            # order travels with the artifact
+            bgc, uni, vsz, lm_order = lm_tables
+        else:
+            bgc, uni, vsz = corpus_lm_tables(docs.select("doc_id", "text"),
+                                             n=lm_order)
         # score ONE row per doc_id: score_against_corpus_lm returns one
         # row per input row, and duplicate ids (exact-dup texts under
         # the derived xxhash64 id) would fan the join out row×row,
@@ -236,7 +256,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
               "already near-dedups the whole input when --near-dedup "
               "is set)", file=sys.stderr)
         return 2
-    if args.lm_cap is not None and args.lm_order < 2:
+    if (args.lm_cap is not None or args.lm_train) and args.lm_order < 2:
         print(f"--lm-order: must be >= 2 (got {args.lm_order})",
               file=sys.stderr)
         return 2
@@ -245,6 +265,19 @@ def main(argv: list[str] | None = None, out=None) -> int:
               "microbatch is noise; for streaming, score against a "
               "reference corpus with streaming.stateful.curate_ingest("
               "lm_max_cost_mnats=...))", file=sys.stderr)
+        return 2
+    if args.lm_tables and args.lm_cap is None:
+        print("--lm-tables requires --lm-cap (the tables are the "
+              "scoring model; the cap is the gate)", file=sys.stderr)
+        return 2
+    if args.lm_train and (args.stream or args.lm_tables):
+        print("--lm-train is a standalone batch action (train the LM "
+              "and exit); it cannot combine with --stream or "
+              "--lm-tables", file=sys.stderr)
+        return 2
+    if not args.out and not args.lm_train:
+        print("--out is required (except with --lm-train)",
+              file=sys.stderr)
         return 2
 
     from .session import get_spark
@@ -284,6 +317,36 @@ def main(argv: list[str] | None = None, out=None) -> int:
               file=sys.stderr)
         return 1
 
+    if args.lm_train:
+        # train-once: persist the corpus LM artifact and exit — the
+        # score-many half is `--lm-cap N --lm-tables DIR` (batch) or
+        # curate_ingest(lm_tables_dir=DIR) (streaming gate)
+        from .queries.llm import corpus_lm_tables, save_corpus_lm
+
+        lm_docs = docs
+        if "doc_id" not in lm_docs.columns:
+            lm_docs = lm_docs.withColumn("doc_id", F.expr("xxhash64(text)"))
+        bgc, uni, vsz = corpus_lm_tables(
+            lm_docs.select("doc_id", "text"), n=args.lm_order
+        )
+        save_corpus_lm(args.lm_train, bgc, uni, vsz, n=args.lm_order)
+        spark_read = spark.read.parquet
+        stats = {
+            "lm_dir": args.lm_train,
+            "n": args.lm_order,
+            "vocab_size": vsz,
+            "ngrams": spark_read(os.path.join(args.lm_train, "ngram")).count(),
+            "prefixes": spark_read(os.path.join(args.lm_train, "prefix")).count(),
+        }
+        print(json.dumps(stats, separators=(",", ":")), file=out)
+        return 0
+
+    lm_tables = None
+    if args.lm_tables:
+        from .queries.llm import load_corpus_lm
+
+        lm_tables = load_corpus_lm(spark, args.lm_tables)
+
     benchmark = None
     if args.decontaminate:
         if args.decontaminate.endswith(".csv"):
@@ -299,7 +362,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
     cur = curate(docs, near_dedup=args.near_dedup,
                  min_clf=args.min_clf, benchmark=benchmark,
                  lm_max_cost_mnats=args.lm_cap,
-                 lm_order=args.lm_order)
+                 lm_order=args.lm_order, lm_tables=lm_tables)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
     # rejected, with full annotations and the rejection verdicts —

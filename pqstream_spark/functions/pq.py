@@ -575,11 +575,18 @@ def ivfpq_search(
     # integer fold over the literal codebook — `cell_offset` — added
     # to the ADC sum so scores stay comparable ACROSS probed cells.
     # LUTs use the RAW quantized query against the residual books
-    # (inner-product ADC needs no query residual).
+    # (inner-product ADC needs no query residual). The centroid is
+    # sliced to size(qv) and zero-coalesced (ADVICE r7): zip_with
+    # null-pads on length mismatch, which would silently rank every
+    # row of a short/long query with a NULL score — the slice mirrors
+    # _residual_rel_sql's short-vector semantics, the coalesce gives
+    # extra query dims a 0 contribution (the same out-of-bounds→0
+    # discipline as the demo-codebook get() sums).
     offset = (
-        f"aggregate(zip_with(qv, element_at({_cb_lit(codebook)}, "
-        f"CAST(cell AS INT)), (x, c) -> x * c), CAST(0 AS BIGINT), "
-        f"(a, e) -> a + e)"
+        f"aggregate(zip_with(qv, slice(element_at({_cb_lit(codebook)}, "
+        f"CAST(cell AS INT)), 1, size(qv)), "
+        f"(x, c) -> x * coalesce(c, CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (a, e) -> a + e)"
     )
     luts_cells = joined.selectExpr(
         "q_id", "cell", "luts", f"{offset} AS cell_offset"

@@ -20,9 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-# Operation enum — pqstream.proto:18-24. TRUNCATE/UNKNOWN exist in the
-# reference enum but are never produced (SURVEY.md §1.1); we keep the
-# domain for wire-compat.
+# Operation enum — pqstream.proto:18-24. UNKNOWN exists in the
+# reference enum but is never produced (SURVEY.md §1.1). TRUNCATE is
+# dead in the reference too (its row-level trigger cannot fire on
+# TRUNCATE, queries.go:58-60) — this engine makes it live via
+# statement-level AFTER TRUNCATE triggers (sources/outbox.py, round 8):
+# one envelope per truncated table, id/payload/previous all NULL;
+# materialization folds it as delete-all (operators/materialize.py).
 OP_INSERT = "INSERT"
 OP_UPDATE = "UPDATE"
 OP_DELETE = "DELETE"

@@ -36,11 +36,28 @@ CURRENT_STATE_SCHEMA = (
 
 
 def materialize_current_state(changelog: DataFrame) -> DataFrame:
-    """Batch fold: latest event per (table, id); DELETE removes the row."""
+    """Batch fold: latest event per (table, id); DELETE removes the row;
+    TRUNCATE (statement-level, id NULL — sources/outbox.py round 8)
+    removes EVERY row of its table whose latest event precedes it.
+
+    The truncate watermark is a per-table aggregate — at most one row
+    per captured table, broadcast-joined, so the delete-all costs no
+    extra shuffle on the row stream."""
     w = Window.partitionBy("table_name", "id").orderBy(F.col("seq").desc())
+    trunc = (
+        changelog.filter(F.col("op") == "TRUNCATE")
+        .groupBy("table_name")
+        .agg(F.max("seq").alias("truncated_at"))
+    )
     return (
-        changelog.withColumn("rn", F.row_number().over(w))
+        changelog.filter(F.col("op") != "TRUNCATE")
+        .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .join(F.broadcast(trunc), "table_name", "left")
+        .filter(
+            F.col("truncated_at").isNull()
+            | (F.col("seq") > F.col("truncated_at"))
+        )
         .select("table_name", "id", "seq", "op", "payload_json")
     )
 
@@ -56,6 +73,16 @@ def materialize_current_state_stream(
     (update-mode semantics); a DELETE emits a tombstone row with
     op='DELETE', payload NULL — so a downstream sink can apply removals
     too.
+
+    TRUNCATE: state here is strictly per-(table, id) key, and a
+    statement-level TRUNCATE event (id NULL) cannot reach into other
+    keys' state from inside a keyed stateful operator. It flows through
+    as its own (table, NULL) key and emits a TABLE-level tombstone row
+    (op='TRUNCATE', id NULL, payload NULL) that a downstream sink
+    applies as delete-all — the same division of labor as row DELETEs.
+    Full in-engine delete-all is the batch fold's job
+    (materialize_current_state), which is also the state-reconstruction
+    path.
 
     DELETE keeps a TOMBSTONE in state (seq, 'DELETE', NULL) rather than
     removing the entry: under the engine's at-least-once delivery

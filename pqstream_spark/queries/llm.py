@@ -1463,6 +1463,57 @@ def corpus_lm_tables(corpus: DataFrame, n: int = 2):
     return bgc, uni, int(vocab_size)
 
 
+def save_corpus_lm(
+    lm_dir: str, bgc: DataFrame, uni: DataFrame, vocab_size: int,
+    n: int = 2,
+) -> None:
+    """Persist corpus-LM tables as an on-disk artifact (round-8 ask #4
+    — the index-CLI treatment for the LM): `ngram/` + `prefix/`
+    parquet plus `meta.json` (vocab_size, order, format). This is the
+    CCNet deployment shape the scorer's docstring names: the LM is
+    trained ONCE on the reference corpus and incoming text is scored
+    against the persisted tables — no per-run retraining. At 100 TB
+    the ngram table is additionally bucketed by `b` at write time so
+    score-time joins prune to touched buckets (DEPLOY §3); the plain
+    parquet layout here is the portable form of the same artifact."""
+    import json as _json
+    import os as _os
+
+    bgc.write.mode("overwrite").parquet(_os.path.join(lm_dir, "ngram"))
+    uni.write.mode("overwrite").parquet(_os.path.join(lm_dir, "prefix"))
+    meta = {"format": 1, "n": int(n), "vocab_size": int(vocab_size)}
+    tmp = _os.path.join(lm_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f, separators=(",", ":"))
+    _os.replace(tmp, _os.path.join(lm_dir, "meta.json"))
+
+
+def load_corpus_lm(spark, lm_dir: str):
+    """→ (ngram_counts, prefix_counts, vocab_size, n) from a
+    `save_corpus_lm` directory; validates the artifact shape loudly
+    (a missing meta.json or wrong columns means the directory is not
+    an LM artifact — scoring against garbage must not be quiet)."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(lm_dir, "meta.json")
+    if not _os.path.exists(meta_path):
+        raise ValueError(
+            f"{lm_dir!r} is not a corpus-LM artifact (no meta.json; "
+            "write one with save_corpus_lm / curate --lm-train)"
+        )
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    bgc = spark.read.parquet(_os.path.join(lm_dir, "ngram"))
+    uni = spark.read.parquet(_os.path.join(lm_dir, "prefix"))
+    if set(bgc.columns) != {"b", "c"} or set(uni.columns) != {"w", "c"}:
+        raise ValueError(
+            f"{lm_dir!r}: unexpected LM table columns "
+            f"{bgc.columns}/{uni.columns} (want b,c / w,c)"
+        )
+    return bgc, uni, int(meta["vocab_size"]), int(meta["n"])
+
+
 def score_against_corpus_lm(
     docs: DataFrame, bgc: DataFrame, uni: DataFrame, vocab_size: int,
     n: int = 2,

@@ -41,12 +41,27 @@ CREATE TABLE IF NOT EXISTS {OUTBOX_TABLE} (
   ts          TIMESTAMPTZ NOT NULL DEFAULT now(),
   schema_name TEXT NOT NULL,
   table_name  TEXT NOT NULL,
-  op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),
+  op          TEXT NOT NULL CONSTRAINT {OUTBOX_TABLE}_op_check
+              CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE')),
   id          TEXT,
   payload     JSON,
   previous    JSON
 )
 """.strip()
+
+# CREATE TABLE IF NOT EXISTS will not retype or re-constrain an outbox
+# created by an earlier DDL generation; installs run these against
+# legacy outboxes so the op domain (TRUNCATE, round 8) is current. The
+# payload/previous JSON-vs-JSONB type is VERIFIED instead (fail loudly:
+# silently keeping jsonb would defeat the row_to_json byte-parity the
+# json type exists for and evade the golden-pin tests) — see
+# PgCaptureManager.install.
+MIGRATE_OUTBOX_OP_CHECK_SQL = [
+    f"ALTER TABLE {OUTBOX_TABLE} DROP CONSTRAINT IF EXISTS "
+    f"{OUTBOX_TABLE}_op_check",
+    f"ALTER TABLE {OUTBOX_TABLE} ADD CONSTRAINT {OUTBOX_TABLE}_op_check "
+    "CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE'))",
+]
 
 # Trigger function: same OLD/NEW selection as the reference trigger —
 # payload is NEW for INSERT/UPDATE and OLD for DELETE (queries.go:17-21),
@@ -95,21 +110,50 @@ def _check_ident(table: str) -> str:
     return table
 
 
+# TRUNCATE capture — the dead quadrant of the reference's wire contract
+# (round 8): its proto declares Operation.TRUNCATE = 4
+# (pqstream.proto:23) but its row-level trigger can never fire it
+# (queries.go:58-60 is AFTER INSERT OR UPDATE OR DELETE; TRUNCATE fires
+# no row-level triggers at all). Postgres supports STATEMENT-level
+# AFTER TRUNCATE triggers: one envelope per truncated table, no row, no
+# payload — the same shape as a tier-2-degraded envelope (op + idents,
+# everything row-scoped NULL). Downstream, CDC materialization folds it
+# as delete-all for the table (operators/materialize.py).
+TRUNCATE_TRIGGER_FUNCTION_SQL = f"""
+CREATE OR REPLACE FUNCTION pqstream_outbox_truncate() RETURNS TRIGGER AS $$
+BEGIN
+  INSERT INTO {OUTBOX_TABLE} (schema_name, table_name, op, id, payload, previous)
+  VALUES (TG_TABLE_SCHEMA, TG_TABLE_NAME, 'TRUNCATE', NULL, NULL, NULL);
+  RETURN NULL;
+END;
+$$ LANGUAGE plpgsql
+""".strip()
+
+
 def install_trigger_sql(table: str) -> str:
     """Idempotent per-table install — parity with installTrigger
-    (server.go:128-147 / queries.go:57-61)."""
+    (server.go:128-147 / queries.go:57-61), plus the statement-level
+    TRUNCATE companion the reference's enum promises but its trigger
+    cannot deliver."""
     t = _check_ident(table)
     return (
         f'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "{t}"; '
         f'CREATE TRIGGER pqstream_outbox_trigger '
         f'AFTER INSERT OR UPDATE OR DELETE ON "{t}" '
-        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_outbox_capture()"
+        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_outbox_capture(); "
+        f'DROP TRIGGER IF EXISTS pqstream_outbox_truncate_trigger ON "{t}"; '
+        f'CREATE TRIGGER pqstream_outbox_truncate_trigger '
+        f'AFTER TRUNCATE ON "{t}" '
+        f"FOR EACH STATEMENT EXECUTE PROCEDURE pqstream_outbox_truncate()"
     )
 
 
 def remove_trigger_sql(table: str) -> str:
     t = _check_ident(table)
-    return f'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "{t}"'
+    return (
+        f'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "{t}"; '
+        f'DROP TRIGGER IF EXISTS pqstream_outbox_truncate_trigger ON "{t}"'
+    )
 
 
 def filter_tables(names: list[str], table_regexp: str | None) -> list[str]:
@@ -144,7 +188,10 @@ class CaptureManager:
             raise RuntimeError("no tables match the table regexp")
         cur = self.conn.cursor()
         cur.execute(CREATE_OUTBOX_SQL)
+        for stmt in MIGRATE_OUTBOX_OP_CHECK_SQL:
+            cur.execute(stmt)
         cur.execute(TRIGGER_FUNCTION_SQL)
+        cur.execute(TRUNCATE_TRIGGER_FUNCTION_SQL)
         for t in tables:
             cur.execute(install_trigger_sql(t))
         self.conn.commit()

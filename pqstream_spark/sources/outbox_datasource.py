@@ -11,18 +11,34 @@ replay (at-least-once upgraded from the reference's lossy NOTIFY).
 
     spark.dataSource.register(OutboxDataSource)
     spark.readStream.format("pqstream_outbox")
-        .option("url", "sqlite:/path/app.db")
+        .option("url", "sqlite:/path/app.db")        # or
+        .option("url", "postgres:host=/run/pg dbname=app user=pq")
         .option("maxRowsPerBatch", 10000)
         .load()
+
+Backends:
+- `sqlite:PATH` — the in-process backend (stdlib sqlite3).
+- `postgres:CONNINFO` / `postgresql:CONNINFO` — live PostgreSQL over
+  the psql transport (SURVEY §3.4's S5 mapping completed for the real
+  database). `latestOffset` is FENCED by `PgSeqFence`: the reported
+  offset never passes a seq a still-open transaction could commit
+  below (BIGSERIAL seq order != commit order), so checkpointed
+  offsets stay loss-free under concurrent writers — the same fix the
+  poller carries. Partition reads run `psql --csv` ON THE EXECUTORS
+  (each InputPartition is one bounded seq sub-range, planned from row
+  quantiles so sparse seq spaces still balance), zero driver
+  materialization — the engine-managed-offset form of
+  `pg_read_outbox_distributed`.
 
 Scale shape: the seq range splits into `numPartitions` slices so a
 large backlog is read in parallel (each executor runs one bounded
 range query — the classic JDBC partitioned read); steady-state batches
 are capped by maxRowsPerBatch (rate limiting by construction, the
 micro-batch analog of the reference's unbuffered-channel backpressure,
-server.go:291). sqlite here; the same reader shape points at Postgres
-by swapping the DB-API connect call — partition planning and offsets
-are backend-agnostic.
+server.go:291). On a real cluster the postgres backend needs TCP
+conninfo + client binaries on executors, or swap in the JDBC path
+(`sources.outbox.OutboxPoller`) — partition planning and offsets are
+backend-agnostic.
 """
 
 from __future__ import annotations
@@ -45,8 +61,23 @@ def _connect(url: str):
 
         return sqlite3.connect(url[len("sqlite:"):])
     raise ValueError(
-        f"unsupported outbox url {url!r} (this environment has sqlite only; "
-        "a Postgres deployment swaps in its DB-API driver here)"
+        f"unsupported sqlite outbox url {url!r}"
+    )
+
+
+def _split_url(url: str) -> tuple[str, str]:
+    """→ (backend, rest): 'sqlite:PATH' → ('sqlite', PATH);
+    'postgres:CONNINFO' / 'postgresql:CONNINFO' → ('postgres', CONNINFO)."""
+    for scheme, backend in (
+        ("sqlite:", "sqlite"),
+        ("postgresql:", "postgres"),
+        ("postgres:", "postgres"),
+    ):
+        if url.startswith(scheme):
+            return backend, url[len(scheme):]
+    raise ValueError(
+        f"unsupported outbox url {url!r} (want sqlite:PATH or "
+        "postgres:CONNINFO)"
     )
 
 
@@ -60,14 +91,27 @@ class OutboxStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self._url = options.get("url")
         if not self._url:
-            raise ValueError("pqstream_outbox requires option url=sqlite:PATH")
+            raise ValueError(
+                "pqstream_outbox requires option url=sqlite:PATH or "
+                "url=postgres:CONNINFO"
+            )
+        self._backend, self._target = _split_url(self._url)
         self._max_rows = int(options.get("maxrowsperbatch", 100_000))
         self._num_partitions = int(options.get("numpartitions", 4))
+        self._fence_wait = float(options.get("fencewait", 2.0))
         self._last_end: int | None = None
+        self._fence = None  # lazy: driver-side only, never shipped state
 
     # -- offsets: the outbox seq high-water mark ------------------------------
     def initialOffset(self) -> dict:
         return {"seq": 0}
+
+    def _pg_fence_seq(self) -> int:
+        from .outbox_pg import PgSeqFence, PsqlRunner
+
+        if self._fence is None:
+            self._fence = PgSeqFence(PsqlRunner(self._target))
+        return self._fence.safe_seq(wait=self._fence_wait)
 
     def latestOffset(self) -> dict:
         """Rate limiting lives HERE, not in partitions(): the engine
@@ -76,24 +120,42 @@ class OutboxStreamReader(DataSourceStreamReader):
         the reported latest advances at most max_rows per trigger past
         the previous report (the first trigger of a fresh reader is
         uncapped — the engine gives a restarted reader no committed
-        base to cap from; bound recovery with the checkpoint instead)."""
-        conn = _connect(self._url)
-        try:
-            row = conn.execute(
-                f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
-            ).fetchone()
-        finally:
-            conn.close()
-        true_max = int(row[0])
+        base to cap from; bound recovery with the checkpoint instead).
+
+        postgres: the reported offset is the FENCED safe ceiling, never
+        the visible MAX(seq) — an offset the checkpoint commits is a
+        promise no in-flight transaction can break (see PgSeqFence)."""
+        if self._backend == "postgres":
+            true_max = self._pg_fence_seq()
+        else:
+            conn = _connect(self._url)
+            try:
+                row = conn.execute(
+                    f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
+                ).fetchone()
+            finally:
+                conn.close()
+            true_max = int(row[0])
         if self._last_end is not None:
             true_max = min(true_max, self._last_end + self._max_rows)
-        self._last_end = true_max
-        return {"seq": true_max}
+        self._last_end = max(true_max, self._last_end or 0)
+        return {"seq": self._last_end}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["seq"]), int(end["seq"])
         if hi <= lo:
             return [SeqRange(lo, lo)]
+        if self._backend == "postgres":
+            # row-quantile splits: a sparse post-compaction seq space
+            # still spreads evenly across the executor readers
+            from .outbox_pg import PsqlRunner, pg_plan_balanced_bounds
+
+            bounds = pg_plan_balanced_bounds(
+                PsqlRunner(self._target), lo, hi, self._num_partitions
+            )
+            if not bounds:
+                return [SeqRange(lo, lo)]
+            return [SeqRange(b_lo, b_hi) for b_lo, b_hi in bounds]
         n = min(self._num_partitions, hi - lo)
         step = (hi - lo + n - 1) // n
         return [
@@ -103,6 +165,9 @@ class OutboxStreamReader(DataSourceStreamReader):
 
     def read(self, partition: SeqRange):
         if partition.hi <= partition.lo:
+            return
+        if self._backend == "postgres":
+            yield from self._read_pg(partition)
             return
         from datetime import datetime
 
@@ -129,6 +194,52 @@ class OutboxStreamReader(DataSourceStreamReader):
                 )
         finally:
             conn.close()
+
+    def _read_pg(self, partition: SeqRange):
+        """One bounded `psql --csv` read per partition, ON the executor
+        this partition was scheduled to (the reader is pickled there) —
+        rows never pass through the driver. Safe because the offset
+        range was fenced at planning time: every seq <= hi is final, so
+        this late-running read sees exactly the planned row set."""
+        import csv as _csv
+        import io as _io
+        import subprocess as _sp
+
+        from .outbox_pg import _NULL, _parse_pg_ts
+        from .outbox import OUTBOX_TABLE
+
+        proc = _sp.run(
+            ["psql", self._target, "-X", "-q", "-v", "ON_ERROR_STOP=1",
+             "--csv", "-P", f"null={_NULL}", "-c",
+             f"SELECT seq, ts, schema_name, table_name, op, id, "
+             f"payload::text AS payload_json, "
+             f"previous::text AS previous_json "
+             f"FROM {OUTBOX_TABLE} "
+             f"WHERE seq > {int(partition.lo)} AND seq <= {int(partition.hi)} "
+             f"ORDER BY seq"],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"pqstream_outbox pg read failed for range "
+                f"({partition.lo}, {partition.hi}]: {proc.stderr.strip()}"
+            )
+        rows = list(_csv.reader(_io.StringIO(proc.stdout)))
+        if len(rows) <= 1:
+            return
+        header = rows[0]
+        for data in rows[1:]:
+            r = {k: (None if v == _NULL else v) for k, v in zip(header, data)}
+            yield (
+                int(r["seq"]),
+                _parse_pg_ts(r["ts"]),
+                r["schema_name"],
+                r["table_name"],
+                r["op"],
+                r["id"],
+                r["payload_json"],
+                r["previous_json"],
+            )
 
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; the outbox is append-only

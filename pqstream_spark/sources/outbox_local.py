@@ -45,7 +45,7 @@ CREATE TABLE IF NOT EXISTS {LOCAL_OUTBOX_TABLE} (
   ts          TEXT NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ', 'now')),
   schema_name TEXT NOT NULL DEFAULT 'main',
   table_name  TEXT NOT NULL,
-  op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),
+  op          TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE')),
   id          TEXT,
   payload     TEXT,
   previous    TEXT

@@ -52,8 +52,10 @@ from datetime import datetime, timezone
 from .outbox import (
     CREATE_OUTBOX_SQL,
     DISCOVER_TABLES_SQL,
+    MIGRATE_OUTBOX_OP_CHECK_SQL,
     OUTBOX_TABLE,
     TRIGGER_FUNCTION_SQL,
+    TRUNCATE_TRIGGER_FUNCTION_SQL,
     _check_ident,
     filter_tables,
     install_trigger_sql,
@@ -276,14 +278,40 @@ class PgCaptureManager:
         names = [r["table_name"] for r in rows]
         return filter_tables(names, self.table_regexp)
 
+    def _verify_outbox_json_type(self) -> None:
+        """ADVICE r7: CREATE TABLE IF NOT EXISTS will not retype an
+        outbox created by an earlier jsonb DDL generation, and jsonb's
+        key-reordered re-spaced rendering silently defeats the
+        row_to_json byte-parity the json type exists for — so a legacy
+        jsonb outbox must fail LOUDLY, not capture quietly wrong."""
+        rows = self.runner.query_csv(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{OUTBOX_TABLE}' "
+            "AND column_name IN ('payload', 'previous')"
+        )
+        bad = [r["column_name"] for r in rows if r["data_type"] != "json"]
+        if bad:
+            raise RuntimeError(
+                f"legacy {OUTBOX_TABLE} has {'/'.join(sorted(bad))} typed "
+                "jsonb (re-ordered rendering breaks row_to_json parity); "
+                f"migrate with: ALTER TABLE {OUTBOX_TABLE} ALTER COLUMN "
+                "payload TYPE json USING payload::text::json (and likewise "
+                "previous), or drop and reinstall"
+            )
+
     def install(self) -> list[str]:
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
-        stmts = ["BEGIN", CREATE_OUTBOX_SQL, TRIGGER_FUNCTION_SQL]
+        stmts = ["BEGIN", CREATE_OUTBOX_SQL]
+        # legacy outboxes: refresh the op CHECK to the full proto
+        # domain (TRUNCATE, round 8) — in the same transaction
+        stmts += MIGRATE_OUTBOX_OP_CHECK_SQL
+        stmts += [TRIGGER_FUNCTION_SQL, TRUNCATE_TRIGGER_FUNCTION_SQL]
         stmts += [install_trigger_sql(t) for t in tables]
         stmts.append("COMMIT")
         self.runner.sql(";\n".join(stmts) + ";")
+        self._verify_outbox_json_type()
         return tables
 
     def remove(self) -> list[str]:
@@ -303,6 +331,140 @@ def _parse_pg_ts(ts: str) -> datetime:
     return dt
 
 
+OUTBOX_SEQ_SEQUENCE = f"{OUTBOX_TABLE}_seq_seq"
+
+
+class PgSeqFence:
+    """Concurrent-writer fence for the seq watermark (round-8 lead fix).
+
+    The race: `seq BIGSERIAL` values are claimed by nextval INSIDE the
+    writing transaction, so seq order != commit order. Writer A claims
+    seq 100 and stalls; writer B claims 101 and commits; a naive poller
+    sees MAX(seq)=101, durably advances last_seq=101, and when A
+    finally commits its seq-100 row sits below the watermark forever —
+    silent permanent loss, precisely in the concurrent-producer
+    deployments the outbox backend exists for (the reference's NOTIFY
+    has no such race: notifications are delivered at commit, in commit
+    order, server.go:258-281).
+
+    A row-level xmin filter alone is NOT airtight: xid order is
+    first-write order while seq order is nextval order, and one
+    transaction can claim several seqs over its lifetime — an older-xid
+    transaction can claim a LATER seq than a younger in-flight one, so
+    "row's xmin precedes every in-flight xid" does not imply "no
+    in-flight transaction holds a lower seq". The fence therefore
+    bounds the WATERMARK, not row visibility:
+
+    1. Read the outbox sequence's `last_value` → `claimed`, the highest
+       seq any transaction has claimed so far (sequences are
+       non-transactional and cross-session visible; the table is
+       created with the default CACHE 1, so `last_value` never
+       over-reports by a session-local cache block).
+    2. THEN capture `pg_current_snapshot()` and keep its xmax (first
+       unassigned xid). Every claimer of a seq <= `claimed` already has
+       its xid (< xmax): in the capture architecture the claim happens
+       in an AFTER trigger, strictly after the user-table heap write
+       assigned the xid. (Direct outbox INSERTs narrow this to the
+       sub-statement window between default evaluation and heap write —
+       not a product path.) The two reads are separate sequential psql
+       invocations, so the claimed-read completes strictly before the
+       snapshot exists.
+    3. A pending fence (claimed, xmax) becomes SAFE once a later
+       snapshot's xmin >= xmax: every xid below xmax has finished, so
+       every seq <= claimed is final — its row is either visible
+       (committed) or a permanent gap (aborted). The watermark may then
+       pass `claimed` without ever losing a late commit.
+
+    With no transactions in flight (xmin == xmax) a fence drains in the
+    same poll that captured it — the serial-writer fast path costs zero
+    extra latency. Under concurrency, availability degrades instead of
+    correctness: the batch ceiling lags by at most one poll plus the
+    longest transaction open at capture time.
+    """
+
+    def __init__(self, runner: PsqlRunner) -> None:
+        self.runner = runner
+        self._safe_seq = 0
+        # pending (claimed_seq, snapshot_xmax) fences, oldest first
+        self._fences: list[tuple[int, int]] = []
+
+    def safe_seq(self, wait: float = 0.0) -> int:
+        """Returns the highest seq that is FINAL (no in-flight
+        transaction can ever commit a row at or below it). Monotone
+        non-decreasing across calls.
+
+        `wait` > 0: keep re-polling (50 ms cadence) until the claimed
+        ceiling observed by the FIRST round becomes final or the wait
+        expires — so a poll issued right after serial writes committed
+        never returns an artificially empty batch just because an
+        unrelated short transaction was in flight at snapshot time
+        (`--once` drains would otherwise exit early). A transaction
+        that stays open past the wait degrades availability only: rows
+        above the fence are simply left for a later poll."""
+        target = self._round()
+        deadline = time.time() + wait
+        while self._safe_seq < target and time.time() < deadline:
+            time.sleep(0.05)
+            self._round()
+        return self._safe_seq
+
+    def _round(self) -> int:
+        """One fence round; returns the claimed ceiling it observed."""
+        # ordering matters: claimed BEFORE snapshot (see class docstring
+        # step 2) — two sequential subprocess round trips guarantee it
+        row = self.runner.query_csv(
+            f"SELECT last_value, is_called FROM {OUTBOX_SEQ_SEQUENCE}"
+        )[0]
+        claimed = int(row["last_value"])
+        if row["is_called"] in ("f", "false"):
+            claimed -= 1  # fresh sequence: last_value=start, nothing claimed
+        snap = self.runner.query_csv(
+            "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint AS sxmin, "
+            "pg_snapshot_xmax(pg_current_snapshot())::text::bigint AS sxmax"
+        )[0]
+        cur_xmin, cur_xmax = int(snap["sxmin"]), int(snap["sxmax"])
+        pending: list[tuple[int, int]] = []
+        for v, xmax in self._fences + [(claimed, cur_xmax)]:
+            if xmax <= cur_xmin:  # every xid < xmax has finished
+                self._safe_seq = max(self._safe_seq, v)
+            else:
+                pending.append((v, xmax))
+        # keep only fences that can still raise the bar; the newest few
+        # suffice (the list is monotone in both components)
+        self._fences = [f for f in pending if f[0] > self._safe_seq][-8:]
+        return claimed
+
+
+def pg_plan_balanced_bounds(
+    runner: PsqlRunner, lo: int, hi: int, num_partitions: int
+) -> list[tuple[int, int]]:
+    """Row-balanced sub-ranges of (lo, hi] for the parallel drain.
+
+    Equal seq-VALUE slices degrade to serial when the seq space is
+    sparse and lopsided (post-compaction, consumer-offset skew): one
+    reader takes nearly all rows while N-1 read zeros. This plans the
+    splits from actual row quantiles instead — one bounded window
+    query (`ntile(N) OVER (ORDER BY seq)` min/max per tile, scanning
+    only the batch window, which max_rows already caps) — so each psql
+    reader gets within one row of an equal share regardless of gaps.
+    Returns contiguous disjoint (range_lo, range_hi] bounds covering
+    every row in (lo, hi]; empty list when the window has no rows."""
+    n = max(1, int(num_partitions))
+    tiles = runner.query_csv(
+        f"SELECT MAX(seq) AS tile_hi FROM ("
+        f"  SELECT seq, ntile({n}) OVER (ORDER BY seq) AS tile"
+        f"  FROM {OUTBOX_TABLE} WHERE seq > {int(lo)} AND seq <= {int(hi)}"
+        f") s GROUP BY tile ORDER BY tile"
+    )
+    bounds: list[tuple[int, int]] = []
+    prev = int(lo)
+    for t in tiles:
+        tile_hi = int(t["tile_hi"])
+        bounds.append((prev, tile_hi))
+        prev = tile_hi
+    return bounds
+
+
 @dataclass
 class PgOutboxPoller:
     """Bounded incremental reads of the live-PG outbox via psql CSV.
@@ -315,17 +477,36 @@ class PgOutboxPoller:
     (at-least-once), and the seq-named idempotent sink collapses the
     replay to exactly-once effect. The batch is bounded by max_rows, so
     the driver-side CSV materialization is capped by construction; the
-    unbounded-scale path is the JDBC OutboxPoller."""
+    unbounded-scale path is the JDBC OutboxPoller.
+
+    Concurrent writers: every batch's upper bound comes from PgSeqFence
+    — the watermark never passes a seq a still-open transaction could
+    commit below (seq order != commit order; see the fence docstring),
+    so at-least-once holds under arbitrarily many interleaved writers,
+    not just the serial case. `fence_wait` bounds how long a poll waits
+    for in-flight transactions to drain before settling for the current
+    safe ceiling."""
 
     runner: PsqlRunner
     max_rows: int = 100_000
     last_seq: int = 0
     consumer: str | None = None
+    fence_wait: float = 2.0
     _pending_hi: int | None = field(default=None, repr=False)
+    _fence: "PgSeqFence | None" = field(default=None, repr=False)
+
+    def _safe_hi(self) -> int:
+        """Fenced upper bound for the next batch: at most max_rows past
+        last_seq, never past the finality fence."""
+        if self._fence is None:
+            self._fence = PgSeqFence(self.runner)
+        safe = self._fence.safe_seq(wait=self.fence_wait)
+        return min(self.last_seq + self.max_rows, max(safe, self.last_seq))
 
     @classmethod
     def open_durable(
-        cls, runner: PsqlRunner, consumer: str = "daemon", max_rows: int = 100_000
+        cls, runner: PsqlRunner, consumer: str = "daemon",
+        max_rows: int = 100_000, fence_wait: float = 2.0,
     ) -> "PgOutboxPoller":
         runner.sql(
             f"CREATE TABLE IF NOT EXISTS {PG_OFFSET_TABLE} ("
@@ -344,10 +525,14 @@ class PgOutboxPoller:
             f"WHERE consumer = {_quote_lit(consumer)}"
         )
         return cls(runner, max_rows=max_rows, last_seq=int(last or 0),
-                   consumer=consumer)
+                   consumer=consumer, fence_wait=fence_wait)
 
     def read_batch(self, spark):
-        lo, hi = self.last_seq, self.last_seq + self.max_rows
+        lo = self.last_seq
+        hi = self._safe_hi()
+        if hi <= lo:
+            self._pending_hi = None
+            return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
         rows = self.runner.query_csv(
             f"SELECT seq, ts, schema_name, table_name, op, id, "
             f"payload::text AS payload_json, previous::text AS previous_json "
@@ -367,32 +552,34 @@ class PgOutboxPoller:
             )
             for r in rows
         ]
-        self._pending_hi = data[-1][0] if data else None
+        # advance to the FENCE, not the max row read: every seq <= hi is
+        # final, so gaps below it are aborted transactions — passing
+        # them is safe and avoids re-scanning abort gaps forever
+        self._pending_hi = hi
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
 
     def read_batch_distributed(self, spark, num_partitions: int = 8):
-        """Same (last_seq, last_seq + max_rows] batch contract, but the
-        rows flow through `pg_read_outbox_distributed` — N psql
-        sub-range reads on executors, zero driver materialization.
-        The high-water mark for advance() comes from one scalar MAX
-        query (the only driver-side round trip), and the distributed
-        read's upper bound IS that snapshot: the lazy executor read
-        runs later than the MAX, so bounding it at `top` (a) keeps
-        rows committed in between OUT of this batch — they would
-        exceed _pending_hi and be re-emitted next poll under a second
-        seq-range filename, breaking the seq-named sink's idempotent
-        replay — and (b) splits the sub-ranges over the ACTUAL data
-        extent instead of the max_rows window, so a small backlog
-        still spreads across the N readers."""
+        """Same fenced batch contract, but the rows flow through
+        `pg_read_outbox_distributed` — N psql sub-range reads on
+        executors, zero driver materialization. The fence gives the
+        batch a STABLE upper bound: every seq <= it is final, so the
+        lazy executor read (which runs later than this planning call)
+        sees exactly the planned row set — a row committing in between
+        necessarily lands above the fence and waits for the next poll,
+        which keeps the seq-named sink's replay idempotent. Sub-ranges
+        are planned from row quantiles (pg_plan_balanced_bounds), so a
+        sparse post-compaction seq space still spreads evenly across
+        the N readers instead of degrading to serial."""
         lo = self.last_seq
-        top = self.runner.scalar(
-            f"SELECT MAX(seq) FROM {OUTBOX_TABLE} "
-            f"WHERE seq > {int(lo)} AND seq <= {int(lo + self.max_rows)}"
-        )
-        self._pending_hi = int(top) if top is not None else None
-        hi = self._pending_hi if self._pending_hi is not None else lo
+        hi = self._safe_hi()
+        if hi <= lo:
+            self._pending_hi = None
+            return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
+        bounds = pg_plan_balanced_bounds(self.runner, lo, hi, num_partitions)
+        self._pending_hi = hi
         return pg_read_outbox_distributed(
-            spark, self.runner.conninfo, lo, hi, num_partitions
+            spark, self.runner.conninfo, lo, hi, num_partitions,
+            bounds=bounds,
         )
 
     def _persist(self) -> None:
@@ -489,7 +676,17 @@ def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None
     return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
 
 
-def pg_outbox_high_water(runner: PsqlRunner) -> int:
+def pg_outbox_high_water(runner: PsqlRunner, fenced: bool = True,
+                         fence_wait: float = 2.0) -> int:
+    """Outbox high-water mark for the bootstrap switchover. `fenced`
+    (default) returns PgSeqFence's safe ceiling instead of the visible
+    MAX(seq): rewinding the poller to a seq an in-flight transaction
+    could still commit below would skip that row forever (the same
+    concurrent-writer race the poller fences). A fenced mark can only
+    DOUBLE-deliver rows also caught by the snapshot, which the
+    at-least-once contract and downstream seq-dedup already absorb."""
+    if fenced:
+        return PgSeqFence(runner).safe_seq(wait=fence_wait)
     return int(runner.scalar(f"SELECT COALESCE(MAX(seq), 0) FROM {OUTBOX_TABLE}") or 0)
 
 
@@ -548,13 +745,36 @@ $$ LANGUAGE plpgsql
 """.strip()
 
 
+# TRUNCATE on the NOTIFY wire: statement-level, one envelope per
+# truncated table. Shape matches the reference's tier-2 degraded
+# envelope (op + idents + id, nothing row-scoped — there is no row),
+# with id null; op is the proto's Operation.TRUNCATE=4 name the
+# reference's row-level trigger can never emit (queries.go:58-60).
+NOTIFY_TRUNCATE_FUNCTION_SQL = """
+CREATE OR REPLACE FUNCTION pqstream_notify_truncate() RETURNS TRIGGER AS $$
+BEGIN
+  PERFORM pg_notify('pqstream_notify', json_build_object(
+      'schema', TG_TABLE_SCHEMA,
+      'table', TG_TABLE_NAME,
+      'op', TG_OP,
+      'id', NULL)::text);
+  RETURN NULL;
+END;
+$$ LANGUAGE plpgsql
+""".strip()
+
+
 def install_notify_trigger_sql(table: str) -> str:
     t = _check_ident(table)
     return (
         f'DROP TRIGGER IF EXISTS pqstream_notify_parity ON "{t}"; '
         f'CREATE TRIGGER pqstream_notify_parity '
         f'AFTER INSERT OR UPDATE OR DELETE ON "{t}" '
-        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_notify_parity()"
+        f"FOR EACH ROW EXECUTE PROCEDURE pqstream_notify_parity(); "
+        f'DROP TRIGGER IF EXISTS pqstream_notify_truncate ON "{t}"; '
+        f'CREATE TRIGGER pqstream_notify_truncate '
+        f'AFTER TRUNCATE ON "{t}" '
+        f"FOR EACH STATEMENT EXECUTE PROCEDURE pqstream_notify_truncate()"
     )
 
 
@@ -622,7 +842,10 @@ def pg_fetch_row_by_id(
 
 def remove_notify_trigger_sql(table: str) -> str:
     t = _check_ident(table)
-    return f'DROP TRIGGER IF EXISTS pqstream_notify_parity ON "{t}"'
+    return (
+        f'DROP TRIGGER IF EXISTS pqstream_notify_parity ON "{t}"; '
+        f'DROP TRIGGER IF EXISTS pqstream_notify_truncate ON "{t}"'
+    )
 
 
 class PgNotifyCaptureManager:
@@ -645,7 +868,8 @@ class PgNotifyCaptureManager:
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
-        stmts = ["BEGIN", NOTIFY_TRIGGER_FUNCTION_SQL]
+        stmts = ["BEGIN", NOTIFY_TRIGGER_FUNCTION_SQL,
+                 NOTIFY_TRUNCATE_FUNCTION_SQL]
         stmts += [install_notify_trigger_sql(t) for t in tables]
         stmts.append("COMMIT")
         self.runner.sql(";\n".join(stmts) + ";")
@@ -666,6 +890,7 @@ def pg_read_outbox_distributed(
     lo: int,
     hi: int,
     num_partitions: int = 8,
+    bounds: list[tuple[int, int]] | None = None,
 ):
     """EXECUTOR-SIDE partitioned outbox read — the scale path the
     driver-side poller caps out of (`tools/bench_pg.py` measured the
@@ -691,19 +916,26 @@ def pg_read_outbox_distributed(
     - N concurrent psql sessions hit the server; size num_partitions
       to the server's connection budget, not the cluster's core count.
 
+    `bounds`: explicit contiguous (range_lo, range_hi] sub-ranges
+    (e.g. row-balanced quantile splits from pg_plan_balanced_bounds);
+    default is equal seq-value slices of (lo, hi].
+
     Returns a DataFrame with OUTBOX_BATCH_SCHEMA. Result is
     row-identical to PgOutboxPoller.read_batch over the same range
     (pinned by test)."""
     if hi <= lo:
         return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
-    num_partitions = max(1, int(num_partitions))
-    span = hi - lo
-    step = (span + num_partitions - 1) // num_partitions
-    bounds = [
-        (lo + i * step, min(lo + (i + 1) * step, hi))
-        for i in range(num_partitions)
-        if lo + i * step < hi
-    ]
+    if bounds is None:
+        num_partitions = max(1, int(num_partitions))
+        span = hi - lo
+        step = (span + num_partitions - 1) // num_partitions
+        bounds = [
+            (lo + i * step, min(lo + (i + 1) * step, hi))
+            for i in range(num_partitions)
+            if lo + i * step < hi
+        ]
+    if not bounds:
+        return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
     bounds_df = spark.createDataFrame(
         bounds, "range_lo LONG, range_hi LONG"
     ).repartition(len(bounds))

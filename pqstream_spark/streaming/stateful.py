@@ -159,6 +159,7 @@ def curate_ingest(
     emit,
     checkpoint_dir: str | None = None,
     lm_max_cost_mnats: int | None = None,
+    lm_tables_dir: str | None = None,
 ):
     """Ingest-time curation gate — the streaming door of a training-data
     pipeline: each micro-batch of incoming (doc_id, lang, text)
@@ -188,6 +189,11 @@ def curate_ingest(
     streaming state — the same architecture as the band index; docs
     with no bigrams pass (no evidence either way).
 
+    `lm_tables_dir`: score against a PERSISTED corpus LM
+    (save_corpus_lm / `curate --lm-train`) instead of training from
+    `corpus` at gate setup — the full train-once/score-many CCNet
+    deployment; the n-gram order travels with the artifact.
+
     Returns the started StreamingQuery."""
     import uuid as _uuid
 
@@ -202,18 +208,31 @@ def curate_ingest(
 
     corpus_bands = _band_rows(_minhash_signatures(corpus), "corpus_doc_id")
     lm_tables = None
+    lm_order = 2
     if lm_max_cost_mnats is not None:
-        bgc0, uni0, vsz0 = corpus_lm_tables(corpus)
-        # materialize ONCE at gate setup: left lazy, every micro-batch
-        # would re-tokenize the whole corpus and re-run both global
-        # aggregations — gate latency must track batch size, not
-        # corpus size (at 100 TB: persist these bucketed by `b`, see
-        # DEPLOY §3)
-        lm_tables = (
-            bgc0.localCheckpoint(eager=True),
-            uni0.localCheckpoint(eager=True),
-            vsz0,
-        )
+        if lm_tables_dir is not None:
+            # persisted reference LM (save_corpus_lm / curate
+            # --lm-train): parquet-backed tables ARE the materialized
+            # form — train-once/score-many, no per-gate retraining,
+            # and the order travels with the artifact
+            from ..queries.llm import load_corpus_lm
+
+            bgc0, uni0, vsz0, lm_order = load_corpus_lm(
+                doc_stream.sparkSession, lm_tables_dir
+            )
+            lm_tables = (bgc0, uni0, vsz0)
+        else:
+            bgc0, uni0, vsz0 = corpus_lm_tables(corpus)
+            # materialize ONCE at gate setup: left lazy, every
+            # micro-batch would re-tokenize the whole corpus and re-run
+            # both global aggregations — gate latency must track batch
+            # size, not corpus size (at 100 TB: persist these bucketed
+            # by `b`, see DEPLOY §3)
+            lm_tables = (
+                bgc0.localCheckpoint(eager=True),
+                uni0.localCheckpoint(eager=True),
+                vsz0,
+            )
     view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
@@ -241,7 +260,8 @@ def curate_ingest(
                 # one score row per doc_id even if a producer file
                 # carries duplicate ids — the join must not fan out
                 lm_scores = score_against_corpus_lm(
-                    batch_df.dropDuplicates(["doc_id"]), bgc, uni, vsz
+                    batch_df.dropDuplicates(["doc_id"]), bgc, uni, vsz,
+                    n=lm_order,
                 ).select("doc_id", "lm_bigrams", "lm_avg_cost_mnats",
                          "lm_ppl")
                 kept = kept.join(lm_scores, "doc_id", "left").withColumn(

@@ -375,6 +375,102 @@ def test_lm_cap_duplicate_texts_accounting(spark, tmp_path):
     assert stats["kept"] + sum(stats["rejected"].values()) == 23
 
 
+def test_lm_train_then_score_from_disk(spark, tmp_path):
+    """Round-8 ask #4, CLI e2e: `--lm-train DIR` persists the corpus LM
+    once; `--lm-cap --lm-tables DIR` then scores a DIFFERENT input
+    against the persisted artifact without retraining — and on the SAME
+    input the persisted-LM scores are value-identical to the in-run
+    trained path (self-scoring parity preserved through the disk round
+    trip)."""
+    import io
+    import json
+    import os
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text"
+    )
+    # alien transitions anchored on a HIGH-frequency reference token
+    # ("scan", prefix count ~984 at sf0.001): each scan→zqNNN costs
+    # ln(c_scan + V) ≈ 6.9e6 mnats against the reference LM — far
+    # above the corpus's own max (~3.6e6). Pure-unique garbage is NOT
+    # enough here: trained without the planted doc the vocab stays
+    # tiny (V≈31), so fully-unseen transitions cost only ln(V) ≈
+    # 3.43e6, INSIDE the corpus range.
+    planted = spark.createDataFrame(
+        [(700001, "en", " ".join(f"scan zq{i:03d}" for i in range(50)))],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    corpus_in = str(tmp_path / "corpus.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(corpus_in)
+    scored_in = str(tmp_path / "scored.parquet")
+    docs.unionAll(planted).coalesce(1).write.mode("overwrite").parquet(scored_in)
+    lm_dir = str(tmp_path / "lm")
+
+    # train once
+    buf = io.StringIO()
+    rc = main(["--documents", corpus_in, "--lm-train", lm_dir], out=buf)
+    assert rc == 0
+    train_stats = json.loads(buf.getvalue())
+    assert train_stats["n"] == 2 and train_stats["vocab_size"] > 0
+    assert os.path.exists(os.path.join(lm_dir, "meta.json"))
+    assert train_stats["ngrams"] > 0 and train_stats["prefixes"] > 0
+
+    # score many: a different input, persisted reference LM — the
+    # alien doc (transitions the REFERENCE corpus never saw) rejects
+    out_dir = str(tmp_path / "curated_disk")
+    buf = io.StringIO()
+    rc = main(["--documents", scored_in, "--out", out_dir,
+               "--lm-cap", "3950000", "--lm-tables", lm_dir], out=buf)
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["kept"] + sum(stats["rejected"].values()) == stats["docs"]
+    assert stats["rejected"].get("lm_perplexity", 0) >= 1
+    audit = spark.read.parquet(os.path.join(out_dir, "audit"))
+    row = audit.filter("doc_id = 700001").collect()[0]
+    assert not row["lm_ok"] and row["lm_avg_cost_mnats"] > 3_950_000
+
+    # parity: same input, trained-in-run vs loaded-from-disk — scores
+    # must match value-for-value (the disk round trip adds nothing)
+    out_a = str(tmp_path / "par_a")
+    out_b = str(tmp_path / "par_b")
+    lm_dir2 = str(tmp_path / "lm2")
+    assert main(["--documents", scored_in, "--lm-train", lm_dir2],
+                out=io.StringIO()) == 0
+    assert main(["--documents", scored_in, "--out", out_a,
+                 "--lm-cap", "3950000"], out=io.StringIO()) == 0
+    assert main(["--documents", scored_in, "--out", out_b,
+                 "--lm-cap", "3950000", "--lm-tables", lm_dir2],
+                out=io.StringIO()) == 0
+    a = {
+        r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+        for r in spark.read.parquet(os.path.join(out_a, "audit")).collect()
+    }
+    b = {
+        r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+        for r in spark.read.parquet(os.path.join(out_b, "audit")).collect()
+    }
+    assert a == b, "persisted-LM scores must equal in-run-trained scores"
+
+
+def test_lm_train_flag_validation(tmp_path):
+    """--lm-tables without --lm-cap and --lm-train with --stream /
+    --lm-tables fail loudly (exit 2) — no silent no-ops."""
+    from pqstream_spark.curate import main
+
+    assert main(["--documents", "x", "--out", "/tmp/nope",
+                 "--lm-tables", "/tmp/lm"]) == 2
+    assert main(["--documents", "x", "--out", "/tmp/nope",
+                 "--stream", "--lm-train", "/tmp/lm"]) == 2
+    assert main(["--documents", "x", "--out", "/tmp/nope",
+                 "--lm-cap", "1", "--lm-train", "/tmp/lm",
+                 "--lm-tables", "/tmp/lm"]) == 2
+    assert main(["--documents", "x", "--lm-train", "/tmp/lm",
+                 "--lm-order", "1"]) == 2
+
+
 def test_lm_order_trigram_cli(spark, tmp_path):
     """--lm-order 3 runs the trigram in-corpus LM end-to-end: the
     unique-transition alien doc is still the outlier (trigram contexts

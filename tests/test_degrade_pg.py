@@ -32,6 +32,7 @@ from pqstream_spark.operators.degrade import _envelope_text, degrade_payload
 from pqstream_spark.sources.outbox_pg import (
     EphemeralPostgres,
     NOTIFY_TRIGGER_FUNCTION_SQL,
+    NOTIFY_TRUNCATE_FUNCTION_SQL,
     PgCaptureManager,
     PgOutboxPoller,
     capture_notifications,
@@ -64,6 +65,7 @@ def _db_with_both_triggers(pg, name):
     r.sql(NOTES_DDL + ";")
     PgCaptureManager(r, table_regexp="notes").install()
     r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+    r.sql(NOTIFY_TRUNCATE_FUNCTION_SQL + ";")
     r.sql(install_notify_trigger_sql("notes") + ";")
     return r
 

@@ -182,6 +182,77 @@ def test_curate_ingest_lm_gate(spark, tmp_path):
     assert rows[2]["lm_avg_cost_mnats"] > rows[1]["lm_avg_cost_mnats"]
 
 
+def test_corpus_lm_save_load_round_trip(spark, tmp_path):
+    """save_corpus_lm → load_corpus_lm preserves tables, order and
+    vocab exactly; scoring through the disk round trip is
+    value-identical to scoring the in-memory tables; a non-artifact
+    directory and a wrong-columns artifact are rejected loudly."""
+    import pytest as _pytest
+
+    from pqstream_spark.queries.llm import (
+        corpus_lm_tables,
+        load_corpus_lm,
+        save_corpus_lm,
+        score_against_corpus_lm,
+    )
+    from pqstream_spark.sources.tables import load_table
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    bgc, uni, vsz = corpus_lm_tables(corpus, n=3)
+    lm_dir = str(tmp_path / "lm3")
+    save_corpus_lm(lm_dir, bgc, uni, vsz, n=3)
+    bgc2, uni2, vsz2, n2 = load_corpus_lm(spark, lm_dir)
+    assert (vsz2, n2) == (vsz, 3)
+    assert sorted(map(tuple, bgc.collect())) == sorted(map(tuple, bgc2.collect()))
+    assert sorted(map(tuple, uni.collect())) == sorted(map(tuple, uni2.collect()))
+
+    mem = {r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+           for r in score_against_corpus_lm(corpus, bgc, uni, vsz, n=3).collect()}
+    dsk = {r["doc_id"]: (r["lm_bigrams"], r["lm_avg_cost_mnats"])
+           for r in score_against_corpus_lm(corpus, bgc2, uni2, vsz2, n=n2).collect()}
+    assert mem == dsk
+
+    with _pytest.raises(ValueError, match="meta.json"):
+        load_corpus_lm(spark, str(tmp_path))  # no artifact here
+
+
+def test_curate_ingest_lm_gate_from_disk(spark, tmp_path):
+    """Round-8 ask #4, gate half: curate_ingest(lm_tables_dir=...)
+    scores against the PERSISTED reference LM — same admit/reject
+    verdicts as the trained-at-setup gate, no retraining."""
+    from pqstream_spark.queries.llm import corpus_lm_tables, save_corpus_lm
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.stateful import curate_ingest
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    lm_dir = str(tmp_path / "lm")
+    bgc, uni, vsz = corpus_lm_tables(corpus)
+    save_corpus_lm(lm_dir, bgc, uni, vsz, n=2)
+
+    typical = "the a small stream big join data line the batch value merge " * 30
+    alien = "the zzq vvk wjx qqp " * 40
+    incoming = spark.createDataFrame(
+        [(1, "en", typical), (2, "en", alien)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    inc_dir = str(tmp_path / "in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+    got: dict = {}
+
+    def emit(df, epoch):
+        got.setdefault("rows", []).extend(df.collect())
+
+    from tests.test_streaming import drain
+
+    stream = spark.readStream.schema(incoming.schema).parquet(inc_dir)
+    q = curate_ingest(stream, corpus, emit, lm_max_cost_mnats=3_800_000,
+                      lm_tables_dir=lm_dir)
+    drain(q)
+    rows = {r["doc_id"]: r for r in got["rows"]}
+    assert rows[1]["lm_ok"] and rows[1]["admitted"]
+    assert not rows[2]["lm_ok"] and not rows[2]["admitted"]
+
+
 def test_lm_gate_form_stays_narrow(spark):
     """The lm=False form (streaming ingest gate) must not emit LM
     columns and must not reference the lm relations."""

@@ -37,6 +37,46 @@ def test_batch_materialize_latest_wins(spark):
     assert got == expected_live
 
 
+def test_batch_materialize_truncate_is_delete_all(spark):
+    """Round-8 ask #3: a statement-level TRUNCATE event (id NULL)
+    removes every row of its table whose latest event precedes it;
+    rows re-inserted after the TRUNCATE survive; other tables are
+    untouched."""
+    rows = [
+        # table a: two rows, then TRUNCATE at seq 5, then one re-insert
+        ("a", "1", 1, "INSERT", '{"id":1}'),
+        ("a", "2", 2, "INSERT", '{"id":2}'),
+        ("a", "2", 3, "UPDATE", '{"id":2,"v":9}'),
+        ("a", None, 5, "TRUNCATE", None),
+        ("a", "3", 7, "INSERT", '{"id":3}'),
+        # table b: untouched by a's truncate
+        ("b", "1", 4, "INSERT", '{"id":1}'),
+        # table c: truncated with nothing after
+        ("c", "9", 6, "INSERT", '{"id":9}'),
+        ("c", None, 8, "TRUNCATE", None),
+    ]
+    chg = spark.createDataFrame(
+        rows, "table_name string, id string, seq long, op string, "
+        "payload_json string"
+    )
+    got = {
+        (r["table_name"], r["id"]): r["seq"]
+        for r in materialize_current_state(chg).collect()
+    }
+    assert got == {("a", "3"): 7, ("b", "1"): 4}, got
+    # and a changelog with no TRUNCATE is unaffected by the fold's
+    # truncate join (the certified-oracle-entry invariant)
+    no_trunc = chg.filter("op <> 'TRUNCATE'")
+    got2 = {
+        (r["table_name"], r["id"]): r["seq"]
+        for r in materialize_current_state(no_trunc).collect()
+    }
+    assert got2 == {
+        ("a", "1"): 1, ("a", "2"): 3, ("a", "3"): 7,
+        ("b", "1"): 4, ("c", "9"): 6,
+    }
+
+
 def test_stream_delete_tombstone_blocks_replay(spark, tmp_path):
     """At-least-once replay: a pre-DELETE event redelivered in a LATER
     micro-batch must not resurrect the deleted row — the state keeps a

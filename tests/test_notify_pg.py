@@ -25,6 +25,7 @@ from pqstream_spark.sources.notify_pg import (
 )
 from pqstream_spark.sources.outbox_pg import (
     NOTIFY_TRIGGER_FUNCTION_SQL,
+    NOTIFY_TRUNCATE_FUNCTION_SQL,
     PgCaptureManager,
     install_notify_trigger_sql,
     pg_available,
@@ -54,6 +55,7 @@ def _notify_db(pg, name):
     r = pg.createdb(name)
     r.sql(NOTES_DDL + ";")
     r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+    r.sql(NOTIFY_TRUNCATE_FUNCTION_SQL + ";")
     r.sql(install_notify_trigger_sql("notes") + ";")
     return r
 
@@ -134,6 +136,41 @@ def test_at_most_once_semantics_pinned(pg, spark):
     # the outbox captured all three — the durable upgrade, side by side
     n = r.scalar("SELECT count(*) FROM pqstream_outbox")
     assert n == "3"
+
+
+def test_commit_order_delivery_under_concurrent_writers(pg, spark):
+    """Round-8 ask #7: NOTIFY is delivered at COMMIT, in commit order —
+    the reference's implicit guarantee (one commit-ordered notification
+    stream, server.go:258-281). Writer A inserts FIRST but commits
+    LAST; the wire must carry B's event before A's, and the listener's
+    synthetic session seqs must stay monotone in that arrival order.
+    (Contrast: the outbox orders by BIGSERIAL claim order — the exact
+    divergence the poller's PgSeqFence exists to make safe.)"""
+    import json
+
+    from tests.test_outbox_pg import TxnSession
+
+    r = _notify_db(pg, "n_commit_order")
+    with NotifyListener(pg.conninfo("n_commit_order")) as lis:
+        a = TxnSession(pg.conninfo("n_commit_order"))
+        try:
+            a.run("BEGIN;\nINSERT INTO notes VALUES "
+                  "(1, now(), 'first started');")
+            r.sql("INSERT INTO notes VALUES (2, now(), 'first committed');")
+            got = lis.poll(timeout=10.0)
+            # only B's event is on the wire while A's txn is open
+            assert len(got) == 1
+            assert json.loads(got[0])["payload"]["id"] == 2
+            a.run("COMMIT;")
+            got2 = lis.poll(timeout=10.0)
+            assert len(got2) == 1
+            assert json.loads(got2[0])["payload"]["id"] == 1
+        finally:
+            a.close()
+        # synthetic seqs: monotone in ARRIVAL (commit) order
+        df = lis.batch_df(spark, got + got2)
+        rows = sorted(df.collect(), key=lambda x: x.seq)
+        assert [x.id for x in rows] == ["2", "1"]
 
 
 def test_degraded_envelope_fallback_reenrichment(pg, spark):
@@ -315,6 +352,7 @@ def test_fetch_row_by_id_text_primary_key(pg):
     r = pg.createdb("n_textid")
     r.sql("CREATE TABLE t2 (id text, note text);")
     r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+    r.sql(NOTIFY_TRUNCATE_FUNCTION_SQL + ";")
     r.sql(install_notify_trigger_sql("t2") + ";")
     big = "y" * 8100
     with NotifyListener(pg.conninfo("n_textid")) as lis:

@@ -1,0 +1,236 @@
+"""The pqstream_outbox DataSource on LIVE PostgreSQL (round-8 ask #2):
+`readStream.format("pqstream_outbox").option("url", "postgres:...")`
+runs the changelog through engine-managed checkpointed offsets — the
+SURVEY §3.4 S5 mapping (checkpointed readStream replacing the
+reference's LISTEN loop, server.go:258-281) completed for the real
+database. Offsets are fenced (PgSeqFence), partition reads are
+executor-side psql, and crash recovery is exercised with a genuine
+SIGKILL of the whole streaming-query process."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from pqstream_spark.sources.outbox_pg import (
+    EphemeralPostgres,
+    PgCaptureManager,
+    pg_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not pg_available(), reason="PostgreSQL server binaries not installed"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NOTES_DDL = "CREATE TABLE notes (id serial, created_at timestamp, note text)"
+
+
+@pytest.fixture(scope="module")
+def pg():
+    srv = EphemeralPostgres.temp()
+    srv.initdb()
+    srv.start()
+    yield srv
+    srv.destroy()
+
+
+def _fresh_db(pg, name):
+    r = pg.createdb(name)
+    r.sql(NOTES_DDL + ";")
+    PgCaptureManager(r, table_regexp="notes").install()
+    return r
+
+
+def test_pg_stream_reads_live_writes(spark, pg, tmp_path):
+    """readStream on the postgres url: initial backlog plus writes
+    arriving mid-query all surface, exactly once, engine offsets."""
+    from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+
+    r = _fresh_db(pg, "ds_live")
+    spark.dataSource.register(OutboxDataSource)
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 's' || g "
+        "FROM generate_series(1, 6) g;"
+    )
+    stream = (
+        spark.readStream.format("pqstream_outbox")
+        .option("url", f"postgres:{pg.conninfo('ds_live')}")
+        .option("numPartitions", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("outbox_ds_pg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "select seq, op, table_name, payload_json from outbox_ds_pg"
+        ).collect()
+        assert sorted(row.seq for row in first) == list(range(1, 7))
+        assert {row.op for row in first} == {"INSERT"}
+        assert all(row.table_name == "notes" for row in first)
+        assert first[0].payload_json.startswith("{")
+
+        r.sql("UPDATE notes SET note = 'redo' WHERE id = 2;")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select seq, op, previous_json from outbox_ds_pg order by seq"
+        ).collect()
+        assert len(rows) == 7
+        assert rows[-1].op == "UPDATE" and rows[-1].previous_json
+    finally:
+        q.stop()
+
+
+def test_pg_stream_fenced_offsets_under_open_txn(spark, pg, tmp_path):
+    """The checkpointed offset must never pass a seq an open writer
+    could still commit below: with writer A holding seq N open while B
+    commits N+1, the query sees NOTHING until A resolves, then both —
+    in seq order, exactly once (the r7 loss scenario, engine-level)."""
+    from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+    from tests.test_outbox_pg import TxnSession
+
+    r = _fresh_db(pg, "ds_fence")
+    spark.dataSource.register(OutboxDataSource)
+    stream = (
+        spark.readStream.format("pqstream_outbox")
+        .option("url", f"postgres:{pg.conninfo('ds_fence')}")
+        .option("fenceWait", "0.3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("outbox_ds_fence")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    a = TxnSession(pg.conninfo("ds_fence"))
+    try:
+        q.processAllAvailable()
+        a.run("BEGIN;\nINSERT INTO notes VALUES (default, default, 'A');")
+        r.sql("INSERT INTO notes VALUES (default, default, 'B');")
+        q.processAllAvailable()
+        held = spark.sql("select seq from outbox_ds_fence").collect()
+        assert held == [], (
+            f"offset passed an open transaction: {[x.seq for x in held]}"
+        )
+        a.run("COMMIT;")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select seq, payload_json from outbox_ds_fence order by seq"
+        ).collect()
+        assert [row.seq for row in rows] == [1, 2]
+        assert '"note":"A"' in rows[0].payload_json
+        assert '"note":"B"' in rows[1].payload_json
+    finally:
+        a.close()
+        q.stop()
+
+
+_RUNNER = """
+import sys
+conninfo, ckpt, out, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("outbox-ds-crash").getOrCreate())
+from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+spark.dataSource.register(OutboxDataSource)
+q = (spark.readStream.format("pqstream_outbox")
+     .option("url", "postgres:" + conninfo)
+     .option("fenceWait", "0.5")
+     .load()
+     .writeStream.format("parquet")
+     .option("path", out)
+     .option("checkpointLocation", ckpt)
+     .trigger(processingTime="300 milliseconds")
+     .start())
+if mode == "drain":
+    q.processAllAvailable()
+    q.stop()
+    spark.stop()
+else:
+    print("RUNNER_STARTED", flush=True)
+    q.awaitTermination()
+"""
+
+
+def _sink_seqs(spark, out_dir):
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return []
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.parquet(out_dir)
+        return sorted(r.seq for r in df.select("seq").collect())
+    except AnalysisException:
+        # files exist but the sink's _spark_metadata has no committed
+        # batch yet (we may be polling mid-first-commit, or right
+        # after the SIGKILL) — same as "nothing durably written"
+        return []
+
+
+def test_pg_stream_sigkill_checkpoint_recovery(spark, pg, tmp_path):
+    """SIGKILL the whole streaming-query process mid-stream (mirroring
+    the poller-level test_daemon_sigkill_crash_recovery), restart on
+    the same checkpoint: the file sink's exactly-once log + the
+    checkpointed fenced offsets deliver every captured write exactly
+    once, including rows that arrived while the query was dead."""
+    r = _fresh_db(pg, "ds_crash")
+    conninfo = pg.conninfo("ds_crash")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    script = str(tmp_path / "runner.py")
+    with open(script, "w") as f:
+        f.write(_RUNNER.format(repo=REPO))
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'pre' || g "
+        "FROM generate_series(1, 20) g;"
+    )
+    log = open(str(tmp_path / "runner.log"), "ab")
+    proc = subprocess.Popen(
+        [sys.executable, script, conninfo, ckpt, out, "run"],
+        cwd=REPO, stdout=log, stderr=log,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if len(_sink_seqs(spark, out)) >= 20:
+                break
+            if proc.poll() is not None:
+                raise AssertionError("runner died before first drain")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("timed out waiting for first 20 rows")
+    finally:
+        proc.kill()  # SIGKILL — no stop(), no cleanup
+        proc.wait(timeout=30)
+
+    # rows arriving while the query is dead
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'down' || g "
+        "FROM generate_series(21, 35) g;"
+    )
+    rc = subprocess.run(
+        [sys.executable, script, conninfo, ckpt, out, "drain"],
+        cwd=REPO, stdout=log, stderr=log, timeout=300,
+    ).returncode
+    log.close()
+    assert rc == 0
+    seqs = _sink_seqs(spark, out)
+    assert seqs == list(range(1, 36)), (
+        f"lost or duplicated after SIGKILL restart: {seqs}"
+    )

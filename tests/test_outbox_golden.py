@@ -101,9 +101,16 @@ def test_install_remove_trigger_shape():
     assert 'AFTER INSERT OR UPDATE OR DELETE ON "users"' in ins
     assert "FOR EACH ROW EXECUTE PROCEDURE" in ins
     assert ins.startswith('DROP TRIGGER IF EXISTS')  # idempotent reinstall
-    assert remove_trigger_sql("users") == (
+    assert remove_trigger_sql("users").startswith(
         'DROP TRIGGER IF EXISTS pqstream_outbox_trigger ON "users"'
     )
+    # round 8: the statement-level TRUNCATE companion (the reference's
+    # Operation.TRUNCATE=4, pqstream.proto:23, which its row-level
+    # trigger can never fire, queries.go:58-60) installs and removes
+    # alongside the row trigger
+    assert 'AFTER TRUNCATE ON "users"' in ins
+    assert "FOR EACH STATEMENT EXECUTE PROCEDURE pqstream_outbox_truncate()" in ins
+    assert "pqstream_outbox_truncate_trigger" in remove_trigger_sql("users")
     for bad in ("users; DROP TABLE x", 'u"sers', "1users"):
         try:
             install_trigger_sql(bad)
@@ -114,9 +121,14 @@ def test_install_remove_trigger_shape():
 
 def test_outbox_ddl_carries_ordering_and_op_domain():
     """The at-least-once upgrade needs a monotonic seq and the
-    reference's op domain (INSERT/UPDATE/DELETE, queries.go:57)."""
+    reference's FULL proto op domain (pqstream.proto:18-24 —
+    including TRUNCATE, which round 8 made fireable via the
+    statement-level trigger)."""
     assert "seq" in CREATE_OUTBOX_SQL and "BIGSERIAL" in CREATE_OUTBOX_SQL
-    assert "CHECK (op IN ('INSERT', 'UPDATE', 'DELETE'))" in CREATE_OUTBOX_SQL
+    assert (
+        "CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE'))"
+        in CREATE_OUTBOX_SQL
+    )
 
 
 def test_degradation_threshold_is_reference_8000():

@@ -496,6 +496,333 @@ def test_daemon_parallel_read_e2e(pg, tmp_path):
                         "--parallel-read", "4", "--once"]) == 2
 
 
+# -- TRUNCATE capture (round-8 ask #3) ------------------------------------
+
+
+def test_truncate_capture_outbox(pg):
+    """The dead quadrant of the reference's wire contract made live:
+    Operation.TRUNCATE=4 exists in its proto (pqstream.proto:23) but
+    its row-level trigger can never fire it (queries.go:58-60). The
+    statement-level trigger emits ONE envelope per truncated table —
+    op=TRUNCATE, id/payload/previous all NULL — ordered by seq against
+    the row events around it."""
+    r = _fresh_db(pg, "t_truncate")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes VALUES (default, default, 'a');"
+        "INSERT INTO notes VALUES (default, default, 'b');"
+        "TRUNCATE notes;"
+        "INSERT INTO notes VALUES (default, default, 'after');"
+    )
+    rows = r.query_csv(
+        "SELECT op, id, payload::text AS p, previous::text AS prev "
+        "FROM pqstream_outbox ORDER BY seq"
+    )
+    assert [x["op"] for x in rows] == ["INSERT", "INSERT", "TRUNCATE", "INSERT"]
+    tr = rows[2]
+    assert tr["id"] is None and tr["p"] is None and tr["prev"] is None
+    # one statement-level envelope even for multi-row truncations
+    # (both rows died, one event); remove() drops the truncate trigger
+    PgCaptureManager(r, table_regexp="notes").remove()
+    r.sql("TRUNCATE notes;")
+    n = r.scalar("SELECT count(*) FROM pqstream_outbox WHERE op = 'TRUNCATE'")
+    assert n == "1", "truncate after remove() must not be captured"
+
+
+def test_truncate_daemon_wire_and_materialize(pg, tmp_path, spark):
+    """e2e: TRUNCATE arrives on the wire with op=TRUNCATE, and the CDC
+    batch fold treats it as delete-all for the table."""
+    from pqstream_spark.operators.materialize import materialize_current_state
+    from pqstream_spark.sources.outbox_pg import PgOutboxPoller
+
+    r = _fresh_db(pg, "t_trunc_wire")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    conninfo = pg.conninfo("t_trunc_wire")
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    r.sql(
+        "INSERT INTO notes VALUES (1, default, 'x');"
+        "INSERT INTO notes VALUES (2, default, 'y');"
+        "TRUNCATE notes;"
+        "INSERT INTO notes VALUES (3, default, 'z');"
+    )
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    events = [json.loads(l) for l in _out_lines(out)]
+    ops = [e["op"] for e in events]
+    assert ops == ["INSERT", "INSERT", "TRUNCATE", "INSERT"]
+    tr = events[2]
+    assert tr["table"] == "notes" and tr["schema"] == "public"
+    assert tr.get("id") in (None, "") and tr.get("payload") is None
+
+    # materialization folds the same changelog to delete-all + re-insert
+    p = PgOutboxPoller(r)
+    chg = p.read_batch(spark)
+    cur = materialize_current_state(chg).collect()
+    assert [(row.table_name, row.id) for row in cur] == [("notes", "3")]
+
+
+def test_legacy_outbox_op_check_migrated(pg):
+    """An outbox created by the round-7 DDL (no TRUNCATE in the op
+    CHECK) is migrated in place by install(); a legacy JSONB outbox is
+    REJECTED loudly (ADVICE r7: silent jsonb would defeat row_to_json
+    byte-parity and evade the golden pins)."""
+    r = pg.createdb("t_legacy")
+    r.sql(NOTES_DDL + ";")
+    # round-7 shape: unnamed inline CHECK without TRUNCATE
+    r.sql(
+        "CREATE TABLE pqstream_outbox ("
+        "  seq BIGSERIAL PRIMARY KEY, ts TIMESTAMPTZ NOT NULL DEFAULT now(),"
+        "  schema_name TEXT NOT NULL, table_name TEXT NOT NULL,"
+        "  op TEXT NOT NULL CHECK (op IN ('INSERT', 'UPDATE', 'DELETE')),"
+        "  id TEXT, payload JSON, previous JSON);"
+    )
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes VALUES (default, default, 'a'); TRUNCATE notes;")
+    ops = [x["op"] for x in r.query_csv(
+        "SELECT op FROM pqstream_outbox ORDER BY seq")]
+    assert ops == ["INSERT", "TRUNCATE"], (
+        f"legacy CHECK not migrated: {ops}"
+    )
+
+    r2 = pg.createdb("t_legacy_jsonb")
+    r2.sql(NOTES_DDL + ";")
+    r2.sql(
+        "CREATE TABLE pqstream_outbox ("
+        "  seq BIGSERIAL PRIMARY KEY, ts TIMESTAMPTZ NOT NULL DEFAULT now(),"
+        "  schema_name TEXT NOT NULL, table_name TEXT NOT NULL,"
+        "  op TEXT NOT NULL, id TEXT, payload JSONB, previous JSONB);"
+    )
+    with pytest.raises(RuntimeError, match="jsonb"):
+        PgCaptureManager(r2, table_regexp="notes").install()
+
+
+def test_truncate_on_notify_wire(pg):
+    """--transport notify parity: TRUNCATE emits the tier-2-shaped
+    envelope (op + idents + null id, nothing row-scoped) on the NOTIFY
+    channel, in commit order with the row events around it."""
+    from pqstream_spark.sources.outbox_pg import PgNotifyCaptureManager
+
+    r = _fresh_db(pg, "t_trunc_notify")
+    PgNotifyCaptureManager(r, table_regexp="notes").install()
+    payloads = capture_notifications(
+        r,
+        "INSERT INTO notes VALUES (default, default, 'x');\n"
+        "TRUNCATE notes;",
+    )
+    assert len(payloads) == 2
+    env = json.loads(payloads[1])
+    assert env == {
+        "schema": "public", "table": "notes", "op": "TRUNCATE", "id": None,
+    }
+
+
+# -- concurrent-writer fence (round-8 lead fix) ---------------------------
+
+
+class TxnSession:
+    """One interactive psql session holding a transaction open — the
+    concurrent-writer harness: BIGSERIAL seqs are claimed by nextval
+    INSIDE the writing transaction, so an open session that has
+    inserted but not committed holds a seq BELOW ones later writers
+    commit. `run` blocks until the statements executed (echo marker)."""
+
+    def __init__(self, conninfo: str) -> None:
+        import shutil
+
+        cmd = ["psql", conninfo, "-X", "-q"]
+        if shutil.which("stdbuf"):
+            cmd = ["stdbuf", "-oL", "-eL"] + cmd
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, cwd="/tmp",
+        )
+        self._mark = 0
+
+    def run(self, script: str) -> None:
+        self._mark += 1
+        marker = f"__mark_{self._mark}__"
+        self.proc.stdin.write(f"{script}\n\\echo {marker}\n")
+        self.proc.stdin.flush()
+        for line in self.proc.stdout:
+            if marker in line:
+                return
+        raise AssertionError(f"psql session died before {script!r} completed")
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+        except (BrokenPipeError, ValueError):
+            pass
+        self.proc.wait(timeout=10)
+
+
+def _interleaved_skip_scenario(pg, spark, dbname, read):
+    """The exact loss scenario from VERDICT r7 What's-wrong #1: writer A
+    claims seq N inside an open transaction, writer B commits seq N+1,
+    the poller polls (must NOT advance past N), A commits, the next
+    poll must deliver BOTH rows exactly once."""
+    r = _fresh_db(pg, dbname)
+    PgCaptureManager(r, table_regexp="notes").install()
+    a = TxnSession(pg.conninfo(dbname))
+    try:
+        a.run("BEGIN;\nINSERT INTO notes VALUES (default, default, 'from A');")
+        r.sql("INSERT INTO notes VALUES (default, default, 'from B');")
+        p = PgOutboxPoller.open_durable(r, consumer="c", fence_wait=0.3)
+        b1 = read(p, spark).collect()
+        # the fence must hold the batch below A's claimed seq: nothing
+        # is deliverable yet (B's seq 2 sits above in-flight seq 1)
+        assert b1 == [], [row.seq for row in b1]
+        assert p.advance() == 0, "watermark must not pass an open txn's seq"
+        a.run("COMMIT;")
+        b2 = read(p, spark).collect()
+        assert sorted(row.seq for row in b2) == [1, 2], (
+            f"lost/duplicated rows: {[row.seq for row in b2]}"
+        )
+        by_seq = {row.seq: row for row in b2}
+        assert "from A" in by_seq[1].payload_json
+        assert "from B" in by_seq[2].payload_json
+        assert p.advance() == 2
+        # and nothing replays after advance
+        assert read(p, spark).collect() == []
+    finally:
+        a.close()
+
+
+def test_fence_no_skip_serial(pg, spark):
+    _interleaved_skip_scenario(
+        pg, spark, "t_fence_serial", lambda p, s: p.read_batch(s)
+    )
+
+
+def test_fence_no_skip_distributed(pg, spark):
+    _interleaved_skip_scenario(
+        pg, spark, "t_fence_dist",
+        lambda p, s: p.read_batch_distributed(s, num_partitions=3),
+    )
+
+
+def test_fence_advances_past_abort_gaps(pg, spark):
+    """A ROLLBACK burns its claimed seq forever; the fence must treat
+    the gap as final (finished transaction) and advance past it rather
+    than stall waiting for a row that can never appear."""
+    r = _fresh_db(pg, "t_fence_abort")
+    PgCaptureManager(r, table_regexp="notes").install()
+    a = TxnSession(pg.conninfo("t_fence_abort"))
+    try:
+        a.run("BEGIN;\nINSERT INTO notes VALUES (default, default, 'doomed');")
+        r.sql("INSERT INTO notes VALUES (default, default, 'kept');")
+        a.run("ROLLBACK;")
+    finally:
+        a.close()
+    p = PgOutboxPoller.open_durable(r, consumer="c", fence_wait=2.0)
+    rows = p.read_batch(spark).collect()
+    assert [row.seq for row in rows] == [2], "only the committed row exists"
+    assert p.advance() == 2, "watermark passes the aborted seq-1 gap"
+    assert p.read_batch(spark).collect() == []
+
+
+def test_balanced_bounds_skewed_seq_space(pg, spark):
+    """Round-8 ask #5: after compaction / setval the seq space is
+    sparse and lopsided; quantile-planned sub-ranges must still spread
+    rows within 2x of each other where equal seq-value slices would
+    pile nearly everything on one reader."""
+    from pqstream_spark.sources.outbox_pg import (
+        OUTBOX_SEQ_SEQUENCE,
+        pg_plan_balanced_bounds,
+    )
+
+    r = _fresh_db(pg, "t_balance")
+    PgCaptureManager(r, table_regexp="notes").install()
+    # 8 rows at low seqs, then a huge gap (post-compaction shape), then
+    # 8 rows at high seqs
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'lo' || g "
+        "FROM generate_series(1, 8) g;"
+        f"SELECT setval('{OUTBOX_SEQ_SEQUENCE}', 100000);"
+        "INSERT INTO notes SELECT g, now(), 'hi' || g "
+        "FROM generate_series(101, 108) g;"
+    )
+    bounds = pg_plan_balanced_bounds(r, 0, 200_000, 4)
+    counts = [
+        int(r.scalar(
+            f"SELECT count(*) FROM pqstream_outbox "
+            f"WHERE seq > {lo} AND seq <= {hi}"
+        ))
+        for lo, hi in bounds
+    ]
+    assert sum(counts) == 16
+    assert max(counts) <= 2 * min(counts), (
+        f"skewed split {counts} from bounds {bounds}"
+    )
+    # ranges are contiguous and disjoint
+    for (_, h1), (l2, _) in zip(bounds, bounds[1:]):
+        assert h1 == l2
+    # the fenced distributed batch over the same skew delivers all rows
+    # (max_rows sized past the setval jump — the bounded-batch cap is
+    # a seq-window cap, so a sparse space needs a wider window)
+    p = PgOutboxPoller.open_durable(
+        r, consumer="c", max_rows=500_000, fence_wait=2.0
+    )
+    got = p.read_batch_distributed(spark, num_partitions=4)
+    assert got.count() == 16
+    assert p.advance() >= 100_008
+
+
+def test_daemon_golden_multiset_with_concurrent_writer(pg, tmp_path):
+    """The golden-multiset daemon e2e rerun with a concurrent writer
+    mixed in (round-8 done-criterion for the fence): a transaction that
+    holds a low seq open across several daemon polls while other
+    writers commit must still be delivered exactly once, never skipped
+    by the durable watermark."""
+    r = _fresh_db(pg, "t_daemon_conc")
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "daemon.log")
+    os.makedirs(out)
+    conninfo = pg.conninfo("t_daemon_conc")
+
+    rc = _run_once(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out], log
+    )
+    assert rc == 0
+    daemon = _spawn_daemon(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--poll-interval", "0.3"], log
+    )
+    a = TxnSession(conninfo)
+    try:
+        for i in range(1, 6):
+            r.sql(f"INSERT INTO notes VALUES ({i}, default, 'pre {i}');")
+        _wait(lambda: len(_out_lines(out)) >= 5, 180,
+              "serial rows to drain")
+        # A claims the next seq and stalls across poll cycles
+        a.run("BEGIN;\nINSERT INTO notes VALUES (100, default, 'held');")
+        for i in range(6, 11):
+            r.sql(f"INSERT INTO notes VALUES ({i}, default, 'mid {i}');")
+        time.sleep(1.2)  # several daemon polls while A is open
+        a.run("COMMIT;")
+        _wait(lambda: len(_out_lines(out)) >= 11, 180,
+              "held + mid rows to drain after A commits")
+    finally:
+        a.close()
+        daemon.kill()
+        daemon.wait(timeout=30)
+    events = [json.loads(l) for l in _out_lines(out)]
+    ids = sorted(int(e["id"]) for e in events if e["op"] == "INSERT")
+    assert ids == list(range(1, 11)) + [100], (
+        f"multiset mismatch (lost or duplicated): {ids}"
+    )
+
+
 def test_parallel_read_zero_rejected():
     """Review fix: --parallel-read 0 must exit 2, not silently fall
     back to the serial driver-side read."""

@@ -117,6 +117,30 @@ def test_residual_near_copy_retrieval(spark, setup):
     assert hits and min(hits, key=lambda r: r["rn"])["c_id"] == 23, hits
 
 
+def test_residual_dim_mismatch_scores_not_null(spark, setup):
+    """ADVICE r7: the cell_offset fold null-padded when the query dim
+    differs from the coarse-codebook dim, silently ranking every row
+    with a NULL score. The centroid is now sliced to size(qv) and
+    zero-coalesced (the _residual_rel_sql / demo-codebook get()
+    semantics), so a coarse codebook of a different dim yields real
+    integer scores — missing dims contribute 0, never NULL."""
+    from pqstream_spark.functions.pq import ivfpq_search
+
+    dim = len(setup["cb"][0])
+    # a coarse codebook truncated to half the embedding dim — the
+    # mismatched-artifact shape (e.g. an IVF codebook trained on a
+    # different embedder) the fold must not silently NULL-rank
+    cb_short = [c[: dim // 2] for c in setup["cb"]]
+    queries = setup["emb"].where("vec_id = 5").selectExpr(
+        "900005 AS q_id", "embedding"
+    )
+    hits = ivfpq_search(setup["rcodes"], queries, cb_short,
+                        setup["rbooks"], k=3, nprobe=2,
+                        residual=True).collect()
+    assert hits, "mismatched coarse dim must still retrieve"
+    assert all(h["score"] is not None for h in hits), hits
+
+
 def test_residual_recall_beats_raw_on_clustered_corpus(spark):
     """The round-7 ask's 'done' pin: on a STRUCTURED corpus (8 tight
     clusters of 60 near-copies with per-copy perturbation magnitudes
