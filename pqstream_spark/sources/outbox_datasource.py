@@ -47,6 +47,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -85,6 +86,81 @@ def _split_url(url: str) -> tuple[str, str]:
 class SeqRange(InputPartition):
     lo: int  # exclusive
     hi: int  # inclusive
+
+
+def _read_range_sqlite(url: str, lo: int, hi: int):
+    from datetime import datetime
+
+    conn = _connect(url)
+    try:
+        cur = conn.execute(
+            f"SELECT seq, ts, schema_name, table_name, op, id, "
+            f"payload, previous FROM {LOCAL_OUTBOX_TABLE} "
+            f"WHERE seq > ? AND seq <= ? ORDER BY seq",
+            (lo, hi),
+        )
+        for seq, ts, schema_name, table_name, op, id_, payload, prev in cur:
+            yield (
+                int(seq),
+                datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                ),
+                schema_name,
+                table_name,
+                op,
+                id_,
+                payload,
+                prev,
+            )
+    finally:
+        conn.close()
+
+
+def _read_range_pg(conninfo: str, lo: int, hi: int):
+    """One bounded `psql --csv` read, ON the executor the partition was
+    scheduled to (the reader object is pickled there) — rows never pass
+    through the driver. Safe under concurrent writers because the
+    planned range was fenced: every seq <= hi is final, so this
+    late-running read sees exactly the planned row set."""
+    import csv as _csv
+    import io as _io
+    import subprocess as _sp
+
+    from .outbox import OUTBOX_TABLE
+    from .outbox_pg import _NULL, _parse_pg_ts
+
+    proc = _sp.run(
+        ["psql", conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
+         "--csv", "-P", f"null={_NULL}", "-c",
+         f"SELECT seq, ts, schema_name, table_name, op, id, "
+         f"payload::text AS payload_json, "
+         f"previous::text AS previous_json "
+         f"FROM {OUTBOX_TABLE} "
+         f"WHERE seq > {int(lo)} AND seq <= {int(hi)} "
+         f"ORDER BY seq"],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"pqstream_outbox pg read failed for range "
+            f"({lo}, {hi}]: {proc.stderr.strip()}"
+        )
+    rows = list(_csv.reader(_io.StringIO(proc.stdout)))
+    if len(rows) <= 1:
+        return
+    header = rows[0]
+    for data in rows[1:]:
+        r = {k: (None if v == _NULL else v) for k, v in zip(header, data)}
+        yield (
+            int(r["seq"]),
+            _parse_pg_ts(r["ts"]),
+            r["schema_name"],
+            r["table_name"],
+            r["op"],
+            r["id"],
+            r["payload_json"],
+            r["previous_json"],
+        )
 
 
 class OutboxStreamReader(DataSourceStreamReader):
@@ -167,79 +243,9 @@ class OutboxStreamReader(DataSourceStreamReader):
         if partition.hi <= partition.lo:
             return
         if self._backend == "postgres":
-            yield from self._read_pg(partition)
-            return
-        from datetime import datetime
-
-        conn = _connect(self._url)
-        try:
-            cur = conn.execute(
-                f"SELECT seq, ts, schema_name, table_name, op, id, "
-                f"payload, previous FROM {LOCAL_OUTBOX_TABLE} "
-                f"WHERE seq > ? AND seq <= ? ORDER BY seq",
-                (partition.lo, partition.hi),
-            )
-            for seq, ts, schema_name, table_name, op, id_, payload, prev in cur:
-                yield (
-                    int(seq),
-                    datetime.fromisoformat(ts.replace("Z", "+00:00")).replace(
-                        tzinfo=None
-                    ),
-                    schema_name,
-                    table_name,
-                    op,
-                    id_,
-                    payload,
-                    prev,
-                )
-        finally:
-            conn.close()
-
-    def _read_pg(self, partition: SeqRange):
-        """One bounded `psql --csv` read per partition, ON the executor
-        this partition was scheduled to (the reader is pickled there) —
-        rows never pass through the driver. Safe because the offset
-        range was fenced at planning time: every seq <= hi is final, so
-        this late-running read sees exactly the planned row set."""
-        import csv as _csv
-        import io as _io
-        import subprocess as _sp
-
-        from .outbox_pg import _NULL, _parse_pg_ts
-        from .outbox import OUTBOX_TABLE
-
-        proc = _sp.run(
-            ["psql", self._target, "-X", "-q", "-v", "ON_ERROR_STOP=1",
-             "--csv", "-P", f"null={_NULL}", "-c",
-             f"SELECT seq, ts, schema_name, table_name, op, id, "
-             f"payload::text AS payload_json, "
-             f"previous::text AS previous_json "
-             f"FROM {OUTBOX_TABLE} "
-             f"WHERE seq > {int(partition.lo)} AND seq <= {int(partition.hi)} "
-             f"ORDER BY seq"],
-            capture_output=True, text=True, cwd="/tmp",
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"pqstream_outbox pg read failed for range "
-                f"({partition.lo}, {partition.hi}]: {proc.stderr.strip()}"
-            )
-        rows = list(_csv.reader(_io.StringIO(proc.stdout)))
-        if len(rows) <= 1:
-            return
-        header = rows[0]
-        for data in rows[1:]:
-            r = {k: (None if v == _NULL else v) for k, v in zip(header, data)}
-            yield (
-                int(r["seq"]),
-                _parse_pg_ts(r["ts"]),
-                r["schema_name"],
-                r["table_name"],
-                r["op"],
-                r["id"],
-                r["payload_json"],
-                r["previous_json"],
-            )
+            yield from _read_range_pg(self._target, partition.lo, partition.hi)
+        else:
+            yield from _read_range_sqlite(self._url, partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; the outbox is append-only
@@ -247,9 +253,78 @@ class OutboxStreamReader(DataSourceStreamReader):
         pass
 
 
+class OutboxBatchReader(DataSourceReader):
+    """Batch form — `spark.read.format("pqstream_outbox")` — for
+    backfills and ad-hoc changelog queries: one bounded partitioned
+    scan of the outbox seq range. Options `sinceSeq` (exclusive,
+    default 0) and `untilSeq` (inclusive; default = the current safe
+    ceiling — FENCED on postgres, so a backfill boundary is final and
+    a follow-up stream from `untilSeq` misses nothing committed
+    later with a lower seq)."""
+
+    def __init__(self, options: dict) -> None:
+        self._url = options.get("url")
+        if not self._url:
+            raise ValueError(
+                "pqstream_outbox requires option url=sqlite:PATH or "
+                "url=postgres:CONNINFO"
+            )
+        self._backend, self._target = _split_url(self._url)
+        self._num_partitions = int(options.get("numpartitions", 4))
+        self._fence_wait = float(options.get("fencewait", 2.0))
+        self._since = int(options.get("sinceseq", 0))
+        self._until = options.get("untilseq")
+
+    def _ceiling(self) -> int:
+        if self._backend == "postgres":
+            from .outbox_pg import PgSeqFence, PsqlRunner
+
+            return PgSeqFence(PsqlRunner(self._target)).safe_seq(
+                wait=self._fence_wait
+            )
+        conn = _connect(self._url)
+        try:
+            row = conn.execute(
+                f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
+            ).fetchone()
+            return int(row[0])
+        finally:
+            conn.close()
+
+    def partitions(self):
+        lo = self._since
+        hi = int(self._until) if self._until is not None else self._ceiling()
+        if hi <= lo:
+            return [SeqRange(lo, lo)]
+        if self._backend == "postgres":
+            from .outbox_pg import PsqlRunner, pg_plan_balanced_bounds
+
+            bounds = pg_plan_balanced_bounds(
+                PsqlRunner(self._target), lo, hi, self._num_partitions
+            )
+            if not bounds:
+                return [SeqRange(lo, lo)]
+            return [SeqRange(b_lo, b_hi) for b_lo, b_hi in bounds]
+        n = min(self._num_partitions, hi - lo)
+        step = (hi - lo + n - 1) // n
+        return [
+            SeqRange(p_lo, min(p_lo + step, hi))
+            for p_lo in range(lo, hi, step)
+        ]
+
+    def read(self, partition: SeqRange):
+        if partition.hi <= partition.lo:
+            return
+        if self._backend == "postgres":
+            yield from _read_range_pg(self._target, partition.lo, partition.hi)
+        else:
+            yield from _read_range_sqlite(self._url, partition.lo, partition.hi)
+
+
 class OutboxDataSource(DataSource):
     """spark.dataSource.register(OutboxDataSource); then
-    readStream.format("pqstream_outbox")."""
+    readStream.format("pqstream_outbox") for the changelog stream, or
+    read.format("pqstream_outbox") for a bounded backfill scan."""
 
     @classmethod
     def name(cls) -> str:
@@ -260,3 +335,6 @@ class OutboxDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> OutboxStreamReader:
         return OutboxStreamReader(self.options)
+
+    def reader(self, schema: StructType) -> OutboxBatchReader:
+        return OutboxBatchReader(self.options)

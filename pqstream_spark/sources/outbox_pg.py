@@ -303,6 +303,10 @@ class PgCaptureManager:
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
+        # verify BEFORE installing: a jsonb outbox must not get live
+        # triggers attached (it would capture with the wrong rendering
+        # until someone reads the error)
+        self._verify_outbox_json_type()
         stmts = ["BEGIN", CREATE_OUTBOX_SQL]
         # legacy outboxes: refresh the op CHECK to the full proto
         # domain (TRUNCATE, round 8) — in the same transaction
@@ -311,7 +315,6 @@ class PgCaptureManager:
         stmts += [install_trigger_sql(t) for t in tables]
         stmts.append("COMMIT")
         self.runner.sql(";\n".join(stmts) + ";")
-        self._verify_outbox_json_type()
         return tables
 
     def remove(self) -> list[str]:

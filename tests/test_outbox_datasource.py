@@ -98,6 +98,29 @@ def test_checkpoint_restart_resumes_at_offset(spark, db_path, tmp_path):
     assert seqs == list(range(1, 7))
 
 
+def test_batch_read_backfill(spark, db_path):
+    """spark.read.format("pqstream_outbox") — the bounded backfill
+    scan: full outbox by default, sinceSeq/untilSeq select a window,
+    partitioned without overlap."""
+    spark.dataSource.register(OutboxDataSource)
+    _insert(db_path, 0, 12)
+    df = (
+        spark.read.format("pqstream_outbox")
+        .option("url", f"sqlite:{db_path}")
+        .option("numPartitions", "3")
+        .load()
+    )
+    assert sorted(r["seq"] for r in df.collect()) == list(range(1, 13))
+    windowed = (
+        spark.read.format("pqstream_outbox")
+        .option("url", f"sqlite:{db_path}")
+        .option("sinceSeq", "4")
+        .option("untilSeq", "9")
+        .load()
+    )
+    assert sorted(r["seq"] for r in windowed.collect()) == list(range(5, 10))
+
+
 def test_max_rows_per_batch_bounds_each_microbatch(spark, db_path, tmp_path):
     """Backlog arriving while the query runs drains in capped batches
     (rate limiting advances the reported offset, never skips rows)."""

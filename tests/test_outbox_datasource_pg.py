@@ -136,6 +136,59 @@ def test_pg_stream_fenced_offsets_under_open_txn(spark, pg, tmp_path):
         q.stop()
 
 
+def test_pg_batch_read_backfill_fenced(spark, pg, tmp_path):
+    """Batch form on postgres: the default untilSeq is the FENCED safe
+    ceiling, so a backfill boundary is FINAL — a follow-up stream from
+    that boundary misses nothing committed later with a lower seq.
+    A fresh reader has no fence history, so a transaction that stays
+    open across the whole fenceWait window yields the conservative
+    EMPTY scan (it cannot prove any ceiling final); an explicit
+    untilSeq overrides when the caller owns the boundary risk; once
+    the writer resolves, the full window reads."""
+    from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+    from tests.test_outbox_pg import TxnSession
+
+    r = _fresh_db(pg, "ds_batch")
+    spark.dataSource.register(OutboxDataSource)
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'b' || g "
+        "FROM generate_series(1, 9) g;"
+    )
+    a = TxnSession(pg.conninfo("ds_batch"))
+    try:
+        a.run("BEGIN;\nINSERT INTO notes VALUES (default, default, 'open');")
+        r.sql("INSERT INTO notes VALUES (default, default, 'later');")
+        df = (
+            spark.read.format("pqstream_outbox")
+            .option("url", f"postgres:{pg.conninfo('ds_batch')}")
+            .option("fenceWait", "0.3")
+            .option("numPartitions", "3")
+            .load()
+        )
+        # a fresh fence cannot prove ANY ceiling final while a writer
+        # holds an unresolved claim — conservative empty, never wrong
+        assert df.collect() == []
+        # explicit untilSeq: caller-owned boundary, reads the window
+        explicit = (
+            spark.read.format("pqstream_outbox")
+            .option("url", f"postgres:{pg.conninfo('ds_batch')}")
+            .option("untilSeq", "9")
+            .load()
+        )
+        assert sorted(x["seq"] for x in explicit.collect()) == list(range(1, 10))
+        a.run("COMMIT;")
+    finally:
+        a.close()
+    # after the open txn resolves, the full window is readable and the
+    # default (fenced) boundary includes both late rows
+    df2 = (
+        spark.read.format("pqstream_outbox")
+        .option("url", f"postgres:{pg.conninfo('ds_batch')}")
+        .load()
+    )
+    assert sorted(x["seq"] for x in df2.collect()) == list(range(1, 12))
+
+
 _RUNNER = """
 import sys
 conninfo, ckpt, out, mode = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]

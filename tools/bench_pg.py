@@ -40,6 +40,7 @@ def main() -> None:
     from pqstream_spark.sources.outbox_pg import (
         EphemeralPostgres,
         NOTIFY_TRIGGER_FUNCTION_SQL,
+        NOTIFY_TRUNCATE_FUNCTION_SQL,
         PgCaptureManager,
         PgOutboxPoller,
         install_notify_trigger_sql,
@@ -92,6 +93,7 @@ def main() -> None:
         # NOTIFY transport: degradation trigger + live LISTEN delivery
         r.sql("CREATE TABLE notified (id serial, created_at timestamp, note text);")
         r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
+        r.sql(NOTIFY_TRUNCATE_FUNCTION_SQL + ";")
         r.sql(install_notify_trigger_sql("notified") + ";")
         with NotifyListener(pg.conninfo("bench")) as lis:
             t0 = time.time()
