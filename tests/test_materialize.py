@@ -125,6 +125,50 @@ def test_stream_delete_tombstone_blocks_replay(spark, tmp_path):
     assert last["seq"] == 20, "replayed seq=10 must not win over the tombstone"
 
 
+def test_stream_truncate_emits_table_tombstone(spark, tmp_path):
+    """Keyed streaming state cannot delete-all across keys, so a
+    TRUNCATE event flows through as its own (table, NULL) key and the
+    fold emits a TABLE-level tombstone row (op='TRUNCATE', id NULL,
+    payload NULL) for the sink to apply — the documented division of
+    labor with the batch fold's in-engine delete-all."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("a", "1", 1, ts, "INSERT", '{"id":1}'),
+        ("a", None, 5, ts, "TRUNCATE", None),
+    ]
+    schema = ("table_name string, id string, seq long, ts timestamp, "
+              "op string, payload_json string")
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+
+    chg = spark.readStream.schema(schema).parquet(src)
+    q = (
+        materialize_current_state_stream(chg)
+        .writeStream.format("memory")
+        .queryName("mat_trunc")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql("select * from mat_trunc").collect()
+    finally:
+        q.stop()
+    by_key = {(r["table_name"], r["id"]): r for r in rows_out}
+    tomb = by_key[("a", None)]
+    assert tomb["op"] == "TRUNCATE" and tomb["payload_json"] is None
+    assert tomb["seq"] == 5
+    # the row key's own emission is untouched (per-key state)
+    assert by_key[("a", "1")]["op"] == "INSERT"
+
+
 def test_stream_materialize_two_batches(spark, tmp_path):
     """File 1 then file 2 arriving later: state carries across
     micro-batches; DELETE emits a tombstone and clears state."""

@@ -275,6 +275,19 @@ def test_daemon_notify_transport_e2e(pg, tmp_path):
         assert upd[0]["changes"] == {"note": "target"}, (
             "merge patch must run on the notify path too"
         )
+        # round 8: TRUNCATE rides the notify wire end to end — one
+        # statement-level envelope, no row-scoped fields
+        r.sql("TRUNCATE notes;")
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            evs = [_json.loads(l) for l in _out_lines(out)]
+            if any(e["op"] == "TRUNCATE" for e in evs):
+                break
+            _time.sleep(0.5)
+        trunc = [e for e in evs if e["op"] == "TRUNCATE"]
+        assert len(trunc) == 1, f"want exactly one TRUNCATE event: {trunc}"
+        assert trunc[0]["table"] == "notes"
+        assert trunc[0].get("payload") is None
     finally:
         daemon.kill()
         daemon.wait(timeout=30)

@@ -90,6 +90,19 @@ def main() -> None:
         t_par = time.time() - t0
         poller.advance()
 
+        # concurrent-writer fence cost (round 8): one safe_seq() round
+        # is two psql scalar round trips; it runs once per POLL, so the
+        # per-row cost amortizes over the batch (at max_rows=100k this
+        # is microseconds/row)
+        from pqstream_spark.sources.outbox_pg import PgSeqFence
+
+        fence = PgSeqFence(r)
+        fence.safe_seq()  # warm
+        t0 = time.time()
+        for _ in range(10):
+            fence.safe_seq()
+        t_fence = (time.time() - t0) / 10
+
         # NOTIFY transport: degradation trigger + live LISTEN delivery
         r.sql("CREATE TABLE notified (id serial, created_at timestamp, note text);")
         r.sql(NOTIFY_TRIGGER_FUNCTION_SQL + ";")
@@ -117,6 +130,7 @@ def main() -> None:
             "drain_rows_per_s": round(n_drained / t_drain),
             "parallel_drain_rows": n_par,
             "parallel_drain_rows_per_s": round(n_par / t_par),
+            "fence_round_ms": round(t_fence * 1000, 1),
             "notify_events": len(got),
             "notify_events_per_s": round(len(got) / t_notify),
             "notify_lossless_here": len(got) == N_NOTIFY,
