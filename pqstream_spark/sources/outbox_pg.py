@@ -363,26 +363,37 @@ class PgSeqFence:
        non-transactional and cross-session visible; the table is
        created with the default CACHE 1, so `last_value` never
        over-reports by a session-local cache block).
-    2. THEN capture `pg_current_snapshot()` and keep its xmax (first
-       unassigned xid). Every claimer of a seq <= `claimed` already has
-       its xid (< xmax): in the capture architecture the claim happens
-       in an AFTER trigger, strictly after the user-table heap write
-       assigned the xid. (Direct outbox INSERTs narrow this to the
-       sub-statement window between default evaluation and heap write —
-       not a product path.) The two reads are separate sequential psql
-       invocations, so the claimed-read completes strictly before the
-       snapshot exists.
-    3. A pending fence (claimed, xmax) becomes SAFE once a later
-       snapshot's xmin >= xmax: every xid below xmax has finished, so
-       every seq <= claimed is final — its row is either visible
-       (committed) or a permanent gap (aborted). The watermark may then
-       pass `claimed` without ever losing a late commit.
+    2. THEN force assignment of OUR OWN xid (`pg_current_xact_id()`)
+       and keep it as the fence `bound`. Xids are assigned globally
+       monotonically, and every claimer of a seq <= `claimed` already
+       had its xid before the claimed-read (in the capture architecture
+       the claim happens in an AFTER trigger, strictly after the
+       user-table heap write assigned the xid; direct outbox INSERTs
+       narrow this to the sub-statement window between default
+       evaluation and heap write — not a product path) — so every
+       claimer xid < bound. NOTE deliberately NOT snapshot xmax:
+       snapshot xmax is latestCompletedXid+1, and an assigned-but-
+       running xid sits AT OR ABOVE it whenever no younger transaction
+       has committed — a fence keyed on xmax self-drains in exactly
+       that state and silently loses the open writer's rows (caught by
+       the randomized multi-writer stress test). The xid cost is one
+       per fence round — poll-rate churn, noise next to the workload's
+       own xid consumption.
+    3. A pending fence (claimed, bound) becomes SAFE once a later
+       snapshot's xmin — the lowest ACTIVE xid, which PostgreSQL
+       computes over all running transactions regardless of xmax —
+       reaches `bound`: every xid below bound has finished, so every
+       seq <= claimed is final — its row is either visible (committed)
+       or a permanent gap (aborted). The watermark may then pass
+       `claimed` without ever losing a late commit.
 
-    With no transactions in flight (xmin == xmax) a fence drains in the
-    same poll that captured it — the serial-writer fast path costs zero
-    extra latency. Under concurrency, availability degrades instead of
-    correctness: the batch ceiling lags by at most one poll plus the
-    longest transaction open at capture time.
+    All three reads ship in ONE psql invocation (statements in a
+    session execute strictly in order). With no transactions in flight
+    a fence drains in the same poll that captured it (current xmin
+    lands past our just-committed xid) — the serial-writer fast path
+    costs zero extra latency. Under concurrency, availability degrades
+    instead of correctness: the batch ceiling lags by at most one poll
+    plus the longest transaction open at capture time.
     """
 
     def __init__(self, runner: PsqlRunner) -> None:
@@ -413,18 +424,18 @@ class PgSeqFence:
 
     def _round(self) -> int:
         """One fence round; returns the claimed ceiling it observed."""
-        # ordering matters: claimed BEFORE snapshot (see class docstring
-        # step 2). Both reads ship in ONE psql invocation — statements
-        # in a session execute strictly in order, and one process spawn
-        # instead of two halves the per-poll fence cost (which is psql
-        # startup, not query time: ~77 ms -> ~40 ms measured here).
+        # ordering matters: claimed read, THEN our xid assignment, THEN
+        # the snapshot (class docstring steps 1-3). One psql invocation
+        # — statements in a session execute strictly in order, and one
+        # process spawn instead of several keeps the per-poll fence
+        # cost at psql startup (~40 ms here), not query time.
         out = subprocess.run(
             ["psql", self.runner.conninfo, "-X", "-q", "-t", "-A",
              "-v", "ON_ERROR_STOP=1",
              "-c", f"SELECT last_value || '|' || is_called "
                    f"FROM {OUTBOX_SEQ_SEQUENCE}",
-             "-c", "SELECT pg_snapshot_xmin(pg_current_snapshot())::text "
-                   "|| '|' || pg_snapshot_xmax(pg_current_snapshot())::text"],
+             "-c", "SELECT pg_current_xact_id()::text",
+             "-c", "SELECT pg_snapshot_xmin(pg_current_snapshot())::text"],
             capture_output=True, text=True, cwd="/tmp",
         )
         if out.returncode != 0:
@@ -433,20 +444,20 @@ class PgSeqFence:
                 f"{out.stderr.strip()}"
             )
         lines = [l for l in out.stdout.splitlines() if l.strip()]
-        if len(lines) != 2:
+        if len(lines) != 3:
             raise PsqlError(f"fence round: unexpected output {out.stdout!r}")
         last_value, is_called = lines[0].split("|")
         claimed = int(last_value)
         if is_called in ("f", "false"):
             claimed -= 1  # fresh sequence: last_value=start, nothing claimed
-        sxmin, sxmax = lines[1].split("|")
-        cur_xmin, cur_xmax = int(sxmin), int(sxmax)
+        bound = int(lines[1])  # our xid: > every claimer's xid
+        cur_xmin = int(lines[2])  # lowest xid still active RIGHT NOW
         pending: list[tuple[int, int]] = []
-        for v, xmax in self._fences + [(claimed, cur_xmax)]:
-            if xmax <= cur_xmin:  # every xid < xmax has finished
+        for v, b in self._fences + [(claimed, bound)]:
+            if cur_xmin >= b:  # every xid < b has finished
                 self._safe_seq = max(self._safe_seq, v)
             else:
-                pending.append((v, xmax))
+                pending.append((v, b))
         # keep only fences that can still raise the bar; the newest few
         # suffice (the list is monotone in both components)
         self._fences = [f for f in pending if f[0] > self._safe_seq][-8:]

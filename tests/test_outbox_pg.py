@@ -777,6 +777,111 @@ def test_balanced_bounds_skewed_seq_space(pg, spark):
     assert p.advance() >= 100_008
 
 
+def test_fence_randomized_multi_writer_stress(pg, spark):
+    """Randomized interleaving stress for the fence: four writer
+    sessions repeatedly BEGIN / INSERT / hold / COMMIT in shuffled
+    order while a fenced poller drains continuously with a small
+    fence_wait. Every committed row must be delivered exactly once;
+    rolled-back rows never appear. (Deterministic seed — the
+    interleaving is reproducible.)"""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    r = _fresh_db(pg, "t_fence_stress")
+    PgCaptureManager(r, table_regexp="notes").install()
+    writers = [TxnSession(pg.conninfo("t_fence_stress")) for _ in range(4)]
+    p = PgOutboxPoller.open_durable(r, consumer="c", max_rows=10_000,
+                                    fence_wait=0.2)
+    delivered: list[int] = []
+    committed: set[int] = set()
+    aborted: set[int] = set()
+    next_id = 0
+    open_ids: dict[int, list[int]] = {i: [] for i in range(4)}
+
+    def drain() -> int:
+        rows = p.read_batch(spark).collect()
+        delivered.extend(row.seq for row in rows)
+        p.advance()
+        return len(rows)
+
+    try:
+        for step in range(60):
+            w = rng.randrange(4)
+            action = rng.random()
+            sess = writers[w]
+            if not open_ids[w] and action < 0.6:
+                # start a txn with 1-2 inserts, leave it open
+                sess.run("BEGIN;")
+                for _ in range(rng.randrange(1, 3)):
+                    next_id += 1
+                    sess.run(f"INSERT INTO notes VALUES "
+                             f"({next_id}, default, 'w{w}');")
+                    open_ids[w].append(next_id)
+            elif open_ids[w]:
+                if action < 0.85:
+                    sess.run("COMMIT;")
+                    committed.update(open_ids[w])
+                else:
+                    sess.run("ROLLBACK;")
+                    aborted.update(open_ids[w])
+                open_ids[w] = []
+            if step % 5 == 4:
+                drain()
+    finally:
+        for w, sess in enumerate(writers):
+            if open_ids[w]:
+                sess.run("COMMIT;")
+                committed.update(open_ids[w])
+            sess.close()
+    # final drains until two consecutive empty batches (all fences
+    # drained, nothing left)
+    empty = 0
+    while empty < 2:
+        empty = empty + 1 if drain() == 0 else 0
+    # authoritative check: re-read everything from seq 0 and compare
+    p2 = PgOutboxPoller.open_durable(r, consumer="audit", max_rows=100_000,
+                                     fence_wait=2.0)
+    all_rows = p2.read_batch(spark).collect()
+    assert sorted(int(row.id) for row in all_rows) == sorted(committed), (
+        "outbox content mismatch"
+    )
+    # delivery: exactly once per committed row, zero aborted leaks
+    assert len(delivered) == len(set(delivered)), "duplicate delivery"
+    seq_by_id = {int(row.id): row.seq for row in all_rows}
+    want_seqs = sorted(seq_by_id[i] for i in committed)
+    assert sorted(delivered) == want_seqs, (
+        f"lost: {set(want_seqs) - set(delivered)}, "
+        f"extra: {set(delivered) - set(want_seqs)}"
+    )
+    assert not (aborted & set(seq_by_id)), "rolled-back row captured"
+
+
+def test_capture_survives_schema_evolution(pg):
+    """Parity property the reference gets from row_to_json and this
+    engine must keep: ALTER TABLE ADD COLUMN mid-stream — WITHOUT
+    reinstalling triggers — makes subsequent envelopes carry the new
+    column (and DROP COLUMN removes it). The PL/pgSQL to_json(NEW)
+    serializes whatever the row looks like at fire time; no trigger
+    lifecycle required (unlike the sqlite backend's enumerated
+    json_object columns, which document needing reinstall)."""
+    r = _fresh_db(pg, "t_schema_evo")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes VALUES (1, default, 'before');")
+    r.sql("ALTER TABLE notes ADD COLUMN tag text DEFAULT 'fresh';")
+    r.sql("INSERT INTO notes VALUES (2, default, 'after');")
+    r.sql("ALTER TABLE notes DROP COLUMN note;")
+    r.sql("INSERT INTO notes (id) VALUES (3);")
+    rows = r.query_csv(
+        "SELECT payload::text AS p FROM pqstream_outbox ORDER BY seq"
+    )
+    import json as _json
+
+    p1, p2, p3 = (_json.loads(x["p"]) for x in rows)
+    assert "tag" not in p1 and p1["note"] == "before"
+    assert p2["tag"] == "fresh" and p2["note"] == "after"
+    assert "note" not in p3 and p3["tag"] == "fresh"
+
+
 def test_daemon_golden_multiset_with_concurrent_writer(pg, tmp_path):
     """The golden-multiset daemon e2e rerun with a concurrent writer
     mixed in (round-8 done-criterion for the fence): a transaction that
