@@ -2035,12 +2035,67 @@ FROM runs GROUP BY doc_a, doc_b
 """
 
 
+# Edit-distance verifier window (chars). Levenshtein is O(n·m) per
+# pair, so the verifier runs on a bounded TAIL window — the near-copy
+# corpus diverges at the tail (CORPUS_CTE truncates 7 trailing chars),
+# and at scale the candidate pairs come from the LSH bands, making
+# this the per-candidate fuzzy verifier with a hard per-pair cost cap
+# (LEV_WINDOW² cells) independent of document length.
+LEV_WINDOW = 120
+
+
+def _levenshtein_sql(spark: bool) -> str:
+    """Character-level edit distance over a bounded tail window of the
+    original↔near-copy pairs — the classic fuzzy-dup verifier
+    (dynamic-programming Levenshtein; built into BOTH engines, so the
+    branch is pure SQL). Determinism notes:
+
+    - Unicode: Spark's levenshtein counts codepoints, DuckDB's counts
+      bytes — divergent on non-ASCII. Inputs pass through an ASCII
+      projection first (every non-ASCII char → '?'), making byte ==
+      char in both engines; the projection is also the honest
+      normalization for a fuzzy verifier (byte-identical non-ASCII
+      still matches itself). DuckDB regexp_replace needs the 'g' flag
+      (default replaces the first match only); Spark replaces all.
+    - Score stays the RAW integer distance cast to DOUBLE (the
+      longest_run discipline) — no ratio, no float-boundary risk; the
+      near-dup verdict is the integer comparison lev·5 <= window_len
+      (edit distance within 20% of the window)."""
+    win = LEV_WINDOW
+    if spark:
+        ascii_a = (f"regexp_replace(substring(a.text, "
+                   f"greatest(length(a.text) - {win - 1}, 1), {win}), "
+                   f"'[^\\\\x20-\\\\x7e]', '?')")
+        ascii_b = (f"regexp_replace(substring(b.text, "
+                   f"greatest(length(b.text) - {win - 1}, 1), {win}), "
+                   f"'[^\\\\x20-\\\\x7e]', '?')")
+    else:
+        ascii_a = (f"regexp_replace(substring(a.text, "
+                   f"greatest(length(a.text) - {win - 1}, 1), {win}), "
+                   f"'[^\\x20-\\x7e]', '?', 'g')")
+        ascii_b = (f"regexp_replace(substring(b.text, "
+                   f"greatest(length(b.text) - {win - 1}, 1), {win}), "
+                   f"'[^\\x20-\\x7e]', '?', 'g')")
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_a, doc_b, lev,
+       lev * 5 <= greatest(la, lb, 1) AS lev_near_dup
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein({ascii_a}, {ascii_b}) AS lev,
+         length({ascii_a}) AS la, length({ascii_b}) AS lb
+  FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 100000
+) pairs
+"""
+
+
 def _pairwise_scores_sql(spark: bool,
                          longrun_base: str | None = None) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
     original↔near-copy pairs) ∪ per-label embedding nearest neighbour
     ∪ train/test decontamination ∪ (round 6) exact-substring
-    longest-run — all emit (method, id_a, id_b, score, near_dup)."""
+    longest-run ∪ (round 8) bounded-window Levenshtein — all emit
+    (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
@@ -2074,6 +2129,11 @@ SELECT 'longest_run' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(longest_run_tokens AS DOUBLE) AS score,
        longest_run_tokens >= 20 AS near_dup
 FROM ({_longrun_sql(spark, base=longrun_base).strip()})
+UNION ALL
+SELECT 'levenshtein' AS method, CAST(doc_a AS BIGINT) AS id_a,
+       CAST(doc_b AS BIGINT) AS id_b, CAST(lev AS DOUBLE) AS score,
+       lev_near_dup AS near_dup
+FROM ({_levenshtein_sql(spark).strip()})
 """
 
 

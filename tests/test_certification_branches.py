@@ -126,6 +126,50 @@ def test_bpe_sql_chain_equals_python_segmenter(spark, duck):
     spark.catalog.dropTempView("_bpe_cases")
 
 
+def test_levenshtein_branch_hand_computed(spark):
+    """Round-8 branch: the bounded-tail-window edit distance against
+    hand-computable fixtures. Short doc (shorter than the window):
+    the whole original vs its 7-char-truncated copy — exactly 7
+    deletions, not a near-dup (7·5 > 18). Long periodic doc (period
+    36, longer than the window): the two tail windows are the same
+    cyclic stream shifted by 7, and no alignment beats drop-7-front /
+    add-7-back — exactly 14, a near-dup (14·5 <= 120). Runs the REAL
+    branch SQL over a substituted documents view; DuckDB runs the
+    oracle dialect on the same fixtures (cross-engine equality on
+    crafted, not just driver, data)."""
+    import duckdb
+
+    from pqstream_spark.queries.llm import LEV_WINDOW, _levenshtein_sql
+
+    assert LEV_WINDOW == 120
+    import string
+
+    alphabet = (string.ascii_lowercase + string.digits)  # period 36
+    long_text = "".join(alphabet[i % 36] for i in range(300))
+    short_text = "abcdefghij xyz123!"  # 18 chars
+    rows = [(1, short_text), (2, long_text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["lev"], r["lev_near_dup"])
+            for r in spark.sql(_levenshtein_sql(True)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got[(1, 100001)] == (7, False), got
+    assert got[(2, 100002)] == (14, True), got
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, ?), (2, ?)) t(doc_id, text)", [short_text, long_text])
+    want = {
+        (a, b): (lev, nd)
+        for a, b, lev, nd in con.execute(_levenshtein_sql(False)).fetchall()
+    }
+    assert want == got, "oracle dialect must match on crafted fixtures"
+
+
 def test_sim_ann_branch_quality(spark):
     """The certified branches behave like the operators they certify:
     embed_hash surfaces each original's planted near-copy; pq_adc

@@ -777,19 +777,26 @@ def test_balanced_bounds_skewed_seq_space(pg, spark):
     assert p.advance() >= 100_008
 
 
-def test_fence_randomized_multi_writer_stress(pg, spark):
+@pytest.mark.parametrize("read_path", ["serial", "distributed"])
+def test_fence_randomized_multi_writer_stress(pg, spark, read_path):
     """Randomized interleaving stress for the fence: four writer
     sessions repeatedly BEGIN / INSERT / hold / COMMIT in shuffled
     order while a fenced poller drains continuously with a small
     fence_wait. Every committed row must be delivered exactly once;
     rolled-back rows never appear. (Deterministic seed — the
-    interleaving is reproducible.)"""
+    interleaving is reproducible.) This test is why the fence is
+    keyed on an assigned-xid bound: the original snapshot-xmax fence
+    passed every deterministic interleaving (a later commit always
+    pushed xmax past the open writer) and lost rows ONLY here. Runs
+    against both the serial and the quantile-partitioned distributed
+    read — the paths share the fence but not the read plumbing."""
     import random
 
     rng = random.Random(0xC0FFEE)
-    r = _fresh_db(pg, "t_fence_stress")
+    r = _fresh_db(pg, f"t_fence_stress_{read_path}")
     PgCaptureManager(r, table_regexp="notes").install()
-    writers = [TxnSession(pg.conninfo("t_fence_stress")) for _ in range(4)]
+    writers = [TxnSession(pg.conninfo(f"t_fence_stress_{read_path}"))
+               for _ in range(4)]
     p = PgOutboxPoller.open_durable(r, consumer="c", max_rows=10_000,
                                     fence_wait=0.2)
     delivered: list[int] = []
@@ -799,7 +806,10 @@ def test_fence_randomized_multi_writer_stress(pg, spark):
     open_ids: dict[int, list[int]] = {i: [] for i in range(4)}
 
     def drain() -> int:
-        rows = p.read_batch(spark).collect()
+        if read_path == "distributed":
+            rows = p.read_batch_distributed(spark, num_partitions=3).collect()
+        else:
+            rows = p.read_batch(spark).collect()
         delivered.extend(row.seq for row in rows)
         p.advance()
         return len(rows)
