@@ -129,6 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
         "(directory backend only; 0 picks an ephemeral port)",
     )
+    p.add_argument(
+        "--fence-wait", type=float, default=2.0, metavar="SEC",
+        help="postgres outbox backend: max seconds a poll waits for "
+        "in-flight transactions to finish before settling for the "
+        "current safe ceiling (the concurrent-writer watermark fence, "
+        "PgSeqFence — rows above the fence wait for the next poll; "
+        "delivery is never lost either way)",
+    )
     return p
 
 
@@ -290,7 +298,8 @@ def _run_postgres(args, stop: threading.Event) -> int:
     spark = get_spark("pqstream-daemon")
     redactions = _load_redactions(args.redactions)
     poller = PgOutboxPoller.open_durable(
-        runner, consumer=args.consumer or "daemon")
+        runner, consumer=args.consumer or "daemon",
+        fence_wait=args.fence_wait)
     if args.replay_from is not None:
         poller.rewind(args.replay_from)
     if args.out == "-":
@@ -308,7 +317,7 @@ def _run_postgres(args, stop: threading.Event) -> int:
         # contract and seq-dedup downstream already absorb (same stance
         # as the sqlite backend's BEGIN IMMEDIATE, weakened to
         # at-least-once)
-        hi = pg_outbox_high_water(runner)
+        hi = pg_outbox_high_water(runner, fence_wait=args.fence_wait)
         snap_batch = pg_snapshot_batch(runner, spark, args.tables)
         snap = handle_events(
             raw_events_from_outbox(snap_batch),
@@ -530,6 +539,10 @@ def main(argv: list[str] | None = None) -> int:
         # back to the serial read — the operator must not believe the
         # scale path is active when it is not
         print(f"--parallel-read: N must be >= 1 (got {args.parallel_read})",
+              file=sys.stderr)
+        return 2
+    if args.fence_wait < 0:
+        print(f"--fence-wait: must be >= 0 (got {args.fence_wait})",
               file=sys.stderr)
         return 2
     if args.connect.startswith("sqlite:"):
