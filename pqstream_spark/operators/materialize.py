@@ -86,15 +86,20 @@ def materialize_current_state_stream(
     op='DELETE', payload NULL — so a downstream sink can apply removals
     too.
 
-    TRUNCATE: state here is strictly per-(table, id) key, and a
-    statement-level TRUNCATE event (id NULL) cannot reach into other
-    keys' state from inside a keyed stateful operator. It flows through
-    as its own (table, NULL) key and emits a TABLE-level tombstone row
-    (op='TRUNCATE', id NULL, payload NULL) that a downstream sink
-    applies as delete-all — the same division of labor as row DELETEs.
-    Full in-engine delete-all is the batch fold's job
-    (materialize_current_state), which is also the state-reconstruction
-    path.
+    TRUNCATE: state here is strictly per-key, and a statement-level
+    TRUNCATE event (id NULL) cannot reach into other keys' state from
+    inside a keyed stateful operator. It flows through under its own
+    key — the grouping key carries an `is_trunc` discriminator (the
+    batch fold's trick), so a ROW event with a NULL id can never
+    shadow a truncate or vice versa — and emits a TABLE-level
+    tombstone row (op='TRUNCATE', id NULL, payload NULL) that a
+    downstream sink applies as delete-all; the tombstone expires on
+    the same event-time timeout as DELETE tombstones. The per-id
+    state entries of a truncated table are NOT cleared (per-key state
+    cannot be; they behave like live rows until their ids are deleted
+    or re-inserted — a truncate-and-fresh-ids workload should
+    reconstruct state via the batch fold instead, which IS the
+    state-reconstruction path and applies delete-all in-engine).
 
     DELETE keeps a TOMBSTONE in state (seq, 'DELETE', NULL) rather than
     removing the entry: under the engine's at-least-once delivery
@@ -118,13 +123,13 @@ def materialize_current_state_stream(
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             seq, op, payload = state.get if state.exists else (-1, None, None)
-            if op == "DELETE":
+            if op in ("DELETE", "TRUNCATE"):
                 # tombstone outlived the replay horizon — safe to forget
                 state.remove()
             # else: stale timer from a key deleted then re-inserted;
             # the live row stays (timers fire once, nothing to clear)
             return
-        table_name, id_ = key
+        table_name, id_ = key[0], key[1]  # key[2] is the is_trunc flag
         if state.exists:
             seq, op, payload = state.get
         else:
@@ -137,10 +142,11 @@ def materialize_current_state_stream(
                     continue  # replayed / out-of-order older event
                 seq = int(row.seq)
                 op = row.op
-                payload = None if row.op == "DELETE" else row.payload_json
+                payload = (None if row.op in ("DELETE", "TRUNCATE")
+                           else row.payload_json)
                 ts_ms = int(pd.Timestamp(row.ts).value // 1_000_000)
         state.update((seq, op, payload))
-        if op == "DELETE" and ts_ms >= 0:
+        if op in ("DELETE", "TRUNCATE") and ts_ms >= 0:
             # the engine requires the timer to sit beyond the watermark
             state.setTimeoutTimestamp(
                 max(ts_ms + tombstone_ttl_ms, state.getCurrentWatermarkMs() + 1)
@@ -157,8 +163,11 @@ def materialize_current_state_stream(
 
     return (
         changelog.withWatermark("ts", watermark_delay)
-        .select("table_name", "id", "seq", "ts", "op", "payload_json")
-        .groupBy("table_name", "id")
+        .select(
+            "table_name", "id", "seq", "ts", "op", "payload_json",
+            (F.col("op") == "TRUNCATE").alias("is_trunc"),
+        )
+        .groupBy("table_name", "id", "is_trunc")
         .applyInPandasWithState(
             fold,
             outputStructType=CURRENT_STATE_SCHEMA,
@@ -214,7 +223,7 @@ def materialize_current_state_tws(
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            table_name, id_ = key
+            table_name, id_ = key[0], key[1]  # key[2] is is_trunc
             if self._live.exists():
                 seq, op, payload = self._live.get()
             elif self._tomb.exists():
@@ -249,8 +258,11 @@ def materialize_current_state_tws(
             pass
 
     return (
-        changelog.select("table_name", "id", "seq", "op", "payload_json")
-        .groupBy("table_name", "id")
+        changelog.select(
+            "table_name", "id", "seq", "op", "payload_json",
+            (F.col("op") == "TRUNCATE").alias("is_trunc"),
+        )
+        .groupBy("table_name", "id", "is_trunc")
         .transformWithStateInPandas(
             CurrentState(),
             outputStructType=CURRENT_STATE_SCHEMA,

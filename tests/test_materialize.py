@@ -139,6 +139,10 @@ def test_stream_truncate_emits_table_tombstone(spark, tmp_path):
     rows = [
         ("a", "1", 1, ts, "INSERT", '{"id":1}'),
         ("a", None, 5, ts, "TRUNCATE", None),
+        # a NULL-id ROW event newer than the truncate: without the
+        # is_trunc key discriminator it would share the truncate's
+        # (a, NULL) key and swallow the tombstone (review finding)
+        ("a", None, 7, ts, "INSERT", '{"x":1}'),
     ]
     schema = ("table_name string, id string, seq long, ts timestamp, "
               "op string, payload_json string")
@@ -161,12 +165,14 @@ def test_stream_truncate_emits_table_tombstone(spark, tmp_path):
         rows_out = spark.sql("select * from mat_trunc").collect()
     finally:
         q.stop()
-    by_key = {(r["table_name"], r["id"]): r for r in rows_out}
-    tomb = by_key[("a", None)]
-    assert tomb["op"] == "TRUNCATE" and tomb["payload_json"] is None
-    assert tomb["seq"] == 5
+    by_key = {(r["table_name"], r["id"], r["op"]): r for r in rows_out}
+    tomb = by_key[("a", None, "TRUNCATE")]
+    assert tomb["payload_json"] is None and tomb["seq"] == 5
+    # the NULL-id row event folds under ITS OWN key — it must not have
+    # swallowed the tombstone (nor vice versa)
+    assert by_key[("a", None, "INSERT")]["seq"] == 7
     # the row key's own emission is untouched (per-key state)
-    assert by_key[("a", "1")]["op"] == "INSERT"
+    assert by_key[("a", "1", "INSERT")]["seq"] == 1
 
 
 def test_stream_materialize_two_batches(spark, tmp_path):
