@@ -270,11 +270,31 @@ def main(argv: list[str] | None = None, out=None) -> int:
         print("--lm-tables requires --lm-cap (the tables are the "
               "scoring model; the cap is the gate)", file=sys.stderr)
         return 2
-    if args.lm_train and (args.stream or args.lm_tables):
-        print("--lm-train is a standalone batch action (train the LM "
-              "and exit); it cannot combine with --stream or "
-              "--lm-tables", file=sys.stderr)
-        return 2
+    if args.lm_train:
+        # standalone action: any flag implying a curation run would be
+        # silently ignored — the module's own policy is that dependent
+        # flags fail loudly instead of no-opping, so enumerate them
+        ignored = [
+            name for flag, name in (
+                (args.stream, "--stream"),
+                (args.lm_tables, "--lm-tables"),
+                (args.out, "--out"),
+                (args.lm_cap is not None, "--lm-cap"),
+                (args.near_dedup, "--near-dedup"),
+                (args.min_clf != 0.0, "--min-clf"),
+                (args.decontaminate, "--decontaminate"),
+                (args.bpe, "--bpe"),
+                (args.scrub_pii, "--scrub-pii"),
+                (args.build_index, "--build-index"),
+            ) if flag
+        ]
+        if ignored:
+            print("--lm-train is a standalone batch action (train the "
+                  "LM artifact and exit); it cannot combine with "
+                  f"{', '.join(ignored)} — run the curation pass "
+                  "separately with --lm-cap --lm-tables",
+                  file=sys.stderr)
+            return 2
     if not args.out and not args.lm_train:
         print("--out is required (except with --lm-train)",
               file=sys.stderr)

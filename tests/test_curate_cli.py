@@ -456,17 +456,21 @@ def test_lm_train_then_score_from_disk(spark, tmp_path):
 
 
 def test_lm_train_flag_validation(tmp_path):
-    """--lm-tables without --lm-cap and --lm-train with --stream /
-    --lm-tables fail loudly (exit 2) — no silent no-ops."""
+    """--lm-tables without --lm-cap fails loudly, and --lm-train
+    rejects EVERY flag that implies a curation run (review finding:
+    silently ignoring --out/--lm-cap/--near-dedup would make the user
+    believe a curated corpus was produced) — no silent no-ops."""
     from pqstream_spark.curate import main
 
     assert main(["--documents", "x", "--out", "/tmp/nope",
                  "--lm-tables", "/tmp/lm"]) == 2
-    assert main(["--documents", "x", "--out", "/tmp/nope",
-                 "--stream", "--lm-train", "/tmp/lm"]) == 2
-    assert main(["--documents", "x", "--out", "/tmp/nope",
-                 "--lm-cap", "1", "--lm-train", "/tmp/lm",
-                 "--lm-tables", "/tmp/lm"]) == 2
+    for extra in (["--stream"], ["--lm-tables", "/tmp/lm"],
+                  ["--out", "/tmp/nope"], ["--lm-cap", "1"],
+                  ["--near-dedup"], ["--min-clf", "0.5"],
+                  ["--decontaminate", "b.parquet"], ["--bpe"],
+                  ["--scrub-pii"], ["--build-index"]):
+        assert main(["--documents", "x", "--lm-train", "/tmp/lm",
+                     *extra]) == 2, f"must reject --lm-train with {extra}"
     assert main(["--documents", "x", "--lm-train", "/tmp/lm",
                  "--lm-order", "1"]) == 2
 
