@@ -338,9 +338,13 @@ def _run_postgres(args, stop: threading.Event) -> int:
             )
         else:
             batch = poller.read_batch(spark)
-        # _pending_hi is None exactly when the batch is empty (both
-        # transports), and it is free — batch.isEmpty() on the
-        # distributed read would re-run all N psql sub-range reads
+        # drained-check: _pending_hi is None exactly when the fenced
+        # window is empty (hi <= lo). A batch that only advanced over
+        # abort gaps has _pending_hi set with zero rows — the loop
+        # runs one extra (cheap, empty) iteration and terminates on
+        # the next poll when the watermark stops moving; checking row
+        # counts instead would re-run all N psql sub-range reads on
+        # the distributed path
         batch_empty = poller._pending_hi is None
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,

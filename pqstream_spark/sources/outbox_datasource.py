@@ -53,7 +53,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .outbox_local import LOCAL_OUTBOX_TABLE, OUTBOX_BATCH_SCHEMA
+from .outbox_local import (
+    LOCAL_OFFSET_TABLE,
+    LOCAL_OUTBOX_TABLE,
+    OUTBOX_BATCH_SCHEMA,
+)
 
 
 def _connect(url: str):
@@ -117,40 +121,24 @@ def _read_range_sqlite(url: str, lo: int, hi: int):
 
 
 def _read_range_pg(conninfo: str, lo: int, hi: int):
-    """One bounded `psql --csv` read, ON the executor the partition was
-    scheduled to (the reader object is pickled there) — rows never pass
-    through the driver. Safe under concurrent writers because the
-    planned range was fenced: every seq <= hi is final, so this
-    late-running read sees exactly the planned row set."""
-    import csv as _csv
-    import io as _io
-    import subprocess as _sp
-
+    """One bounded psql CSV read (PsqlRunner.query_csv — the single
+    home of the psql invocation contract), ON the executor the
+    partition was scheduled to (the reader object is pickled there) —
+    rows never pass through the driver. Safe under concurrent writers
+    because the planned range was fenced: every seq <= hi is final, so
+    this late-running read sees exactly the planned row set."""
     from .outbox import OUTBOX_TABLE
-    from .outbox_pg import _NULL, _parse_pg_ts
+    from .outbox_pg import PsqlRunner, _parse_pg_ts
 
-    proc = _sp.run(
-        ["psql", conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
-         "--csv", "-P", f"null={_NULL}", "-c",
-         f"SELECT seq, ts, schema_name, table_name, op, id, "
-         f"payload::text AS payload_json, "
-         f"previous::text AS previous_json "
-         f"FROM {OUTBOX_TABLE} "
-         f"WHERE seq > {int(lo)} AND seq <= {int(hi)} "
-         f"ORDER BY seq"],
-        capture_output=True, text=True, cwd="/tmp",
+    rows = PsqlRunner(conninfo).query_csv(
+        f"SELECT seq, ts, schema_name, table_name, op, id, "
+        f"payload::text AS payload_json, "
+        f"previous::text AS previous_json "
+        f"FROM {OUTBOX_TABLE} "
+        f"WHERE seq > {int(lo)} AND seq <= {int(hi)} "
+        f"ORDER BY seq"
     )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"pqstream_outbox pg read failed for range "
-            f"({lo}, {hi}]: {proc.stderr.strip()}"
-        )
-    rows = list(_csv.reader(_io.StringIO(proc.stdout)))
-    if len(rows) <= 1:
-        return
-    header = rows[0]
-    for data in rows[1:]:
-        r = {k: (None if v == _NULL else v) for k, v in zip(header, data)}
+    for r in rows:
         yield (
             int(r["seq"]),
             _parse_pg_ts(r["ts"]),
@@ -163,8 +151,12 @@ def _read_range_pg(conninfo: str, lo: int, hi: int):
         )
 
 
-class OutboxStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+class _ReaderCommon:
+    """Option parsing + partition planning + range reads shared by the
+    stream and batch readers (one planner, one read dispatch — a fix
+    to either applies to both paths)."""
+
+    def _init_common(self, options: dict) -> None:
         self._url = options.get("url")
         if not self._url:
             raise ValueError(
@@ -172,53 +164,10 @@ class OutboxStreamReader(DataSourceStreamReader):
                 "url=postgres:CONNINFO"
             )
         self._backend, self._target = _split_url(self._url)
-        self._max_rows = int(options.get("maxrowsperbatch", 100_000))
         self._num_partitions = int(options.get("numpartitions", 4))
         self._fence_wait = float(options.get("fencewait", 2.0))
-        self._last_end: int | None = None
-        self._fence = None  # lazy: driver-side only, never shipped state
 
-    # -- offsets: the outbox seq high-water mark ------------------------------
-    def initialOffset(self) -> dict:
-        return {"seq": 0}
-
-    def _pg_fence_seq(self) -> int:
-        from .outbox_pg import PgSeqFence, PsqlRunner
-
-        if self._fence is None:
-            self._fence = PgSeqFence(PsqlRunner(self._target))
-        return self._fence.safe_seq(wait=self._fence_wait)
-
-    def latestOffset(self) -> dict:
-        """Rate limiting lives HERE, not in partitions(): the engine
-        commits exactly the offset this returns, so clamping the planned
-        range later would silently skip the clamped-off rows. Instead
-        the reported latest advances at most max_rows per trigger past
-        the previous report (the first trigger of a fresh reader is
-        uncapped — the engine gives a restarted reader no committed
-        base to cap from; bound recovery with the checkpoint instead).
-
-        postgres: the reported offset is the FENCED safe ceiling, never
-        the visible MAX(seq) — an offset the checkpoint commits is a
-        promise no in-flight transaction can break (see PgSeqFence)."""
-        if self._backend == "postgres":
-            true_max = self._pg_fence_seq()
-        else:
-            conn = _connect(self._url)
-            try:
-                row = conn.execute(
-                    f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
-                ).fetchone()
-            finally:
-                conn.close()
-            true_max = int(row[0])
-        if self._last_end is not None:
-            true_max = min(true_max, self._last_end + self._max_rows)
-        self._last_end = max(true_max, self._last_end or 0)
-        return {"seq": self._last_end}
-
-    def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["seq"]), int(end["seq"])
+    def _plan_ranges(self, lo: int, hi: int) -> list[SeqRange]:
         if hi <= lo:
             return [SeqRange(lo, lo)]
         if self._backend == "postgres":
@@ -239,7 +188,7 @@ class OutboxStreamReader(DataSourceStreamReader):
             for p_lo in range(lo, hi, step)
         ]
 
-    def read(self, partition: SeqRange):
+    def _read_range(self, partition: SeqRange):
         if partition.hi <= partition.lo:
             return
         if self._backend == "postgres":
@@ -247,13 +196,181 @@ class OutboxStreamReader(DataSourceStreamReader):
         else:
             yield from _read_range_sqlite(self._url, partition.lo, partition.hi)
 
+
+class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self._init_common(options)
+        self._max_rows = int(options.get("maxrowsperbatch", 100_000))
+        self._floor_consumer = options.get("consumer", "datasource")
+        self._last_end: int | None = None
+        self._fence = None  # lazy: driver-side only, never shipped state
+        self._floor_persisted = 0
+        if self._backend == "postgres":
+            # restart floor (review finding): a FRESH fence under an
+            # open writer proves nothing and would report an offset
+            # BELOW the checkpointed start; Spark compares offsets by
+            # equality only, so the regressed end lands in the offset
+            # log and the next drained batch re-delivers the whole
+            # sub-checkpoint history. Every offset latestOffset REPORTS
+            # is therefore persisted first (monotone, GREATEST-merged)
+            # under `{consumer}#reportfloor` in pqstream_consumer_offset
+            # in the source database — report time, not commit() time,
+            # because the engine calls commit() lazily and not at all
+            # before a stop(), leaving exactly the restart window open
+            # (observed live). A restarted reader starts its reporting
+            # floor there.
+            #
+            # The report floor is deliberately NOT the retention offset:
+            # it runs AHEAD of the query checkpoint (report → checkpoint
+            # write is a crash window), so compaction keyed on it could
+            # delete rows a restarted query still needs to re-read.
+            # compact() excludes `%#reportfloor`; retention is held by
+            # the plain `{consumer}` row instead — registered at 0 here
+            # (protected from first connect, the LocalOutboxPoller
+            # contract) and advanced only in commit(), when the engine
+            # has durably finished the batch. Distinct queries on one
+            # outbox should set distinct option("consumer", ...) keys.
+            self._last_end = self._read_floor()
+            self._floor_persisted = self._last_end or 0
+        else:
+            # sqlite needs no report floor (MAX(seq) over an append-only
+            # single-writer table is monotone by construction), but the
+            # retention contract is the same: register the delivered
+            # consumer at 0 so a durable poller's compact() on the same
+            # outbox cannot prune rows this query has not checkpointed.
+            self._register_delivered_sqlite()
+
+    # -- offsets: the outbox seq high-water mark ------------------------------
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _runner(self):
+        from .outbox_pg import PG_OFFSET_TABLE, PsqlRunner, _quote_lit
+
+        return (PsqlRunner(self._target), PG_OFFSET_TABLE,
+                _quote_lit(self._floor_consumer),
+                _quote_lit(self._floor_consumer + "#reportfloor"))
+
+    def _read_floor(self) -> int | None:
+        runner, table, key, floor_key = self._runner()
+        runner.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
+            # register the DELIVERED consumer at 0 immediately:
+            # compaction's low-water mark only protects consumers it
+            # can see (constructor comment)
+            f"INSERT INTO {table} (consumer, last_seq) "
+            f"VALUES ({key}, 0) ON CONFLICT (consumer) DO NOTHING;"
+        )
+        got = runner.scalar(
+            f"SELECT last_seq FROM {table} WHERE consumer = {floor_key}"
+        )
+        return int(got) if got is not None else None
+
+    def _register_delivered_sqlite(self) -> None:
+        conn = _connect(self._url)
+        try:
+            conn.execute(
+                f"CREATE TABLE IF NOT EXISTS {LOCAL_OFFSET_TABLE} ("
+                "consumer TEXT PRIMARY KEY, last_seq INTEGER NOT NULL)"
+            )
+            conn.execute(
+                f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+                "VALUES (?, 0) ON CONFLICT(consumer) DO NOTHING",
+                (self._floor_consumer,),
+            )
+            conn.commit()
+        finally:
+            conn.close()
+
+    def _pg_fence_seq(self) -> int:
+        from .outbox_pg import PgSeqFence, PsqlRunner
+
+        if self._fence is None:
+            self._fence = PgSeqFence(PsqlRunner(self._target))
+        return self._fence.safe_seq(wait=self._fence_wait)
+
+    def latestOffset(self) -> dict:
+        """Rate limiting lives HERE, not in partitions(): the engine
+        commits exactly the offset this returns, so clamping the planned
+        range later would silently skip the clamped-off rows. Instead
+        the reported latest advances at most max_rows per trigger past
+        the previous report (the first trigger of a fresh reader is
+        uncapped above the durable floor — the floor, not the cap,
+        bounds recovery).
+
+        postgres: the reported offset is the FENCED safe ceiling, never
+        the visible MAX(seq) — an offset the checkpoint commits is a
+        promise no in-flight transaction can break (see PgSeqFence) —
+        and never regresses below the durable floor (constructor
+        comment)."""
+        if self._backend == "postgres":
+            true_max = self._pg_fence_seq()
+        else:
+            conn = _connect(self._url)
+            try:
+                row = conn.execute(
+                    f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
+                ).fetchone()
+            finally:
+                conn.close()
+            true_max = int(row[0])
+        if self._last_end is not None:
+            true_max = min(true_max, self._last_end + self._max_rows)
+        self._last_end = max(true_max, self._last_end or 0)
+        if (self._backend == "postgres"
+                and self._last_end > self._floor_persisted):
+            self._persist_floor(self._last_end)
+        return {"seq": self._last_end}
+
+    def _persist_floor(self, seq: int) -> None:
+        runner, table, _key, floor_key = self._runner()
+        runner.sql(
+            f"INSERT INTO {table} (consumer, last_seq) "
+            f"VALUES ({floor_key}, {int(seq)}) "
+            f"ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+            f"GREATEST({table}.last_seq, excluded.last_seq);"
+        )
+        self._floor_persisted = seq
+
+    def partitions(self, start: dict, end: dict):
+        return self._plan_ranges(int(start["seq"]), int(end["seq"]))
+
+    def read(self, partition: SeqRange):
+        yield from self._read_range(partition)
+
     def commit(self, end: dict) -> None:
-        # offsets live in the query checkpoint; the outbox is append-only
-        # (retention/compaction is a DDL concern, not the reader's)
-        pass
+        """The query checkpoint owns restart offsets and the report
+        floor is written at REPORT time in latestOffset (constructor
+        comment — commit() is called too lazily to close the restart
+        window). What commit() DOES own is retention: it advances the
+        plain `{consumer}` row — the only one compact() keys on — so
+        rows stay replayable until the engine has durably finished the
+        batch, never merely reported it."""
+        seq = int(end["seq"])
+        if self._backend == "postgres":
+            runner, table, key, _floor_key = self._runner()
+            runner.sql(
+                f"INSERT INTO {table} (consumer, last_seq) "
+                f"VALUES ({key}, {seq}) "
+                f"ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({table}.last_seq, excluded.last_seq);"
+            )
+        else:
+            conn = _connect(self._url)
+            try:
+                conn.execute(
+                    f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+                    "VALUES (?, ?) ON CONFLICT(consumer) DO UPDATE SET "
+                    "last_seq = MAX(last_seq, excluded.last_seq)",
+                    (self._floor_consumer, seq),
+                )
+                conn.commit()
+            finally:
+                conn.close()
 
 
-class OutboxBatchReader(DataSourceReader):
+class OutboxBatchReader(_ReaderCommon, DataSourceReader):
     """Batch form — `spark.read.format("pqstream_outbox")` — for
     backfills and ad-hoc changelog queries: one bounded partitioned
     scan of the outbox seq range. Options `sinceSeq` (exclusive,
@@ -263,15 +380,7 @@ class OutboxBatchReader(DataSourceReader):
     later with a lower seq)."""
 
     def __init__(self, options: dict) -> None:
-        self._url = options.get("url")
-        if not self._url:
-            raise ValueError(
-                "pqstream_outbox requires option url=sqlite:PATH or "
-                "url=postgres:CONNINFO"
-            )
-        self._backend, self._target = _split_url(self._url)
-        self._num_partitions = int(options.get("numpartitions", 4))
-        self._fence_wait = float(options.get("fencewait", 2.0))
+        self._init_common(options)
         self._since = int(options.get("sinceseq", 0))
         self._until = options.get("untilseq")
 
@@ -294,31 +403,10 @@ class OutboxBatchReader(DataSourceReader):
     def partitions(self):
         lo = self._since
         hi = int(self._until) if self._until is not None else self._ceiling()
-        if hi <= lo:
-            return [SeqRange(lo, lo)]
-        if self._backend == "postgres":
-            from .outbox_pg import PsqlRunner, pg_plan_balanced_bounds
-
-            bounds = pg_plan_balanced_bounds(
-                PsqlRunner(self._target), lo, hi, self._num_partitions
-            )
-            if not bounds:
-                return [SeqRange(lo, lo)]
-            return [SeqRange(b_lo, b_hi) for b_lo, b_hi in bounds]
-        n = min(self._num_partitions, hi - lo)
-        step = (hi - lo + n - 1) // n
-        return [
-            SeqRange(p_lo, min(p_lo + step, hi))
-            for p_lo in range(lo, hi, step)
-        ]
+        return self._plan_ranges(lo, hi)
 
     def read(self, partition: SeqRange):
-        if partition.hi <= partition.lo:
-            return
-        if self._backend == "postgres":
-            yield from _read_range_pg(self._target, partition.lo, partition.hi)
-        else:
-            yield from _read_range_sqlite(self._url, partition.lo, partition.hi)
+        yield from self._read_range(partition)
 
 
 class OutboxDataSource(DataSource):

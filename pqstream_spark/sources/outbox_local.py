@@ -352,7 +352,8 @@ class LocalOutboxPoller:
         consumer and is excluded from the mark."""
         row = self.conn.execute(
             f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE} "
-            "WHERE consumer NOT LIKE '%#bootstrap'"
+            "WHERE consumer NOT LIKE '%#bootstrap' "
+            "AND consumer NOT LIKE '%#reportfloor'"
         ).fetchone()
         low = row[0] if row else None
         if low is None or low <= 0:

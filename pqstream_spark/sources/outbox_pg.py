@@ -286,7 +286,7 @@ class PgCaptureManager:
         jsonb outbox must fail LOUDLY, not capture quietly wrong."""
         rows = self.runner.query_csv(
             "SELECT column_name, data_type FROM information_schema.columns "
-            f"WHERE table_name = '{OUTBOX_TABLE}' "
+            f"WHERE table_schema = 'public' AND table_name = '{OUTBOX_TABLE}' "
             "AND column_name IN ('payload', 'previous')"
         )
         bad = [r["column_name"] for r in rows if r["data_type"] != "json"]
@@ -399,7 +399,10 @@ class PgSeqFence:
     def __init__(self, runner: PsqlRunner) -> None:
         self.runner = runner
         self._safe_seq = 0
-        # pending (claimed_seq, snapshot_xmax) fences, oldest first
+        # pending (claimed_seq, own_xid_bound) fences, oldest first —
+        # the bound is the fence round's OWN pg_current_xact_id(),
+        # NEVER snapshot xmax (see step 2 above: xmax self-drains past
+        # open writers)
         self._fences: list[tuple[int, int]] = []
 
     def safe_seq(self, wait: float = 0.0) -> int:
@@ -636,10 +639,15 @@ class PgOutboxPoller:
     def compact(self) -> int:
         """Prune outbox rows below every consumer's durable offset
         (Kafka-style low-water retention; bootstrap sentinel excluded,
-        same contract as LocalOutboxPoller.compact)."""
+        same contract as LocalOutboxPoller.compact). `#reportfloor`
+        rows are excluded too: the stream reader's report floor runs
+        AHEAD of its query checkpoint (OutboxStreamReader), so it is a
+        reporting watermark, never a delivery guarantee — retention
+        keys on the reader's plain consumer row, advanced at commit()."""
         low = self.runner.scalar(
             f"SELECT MIN(last_seq) FROM {PG_OFFSET_TABLE} "
-            "WHERE consumer NOT LIKE '%#bootstrap'"
+            "WHERE consumer NOT LIKE '%#bootstrap' "
+            "AND consumer NOT LIKE '%#reportfloor'"
         )
         if low is None or int(low) <= 0:
             return 0

@@ -147,3 +147,37 @@ def test_max_rows_per_batch_bounds_each_microbatch(spark, db_path, tmp_path):
         q.stop()
     assert sum(batches) == 10
     assert max(b for b in batches if b) <= 4, f"rate cap violated: {batches}"
+
+
+def test_stream_reader_holds_compaction_until_commit(db_path):
+    """Retention contract (mirrors the PG reader): constructing the
+    stream reader registers its delivered consumer at 0, so a durable
+    poller's compact() on the same outbox cannot prune rows the query
+    has not committed; commit() advances the delivered offset and
+    releases them."""
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+    from pqstream_spark.sources.outbox_local import (
+        LOCAL_OUTBOX_TABLE,
+        LocalOutboxPoller,
+    )
+
+    _insert(db_path, 1, 5)
+    reader = OutboxStreamReader({"url": f"sqlite:{db_path}"})
+    assert int(reader.latestOffset()["seq"]) == 5
+
+    conn = sqlite3.connect(db_path)
+    try:
+        poller = LocalOutboxPoller.open_durable(conn, consumer="worker")
+        poller.rewind(5)  # worker fully caught up
+
+        def remaining():
+            return conn.execute(
+                f"SELECT count(*) FROM {LOCAL_OUTBOX_TABLE}"
+            ).fetchone()[0]
+
+        # the stream has reported but not committed: nothing prunes
+        assert poller.compact() == 0 and remaining() == 5
+        reader.commit({"seq": 5})
+        assert poller.compact() == 5 and remaining() == 0
+    finally:
+        conn.close()

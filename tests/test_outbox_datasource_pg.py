@@ -136,6 +136,66 @@ def test_pg_stream_fenced_offsets_under_open_txn(spark, pg, tmp_path):
         q.stop()
 
 
+def test_pg_stream_restart_floor_no_redelivery(spark, pg, tmp_path):
+    """Review finding: a RESTARTED reader's fresh fence proves nothing
+    while a writer is open, and Spark compares offsets by equality
+    only — without a durable floor the regressed latestOffset lands in
+    the offset log and the next drained batch re-delivers the whole
+    sub-checkpoint history. The floor (persisted via commit() into
+    pqstream_consumer_offset) must prevent any re-delivery."""
+    from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+    from tests.test_outbox_pg import TxnSession
+
+    r = _fresh_db(pg, "ds_floor")
+    conninfo = pg.conninfo("ds_floor")
+    spark.dataSource.register(OutboxDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_query():
+        return (
+            spark.readStream.format("pqstream_outbox")
+            .option("url", f"postgres:{conninfo}")
+            .option("fenceWait", "0.3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'f' || g "
+        "FROM generate_series(1, 10) g;"
+    )
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _sink_seqs(spark, out) == list(range(1, 11))
+
+    # restart WITH an open writer claiming the next seq: the fresh
+    # fence cannot prove anything — the floor must hold the reported
+    # offset at the committed end, not let it crash to zero
+    a = TxnSession(conninfo)
+    q = run_query()
+    try:
+        a.run("BEGIN;\nINSERT INTO notes VALUES (default, default, 'open');")
+        q.processAllAvailable()
+        assert _sink_seqs(spark, out) == list(range(1, 11)), (
+            "restart under an open writer re-delivered or lost rows"
+        )
+        a.run("COMMIT;")
+        q.processAllAvailable()
+        assert _sink_seqs(spark, out) == list(range(1, 12)), (
+            "the open writer's row must arrive exactly once after commit"
+        )
+    finally:
+        a.close()
+        q.stop()
+
+
 def test_pg_batch_read_backfill_fenced(spark, pg, tmp_path):
     """Batch form on postgres: the default untilSeq is the FENCED safe
     ceiling, so a backfill boundary is FINAL — a follow-up stream from
@@ -287,3 +347,50 @@ def test_pg_stream_sigkill_checkpoint_recovery(spark, pg, tmp_path):
     assert seqs == list(range(1, 36)), (
         f"lost or duplicated after SIGKILL restart: {seqs}"
     )
+
+
+def test_pg_reportfloor_never_enables_compaction(pg):
+    """The report floor runs AHEAD of the query checkpoint (report →
+    checkpoint write is a crash window), so it must never let compact()
+    prune rows the stream has not durably finished: the floor row is
+    `#reportfloor`-suffixed and EXCLUDED from the retention MIN, while
+    the plain consumer row — registered at 0 on first connect, advanced
+    only in commit() — holds retention."""
+    from pqstream_spark.sources.outbox import OUTBOX_TABLE
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+    from pqstream_spark.sources.outbox_pg import PgOutboxPoller, PsqlRunner
+
+    r = _fresh_db(pg, "ds_retention")
+    conninfo = pg.conninfo("ds_retention")
+    r.sql(
+        "INSERT INTO notes SELECT g, now(), 'r' || g "
+        "FROM generate_series(1, 8) g;"
+    )
+
+    reader = OutboxStreamReader(
+        {"url": f"postgres:{conninfo}", "fencewait": "0.5"}
+    )
+    assert int(reader.latestOffset()["seq"]) == 8  # floor now persisted
+
+    runner = PsqlRunner(conninfo)
+    maint = PgOutboxPoller(runner)  # maintenance handle, no consumer row
+
+    def remaining():
+        return int(runner.scalar(f"SELECT count(*) FROM {OUTBOX_TABLE}"))
+
+    # crash window: floor=8 written, query checkpoint NOT — compaction
+    # must prune nothing (delivered row still 0)
+    assert maint.compact() == 0 and remaining() == 8
+
+    reader.commit({"seq": 8})
+    assert maint.compact() == 8 and remaining() == 0
+
+    # floor ahead again: two new rows reported but not committed
+    r.sql("INSERT INTO notes SELECT 100 + g, now(), 'x' || g "
+          "FROM generate_series(1, 2) g;")
+    assert int(reader.latestOffset()["seq"]) == 10
+    assert maint.compact() == 0 and remaining() == 2, (
+        "report floor leaked into the retention low-water mark"
+    )
+    reader.commit({"seq": 10})
+    assert maint.compact() == 2 and remaining() == 0
