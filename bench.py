@@ -77,6 +77,64 @@ MULTI_BRANCH = {
 BRANCH_ITERS = 2
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Host-speed canary: three fixed synthetic workloads, zero engine
+    code, so round-over-round BENCH comparisons can be normalized for
+    the machine instead of mistaking host drift for regressions. This
+    exists because it happened: mid-round-8 this VM's disk dropped to
+    ~65 MB/s and its fixed per-job costs (broadcast build, local
+    checkpoint) roughly tripled — identical code and byte-identical
+    plans measured 3.2 s, then 9 s, hours apart. The three components
+    separate the failure modes:
+
+    - shuffle_30m: one wide shuffle (raw parallel throughput)
+    - expr_md5_5m: whole-stage-codegen expression crunch (single-core
+      JIT'd speed)
+    - iter_bcast_ckpt_6r: six rounds of broadcast-join +
+      localCheckpoint over a tiny frame — the fixed per-round driver
+      cost every iterative entry (connected components) pays, the
+      component that actually degraded here
+
+    Two reps, min of each: the canary measures the host, not its own
+    warmup."""
+    from pyspark.sql import functions as F
+
+    def _rep() -> dict[str, float]:
+        out: dict[str, float] = {}
+        t = time.perf_counter()
+        spark.range(30_000_000).selectExpr("id % 1000 AS k").groupBy(
+            "k"
+        ).count().count()
+        out["shuffle_30m"] = time.perf_counter() - t
+        t = time.perf_counter()
+        spark.sql(
+            "SELECT count(*) FROM (SELECT md5(CAST(id AS STRING)) m "
+            "FROM range(5000000)) WHERE m LIKE '%aa%'"
+        ).collect()
+        out["expr_md5_5m"] = time.perf_counter() - t
+        t = time.perf_counter()
+        lab = spark.range(10_000).selectExpr("id AS doc_id", "id AS label")
+        for _ in range(6):
+            lab = (
+                lab.join(
+                    F.broadcast(
+                        lab.selectExpr("doc_id AS d2", "label AS l2")
+                    ),
+                    F.expr("doc_id = d2"),
+                )
+                .selectExpr("doc_id", "least(label, l2) AS label")
+                .localCheckpoint()
+            )
+        lab.count()
+        out["iter_bcast_ckpt_6r"] = time.perf_counter() - t
+        return out
+
+    reps = [_rep(), _rep()]
+    return {
+        k: round(min(r[k] for r in reps), 3) for k in reps[0]
+    }
+
+
 def main() -> None:
     from pqstream_spark.queries import build_catalog
     from pqstream_spark.session import get_spark
@@ -99,6 +157,11 @@ def main() -> None:
                 r["method"]
                 for r in wdf.select("method").distinct().collect()
             )
+
+    calib = _calibrate(spark)
+    calib_total = round(sum(calib.values()), 3)
+    print(f"host calibration: {calib} (total {calib_total}s)",
+          file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
@@ -208,6 +271,7 @@ def main() -> None:
         "total_mean": total_mean,
         "n_iters": N_ITERS,
         "sf": sf_val,
+        "host_calibration": calib,
     }
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     with open(detail_path, "w") as fh:
@@ -224,6 +288,10 @@ def main() -> None:
                 "total_mean": total_mean,
                 "n_iters": N_ITERS,
                 "sf": sf_val,
+                # host-speed canary (fixed synthetic workloads, no
+                # engine code): divide totals by this before comparing
+                # rounds — see _calibrate
+                "calib_sec": calib_total,
             }
         )
     )
