@@ -394,3 +394,107 @@ def test_pg_reportfloor_never_enables_compaction(pg):
     )
     reader.commit({"seq": 10})
     assert maint.compact() == 2 and remaining() == 0
+
+
+def test_ds_randomized_multi_writer_stress_with_restart(spark, pg, tmp_path):
+    """The poller's randomized 4-writer stress (the test that caught
+    the xmax-keyed fence bug), re-run through the ENGINE path:
+    readStream.format("pqstream_outbox") draining under shuffled
+    BEGIN/INSERT/hold/COMMIT/ROLLBACK interleavings, with a full
+    query stop/restart mid-stress — writers possibly open across the
+    restart — so the fenced offsets, the durable report floor and the
+    checkpoint replay are all exercised by the same adversarial
+    schedule. Every committed row lands in the sink exactly once;
+    rolled-back rows never appear. Deterministic seed."""
+    import random
+    import time as _time
+
+    from pqstream_spark.sources.outbox_datasource import OutboxDataSource
+    from tests.test_outbox_pg import TxnSession
+
+    rng = random.Random(0xD57E55)
+    r = _fresh_db(pg, "ds_stress")
+    conninfo = pg.conninfo("ds_stress")
+    spark.dataSource.register(OutboxDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("pqstream_outbox")
+            .option("url", f"postgres:{conninfo}")
+            .option("fenceWait", "0.2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sink_ids() -> list[int]:
+        import os as _os
+
+        if not _os.path.isdir(out) or not any(
+            f.endswith(".parquet") for f in _os.listdir(out)
+        ):
+            return []
+        return [int(row["id"]) for row in
+                spark.read.parquet(out).select("id").collect()]
+
+    writers = [TxnSession(conninfo) for _ in range(4)]
+    committed: set[int] = set()
+    aborted: set[int] = set()
+    open_ids: dict[int, list[int]] = {i: [] for i in range(4)}
+    next_id = 0
+    q = start()
+    try:
+        for step in range(40):
+            w = rng.randrange(4)
+            action = rng.random()
+            sess = writers[w]
+            if not open_ids[w] and action < 0.6:
+                sess.run("BEGIN;")
+                for _ in range(rng.randrange(1, 3)):
+                    next_id += 1
+                    sess.run(f"INSERT INTO notes VALUES "
+                             f"({next_id}, default, 'w{w}');")
+                    open_ids[w].append(next_id)
+            elif open_ids[w]:
+                if action < 0.85:
+                    sess.run("COMMIT;")
+                    committed.update(open_ids[w])
+                else:
+                    sess.run("ROLLBACK;")
+                    aborted.update(open_ids[w])
+                open_ids[w] = []
+            if step % 8 == 7:
+                q.processAllAvailable()
+            if step == 19:
+                # restart mid-stress — writers may hold open txns
+                # straddling the restart; the report floor must keep
+                # the restarted reader's offsets monotone
+                q.stop()
+                q = start()
+    finally:
+        for w, sess in enumerate(writers):
+            if open_ids[w]:
+                sess.run("COMMIT;")
+                committed.update(open_ids[w])
+            sess.close()
+    try:
+        # the fence finalizes a ceiling only once every claimer
+        # resolved — poll until the sink converges on the committed set
+        for _ in range(30):
+            q.processAllAvailable()
+            if sorted(sink_ids()) == sorted(committed):
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    got = sink_ids()
+    assert sorted(got) == sorted(committed), (
+        f"sink diverged: missing={sorted(committed - set(got))[:5]} "
+        f"extra={sorted(set(got) - committed)[:5]} "
+        f"dups={len(got) - len(set(got))}"
+    )
+    assert not (set(got) & aborted), "rolled-back rows leaked to the sink"
