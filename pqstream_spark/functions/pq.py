@@ -203,16 +203,26 @@ def pq_encode_expr(books: list[list[list[int]]], spark: bool = True) -> str:
 
 
 def _books_lit(books: list[list[list[int]]], spark: bool = True) -> str:
-    """The full m×ksub×sub codebook as ONE literal nested array —
-    constant-folded once by either engine, so expression size stays
-    O(values), not O(values × references)."""
+    """The full m×ksub×sub codebook as ONE literal nested array."""
+    arr = "array" if spark else "list_value"
+    return f"{arr}(" + ", ".join(
+        _book_lit(book, spark) for book in books
+    ) + ")"
+
+
+def _book_lit(book: list[list[int]], spark: bool = True) -> str:
+    """ONE subspace's ksub×sub centroids as a literal array. The HOF
+    expression builders splice per-subspace literals instead of
+    indexing one full-codebook literal per reference: the full literal
+    would be COPIED at every reference (2 refs/subspace in encode,
+    1 in the LUT → 24 copies of m×ksub×sub text, ~160 KB of generated
+    SQL whose parse+analyze dominated the catalog entry at 3-4 s per
+    call), while the per-subspace form keeps the text O(values)."""
     arr = "array" if spark else "list_value"
     suf = "L" if spark else ""
     return f"{arr}(" + ", ".join(
-        f"{arr}(" + ", ".join(
-            f"{arr}(" + ", ".join(f"{int(v)}{suf}" for v in cv) + ")"
-            for cv in book
-        ) + ")" for book in books
+        f"{arr}(" + ", ".join(f"{int(v)}{suf}" for v in cv) + ")"
+        for cv in book
     ) + ")"
 
 
@@ -231,14 +241,14 @@ def pq_encode_hof_expr(books: list[list[list[int]]],
     small-batch variant, pinned equal by test."""
     if not books:
         raise ValueError("pq_encode_hof_expr: empty codebook")
-    bl = _books_lit(books, spark)
     m = len(books)
     sub = len(books[0][0])
     terms = []
     for mi in range(m):
+        bl_m = _book_lit(books[mi], spark)
         if spark:
             costs = (
-                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"transform({bl_m}, cv -> "
                 f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), cv, "
                 f"(x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), "
                 f"(a, e) -> a + e))"
@@ -248,7 +258,7 @@ def pq_encode_hof_expr(books: list[list[list[int]]],
             terms.append(f"shiftleft({code}, {4 * mi})")
         else:
             costs = (
-                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_transform({bl_m}, cv -> "
                 f"list_sum(list_transform(range(1, {sub + 1}), j -> "
                 f"(qv[{mi * sub} + j] - cv[j]) * (qv[{mi * sub} + j] - cv[j]))))"
             )
@@ -263,20 +273,20 @@ def pq_lut_hof_expr(books: list[list[list[int]]],
     """COMPACT per-query LUT (both dialects): LUT[m][c] = q_m ·
     centroid_c via HOF folds over the literal codebook — same values
     as `pq_lut_expr`, O(m)-sized generated code."""
-    bl = _books_lit(books, spark)
     m = len(books)
     sub = len(books[0][0])
     outer = []
     for mi in range(m):
+        bl_m = _book_lit(books[mi], spark)
         if spark:
             outer.append(
-                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"transform({bl_m}, cv -> "
                 f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), cv, "
                 f"(x, c) -> x * c), CAST(0 AS BIGINT), (a, e) -> a + e))"
             )
         else:
             outer.append(
-                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_transform({bl_m}, cv -> "
                 f"list_sum(list_transform(range(1, {sub + 1}), j -> "
                 f"qv[{mi * sub} + j] * cv[j])))"
             )
@@ -735,29 +745,36 @@ def pq_residual_lut_hof_expr(
     m = len(books)
     sub = len(books[0][0])
     k = len(coarse)
-    bl = _books_lit(books, spark)
-    cl = _cb_lit(coarse) if spark else (
-        "list_value(" + ", ".join(
-            "list_value(" + ", ".join(str(int(v)) for v in cv) + ")"
-            for cv in coarse) + ")"
-    )
     outer = []
     for mi in range(m):
+        # per-subspace literals (_book_lit rationale): the subspace's
+        # centroids, and the coarse codebook PRE-SLICED to this
+        # subspace's dims — same integers the runtime slice produced,
+        # an order of magnitude less generated text
+        bl_m = _book_lit(books[mi], spark)
+        arr = "array" if spark else "list_value"
+        suf = "L" if spark else ""
+        cl_m = f"{arr}(" + ", ".join(
+            f"{arr}(" + ", ".join(
+                f"{int(v)}{suf}"
+                for v in cv[mi * sub:(mi + 1) * sub]
+            ) + ")" for cv in coarse
+        ) + ")"
         if spark:
             outer.append(
                 f"transform(sequence(1, {k}), ci -> "
-                f"transform(element_at({bl}, {mi + 1}), cv -> "
+                f"transform({bl_m}, cv -> "
                 f"aggregate(zip_with(slice(qv, {mi * sub + 1}, {sub}), "
-                f"zip_with(slice(element_at({cl}, ci), {mi * sub + 1}, "
-                f"{sub}), cv, (a, b) -> a + b), (x, s) -> x * s), "
+                f"zip_with(element_at({cl_m}, ci), "
+                f"cv, (a, b) -> a + b), (x, s) -> x * s), "
                 f"CAST(0 AS BIGINT), (a, e) -> a + e)))"
             )
         else:
             outer.append(
                 f"list_transform(range(1, {k} + 1), ci -> "
-                f"list_transform({bl}[{mi + 1}], cv -> "
+                f"list_transform({bl_m}, cv -> "
                 f"list_sum(list_transform(range(1, {sub + 1}), j -> "
-                f"qv[{mi * sub} + j] * ({cl}[ci][{mi * sub} + j] + cv[j])))))"
+                f"qv[{mi * sub} + j] * ({cl_m}[ci][j] + cv[j])))))"
             )
     return ("array(" if spark else "list_value(") + ", ".join(outer) + ")"
 
