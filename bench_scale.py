@@ -188,6 +188,13 @@ def write_md(report: dict) -> None:
         )
     lines += [
         "",
+        "Host caveat (round 8): ABSOLUTE times in this table are only",
+        "comparable within one run — this VM's fixed per-job costs drifted",
+        "mid-round (disk to ~65 MB/s; broadcast+localCheckpoint ~3x on",
+        "identical plans). The GROWTH exponents cancel the fixed cost",
+        "across SFs and stay comparable; normalize absolute times with",
+        "bench.py's `calib_sec` host canary when comparing rounds.",
+        "",
         "Reading: alpha(top) <= ~1.1 means the entry scales linearly through",
         "a 10x growth in rows AND a 10x growth in duplicate/label density —",
         "the capped-bucket design holding empirically, not just by plan",
