@@ -238,6 +238,16 @@ def main() -> None:
             print(f"    shared={shared}s branches-minus-shared: "
                   f"{per_branch}", file=sys.stderr, flush=True)
 
+    # second canary AFTER the query loop: this host has been observed
+    # degrading MID-RUN (early entries fast, late entries 3×) — a
+    # start-only canary would certify a speed the late entries never
+    # saw. calib_sec reports the worse of the two passes.
+    calib_post = _calibrate(spark)
+    calib_post_total = round(sum(calib_post.values()), 3)
+    calib_total = max(calib_total, calib_post_total)
+    print(f"host calibration (post): {calib_post} "
+          f"(total {calib_post_total}s)", file=sys.stderr, flush=True)
+
     total_min = round(sum(timings.values()), 3)
     total_mean = round(sum(means.values()), 3)
     # noise indicator for the round-over-round comparison: mean/min per
@@ -272,6 +282,7 @@ def main() -> None:
         "n_iters": N_ITERS,
         "sf": sf_val,
         "host_calibration": calib,
+        "host_calibration_post": calib_post,
     }
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     with open(detail_path, "w") as fh:
