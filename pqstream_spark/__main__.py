@@ -32,6 +32,7 @@ Startup order matches pqsd: remove-then-install triggers, then serve
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import signal
 import sys
@@ -128,6 +129,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--listen-http", type=int, default=None, metavar="PORT",
         help="serve Listen over HTTP NDJSON on 127.0.0.1:PORT "
         "(directory backend only; 0 picks an ephemeral port)",
+    )
+    p.add_argument(
+        "--lag", action="store_true",
+        help="outbox backends: print per-consumer backlog (one JSON "
+        "line per offset row: consumer, kind, last_seq, max_seq, lag) "
+        "plus a summary line, then exit — the operational answer to "
+        "'is anything falling behind' without attaching a consumer. "
+        "reportfloor rows show REPORTING lag (a stream reader's "
+        "offset horizon), plain rows show DELIVERY lag (what "
+        "compaction keys on)",
     )
     p.add_argument(
         "--fence-wait", type=float, default=2.0, metavar="SEC",
@@ -520,6 +531,71 @@ def _run_changelog_dir(args, stop: threading.Event) -> int:
     return 0
 
 
+def _print_lag(connect: str, out) -> int:
+    """One JSON line per offset row + a summary: the per-consumer
+    backlog of an outbox without attaching a consumer. Read-only —
+    missing tables report an empty outbox instead of creating anything
+    (an operator probing a prospective database must not mutate it)."""
+    rows: list[tuple[str, int]] = []
+    max_seq = 0
+    if connect.startswith("sqlite:"):
+        import sqlite3
+
+        from .sources.outbox_local import (
+            LOCAL_OFFSET_TABLE,
+            LOCAL_OUTBOX_TABLE,
+        )
+
+        conn = sqlite3.connect(connect[len("sqlite:"):])
+        try:
+            def _exists(t):
+                return conn.execute(
+                    "SELECT 1 FROM sqlite_master WHERE name = ?", (t,)
+                ).fetchone() is not None
+
+            if _exists(LOCAL_OUTBOX_TABLE):
+                max_seq = int(conn.execute(
+                    f"SELECT COALESCE(MAX(seq), 0) FROM {LOCAL_OUTBOX_TABLE}"
+                ).fetchone()[0])
+            if _exists(LOCAL_OFFSET_TABLE):
+                rows = [(c, int(s)) for c, s in conn.execute(
+                    f"SELECT consumer, last_seq FROM {LOCAL_OFFSET_TABLE} "
+                    "ORDER BY consumer"
+                )]
+        finally:
+            conn.close()
+    else:
+        from .sources.outbox import OUTBOX_TABLE
+        from .sources.outbox_pg import PG_OFFSET_TABLE, PsqlRunner
+
+        runner = PsqlRunner(connect[len("postgres:"):])
+        if runner.scalar(f"SELECT to_regclass('{OUTBOX_TABLE}')::text"):
+            max_seq = int(runner.scalar(
+                f"SELECT COALESCE(MAX(seq), 0) FROM {OUTBOX_TABLE}") or 0)
+        if runner.scalar(f"SELECT to_regclass('{PG_OFFSET_TABLE}')::text"):
+            rows = [
+                (r["consumer"], int(r["last_seq"]))
+                for r in runner.query_csv(
+                    f"SELECT consumer, last_seq FROM {PG_OFFSET_TABLE} "
+                    "ORDER BY consumer"
+                )
+            ]
+    for consumer, last_seq in rows:
+        kind = ("bootstrap" if consumer.endswith("#bootstrap")
+                else "reportfloor" if consumer.endswith("#reportfloor")
+                else "consumer")
+        print(json.dumps({
+            "consumer": consumer, "kind": kind, "last_seq": last_seq,
+            "max_seq": max_seq, "lag": max(0, max_seq - last_seq),
+        }), file=out)
+    print(json.dumps({
+        "summary": True, "max_seq": max_seq,
+        "consumers": sum(1 for c, _ in rows
+                         if not c.endswith(("#bootstrap", "#reportfloor"))),
+    }), file=out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     stop = threading.Event()
@@ -549,6 +625,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"--fence-wait: must be >= 0 (got {args.fence_wait})",
               file=sys.stderr)
         return 2
+    if args.lag:
+        if not args.connect.startswith(("sqlite:", "postgres:")) or (
+            args.connect.startswith("postgres:")
+            and args.transport != "outbox"
+        ):
+            print("--lag requires an outbox backend (--connect "
+                  "sqlite:PATH or postgres:CONNINFO with --transport "
+                  "outbox): the NOTIFY wire and the directory backend "
+                  "keep no server-side consumer offsets to measure",
+                  file=sys.stderr)
+            return 2
+        return _print_lag(args.connect, sys.stdout)
     if args.connect.startswith("sqlite:"):
         return _run_sqlite(args, stop)
     if args.connect.startswith("postgres:"):

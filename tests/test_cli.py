@@ -329,3 +329,47 @@ def test_cli_independent_consumers_share_outbox(spark, tmp_path):
     n = conn.execute("SELECT COUNT(*) FROM pqstream_outbox").fetchone()[0]
     assert n == 0, "all consumers done: outbox should compact to empty"
     conn.close()
+
+
+def test_cli_lag_reports_per_consumer_backlog(tmp_path, capsys):
+    """--lag: per-consumer backlog JSON without attaching a consumer —
+    kinds separate delivery offsets (compaction-relevant) from the
+    bootstrap sentinel and stream-reader report floors."""
+    from pqstream_spark.sources.outbox_local import (
+        LOCAL_OFFSET_TABLE,
+        LocalCaptureManager,
+    )
+
+    db_path = str(tmp_path / "app.db")
+    conn = sqlite3.connect(db_path)
+    conn.execute("CREATE TABLE notes (id INTEGER PRIMARY KEY, note TEXT)")
+    LocalCaptureManager(conn, table_regexp="notes").install()
+    for i in range(5):
+        conn.execute(f"INSERT INTO notes VALUES ({i}, 'n{i}')")
+    conn.execute(
+        f"CREATE TABLE IF NOT EXISTS {LOCAL_OFFSET_TABLE} ("
+        "consumer TEXT PRIMARY KEY, last_seq INTEGER NOT NULL)"
+    )
+    conn.executemany(
+        f"INSERT INTO {LOCAL_OFFSET_TABLE} VALUES (?, ?)",
+        [("worker", 2), ("daemon#bootstrap", 5), ("ds#reportfloor", 5)],
+    )
+    conn.commit()
+    conn.close()
+
+    rc = main(["--connect", f"sqlite:{db_path}", "--lag"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.splitlines() if l.strip()]
+    by = {l["consumer"]: l for l in lines if "consumer" in l}
+    assert by["worker"] == {"consumer": "worker", "kind": "consumer",
+                            "last_seq": 2, "max_seq": 5, "lag": 3}
+    assert by["daemon#bootstrap"]["kind"] == "bootstrap"
+    assert by["ds#reportfloor"]["kind"] == "reportfloor"
+    summary = [l for l in lines if l.get("summary")][0]
+    assert summary == {"summary": True, "max_seq": 5, "consumers": 1}
+
+    # directory / notify backends have no offsets to measure
+    assert main(["--connect", str(tmp_path), "--lag"]) == 2
+    assert main(["--connect", "postgres:dbname=x", "--transport",
+                 "notify", "--lag"]) == 2

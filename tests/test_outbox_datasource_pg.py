@@ -498,3 +498,35 @@ def test_ds_randomized_multi_writer_stress_with_restart(spark, pg, tmp_path):
         f"dups={len(got) - len(set(got))}"
     )
     assert not (set(got) & aborted), "rolled-back rows leaked to the sink"
+
+
+def test_cli_lag_on_live_pg(pg, capsys):
+    """--lag against live PostgreSQL: reads offsets and the outbox
+    ceiling read-only (to_regclass guards — probing a database without
+    the capture installed reports empty instead of creating tables)."""
+    from pqstream_spark.__main__ import main
+    from pqstream_spark.sources.outbox_pg import PgOutboxPoller, PsqlRunner
+
+    r = _fresh_db(pg, "lag_db")
+    conninfo = pg.conninfo("lag_db")
+    r.sql("INSERT INTO notes SELECT g, now(), 'l' || g "
+          "FROM generate_series(1, 7) g;")
+    PgOutboxPoller.open_durable(PsqlRunner(conninfo), consumer="worker")
+
+    import json as _json
+    rc = main(["--connect", f"postgres:{conninfo}", "--lag"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.splitlines() if l.strip()]
+    by = {l["consumer"]: l for l in lines if "consumer" in l}
+    assert by["worker"] == {"consumer": "worker", "kind": "consumer",
+                            "last_seq": 0, "max_seq": 7, "lag": 7}
+    assert [l for l in lines if l.get("summary")][0]["max_seq"] == 7
+
+    # a database with no capture installed: read-only empty report
+    pg.createdb("lag_empty")
+    rc = main(["--connect", f"postgres:{pg.conninfo('lag_empty')}", "--lag"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.splitlines() if l.strip()]
+    assert lines == [{"summary": True, "max_seq": 0, "consumers": 0}]
