@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--bootstrap", action="store_true",
-        help="sqlite backend: before streaming, emit the CURRENT rows "
+        help="outbox backends (sqlite/postgres): before streaming, "
+        "emit the CURRENT rows "
         "of every captured table as synthetic INSERT events with "
         "negative seqs (initial snapshot + changelog switchover — the "
         "CDC bootstrap the reference's NOTIFY-only design cannot "
@@ -89,13 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--compact", action="store_true",
-        help="sqlite backend: after each batch, prune outbox rows "
+        help="outbox backends (sqlite/postgres): after each batch, "
+        "prune outbox rows "
         "every registered consumer has durably consumed (trades "
         "--replay-from depth for space)",
     )
     p.add_argument(
         "--replay-from", type=int, default=None, metavar="SEQ",
-        help="sqlite backend: rewind the durable consumer offset to SEQ "
+        help="outbox backends (sqlite/postgres): rewind the durable "
+        "consumer offset to SEQ "
         "before draining, re-emitting every outbox event after it "
         "(reprocessing after a bad deploy; the idempotent seq-named "
         "sink rewrites the same files). The directory backend's "
