@@ -176,6 +176,19 @@ def main() -> None:
             df = queries[n](spark, SF_DIR)
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
+        # noisy-host guard: when the iterations disagree badly
+        # (mean/min > 1.5 — a contention burst hit some of them), take
+        # up to 2 extra samples so the reported min is a real
+        # steady-state point, not the luckiest survivor of three.
+        # (An all-slow burst is indistinguishable here; the pre/post
+        # calibration canary is the detector for that case.)
+        extras = 0
+        while (extras < 2 and min(runs) > 0
+               and sum(runs) / len(runs) / min(runs) > 1.5):
+            t0 = time.perf_counter()
+            queries[n](spark, SF_DIR).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            extras += 1
         raw[n] = runs
         timings[n] = min(runs)
         means[n] = round(sum(runs) / len(runs), 3)
