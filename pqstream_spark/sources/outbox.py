@@ -63,6 +63,31 @@ MIGRATE_OUTBOX_OP_CHECK_SQL = [
     "CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE'))",
 ]
 
+# The seq claim (nextval) and the writer's xid assignment are not
+# atomically ordered for a transaction whose FIRST write is the outbox
+# INSERT itself: column defaults evaluate before heap_insert assigns
+# the xid, so for a sub-statement window a seq is claimed by a
+# transaction that has no xid yet — invisible to PgSeqFence's
+# assigned-xid bound. The trigger path never hits this (the user-table
+# heap write precedes the AFTER trigger), but direct outbox INSERTs
+# could. The claim function closes the window STRUCTURALLY for every
+# writer: xid assignment is forced BEFORE nextval returns, so every
+# claimer's xid exists — and is therefore below any later-assigned
+# fence bound — by the time its claim is visible in last_value.
+CLAIM_SEQ_FUNCTION_SQL = f"""
+CREATE OR REPLACE FUNCTION pqstream_claim_seq() RETURNS BIGINT AS $$
+BEGIN
+  PERFORM pg_current_xact_id();
+  RETURN nextval('{OUTBOX_TABLE}_seq_seq');
+END;
+$$ LANGUAGE plpgsql
+""".strip()
+
+MIGRATE_OUTBOX_SEQ_DEFAULT_SQL = (
+    f"ALTER TABLE {OUTBOX_TABLE} ALTER COLUMN seq "
+    "SET DEFAULT pqstream_claim_seq()"
+)
+
 # Trigger function: same OLD/NEW selection as the reference trigger —
 # payload is NEW for INSERT/UPDATE and OLD for DELETE (queries.go:17-21),
 # previous is OLD only for UPDATE (queries.go:22-24), id is the text of

@@ -50,9 +50,11 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from .outbox import (
+    CLAIM_SEQ_FUNCTION_SQL,
     CREATE_OUTBOX_SQL,
     DISCOVER_TABLES_SQL,
     MIGRATE_OUTBOX_OP_CHECK_SQL,
+    MIGRATE_OUTBOX_SEQ_DEFAULT_SQL,
     OUTBOX_TABLE,
     TRIGGER_FUNCTION_SQL,
     TRUNCATE_TRIGGER_FUNCTION_SQL,
@@ -311,6 +313,10 @@ class PgCaptureManager:
         # legacy outboxes: refresh the op CHECK to the full proto
         # domain (TRUNCATE, round 8) — in the same transaction
         stmts += MIGRATE_OUTBOX_OP_CHECK_SQL
+        # seq claims must force xid assignment first (fence soundness
+        # for direct outbox INSERTs — CLAIM_SEQ_FUNCTION_SQL comment);
+        # applied as the column default on fresh AND legacy outboxes
+        stmts += [CLAIM_SEQ_FUNCTION_SQL, MIGRATE_OUTBOX_SEQ_DEFAULT_SQL]
         stmts += [TRIGGER_FUNCTION_SQL, TRUNCATE_TRIGGER_FUNCTION_SQL]
         stmts += [install_trigger_sql(t) for t in tables]
         stmts.append("COMMIT")
@@ -366,12 +372,13 @@ class PgSeqFence:
     2. THEN force assignment of OUR OWN xid (`pg_current_xact_id()`)
        and keep it as the fence `bound`. Xids are assigned globally
        monotonically, and every claimer of a seq <= `claimed` already
-       had its xid before the claimed-read (in the capture architecture
-       the claim happens in an AFTER trigger, strictly after the
-       user-table heap write assigned the xid; direct outbox INSERTs
-       narrow this to the sub-statement window between default
-       evaluation and heap write — not a product path) — so every
-       claimer xid < bound. NOTE deliberately NOT snapshot xmax:
+       had its xid before the claimed-read: the trigger path assigns it
+       at the user-table heap write (strictly before the AFTER trigger
+       claims), and direct outbox INSERTs are covered structurally —
+       the seq column's DEFAULT is pqstream_claim_seq(), which forces
+       xid assignment BEFORE nextval returns (a bare nextval default
+       would leave a sub-statement window where a claim exists with no
+       xid; proven by test) — so every claimer xid < bound. NOTE deliberately NOT snapshot xmax:
        snapshot xmax is latestCompletedXid+1, and an assigned-but-
        running xid sits AT OR ABOVE it whenever no younger transaction
        has committed — a fence keyed on xmax self-drains in exactly

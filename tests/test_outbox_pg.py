@@ -945,3 +945,58 @@ def test_parallel_read_zero_rejected():
 
     assert daemon_main(["--connect", "postgres:host=/nope",
                         "--parallel-read", "0", "--once"]) == 2
+
+
+def test_claim_seq_forces_xid_assignment_before_claim(pg):
+    """Fence soundness for DIRECT outbox INSERTs: the seq DEFAULT is
+    pqstream_claim_seq(), which assigns the writer's xid BEFORE
+    claiming the seq — so a claim visible in last_value always belongs
+    to an already-assigned (hence below any later fence bound) xid.
+    The negative control shows why the function exists: a bare nextval
+    claims a seq while the transaction still has NO xid."""
+    r = _fresh_db(pg, "claim_xid")
+    PgCaptureManager(r, table_regexp="notes").install()
+    conninfo = pg.conninfo("claim_xid")
+
+    def _one_txn(sql: str) -> list[str]:
+        # multi-statement -c = one simple-query message = one implicit
+        # transaction: exactly the first-write-of-txn window under test
+        out = subprocess.run(
+            ["psql", conninfo, "-X", "-q", "-t", "-A", "-c", sql],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+        assert out.returncode == 0, out.stderr
+        return [l.strip() for l in out.stdout.splitlines() if l.strip()]
+
+    default = _one_txn(
+        "SELECT column_default FROM information_schema.columns "
+        "WHERE table_schema = 'public' AND table_name = 'pqstream_outbox' "
+        "AND column_name = 'seq'"
+    )
+    assert any("pqstream_claim_seq" in d for d in default), default
+
+    got = _one_txn(
+        "SELECT pqstream_claim_seq() > 0; "
+        "SELECT pg_current_xact_id_if_assigned() IS NOT NULL;"
+    )
+    assert got == ["t", "t"], f"claim did not force xid assignment: {got}"
+
+    # negative control: bare nextval leaves the claimer xid-less —
+    # the exact window the claim function closes
+    got = _one_txn(
+        "SELECT nextval('pqstream_outbox_seq_seq') > 0; "
+        "SELECT pg_current_xact_id_if_assigned() IS NOT NULL;"
+    )
+    assert got == ["t", "f"], (
+        f"expected bare nextval to leave the xid unassigned: {got}"
+    )
+
+    # the default actually drives direct INSERTs (and the trigger path
+    # keeps working through the same sequence): both claim ascending
+    # seqs from one counter
+    r.sql("INSERT INTO pqstream_outbox (schema_name, table_name, op) "
+          "VALUES ('public', 'notes', 'INSERT');")
+    r.sql("INSERT INTO notes VALUES (default, default, 'via-trigger');")
+    rows = r.query_csv(
+        "SELECT seq, table_name FROM pqstream_outbox ORDER BY seq")
+    assert len(rows) == 2 and int(rows[0]["seq"]) < int(rows[1]["seq"])
