@@ -820,12 +820,28 @@ def test_fence_randomized_multi_writer_stress(pg, spark, read_path):
             action = rng.random()
             sess = writers[w]
             if not open_ids[w] and action < 0.6:
-                # start a txn with 1-2 inserts, leave it open
+                # start a txn with 1-2 inserts, leave it open. Writer 3
+                # writes DIRECTLY into the outbox: its transaction's
+                # FIRST write is the outbox INSERT itself, so the seq
+                # claim happens in the default-evaluation window where
+                # a bare nextval would leave the claimer xid-less —
+                # the path pqstream_claim_seq() exists to make safe
+                # (the other writers exercise the trigger path, whose
+                # xid is assigned by the notes heap write first)
                 sess.run("BEGIN;")
                 for _ in range(rng.randrange(1, 3)):
                     next_id += 1
-                    sess.run(f"INSERT INTO notes VALUES "
-                             f"({next_id}, default, 'w{w}');")
+                    if w == 3:
+                        sess.run(
+                            "INSERT INTO pqstream_outbox "
+                            "(schema_name, table_name, op, id, payload) "
+                            "VALUES ('public', 'notes', 'INSERT', "
+                            f"'{next_id}', json_build_object("
+                            f"'id', {next_id}, 'note', 'w{w}'));"
+                        )
+                    else:
+                        sess.run(f"INSERT INTO notes VALUES "
+                                 f"({next_id}, default, 'w{w}');")
                     open_ids[w].append(next_id)
             elif open_ids[w]:
                 if action < 0.85:
