@@ -227,7 +227,10 @@ def materialize_current_state_tws(
             if self._live.exists():
                 seq, op, payload = self._live.get()
             elif self._tomb.exists():
-                (seq,), op, payload = self._tomb.get(), "DELETE", None
+                # key[2] (is_trunc) tells which tombstone kind this key
+                # holds — restore the right op label for replay batches
+                (seq,), payload = self._tomb.get(), None
+                op = "TRUNCATE" if key[2] else "DELETE"
             else:
                 seq, op, payload = -1, None, None
             for pdf in rows:
@@ -237,8 +240,16 @@ def materialize_current_state_tws(
                         continue  # replayed / out-of-order older event
                     seq = int(row.seq)
                     op = row.op
-                    payload = None if row.op == "DELETE" else row.payload_json
-            if op == "DELETE":
+                    payload = (
+                        None
+                        if row.op in ("DELETE", "TRUNCATE")
+                        else row.payload_json
+                    )
+            # ADVICE r8 (low): TRUNCATE is a tombstone like DELETE — it
+            # must live in the TTL'd state so the table-level marker
+            # expires on the same timeout as row tombstones (parity with
+            # materialize_current_state_stream's timer-based expiry).
+            if op in ("DELETE", "TRUNCATE"):
                 self._tomb.update((seq,))
                 self._live.clear()
             else:

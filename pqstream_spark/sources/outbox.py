@@ -88,6 +88,25 @@ MIGRATE_OUTBOX_SEQ_DEFAULT_SQL = (
     "SET DEFAULT pqstream_claim_seq()"
 )
 
+# Legacy-outbox type check shared by every install path (ADVICE r7/r9):
+# a jsonb outbox must fail loudly BEFORE triggers attach — jsonb's
+# key-reordered rendering silently defeats row_to_json byte-parity.
+VERIFY_OUTBOX_JSON_TYPE_SQL = (
+    "SELECT column_name, data_type FROM information_schema.columns "
+    f"WHERE table_schema = 'public' AND table_name = '{OUTBOX_TABLE}' "
+    "AND column_name IN ('payload', 'previous')"
+)
+
+
+def outbox_jsonb_error(bad_columns: list[str]) -> RuntimeError:
+    return RuntimeError(
+        f"legacy {OUTBOX_TABLE} has {'/'.join(sorted(bad_columns))} typed "
+        "jsonb (re-ordered rendering breaks row_to_json parity); "
+        f"migrate with: ALTER TABLE {OUTBOX_TABLE} ALTER COLUMN "
+        "payload TYPE json USING payload::text::json (and likewise "
+        "previous), or drop and reinstall"
+    )
+
 # Trigger function: same OLD/NEW selection as the reference trigger —
 # payload is NEW for INSERT/UPDATE and OLD for DELETE (queries.go:17-21),
 # previous is OLD only for UPDATE (queries.go:22-24), id is the text of
@@ -207,14 +226,31 @@ class CaptureManager:
         names = [r[0] for r in cur.fetchall()]
         return filter_tables(names, self.table_regexp)
 
+    def _verify_outbox_json_type(self) -> None:
+        """Same loud-failure contract as PgCaptureManager (ADVICE r7):
+        a legacy jsonb outbox must not get live triggers attached."""
+        cur = self.conn.cursor()
+        cur.execute(VERIFY_OUTBOX_JSON_TYPE_SQL)
+        bad = [r[0] for r in cur.fetchall() if r[1] != "json"]
+        if bad:
+            raise outbox_jsonb_error(bad)
+
     def install(self) -> list[str]:
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
+        self._verify_outbox_json_type()
         cur = self.conn.cursor()
         cur.execute(CREATE_OUTBOX_SQL)
         for stmt in MIGRATE_OUTBOX_OP_CHECK_SQL:
             cur.execute(stmt)
+        # ADVICE r8 (medium): this path previously skipped the claim-seq
+        # migration, leaving the xid-less direct-INSERT window open on
+        # outboxes it installed — PgSeqFence's soundness argument (every
+        # claimer has an assigned xid < bound) requires the seq DEFAULT
+        # on EVERY install path, not just PgCaptureManager's.
+        cur.execute(CLAIM_SEQ_FUNCTION_SQL)
+        cur.execute(MIGRATE_OUTBOX_SEQ_DEFAULT_SQL)
         cur.execute(TRIGGER_FUNCTION_SQL)
         cur.execute(TRUNCATE_TRIGGER_FUNCTION_SQL)
         for t in tables:

@@ -58,9 +58,11 @@ from .outbox import (
     OUTBOX_TABLE,
     TRIGGER_FUNCTION_SQL,
     TRUNCATE_TRIGGER_FUNCTION_SQL,
+    VERIFY_OUTBOX_JSON_TYPE_SQL,
     _check_ident,
     filter_tables,
     install_trigger_sql,
+    outbox_jsonb_error,
     remove_trigger_sql,
 )
 from .outbox_local import OUTBOX_BATCH_SCHEMA
@@ -139,6 +141,30 @@ class PsqlRunner:
         if not rows:
             return None
         return next(iter(rows[0].values()))
+
+    def query_lines(self, *stmts: str) -> list[str]:
+        """Multiple single-value SELECTs in ONE psql invocation, strictly
+        in session order; returns one output line per statement (tuples
+        only, unaligned). This is the ordered-scalar transport PgSeqFence
+        rounds ride on (ADVICE r8: keep the psql contract — ON_ERROR_STOP,
+        cwd, null marker, error wrapping — single-homed on this class)."""
+        cmd = ["psql", self.conninfo, "-X", "-q", "-t", "-A",
+               "-v", "ON_ERROR_STOP=1", "-P", f"null={_NULL}"]
+        for s in stmts:
+            cmd += ["-c", s]
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
+        if proc.returncode != 0:
+            raise PsqlError(
+                f"psql query failed (rc={proc.returncode}): "
+                f"{proc.stderr.strip()}"
+            )
+        lines = [l for l in proc.stdout.splitlines() if l.strip()]
+        if len(lines) != len(stmts):
+            raise PsqlError(
+                f"query_lines: expected {len(stmts)} lines, got "
+                f"{proc.stdout!r}"
+            )
+        return lines
 
 
 class EphemeralPostgres:
@@ -286,20 +312,10 @@ class PgCaptureManager:
         key-reordered re-spaced rendering silently defeats the
         row_to_json byte-parity the json type exists for — so a legacy
         jsonb outbox must fail LOUDLY, not capture quietly wrong."""
-        rows = self.runner.query_csv(
-            "SELECT column_name, data_type FROM information_schema.columns "
-            f"WHERE table_schema = 'public' AND table_name = '{OUTBOX_TABLE}' "
-            "AND column_name IN ('payload', 'previous')"
-        )
+        rows = self.runner.query_csv(VERIFY_OUTBOX_JSON_TYPE_SQL)
         bad = [r["column_name"] for r in rows if r["data_type"] != "json"]
         if bad:
-            raise RuntimeError(
-                f"legacy {OUTBOX_TABLE} has {'/'.join(sorted(bad))} typed "
-                "jsonb (re-ordered rendering breaks row_to_json parity); "
-                f"migrate with: ALTER TABLE {OUTBOX_TABLE} ALTER COLUMN "
-                "payload TYPE json USING payload::text::json (and likewise "
-                "previous), or drop and reinstall"
-            )
+            raise outbox_jsonb_error(bad)
 
     def install(self) -> list[str]:
         tables = self.discover_tables()
@@ -436,26 +452,16 @@ class PgSeqFence:
         """One fence round; returns the claimed ceiling it observed."""
         # ordering matters: claimed read, THEN our xid assignment, THEN
         # the snapshot (class docstring steps 1-3). One psql invocation
-        # — statements in a session execute strictly in order, and one
-        # process spawn instead of several keeps the per-poll fence
-        # cost at psql startup (~40 ms here), not query time.
-        out = subprocess.run(
-            ["psql", self.runner.conninfo, "-X", "-q", "-t", "-A",
-             "-v", "ON_ERROR_STOP=1",
-             "-c", f"SELECT last_value || '|' || is_called "
-                   f"FROM {OUTBOX_SEQ_SEQUENCE}",
-             "-c", "SELECT pg_current_xact_id()::text",
-             "-c", "SELECT pg_snapshot_xmin(pg_current_snapshot())::text"],
-            capture_output=True, text=True, cwd="/tmp",
+        # (PsqlRunner.query_lines — statements in a session execute
+        # strictly in order), one process spawn instead of several, so
+        # the per-poll fence cost is psql startup (~40 ms here), not
+        # query time.
+        lines = self.runner.query_lines(
+            f"SELECT last_value || '|' || is_called "
+            f"FROM {OUTBOX_SEQ_SEQUENCE}",
+            "SELECT pg_current_xact_id()::text",
+            "SELECT pg_snapshot_xmin(pg_current_snapshot())::text",
         )
-        if out.returncode != 0:
-            raise PsqlError(
-                f"fence round failed (rc={out.returncode}): "
-                f"{out.stderr.strip()}"
-            )
-        lines = [l for l in out.stdout.splitlines() if l.strip()]
-        if len(lines) != 3:
-            raise PsqlError(f"fence round: unexpected output {out.stdout!r}")
         last_value, is_called = lines[0].split("|")
         claimed = int(last_value)
         if is_called in ("f", "false"):

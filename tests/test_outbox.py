@@ -15,8 +15,9 @@ from pqstream_spark.sources.outbox import (
 
 
 class FakeCursor:
-    def __init__(self, tables):
+    def __init__(self, tables, payload_type="json"):
         self.tables = tables
+        self.payload_type = payload_type
         self.executed = []
 
     def execute(self, sql):
@@ -25,12 +26,21 @@ class FakeCursor:
 
     def fetchall(self):
         assert "information_schema" in self._last
+        if "information_schema.columns" in self._last:
+            # the json-type verification: an empty result (fresh install,
+            # no outbox yet) or the existing columns' types
+            if not self.tables:
+                return []
+            return [
+                ("payload", self.payload_type),
+                ("previous", self.payload_type),
+            ]
         return [(t,) for t in self.tables]
 
 
 class FakeConn:
-    def __init__(self, tables):
-        self._cur = FakeCursor(tables)
+    def __init__(self, tables, payload_type="json"):
+        self._cur = FakeCursor(tables, payload_type)
         self.commits = 0
 
     def cursor(self):
@@ -79,3 +89,25 @@ def test_install_no_match_errors():
     mgr = CaptureManager(conn, table_regexp="^nope$")
     with pytest.raises(RuntimeError):
         mgr.install()
+
+
+def test_install_applies_claim_seq_migration():
+    """ADVICE r8 (medium): the DB-API install path must apply the
+    claim-seq function + seq DEFAULT migration like PgCaptureManager —
+    otherwise outboxes installed via this path keep the bare nextval
+    default and the xid-less direct-INSERT claim window stays open
+    against PgSeqFence."""
+    conn = FakeConn(["notes"])
+    CaptureManager(conn, table_regexp="^notes$").install()
+    sqls = conn._cur.executed
+    assert any("pqstream_claim_seq" in s and "CREATE OR REPLACE" in s for s in sqls)
+    assert any("SET DEFAULT pqstream_claim_seq()" in s for s in sqls)
+
+
+def test_install_rejects_legacy_jsonb_outbox():
+    """A legacy jsonb-typed outbox must fail loudly before any trigger
+    attaches (same contract as PgCaptureManager, ADVICE r7)."""
+    conn = FakeConn(["notes"], payload_type="jsonb")
+    with pytest.raises(RuntimeError, match="jsonb"):
+        CaptureManager(conn, table_regexp="^notes$").install()
+    assert not any("CREATE TRIGGER" in s for s in conn._cur.executed)
