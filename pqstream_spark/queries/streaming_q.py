@@ -17,6 +17,8 @@ bounded by watermarks (streaming/stateful.py).
 from __future__ import annotations
 
 import itertools
+import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,22 +28,60 @@ from ..streaming.stateful import session_windows, stream_dedup, windowed_counts
 
 _sink_ids = itertools.count()
 
+# Fixed-overhead decomposition of the most recent _run_to_completion
+# (VERDICT r8 "what's wrong" #2): the streaming bench entries' wall time
+# mixes query START cost (sink/checkpoint setup), per-batch DRIVER time
+# (offset tracking, planning, WAL commits), and actual EXECUTION
+# (addBatch). A degraded host inflates the first two — this split makes
+# that attributable from the bench artifact alone instead of requiring
+# a plan diff. bench.py snapshots it after each iteration.
+LAST_RUN_STATS: dict = {}
+
 
 def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Start df against a memory sink, drain all available input, stop,
     and return the sink table (frozen after stop)."""
     name = f"pq_stream_sink_{next(_sink_ids)}"
+    t0 = time.perf_counter()
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .start()
     )
+    start_sec = time.perf_counter() - t0
+    progress: list[dict] = []
     try:
         q.processAllAvailable()
+        # StreamingQueryProgress objects (pyspark 4); .json is the
+        # stable cross-version accessor
+        progress = [json.loads(p.json) for p in (q.recentProgress or [])]
     finally:
         q.stop()
         q.awaitTermination()
+    drain_sec = time.perf_counter() - t0 - start_sec
+    add_batch_ms = trigger_ms = 0
+    n_batches = 0
+    for p in progress:
+        d = p.get("durationMs", {}) or {}
+        add_batch_ms += int(d.get("addBatch", 0))
+        trigger_ms += int(d.get("triggerExecution", 0))
+        if p.get("numInputRows", 0):
+            n_batches += 1
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(
+        {
+            "query_start_sec": round(start_sec, 3),
+            "n_batches": n_batches,
+            "exec_addBatch_sec": round(add_batch_ms / 1000.0, 3),
+            "driver_per_batch_sec": round(
+                max(trigger_ms - add_batch_ms, 0) / 1000.0, 3
+            ),
+            "idle_drain_sec": round(
+                max(drain_sec - trigger_ms / 1000.0, 0.0), 3
+            ),
+        }
+    )
     return df.sparkSession.table(name)
 
 
