@@ -199,12 +199,33 @@ class _ReaderCommon:
 
 class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
+        import random
+
         self._init_common(options)
         self._max_rows = int(options.get("maxrowsperbatch", 100_000))
         self._floor_consumer = options.get("consumer", "datasource")
         self._last_end: int | None = None
         self._fence = None  # lazy: driver-side only, never shipped state
         self._floor_persisted = 0
+        # Consumer-key collision guard (VERDICT r8 "what's wrong" #3):
+        # two live queries sharing one consumer key share the retention
+        # row — compact() keyed on the faster query's commit can delete
+        # rows the slower one has not checkpointed (silent loss on its
+        # restart). The engine gives this reader no query-stable
+        # identity to derive a unique default from (checkpointLocation
+        # is a SINK option; verified empirically that only readStream
+        # options reach DataSource.options), so collisions are detected
+        # at runtime instead: each reader stamps a random nonce into a
+        # `{consumer}#lease` row whenever it writes offsets, and reads
+        # the previous stamp in the same statement. A foreign stamp
+        # seen TWICE consecutively means the other writer re-stamped
+        # after our overwrite — both readers are alive — and the query
+        # fails loudly naming the fix. One foreign stamp is tolerated
+        # (a crashed predecessor's leftover; takeover is the restart
+        # path). SIGKILL-restart stress keeps passing: a fresh reader's
+        # first write is always a takeover.
+        self._lease_nonce = random.getrandbits(62)
+        self._lease_foreign_streak = 0
         if self._backend == "postgres":
             # restart floor (review finding): a FRESH fence under an
             # open writer proves nothing and would report an offset
@@ -229,7 +250,8 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
             # (protected from first connect, the LocalOutboxPoller
             # contract) and advanced only in commit(), when the engine
             # has durably finished the batch. Distinct queries on one
-            # outbox should set distinct option("consumer", ...) keys.
+            # outbox MUST set distinct option("consumer", ...) keys —
+            # enforced at runtime by the lease guard above.
             self._last_end = self._read_floor()
             self._floor_persisted = self._last_end or 0
         else:
@@ -251,6 +273,44 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
                 _quote_lit(self._floor_consumer),
                 _quote_lit(self._floor_consumer + "#reportfloor"))
 
+    def _collision_error(self) -> RuntimeError:
+        return RuntimeError(
+            f"pqstream_outbox: another live streaming query is using "
+            f"consumer key {self._floor_consumer!r} on this outbox. A "
+            "shared key shares the retention row and report floor, so "
+            "the slower query's replay window can be compacted away. "
+            'Give each query a distinct .option("consumer", ...) key.'
+        )
+
+    def _check_lease_stamp(self, old: int | None) -> None:
+        """`old` is the lease row's value BEFORE this reader's stamp
+        landed. Constructor comment: one foreign stamp = takeover
+        (crashed predecessor); two consecutive = both writers alive."""
+        if old is None or int(old) == self._lease_nonce:
+            self._lease_foreign_streak = 0
+            return
+        self._lease_foreign_streak += 1
+        if self._lease_foreign_streak >= 2:
+            raise self._collision_error()
+
+    def _stamp_lease_pg(self, runner, table, lease_key) -> None:
+        # data-modifying CTE: the outer SELECT sees the statement-start
+        # snapshot, i.e. the PREVIOUS stamp — write + read-old in one
+        # round trip
+        old = runner.scalar(
+            f"WITH up AS (INSERT INTO {table} (consumer, last_seq) "
+            f"VALUES ({lease_key}, {self._lease_nonce}) "
+            f"ON CONFLICT (consumer) DO UPDATE SET "
+            f"last_seq = excluded.last_seq) "
+            f"SELECT last_seq FROM {table} WHERE consumer = {lease_key}"
+        )
+        self._check_lease_stamp(None if old is None else int(old))
+
+    def _lease_key(self):
+        from .outbox_pg import _quote_lit
+
+        return _quote_lit(self._floor_consumer + "#lease")
+
     def _read_floor(self) -> int | None:
         runner, table, key, floor_key = self._runner()
         runner.sql(
@@ -262,6 +322,9 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
             f"INSERT INTO {table} (consumer, last_seq) "
             f"VALUES ({key}, 0) ON CONFLICT (consumer) DO NOTHING;"
         )
+        # establish lease ownership up front (always a takeover here:
+        # streak starts at 0, so a predecessor's stamp never raises)
+        self._stamp_lease_pg(runner, table, self._lease_key())
         got = runner.scalar(
             f"SELECT last_seq FROM {table} WHERE consumer = {floor_key}"
         )
@@ -279,9 +342,26 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
                 "VALUES (?, 0) ON CONFLICT(consumer) DO NOTHING",
                 (self._floor_consumer,),
             )
+            self._stamp_lease_sqlite(conn)
             conn.commit()
         finally:
             conn.close()
+
+    def _stamp_lease_sqlite(self, conn) -> None:
+        """Same lease protocol as PG; read-old + stamp are atomic under
+        sqlite's whole-database write lock (caller commits)."""
+        lease = self._floor_consumer + "#lease"
+        row = conn.execute(
+            f"SELECT last_seq FROM {LOCAL_OFFSET_TABLE} WHERE consumer = ?",
+            (lease,),
+        ).fetchone()
+        conn.execute(
+            f"INSERT INTO {LOCAL_OFFSET_TABLE} (consumer, last_seq) "
+            "VALUES (?, ?) ON CONFLICT(consumer) DO UPDATE SET "
+            "last_seq = excluded.last_seq",
+            (lease, self._lease_nonce),
+        )
+        self._check_lease_stamp(None if row is None else int(row[0]))
 
     def _pg_fence_seq(self) -> int:
         from .outbox_pg import PgSeqFence, PsqlRunner
@@ -332,6 +412,9 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
             f"GREATEST({table}.last_seq, excluded.last_seq);"
         )
         self._floor_persisted = seq
+        # collision check rides every floor advance — exactly the
+        # moments a shared key could mask another query's replay window
+        self._stamp_lease_pg(runner, table, self._lease_key())
 
     def partitions(self, start: dict, end: dict):
         return self._plan_ranges(int(start["seq"]), int(end["seq"]))
@@ -365,6 +448,10 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
                     "last_seq = MAX(last_seq, excluded.last_seq)",
                     (self._floor_consumer, seq),
                 )
+                # sqlite has no report floor, so retention advance is
+                # this backend's only recurring write point — the lease
+                # check rides it
+                self._stamp_lease_sqlite(conn)
                 conn.commit()
             finally:
                 conn.close()

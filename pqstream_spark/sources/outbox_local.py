@@ -353,7 +353,8 @@ class LocalOutboxPoller:
         row = self.conn.execute(
             f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE} "
             "WHERE consumer NOT LIKE '%#bootstrap' "
-            "AND consumer NOT LIKE '%#reportfloor'"
+            "AND consumer NOT LIKE '%#reportfloor' "
+            "AND consumer NOT LIKE '%#lease'"
         ).fetchone()
         low = row[0] if row else None
         if low is None or low <= 0:

@@ -660,7 +660,8 @@ class PgOutboxPoller:
         low = self.runner.scalar(
             f"SELECT MIN(last_seq) FROM {PG_OFFSET_TABLE} "
             "WHERE consumer NOT LIKE '%#bootstrap' "
-            "AND consumer NOT LIKE '%#reportfloor'"
+            "AND consumer NOT LIKE '%#reportfloor' "
+            "AND consumer NOT LIKE '%#lease'"
         )
         if low is None or int(low) <= 0:
             return 0

@@ -149,6 +149,45 @@ def test_max_rows_per_batch_bounds_each_microbatch(spark, db_path, tmp_path):
     assert max(b for b in batches if b) <= 4, f"rate cap violated: {batches}"
 
 
+def test_consumer_key_collision_detected(db_path):
+    """VERDICT r8 #3: two LIVE readers sharing one consumer key share
+    the retention row (the faster query's commit could let compact()
+    prune rows the slower one hasn't checkpointed), and the engine
+    hands the reader no query-stable identity to auto-derive distinct
+    defaults from — so the lease guard must fail the collision loudly
+    at the next offset write."""
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+
+    _insert(db_path, 1, 3)
+    a = OutboxStreamReader({"url": f"sqlite:{db_path}"})
+    b = OutboxStreamReader({"url": f"sqlite:{db_path}"})  # takeover stamp: tolerated
+    with pytest.raises(RuntimeError, match="distinct") :
+        for _ in range(4):  # both alive and advancing → alternation trips
+            a.commit({"seq": 1})
+            b.commit({"seq": 1})
+
+
+def test_consumer_key_restart_and_distinct_keys_ok(db_path):
+    """The lease tolerates exactly the legitimate cases: a restart
+    (crashed predecessor's stamp = one-shot takeover) and distinct
+    consumer keys."""
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+
+    _insert(db_path, 1, 3)
+    a = OutboxStreamReader({"url": f"sqlite:{db_path}"})
+    a.commit({"seq": 1})
+    # "crash" a; a restart with the same (default) key must not raise
+    a2 = OutboxStreamReader({"url": f"sqlite:{db_path}"})
+    for _ in range(4):
+        a2.commit({"seq": 2})
+    # distinct keys: two live queries coexist indefinitely
+    c = OutboxStreamReader({"url": f"sqlite:{db_path}", "consumer": "c1"})
+    d = OutboxStreamReader({"url": f"sqlite:{db_path}", "consumer": "c2"})
+    for _ in range(4):
+        c.commit({"seq": 3})
+        d.commit({"seq": 3})
+
+
 def test_stream_reader_holds_compaction_until_commit(db_path):
     """Retention contract (mirrors the PG reader): constructing the
     stream reader registers its delivered consumer at 0, so a durable

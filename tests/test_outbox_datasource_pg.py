@@ -396,6 +396,42 @@ def test_pg_reportfloor_never_enables_compaction(pg):
     assert maint.compact() == 2 and remaining() == 0
 
 
+def test_pg_consumer_key_collision_guard(pg):
+    """VERDICT r8 #3: two LIVE queries sharing one consumer key share
+    the retention row and report floor — the slower query's replay
+    window can be compacted away. checkpointLocation never reaches
+    DataSource.options (sink option), so no query-stable default
+    exists; instead the lease guard fails the collision loudly on the
+    second alternating offset write, while same-key restarts (one
+    takeover stamp) and distinct keys stay green."""
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+
+    r = _fresh_db(pg, "ds_collide")
+    opts = {"url": f"postgres:{pg.conninfo('ds_collide')}",
+            "fencewait": "0.5"}
+
+    r.sql("INSERT INTO notes SELECT g, now(), 'c' || g "
+          "FROM generate_series(1, 4) g;")
+    a = OutboxStreamReader(dict(opts))
+    assert int(a.latestOffset()["seq"]) == 4
+    b = OutboxStreamReader(dict(opts))  # takeover stamp: tolerated once
+    with pytest.raises(RuntimeError, match="distinct"):
+        for i in range(5, 9):
+            r.sql(f"INSERT INTO notes VALUES ({i}, now(), 'c{i}');")
+            a.latestOffset()  # floor advance re-stamps a's nonce
+            b.latestOffset()  # alternation → second foreign stamp trips
+    # restart with the same key (predecessors dead): green
+    c = OutboxStreamReader(dict(opts))
+    r.sql("INSERT INTO notes VALUES (20, now(), 'c20');")
+    c.latestOffset()
+    # distinct keys: two live queries coexist indefinitely
+    d = OutboxStreamReader(dict(opts) | {"consumer": "q2"})
+    for i in range(21, 25):
+        r.sql(f"INSERT INTO notes VALUES ({i}, now(), 'c{i}');")
+        c.latestOffset()
+        d.latestOffset()
+
+
 def test_ds_randomized_multi_writer_stress_with_restart(spark, pg, tmp_path):
     """The poller's randomized 4-writer stress (the test that caught
     the xmax-keyed fence bug), re-run through the ENGINE path:
