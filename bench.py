@@ -73,8 +73,12 @@ MULTI_BRANCH = {
     "dedup_pairwise_scores",
     "sim_topk_brute_ivf",
     "sim_ann_lsh_quantized",
+    "q6_q19_selective_agg",  # r9: + q9_profit / q21_wait stressors
 }
 BRANCH_ITERS = 2
+# the discriminator column per entry: LLM entries use `method`,
+# relational unions use `variant` — detected at warmup
+_DISCRIMINATORS = ("method", "variant")
 
 
 def _calibrate(spark) -> dict[str, float]:
@@ -149,14 +153,17 @@ def main() -> None:
     # the Janino compiler, not the engine. Multi-branch entries also
     # surrender their branch list here (tiny SF, one distinct scan).
     branch_values: dict[str, list[str]] = {}
+    branch_col: dict[str, str] = {}
     for n in names:
         wdf = queries[n](spark, WARMUP_DIR)
         wdf.count()
-        if n in MULTI_BRANCH and "method" in wdf.columns:
-            branch_values[n] = sorted(
-                r["method"]
-                for r in wdf.select("method").distinct().collect()
-            )
+        if n in MULTI_BRANCH:
+            col = next((c for c in _DISCRIMINATORS if c in wdf.columns), None)
+            if col:
+                branch_col[n] = col
+                branch_values[n] = sorted(
+                    r[col] for r in wdf.select(col).distinct().collect()
+                )
 
     calib = _calibrate(spark)
     calib_total = round(sum(calib.values()), 3)
@@ -239,16 +246,17 @@ def main() -> None:
                     bruns.append(round(time.perf_counter() - t0, 3))
                 return min(bruns)
 
+            col = branch_col[n]
             shared = _min_time(
                 lambda: queries[n](spark, SF_DIR).where(
-                    "method = '__bench_shared_floor__'"
+                    f"{col} = '__bench_shared_floor__'"
                 )
             )
             per_branch: dict[str, float] = {}
             for m in branch_values[n]:
                 bt = _min_time(
                     lambda m=m: queries[n](spark, SF_DIR).where(
-                        f"method = '{m}'"
+                        f"{col} = '{m}'"
                     )
                 )
                 per_branch[m] = round(max(bt - shared, 0.0), 3)

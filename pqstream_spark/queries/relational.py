@@ -540,11 +540,75 @@ WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
        AND l_quantity >= 20 AND l_quantity <= 40)
 """
 
-SQL_Q6_Q19 = f"""
-SELECT 'q6_forecast' AS variant, revenue, n_items FROM ({SQL_Q6.strip()})
+# --- selective-agg + optimizer-stressor union (q6 ∪ q19 ∪ q9 ∪ q21) -------------
+# One catalog entry, four classic plans behind a `variant` discriminator
+# (the 50-entry cap discipline; round 9 adds the two optimizer stressors
+# the catalog lacked):
+# - q6_forecast / q19_disjunctive: selective single-agg scans (as before).
+# - q9_profit: the multi-join profit aggregation — lineitem joined to a
+#   LIKE-filtered part side plus supplier/orders/nation, grouped by
+#   (nation, order year). The testdata has no partsupp table, so supply
+#   cost is proxied as 10% of p_retailprice per unit — same join graph
+#   and agg shape as TPC-H q9, just a different constant on the part
+#   side. Every dimension side must broadcast; the only shuffle is the
+#   final group-by.
+# - q21_wait: the correlated EXISTS / NOT EXISTS multi-(semi,anti)-join
+#   — suppliers in one nation whose lineitem on a finalized order
+#   shipped late (no l_receiptdate/l_commitdate in this testdata:
+#   "late" = shipped >120 days after the order date) while being the
+#   ONLY late supplier on a multi-supplier order. Exercises LeftSemi +
+#   LeftAnti against the same fact table with mixed equality and
+#   non-equality correlation.
+_Q9_COST = ("CAST(p_retailprice AS DECIMAL(12,2)) * "
+            "CAST(l_quantity AS DECIMAL(4,1)) * CAST(0.10 AS DECIMAL(3,2))")
+
+
+def _q6_q19_stressors_sql(interval_120d: str) -> str:
+    return f"""
+SELECT 'q6_forecast' AS variant, CAST(NULL AS STRING) AS k1,
+       CAST(NULL AS STRING) AS k2, revenue, n_items
+FROM ({SQL_Q6.strip()})
 UNION ALL
-SELECT 'q19_disjunctive' AS variant, revenue, n_items FROM ({SQL_Q19.strip()})
+SELECT 'q19_disjunctive' AS variant, CAST(NULL AS STRING) AS k1,
+       CAST(NULL AS STRING) AS k2, revenue, n_items
+FROM ({SQL_Q19.strip()})
+UNION ALL
+SELECT 'q9_profit' AS variant, nation AS k1, CAST(o_year AS STRING) AS k2,
+       CAST(SUM(amount) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         {REV} - {_Q9_COST} AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+UNION ALL
+SELECT 'q21_wait' AS variant, s_name AS k1, CAST(NULL AS STRING) AS k2,
+       CAST(NULL AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_7'
+  AND l1.l_shipdate > o_orderdate + {interval_120d}
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + {interval_120d})
+GROUP BY s_name
 """
+
+
+SQL_Q6_Q19_SPARK = _q6_q19_stressors_sql("INTERVAL '120' DAY")
+SQL_Q6_Q19_DUCK = _q6_q19_stressors_sql("INTERVAL 120 DAY")
 
 # --- q22: idle customers (NOT EXISTS anti-join + uncorrelated scalar subquery) --
 # threshold = SUM/COUNT in DECIMAL then one double divide: DuckDB's
@@ -681,7 +745,6 @@ def register(queries: dict, oracles: dict) -> None:
         ("q3_shipping_priority", SQL_Q3),
         ("q4_order_priority_exists", SQL_Q4),
         ("q5_local_supplier_volume", SQL_Q5),
-        ("q6_q19_selective_agg", SQL_Q6_Q19),
         ("q7_volume_shipping", SQL_Q7),
         ("q10_returned_items", SQL_Q10),
         ("q14_promo_share", SQL_Q14),
@@ -691,6 +754,9 @@ def register(queries: dict, oracles: dict) -> None:
     ]:
         queries[name] = _sql(sql)
         oracles[name] = sql
+
+    queries["q6_q19_selective_agg"] = _sql(SQL_Q6_Q19_SPARK)
+    oracles["q6_q19_selective_agg"] = SQL_Q6_Q19_DUCK
 
     queries["corr_scalar_subquery"] = _sql(_advanced_subquery_sql(True))
     oracles["corr_scalar_subquery"] = _advanced_subquery_sql(False)

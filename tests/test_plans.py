@@ -43,8 +43,10 @@ def test_filter_pushdown_reaches_scan(spark, catalog):
 
 
 def test_column_pruning_reaches_scan(spark, catalog):
-    """q6 touches 4 of lineitem's 11 columns; no lineitem scan in the
-    plan may read payload columns the query never touches."""
+    """Each branch's lineitem scan must be pruned to the columns that
+    branch touches: the q6 arm reads 4 of lineitem's 11 columns and no
+    scan anywhere in the union (q6 ∪ q19 ∪ q9 ∪ q21) may read the
+    payload columns no branch uses."""
     plan = _plan(catalog["q6_q19_selective_agg"](spark, SF_DIR))
     reads = [
         part.splitlines()[0]
@@ -52,9 +54,17 @@ def test_column_pruning_reaches_scan(spark, catalog):
     ]
     lineitem_reads = [r for r in reads if "l_extendedprice" in r]
     assert lineitem_reads
-    for read in lineitem_reads:
-        assert "l_orderkey" not in read
+    # q6's scan: shipdate/discount/quantity/extendedprice only — the
+    # narrowest arm must not inherit q9/q21's key columns
+    assert any(
+        "l_orderkey" not in r and "l_partkey" not in r
+        for r in lineitem_reads
+    ), f"q6 scan lost its column pruning: {lineitem_reads}"
+    # no branch touches these — they must appear in NO scan
+    for read in [r for r in reads if "lineitem" in r or "l_" in r]:
         assert "l_returnflag" not in read
+        assert "l_linestatus" not in read
+        assert "l_tax" not in read
 
 
 def test_small_dims_broadcast(spark, catalog):
@@ -91,6 +101,22 @@ def test_exists_becomes_semi_join(spark, catalog):
     dedup."""
     plan = _plan(catalog["q4_order_priority_exists"](spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_q9_q21_stressor_plans(spark, catalog):
+    """Round-9 optimizer stressors inside q6_q19_selective_agg: q9's
+    dimension sides (part/supplier/orders/nation at this SF) must
+    broadcast — the only shuffle is the final (nation, year) group-by —
+    and q21's correlated EXISTS / NOT EXISTS must plan as LeftSemi +
+    LeftAnti joins. Neither may degrade to a cartesian product."""
+    plan = _plan(catalog["q6_q19_selective_agg"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "q21 EXISTS did not plan as a semi join"
+    assert "LeftAnti" in plan, "q21 NOT EXISTS did not plan as an anti join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, (
+        "q9 dimension joins should broadcast at test SF"
+    )
 
 
 def test_topk_avoids_global_sort(spark, catalog):
