@@ -1,0 +1,572 @@
+"""Logical-replication capture backend — S5 rebuilt on the mechanism
+PostgreSQL actually provides for it (SURVEY.md §2 S1/S5; reference
+anchor `/root/reference/server.go:258-281`, the LISTEN loop).
+
+Why this backend exists (round-9 lead item): the trigger outbox costs a
+measured ~6.9x write amplification on the source database (bench_pg.py)
+and its BIGSERIAL seq order != commit order, which forced the PgSeqFence
+watermark machinery. A logical replication slot inverts every one of
+those costs:
+
+- ~zero write-side overhead: changes are decoded from WAL the writer
+  already produced; no trigger, no second table, no extra WAL.
+- commit order BY CONSTRUCTION: decoding emits whole transactions in
+  commit order (verified live: a writer that starts first but commits
+  last is delivered last) — there is NO fence on this path because the
+  race the fence exists for cannot occur.
+- transaction atomicity: `pg_logical_slot_peek_changes(upto_nchanges)`
+  only stops at transaction boundaries, so a micro-batch never tears a
+  transaction (the outbox path needs envelope xids for this).
+- durable restart: the slot's `confirmed_flush_lsn` IS the offset,
+  crash-safe inside the server; the poller layers a replay-stable seq
+  numbering on top (see PgLogicalPoller).
+- TRUNCATE: decoded natively (the reference's dead enum quadrant,
+  pqstream.proto:23, again covered without trigger tricks).
+
+Transport: the SQL decoding interface (`pg_logical_slot_peek_changes` +
+`pg_replication_slot_advance`) over the same PsqlRunner psql transport
+the rest of the live-PG layer rides. The walsender wire protocol
+(START_REPLICATION via `pg_recvlogical --start --endpos`) is also
+implemented (`recv_changes_walsender`) and parity-tested; the SQL
+interface is the default because a micro-batch engine wants bounded
+pull-based batches, not a long-lived push stream — and peek/advance
+separates delivery from confirmation exactly like the outbox poller's
+read/advance, which keeps the at-least-once + idempotent-sink story
+identical across backends.
+
+Plugin: `test_decoding` (in-core, PG 9.4+, present everywhere PG is).
+The envelope parser below normalizes its text format into the same
+(seq, ts, schema, table, op, id, payload, previous) envelope the outbox
+emits, so every downstream operator (P1 parse, R1 redact, S2 degrade,
+CDC materialization) is backend-agnostic. `pgoutput` (the built-in
+publication protocol) emits binary protobuf-ish messages psql cannot
+carry; test_decoding is the right plugin for a text transport, and the
+parser is ~100 lines, not a protocol stack.
+
+Scale notes: one slot = one ordered changelog = one driver-side psql
+read per poll. That is the correct shape — WAL decode order is
+inherently serial (it IS the definition of the changelog) — and the
+bounded batch (`max_changes`, transaction-aligned) caps driver memory;
+downstream parallelism comes from Spark repartitioning the parsed
+envelopes, and multiple independent consumers get their own slots
+(slots are named; `consumer` maps 1:1 to a slot). REPLICA IDENTITY FULL
+is set on captured tables so UPDATE carries the full OLD row
+(`previous`) and DELETE the full OLD payload — parity with the
+reference trigger's OLD/NEW selection (queries.go:17-24)."""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+import subprocess
+from dataclasses import dataclass, field
+
+from .outbox import DISCOVER_TABLES_SQL, _check_ident, filter_tables
+from .outbox_local import OUTBOX_BATCH_SCHEMA
+from .outbox_pg import PG_OFFSET_TABLE, PsqlError, PsqlRunner, _parse_pg_ts, _quote_lit
+
+DEFAULT_SLOT = "pqstream_logical"
+DECODING_PLUGIN = "test_decoding"
+
+# types whose test_decoding rendering is already a valid JSON scalar;
+# everything else is JSON-string-quoted. numeric stays a JSON number
+# (exact digits preserved — json.loads parses it as float downstream,
+# same as the outbox's row_to_json rendering).
+_JSON_BARE_TYPES = {
+    "smallint", "integer", "bigint", "numeric", "real",
+    "double precision", "boolean", "oid",
+}
+
+# test_decoding renders timestamps as '2021-05-06 07:08:09[+00]' while
+# row_to_json (the outbox/reference envelope) renders ISO-8601
+# '2021-05-06T07:08:09[+00:00]' — normalized here so the logical
+# envelope is byte-compatible with the trigger envelope's payload JSON
+_TS_TYPES = {"timestamp without time zone", "timestamp with time zone"}
+_TS_VAL_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2}:\d{2}(?:\.\d+)?)([+-]\d{2}(?::\d{2})?)?$"
+)
+
+
+def _normalize_ts(val: str) -> str:
+    m = _TS_VAL_RE.match(val)
+    if not m:
+        return val
+    date, time_, off = m.group(1), m.group(2), m.group(3)
+    if off and ":" not in off:
+        off += ":00"
+    return f"{date}T{time_}{off or ''}"
+
+_CHANGE_RE = re.compile(
+    r"^table ([^:]+): (INSERT|UPDATE|DELETE|TRUNCATE):\s?(.*)$", re.S
+)
+_COMMIT_TS_RE = re.compile(r"^COMMIT \d+(?: \(at (.+)\))?$")
+_COL_RE = re.compile(r'("[^"]+"|[A-Za-z_][A-Za-z0-9_$]*)\[([^\]]+)\]:')
+
+
+def _parse_tuple(s: str, start: int = 0) -> tuple[list[tuple[str, str, str, bool]], int]:
+    """Parse a test_decoding column list `name[type]:value ...` from
+    position `start`; returns (columns, end_pos). A column value is
+    either a single-quoted string with '' escaping (may contain spaces,
+    brackets, section markers — anything) or a bare space-free token
+    (numbers, true/false, null). Stops at a section marker
+    (`new-tuple:`) or anything that is not a column head."""
+    cols: list[tuple[str, str, str, bool]] = []
+    i, n = start, len(s)
+    while i < n:
+        m = _COL_RE.match(s, i)
+        if not m:
+            break
+        name = m.group(1).strip('"')
+        typ = m.group(2)
+        i = m.end()
+        if i < n and s[i] == "'":
+            j = i + 1
+            buf: list[str] = []
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                buf.append(s[j])
+                j += 1
+            val, quoted, i = "".join(buf), True, j
+        else:
+            j = s.find(" ", i)
+            if j == -1:
+                j = n
+            val, quoted, i = s[i:j], False, j
+        if i < n and s[i] == " ":
+            i += 1
+        cols.append((name, typ, val, quoted))
+    return cols, i
+
+
+def _row_json(cols: list[tuple[str, str, str, bool]]) -> str | None:
+    """Columns → compact JSON object, column order preserved (the
+    outbox/reference convention: row_to_json keeps table column order).
+    Returns None for an empty column list (no-tuple-data)."""
+    if not cols:
+        return None
+    parts = []
+    for name, typ, val, quoted in cols:
+        if not quoted and val == "null":
+            rendered = "null"
+        elif not quoted and typ in _JSON_BARE_TYPES:
+            rendered = val
+        else:
+            if typ in _TS_TYPES:
+                val = _normalize_ts(val)
+            rendered = json.dumps(val, ensure_ascii=False)
+        parts.append(f"{json.dumps(name, ensure_ascii=False)}:{rendered}")
+    return "{" + ",".join(parts) + "}"
+
+
+def parse_change_line(data: str) -> tuple[str, str, str, str | None, str | None, str | None] | None:
+    """One test_decoding data line → (schema, table, op, id, payload
+    previous), or None for non-change lines (messages etc.).
+
+    OLD/NEW selection parity with the reference trigger
+    (queries.go:17-24): INSERT/UPDATE payload = NEW, DELETE payload =
+    OLD, previous = OLD only for UPDATE; id = the row's `id` field as
+    text when present. TRUNCATE: idents only, everything row-scoped
+    NULL (the statement-trigger envelope shape).
+
+    Known rendering difference vs row_to_json (verified live, pinned in
+    tests): test_decoding prints NULL columns in NEW tuples
+    (`col[type]:null`) but OMITS them from OLD tuples (DELETE payload,
+    UPDATE previous). Functionally equivalent for every downstream
+    operator — envelopes are read as maps where an absent key and a
+    null value both surface as NULL (`element_at`) — but not
+    byte-identical to the trigger envelope for OLD rows with NULLs."""
+    m = _CHANGE_RE.match(data)
+    if not m:
+        return None
+    ident, op, rest = m.group(1), m.group(2), m.group(3)
+    if "." in ident:
+        schema, table = ident.split(".", 1)
+    else:
+        schema, table = "public", ident
+    schema, table = schema.strip('"'), table.strip('"')
+    if op == "TRUNCATE":
+        return (schema, table, op, None, None, None)
+    payload_cols: list = []
+    prev_cols: list = []
+    if op == "UPDATE":
+        # sections: optional `old-key: <cols>` then `new-tuple: <cols>`.
+        # Markers are only honored at the scan position — a quoted
+        # value containing the literal text never splits the line.
+        i = 0
+        if rest.startswith("old-key: "):
+            prev_cols, i = _parse_tuple(rest, len("old-key: "))
+        if rest.startswith("new-tuple: ", i):
+            i += len("new-tuple: ")
+        payload_cols, _ = _parse_tuple(rest, i)
+    else:
+        payload_cols, _ = _parse_tuple(rest)
+    payload = _row_json(payload_cols)
+    previous = _row_json(prev_cols) if op == "UPDATE" else None
+    row_id = None
+    for name, _typ, val, _quoted in payload_cols:
+        if name == "id":
+            row_id = None if (not _quoted and val == "null") else val
+            break
+    return (schema, table, op, row_id, payload, previous)
+
+
+class PgLogicalCaptureManager:
+    """Slot + replica-identity lifecycle — the logical analog of
+    PgCaptureManager's remove-then-install contract
+    (cmd/pqsd/main.go:95-102). install() is idempotent; remove() drops
+    the slot (releasing WAL retention) and resets replica identity."""
+
+    def __init__(self, runner: PsqlRunner, slot: str = DEFAULT_SLOT,
+                 table_regexp: str | None = None) -> None:
+        _check_ident(slot)
+        self.runner = runner
+        self.slot = slot
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
+        return filter_tables([r["table_name"] for r in rows],
+                             self.table_regexp)
+
+    def _slot_exists(self) -> bool:
+        """Slot names are CLUSTER-global but each slot decodes exactly
+        the database it was created in — an existing same-name slot in
+        another database would silently shadow this one's creation, so
+        that case fails loudly instead."""
+        rows = self.runner.query_csv(
+            "SELECT database = current_database() AS here "
+            "FROM pg_replication_slots "
+            f"WHERE slot_name = {_quote_lit(self.slot)}"
+        )
+        if not rows:
+            return False
+        if rows[0]["here"] != "t":
+            raise RuntimeError(
+                f"replication slot {self.slot!r} already exists in another "
+                "database of this cluster (slot names are cluster-global); "
+                "pick a distinct slot name"
+            )
+        return True
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        wal_level = self.runner.scalar("SHOW wal_level")
+        if wal_level != "logical":
+            raise RuntimeError(
+                f"wal_level is {wal_level!r}; the logical transport needs "
+                "wal_level=logical (postgresql.conf + restart)"
+            )
+        # FULL replica identity: UPDATE carries the complete OLD row and
+        # DELETE the complete OLD payload — without it test_decoding
+        # emits only key columns (or no old tuple at all), losing the
+        # reference's `previous` semantics
+        stmts = [
+            f'ALTER TABLE "{_check_ident(t)}" REPLICA IDENTITY FULL'
+            for t in tables
+        ]
+        self.runner.sql(";\n".join(stmts) + ";")
+        if not self._slot_exists():
+            self.runner.scalar(
+                "SELECT pg_create_logical_replication_slot("
+                f"{_quote_lit(self.slot)}, {_quote_lit(DECODING_PLUGIN)})"
+            )
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        if tables:
+            stmts = [
+                f'ALTER TABLE "{_check_ident(t)}" REPLICA IDENTITY DEFAULT'
+                for t in tables
+            ]
+            self.runner.sql(";\n".join(stmts) + ";")
+        if self._slot_exists():
+            # returns void — .sql, not .scalar (void rows CSV-parse empty)
+            self.runner.sql(
+                f"SELECT pg_drop_replication_slot({_quote_lit(self.slot)});"
+            )
+        return tables
+
+
+@dataclass
+class _Txn:
+    commit_lsn_text: str
+    commit_lsn: int
+    commit_ts: str | None
+    changes: list  # parse_change_line tuples
+
+
+@dataclass
+class PgLogicalPoller:
+    """Bounded transaction-aligned reads of the logical slot.
+
+    Contract-identical to PgOutboxPoller: `read_batch(spark)` returns a
+    DataFrame in OUTBOX_BATCH_SCHEMA; `advance()` after the downstream
+    commit makes the batch durable. At-least-once with replay: a crash
+    between sink and advance() re-reads the same transactions with the
+    SAME seqs, so the seq-named idempotent sink collapses the replay.
+
+    Durable state, two layers:
+    - the slot's confirmed_flush_lsn (server-side, crash-safe) — the
+      actual resume cursor; pg_replication_slot_advance moves it only
+      in advance().
+    - a replay-stable dense seq numbering over delivered changes,
+      persisted as two PG_OFFSET_TABLE rows: `{consumer}` (seqs
+      delivered, = the envelope high-water) and `{consumer}#lsn` (the
+      commit LSN those seqs end at, as a bigint byte offset).
+
+    Why a stored numbering instead of deriving seq from the LSN: change
+    LSNs are NOT monotone in delivery order (decoding is commit-ordered;
+    a late-committing transaction's row LSNs precede an earlier commit's
+    — verified live), and CDC materialization requires seq order =
+    commit order for its replay guard. The numbering is crash-consistent
+    by construction: the offset rows commit in one transaction BEFORE
+    the slot advances, and read_batch re-anchors on them — transactions
+    whose commit LSN <= the stored LSN are replays and are numbered
+    backwards from the stored base (they re-peek in identical WAL order,
+    so they get their previous seqs), fresh transactions continue from
+    the base. A crash in either window (before the offset write, or
+    between it and the slot advance) therefore replays with byte-stable
+    seqs.
+
+    Batch boundaries: pg_logical_slot_peek_changes(upto_nchanges) only
+    stops after completing a transaction, so batches never tear one —
+    and only complete transactions (COMMIT line inside the peeked
+    window) are emitted, so a window that truncates mid-transaction
+    (giant txn) parks it for the escalated re-peek. The escalation
+    doubles the window up to `max_peek` and fails loudly if one
+    transaction exceeds it (the LSH_BUCKET_CAP philosophy: bounded,
+    with a named knob, never silent)."""
+
+    runner: PsqlRunner
+    slot: str = DEFAULT_SLOT
+    consumer: str = "logical"
+    max_changes: int = 100_000
+    max_peek: int = 1_600_000
+    table_regexp: str | None = None
+    last_seq: int = 0
+    last_lsn: int = 0
+    _pending: tuple | None = field(default=None, repr=False)
+
+    @classmethod
+    def open_durable(cls, runner: PsqlRunner, slot: str = DEFAULT_SLOT,
+                     consumer: str = "logical", **kw) -> "PgLogicalPoller":
+        p = cls(runner=runner, slot=slot, consumer=consumer, **kw)
+        runner.sql(
+            f"CREATE TABLE IF NOT EXISTS {PG_OFFSET_TABLE} ("
+            "consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
+            f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
+            f"({_quote_lit(p._seq_key)}, 0), ({_quote_lit(p._lsn_key)}, 0) "
+            "ON CONFLICT (consumer) DO NOTHING;"
+        )
+        seq = runner.scalar(
+            f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
+            f"WHERE consumer = {_quote_lit(p._seq_key)}"
+        )
+        lsn = runner.scalar(
+            f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
+            f"WHERE consumer = {_quote_lit(p._lsn_key)}"
+        )
+        p.last_seq = int(seq or 0)
+        p.last_lsn = int(lsn or 0)
+        return p
+
+    @property
+    def _seq_key(self) -> str:
+        return f"{self.consumer}@{self.slot}"
+
+    @property
+    def _lsn_key(self) -> str:
+        return f"{self.consumer}@{self.slot}#lsn"
+
+    # -- peek ---------------------------------------------------------------
+    def _flush_barrier(self) -> None:
+        """Logical decoding only sees FLUSHED WAL. Under asynchronous
+        commit (synchronous_commit=off — this sandbox's test clusters,
+        and a legitimate production setting) a transaction can be
+        committed and visible to queries while its WAL record is still
+        unflushed — a poll right after it would miss it, which is
+        correct-but-laggy. One synchronously-committed logical message
+        per poll forces the flush up to NOW, so a poll delivers
+        everything committed before it (the NOTIFY-latency property the
+        reference has) at the cost of one tiny WAL record."""
+        self.runner.sql(
+            "SET synchronous_commit = on;\n"
+            "SELECT pg_logical_emit_message(true, 'pqstream_sync', '');"
+        )
+
+    def _peek(self, upto: int) -> list[dict]:
+        return self.runner.query_csv(
+            "SELECT lsn::text AS lsn, (lsn - '0/0'::pg_lsn)::bigint AS "
+            "lsn_big, xid::text AS xid, data "
+            f"FROM pg_logical_slot_peek_changes({_quote_lit(self.slot)}, "
+            f"NULL, {int(upto)}, 'include-timestamp', 'on')"
+        )
+
+    def _slot_pending(self) -> bool:
+        got = self.runner.scalar(
+            "SELECT pg_current_wal_lsn() > confirmed_flush_lsn "
+            f"FROM pg_replication_slots WHERE slot_name = {_quote_lit(self.slot)}"
+        )
+        return got == "t"
+
+    def _parse_txns(self, rows: list[dict]) -> list[_Txn]:
+        """test_decoding has no table filter (pgoutput publications
+        would), so filtering happens here: engine-internal pqstream_%
+        tables are ALWAYS excluded — the slot decodes the poller's own
+        offset-table writes, and delivering them would make every
+        advance() breed the next batch (the logical analog of the
+        outbox path's trigger-feedback exclusion, outbox.py
+        DISCOVER_TABLES_SQL) — and `table_regexp` applies the
+        server-level capture filter (server.go:149-166). A transaction
+        whose changes are all filtered still surfaces (with zero
+        changes) so advance() can move the slot past it."""
+        import re as _re
+
+        pat = _re.compile(self.table_regexp) if self.table_regexp else None
+        txns: list[_Txn] = []
+        cur: list = []
+        for r in rows:
+            data = r["data"] or ""
+            if data.startswith("BEGIN"):
+                cur = []
+            elif data.startswith("COMMIT"):
+                m = _COMMIT_TS_RE.match(data)
+                ts = m.group(1) if m else None
+                txns.append(_Txn(r["lsn"], int(r["lsn_big"]), ts, cur))
+                cur = []
+            else:
+                ch = parse_change_line(data)
+                if ch is None:
+                    continue
+                table = ch[1]
+                if table.startswith("pqstream_"):
+                    continue
+                if pat is not None and not pat.search(table):
+                    continue
+                cur.append(ch)
+        return txns
+
+    def read_batch(self, spark):
+        self._flush_barrier()
+        upto = self.max_changes
+        rows = self._peek(upto)
+        txns = self._parse_txns(rows)
+        while not txns and upto < self.max_peek and (
+            rows or self._slot_pending()
+        ):
+            # window truncated mid-transaction, or the decoder returned
+            # nothing for a small window while WAL is pending — escalate
+            upto = min(upto * 4, self.max_peek)
+            rows = self._peek(upto)
+            txns = self._parse_txns(rows)
+        if not txns:
+            if rows:
+                raise PsqlError(
+                    f"one transaction exceeds max_peek={self.max_peek} "
+                    "changes; raise max_peek for this drain"
+                )
+            self._pending = None
+            return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
+        # replay-stable numbering (class docstring): txns at or below
+        # the stored LSN are replays of already-numbered changes
+        n_replay = sum(
+            len(t.changes) for t in txns if t.commit_lsn <= self.last_lsn
+        )
+        base = self.last_seq - n_replay
+        data = []
+        seq = base
+        for t in txns:
+            ts = _parse_pg_ts(t.commit_ts) if t.commit_ts else None
+            for (schema, table, op, row_id, payload, previous) in t.changes:
+                seq += 1
+                data.append(
+                    (seq, ts, schema, table, op, row_id, payload, previous)
+                )
+        last = txns[-1]
+        self._pending = (last.commit_lsn_text, last.commit_lsn, seq)
+        return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
+
+    def advance(self) -> None:
+        """Durable commit of the last read_batch, AFTER the downstream
+        sink: (1) offset rows in one transaction, (2) slot advance.
+        Either crash window replays with identical seqs (class
+        docstring)."""
+        if not self._pending:
+            return
+        lsn_text, lsn_big, end_seq = self._pending
+        if end_seq != self.last_seq:
+            # only a batch that DELIVERED something moves the offset
+            # rows; an engine-only batch (the slot decoding this very
+            # bookkeeping) advances the slot alone — a table write here
+            # would breed the next batch forever
+            self.runner.sql(
+                "BEGIN;\n"
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
+                f"({_quote_lit(self._seq_key)}, {int(end_seq)}) "
+                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq);\n"
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
+                f"({_quote_lit(self._lsn_key)}, {int(lsn_big)}) "
+                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq);\n"
+                "COMMIT;"
+            )
+        self.runner.scalar(
+            f"SELECT pg_replication_slot_advance({_quote_lit(self.slot)}, "
+            f"{_quote_lit(lsn_text)})"
+        )
+        self.last_seq = end_seq
+        self.last_lsn = lsn_big
+        self._pending = None
+
+    def lag(self) -> dict:
+        """Operational backlog: WAL bytes the slot has not confirmed."""
+        got = self.runner.scalar(
+            "SELECT (pg_current_wal_lsn() - confirmed_flush_lsn)::bigint "
+            f"FROM pg_replication_slots WHERE slot_name = {_quote_lit(self.slot)}"
+        )
+        return {
+            "slot": self.slot,
+            "consumer": self.consumer,
+            "last_seq": self.last_seq,
+            "wal_bytes_pending": int(got or 0),
+        }
+
+
+def recv_changes_walsender(
+    conninfo: str, slot: str, endpos: str, timeout: float = 60.0
+) -> list[str]:
+    """Bounded drain over the REAL replication protocol: one
+    `pg_recvlogical --start --endpos` invocation (walsender
+    START_REPLICATION under the hood), exiting at `endpos`. This is the
+    wire a cluster-grade deployment would hold open per executor; here
+    it parity-checks the SQL decoding interface (same plugin, same text
+    format — tests assert multiset equality) and proves the walsender
+    path works in this sandbox. NOTE: pg_recvlogical confirms receipt
+    as it streams, so this CONSUMES from the slot — use a dedicated
+    slot, not the poller's."""
+    bin_ = shutil.which("pg_recvlogical")
+    if bin_ is None:
+        raise RuntimeError("pg_recvlogical not installed")
+    proc = subprocess.run(
+        [bin_, "-d", conninfo, "--slot", slot, "--start",
+         "--endpos", endpos, "-f", "-", "--no-loop",
+         "-o", "include-timestamp=on"],
+        capture_output=True, text=True, timeout=timeout, cwd="/tmp",
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"pg_recvlogical failed (rc={proc.returncode}): "
+            f"{proc.stderr.strip()}"
+        )
+    return [l for l in proc.stdout.splitlines() if l.strip()]

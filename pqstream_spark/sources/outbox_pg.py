@@ -224,9 +224,15 @@ class EphemeralPostgres:
 
     def start(self) -> None:
         pg_ctl = shutil.which("pg_ctl")
+        # wal_level=logical from the start: the logical-replication
+        # capture backend (sources/logical_pg.py) needs it, its cost on
+        # a test cluster is noise, and one cluster shape keeps every
+        # suite on the same code path
         opts = (
             f"-k {self.sock} -c listen_addresses= -c fsync=off "
-            f"-c synchronous_commit=off -c full_page_writes=off"
+            f"-c synchronous_commit=off -c full_page_writes=off "
+            f"-c wal_level=logical -c max_replication_slots=16 "
+            f"-c max_wal_senders=16"
         )
         proc = self._server_cmd(
             f"{shlex.quote(pg_ctl)} start -w -t 60 -D {shlex.quote(self.data)} "

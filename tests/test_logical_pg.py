@@ -1,0 +1,399 @@
+"""Logical-replication capture backend on LIVE PostgreSQL (round-9
+lead item): replication slot + test_decoding replacing the trigger
+outbox — commit-ordered by construction (NO fence on this path),
+transaction-atomic batches, ~zero write amplification, TRUNCATE decoded
+natively. Reference anchor: S5, server.go:258-281."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+
+import pytest
+
+from pqstream_spark.sources.logical_pg import (
+    PgLogicalCaptureManager,
+    PgLogicalPoller,
+    parse_change_line,
+    recv_changes_walsender,
+)
+from pqstream_spark.sources.outbox_pg import (
+    EphemeralPostgres,
+    PgCaptureManager,
+    PgOutboxPoller,
+    pg_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not pg_available(), reason="PostgreSQL server binaries not installed"
+)
+
+NOTES_DDL = "CREATE TABLE notes (id serial PRIMARY KEY, created_at timestamp, note text)"
+
+
+@pytest.fixture(scope="module")
+def pg():
+    srv = EphemeralPostgres.temp("pq_logical_")
+    srv.initdb()
+    srv.start()
+    yield srv
+    srv.destroy()
+
+
+def _fresh(pg, name, slot=None):
+    # slot names are cluster-global; one slot per test database
+    r = pg.createdb(name)
+    r.sql(NOTES_DDL + ";")
+    mgr = PgLogicalCaptureManager(r, slot=slot or f"pq_{name}",
+                                  table_regexp="notes")
+    assert mgr.install() == ["notes"]
+    return r, mgr
+
+
+# -- parser units (no database) -------------------------------------------
+
+
+def test_parse_insert_quoting_horrors():
+    line = ("table public.notes: INSERT: id[integer]:7 "
+            "note[text]:'qu''ote, comma new-tuple: [brackets]' "
+            "val[double precision]:1.5 flag[boolean]:true gone[text]:null")
+    schema, table, op, row_id, payload, previous = parse_change_line(line)
+    assert (schema, table, op, row_id) == ("public", "notes", "INSERT", "7")
+    assert previous is None
+    obj = json.loads(payload)
+    assert obj == {
+        "id": 7,
+        "note": "qu'ote, comma new-tuple: [brackets]",
+        "val": 1.5,
+        "flag": True,
+        "gone": None,
+    }
+    # column order preserved (row_to_json convention)
+    assert list(obj) == ["id", "note", "val", "flag", "gone"]
+
+
+def test_parse_update_sections_and_delete_truncate():
+    upd = ("table public.notes: UPDATE: "
+           "old-key: id[integer]:1 note[text]:'old' "
+           "new-tuple: id[integer]:1 note[text]:'new'")
+    _, _, op, row_id, payload, previous = parse_change_line(upd)
+    assert op == "UPDATE" and row_id == "1"
+    assert json.loads(payload) == {"id": 1, "note": "new"}
+    assert json.loads(previous) == {"id": 1, "note": "old"}
+
+    dele = "table public.notes: DELETE: id[integer]:2 note[text]:'bye'"
+    _, _, op, row_id, payload, previous = parse_change_line(dele)
+    assert op == "DELETE" and row_id == "2" and previous is None
+    assert json.loads(payload) == {"id": 2, "note": "bye"}
+
+    trunc = "table public.notes: TRUNCATE: (no-flags)"
+    schema, table, op, row_id, payload, previous = parse_change_line(trunc)
+    assert (op, row_id, payload, previous) == ("TRUNCATE", None, None, None)
+
+    assert parse_change_line("message: whatever") is None
+
+
+# -- golden e2e ------------------------------------------------------------
+
+
+def test_logical_golden_envelope_e2e(pg, spark):
+    """INSERT/UPDATE/DELETE/TRUNCATE through the slot → the exact
+    outbox envelope multiset, seqs dense 1..n in commit order, UPDATE
+    carrying previous (REPLICA IDENTITY FULL), DELETE carrying the OLD
+    payload, TRUNCATE idents-only."""
+    r, mgr = _fresh(pg, "logi_golden")
+    r.sql(
+        "INSERT INTO notes VALUES (default, '2020-01-02T03:04:05', 'hello');"
+        "UPDATE notes SET note = 'world' WHERE id = 1;"
+        "INSERT INTO notes VALUES (default, NULL, E'qu''ote, comma');"
+        "DELETE FROM notes WHERE id = 2;"
+        "TRUNCATE notes;"
+    )
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    assert [row.seq for row in rows] == [1, 2, 3, 4, 5]
+    assert [row.op for row in rows] == [
+        "INSERT", "UPDATE", "INSERT", "DELETE", "TRUNCATE"]
+    assert all(row.schema_name == "public" and row.table_name == "notes"
+               for row in rows)
+    ins, upd, ins2, dele, trunc = rows
+    # timestamps normalized to row_to_json's ISO-8601 'T' form
+    assert json.loads(ins.payload_json) == {
+        "id": 1, "created_at": "2020-01-02T03:04:05", "note": "hello"}
+    assert ins.id == "1" and ins.previous_json is None
+    assert json.loads(upd.payload_json)["note"] == "world"
+    assert json.loads(upd.previous_json)["note"] == "hello"
+    assert json.loads(ins2.payload_json)["note"] == "qu'ote, comma"
+    assert json.loads(ins2.payload_json)["created_at"] is None
+    # DELETE payload = OLD row (reference queries.go:17-21 semantics)
+    assert json.loads(dele.payload_json)["id"] == 2
+    assert dele.previous_json is None
+    assert (trunc.id, trunc.payload_json, trunc.previous_json) == (
+        None, None, None)
+    assert all(row.ts is not None for row in rows)  # commit timestamps
+    # fully drained
+    assert p.read_batch(spark).count() == 0
+
+
+def test_logical_payload_parity_with_outbox_trigger(pg, spark):
+    """The SAME writes through the trigger outbox and the logical slot
+    must produce semantically identical envelopes (payload/previous as
+    parsed JSON, op, id) — downstream operators are backend-agnostic."""
+    r, mgr = _fresh(pg, "logi_parity")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes VALUES (default, '2021-05-06T07:08:09', 'x');"
+        "UPDATE notes SET note = NULL WHERE id = 1;"
+        "DELETE FROM notes WHERE id = 1;"
+    )
+    out = PgOutboxPoller.open_durable(r, consumer="ob", fence_wait=2.0)
+    ob_rows = sorted(out.read_batch(spark).collect(), key=lambda x: x.seq)
+    lg = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="lg")
+    lg_rows = sorted(lg.read_batch(spark).collect(), key=lambda x: x.seq)
+    # the trigger path also captured the offset-table bookkeeping? No:
+    # engine tables are excluded from discovery; both see 3 user events
+    assert len(ob_rows) == len(lg_rows) == 3
+
+    def norm(row):
+        # null-valued keys dropped on both sides: test_decoding omits
+        # NULL columns from OLD tuples while row_to_json keeps them
+        # (parse_change_line docstring) — map consumers see both as
+        # NULL, so parity is over the non-null content
+        def load(s):
+            if s is None:
+                return None
+            return {k: v for k, v in json.loads(s).items() if v is not None}
+
+        return (row.op, row.id, load(row.payload_json),
+                load(row.previous_json))
+
+    assert [norm(a) for a in ob_rows] == [norm(b) for b in lg_rows]
+
+
+# -- commit order WITHOUT a fence -------------------------------------------
+
+
+def test_logical_commit_order_no_fence(pg, spark):
+    """The exact interleaving that forced PgSeqFence on the outbox path
+    (writer A writes first / commits last): logical decoding delivers B
+    then A — commit order by construction — and a drain between the two
+    commits delivers B without ever losing A."""
+    r, mgr = _fresh(pg, "logi_order")
+    conninfo = pg.conninfo("logi_order")
+    pa = subprocess.Popen(
+        ["psql", conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+        stdin=subprocess.PIPE, text=True, cwd="/tmp",
+    )
+    pa.stdin.write("BEGIN;\nINSERT INTO notes VALUES (100, now(), 'A');\n")
+    pa.stdin.flush()
+    import time
+    time.sleep(0.4)
+    r.sql("INSERT INTO notes VALUES (200, now(), 'B');")
+
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    mid = p.read_batch(spark).collect()
+    p.advance()
+    assert [json.loads(x.payload_json)["id"] for x in mid] == [200]
+
+    pa.stdin.write("COMMIT;\n")
+    pa.stdin.close()
+    pa.wait()
+    rest = p.read_batch(spark).collect()
+    p.advance()
+    assert [json.loads(x.payload_json)["id"] for x in rest] == [100]
+    assert [x.seq for x in mid + rest] == [1, 2]
+
+
+def test_logical_randomized_multi_writer_stress(pg, spark):
+    """The randomized 4-writer stress that caught the xmax fence bug,
+    on the logical path — with NO fence logic anywhere: every committed
+    row delivered exactly once, rollbacks never delivered, seqs dense
+    and strictly increasing in commit order."""
+    import random
+
+    import tests.test_outbox_pg as ob
+
+    rng = random.Random(0xC0FFEE)
+    r, mgr = _fresh(pg, "logi_stress")
+    writers = [ob.TxnSession(pg.conninfo("logi_stress")) for _ in range(4)]
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c", max_changes=16)
+    delivered: list[tuple[int, int]] = []  # (seq, row id)
+    committed: set[int] = set()
+    aborted: set[int] = set()
+    next_id = 0
+    open_ids: dict[int, list[int]] = {i: [] for i in range(4)}
+
+    def drain() -> int:
+        rows = p.read_batch(spark).collect()
+        delivered.extend(
+            (row.seq, json.loads(row.payload_json)["id"]) for row in rows
+        )
+        p.advance()
+        return len(rows)
+
+    try:
+        for step in range(60):
+            w = rng.randrange(4)
+            action = rng.random()
+            sess = writers[w]
+            if not open_ids[w] and action < 0.6:
+                sess.run("BEGIN;")
+                for _ in range(rng.randrange(1, 3)):
+                    next_id += 1
+                    sess.run(f"INSERT INTO notes VALUES "
+                             f"({next_id}, now(), 'w{w}');")
+                    open_ids[w].append(next_id)
+            elif open_ids[w]:
+                if action < 0.85:
+                    sess.run("COMMIT;")
+                    committed.update(open_ids[w])
+                else:
+                    sess.run("ROLLBACK;")
+                    aborted.update(open_ids[w])
+                open_ids[w] = []
+            if step % 5 == 4:
+                drain()
+    finally:
+        for w, sess in enumerate(writers):
+            if open_ids[w]:
+                sess.run("COMMIT;")
+                committed.update(open_ids[w])
+            sess.close()
+    empty = 0
+    while empty < 2:
+        empty = empty + 1 if drain() == 0 else 0
+    got_ids = [i for _, i in delivered]
+    assert sorted(got_ids) == sorted(committed), "loss or duplication"
+    assert not (set(got_ids) & aborted), "rolled-back rows delivered"
+    seqs = [s for s, _ in delivered]
+    assert seqs == list(range(1, len(seqs) + 1)), "seqs not dense/ordered"
+
+
+# -- crash recovery ----------------------------------------------------------
+
+
+def test_logical_replay_has_identical_seqs(pg, spark):
+    """Crash between sink and advance(): a re-opened poller re-reads
+    the same transactions with byte-stable seqs (the seq-named
+    idempotent sink contract); after advance, numbering continues."""
+    r, mgr = _fresh(pg, "logi_replay")
+    r.sql("INSERT INTO notes VALUES (1, now(), 'a'), (2, now(), 'b');")
+    p1 = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    b1 = sorted((row.seq, row.id) for row in p1.read_batch(spark).collect())
+    assert b1 == [(1, "1"), (2, "2")]
+    # no advance — simulate SIGKILL. Fresh poller must replay same seqs
+    p2 = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    b2 = sorted((row.seq, row.id) for row in p2.read_batch(spark).collect())
+    assert b2 == b1
+    p2.advance()
+    r.sql("INSERT INTO notes VALUES (3, now(), 'c');")
+    b3 = [(row.seq, row.id) for row in p2.read_batch(spark).collect()]
+    assert b3 == [(3, "3")]
+    p2.advance()
+    # restart after full advance: nothing replays, numbering persists
+    p3 = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    assert p3.last_seq == 3
+    assert p3.read_batch(spark).count() == 0
+
+
+def test_logical_partial_advance_crash_window(pg, spark):
+    """The second crash window: offset rows written but the slot NOT
+    advanced (kill between the two advance() steps). The re-peeked
+    transactions sit at or below the stored LSN and must be renumbered
+    backwards to their original seqs."""
+    r, mgr = _fresh(pg, "logi_partial")
+    r.sql("INSERT INTO notes VALUES (1, now(), 'a'), (2, now(), 'b');")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    first = sorted((row.seq, row.id) for row in p.read_batch(spark).collect())
+    # simulate the torn advance: write the offset rows, skip the slot
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    r.sql("INSERT INTO notes VALUES (3, now(), 'c');")
+    p2 = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    rows = sorted((row.seq, row.id) for row in p2.read_batch(spark).collect())
+    # replayed txns keep seqs 1-2; the new row continues at 3
+    assert rows == first + [(3, "3")]
+    p2.advance()
+    assert p2.read_batch(spark).count() == 0
+
+
+def test_logical_giant_txn_escalates_window(pg, spark):
+    """One transaction larger than max_changes: the peek window
+    escalates (transaction-atomic batches can never tear it) and the
+    whole transaction arrives in one batch."""
+    r, mgr = _fresh(pg, "logi_giant")
+    r.sql("INSERT INTO notes SELECT g, now(), 'g' || g "
+          "FROM generate_series(1, 500) g;")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c", max_changes=50)
+    rows = p.read_batch(spark).collect()
+    p.advance()
+    assert len(rows) == 500
+    assert sorted(row.seq for row in rows) == list(range(1, 501))
+
+
+# -- walsender wire parity ----------------------------------------------------
+
+
+def test_walsender_recvlogical_parity(pg, spark):
+    """The same changes drained over the REAL replication protocol
+    (pg_recvlogical --start --endpos, START_REPLICATION walsender)
+    decode to the same text the SQL interface returns — multiset
+    equality of parsed envelopes across both wires."""
+    r, mgr = _fresh(pg, "logi_wire")
+    # second slot for the walsender consumer (recvlogical confirms as
+    # it streams; it must not move the poller's slot)
+    r.scalar("SELECT pg_create_logical_replication_slot("
+             "'pqstream_wire', 'test_decoding')")
+    r.sql(
+        "INSERT INTO notes VALUES (1, now(), 'alpha');"
+        "UPDATE notes SET note = 'beta' WHERE id = 1;"
+        "DELETE FROM notes WHERE id = 1;"
+    )
+    # flush barrier before capturing endpos: walsender streams only
+    # flushed WAL, and this cluster runs synchronous_commit=off (the
+    # poller's read_batch emits the same barrier itself)
+    r.sql("SET synchronous_commit = on;"
+          "SELECT pg_logical_emit_message(true, 'pqstream_sync', '');")
+    endpos = r.scalar("SELECT pg_current_wal_lsn()::text")
+    lines = recv_changes_walsender(
+        pg.conninfo("logi_wire"), "pqstream_wire", endpos)
+    wire = [parse_change_line(l) for l in lines]
+    wire = [w for w in wire if w is not None]
+
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    sql_rows = p.read_batch(spark).collect()
+    p.advance()
+    sql_env = [
+        (row.schema_name, row.table_name, row.op, row.id,
+         row.payload_json, row.previous_json)
+        for row in sorted(sql_rows, key=lambda x: x.seq)
+    ]
+    assert wire == sql_env
+    r.sql("SELECT pg_drop_replication_slot('pqstream_wire');")
+
+
+# -- lifecycle ---------------------------------------------------------------
+
+
+def test_logical_install_remove_lifecycle(pg):
+    r, mgr = _fresh(pg, "logi_lifecycle")
+    # idempotent re-install
+    assert mgr.install() == ["notes"]
+    assert r.scalar(
+        "SELECT relreplident FROM pg_class WHERE relname = 'notes'"
+    ) == "f"  # FULL
+    assert mgr.remove() == ["notes"]
+    assert r.scalar(
+        "SELECT count(*) FROM pg_replication_slots "
+        "WHERE slot_name = 'pqstream_logical'"
+    ) == "0"
+    assert r.scalar(
+        "SELECT relreplident FROM pg_class WHERE relname = 'notes'"
+    ) == "d"  # DEFAULT restored
