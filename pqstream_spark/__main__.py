@@ -113,13 +113,23 @@ def build_parser() -> argparse.ArgumentParser:
         "its offset inside the source database automatically)",
     )
     p.add_argument(
-        "--transport", choices=("outbox", "notify"), default="outbox",
-        help="postgres backend: 'outbox' (durable seqs, replay, "
-        "at-least-once — the default, this engine's upgrade) or "
-        "'notify' (the reference's live LISTEN wire: pg_notify "
-        "envelope with the two-tier 8KB degradation, AT-MOST-ONCE — "
-        "events fired while the daemon is down are lost, exactly the "
-        "reference's semantics)",
+        "--transport", choices=("outbox", "notify", "logical"),
+        default="outbox",
+        help="postgres backend: 'outbox' (durable seqs via capture "
+        "triggers, replay, at-least-once — the default), 'notify' "
+        "(the reference's live LISTEN wire: pg_notify envelope with "
+        "the two-tier 8KB degradation, AT-MOST-ONCE — events fired "
+        "while the daemon is down are lost, exactly the reference's "
+        "semantics), or 'logical' (replication slot + test_decoding: "
+        "commit-ordered, transaction-atomic, ~zero write "
+        "amplification, at-least-once with LSN-keyed durable offsets "
+        "— the production CDC mechanism; needs wal_level=logical)",
+    )
+    p.add_argument(
+        "--slot", default=None, metavar="NAME",
+        help="logical transport: replication slot name (default "
+        "pqstream_logical; slot names are cluster-global — use "
+        "distinct slots per consumer)",
     )
     p.add_argument(
         "--parallel-read", type=int, default=None, metavar="N",
@@ -295,6 +305,8 @@ def _run_postgres(args, stop: threading.Event) -> int:
     runner = PsqlRunner(conninfo)
     if args.transport == "notify":
         return _run_postgres_notify(args, stop, runner)
+    if args.transport == "logical":
+        return _run_postgres_logical(args, stop, runner)
     cap = PgCaptureManager(runner, table_regexp=args.tables)
     # remove-then-install (cmd/pqsd/main.go:95-102) — including the
     # OTHER transport's triggers: a daemon restarted with a different
@@ -441,6 +453,114 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
             epoch += 1
             if args.once and not payloads:
                 break
+    return 0
+
+
+def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
+    """`--transport logical`: replication slot + test_decoding — the
+    production CDC mechanism (sources/logical_pg.py). Commit-ordered
+    and transaction-atomic by construction (no fence), ~zero write
+    amplification (no trigger, no outbox table), durable LSN offsets
+    in the slot itself. At-least-once with replay-stable seqs: a crash
+    between sink and advance re-emits the same seq-named files."""
+    from .pipeline import handle_events
+    from .session import get_spark
+    from .sources.logical_pg import (
+        DEFAULT_SLOT,
+        PgLogicalCaptureManager,
+        PgLogicalPoller,
+    )
+    from .sources.outbox_local import raw_events_from_outbox
+
+    for flag, name, why in (
+        (args.replay_from is not None, "--replay-from",
+         "a replication slot cannot rewind (confirmed_flush_lsn is "
+         "monotone); replay = new slot + --bootstrap"),
+        (args.compact, "--compact",
+         "WAL retention is released by the slot advance itself; there "
+         "is no outbox table to prune"),
+        (args.parallel_read is not None, "--parallel-read",
+         "WAL decode order is inherently serial (it IS the changelog); "
+         "parallelism applies downstream of the batch"),
+    ):
+        if flag:
+            print(f"{name} does not apply to the logical transport: {why}",
+                  file=sys.stderr)
+            return 2
+
+    slot = args.slot or DEFAULT_SLOT
+    cap = PgLogicalCaptureManager(runner, slot=slot,
+                                  table_regexp=args.tables)
+    # NO remove-then-install here: dropping the slot would forget the
+    # resume position (triggers are stateless, slots are the offset).
+    # But a daemon switched TO logical must clean the other transports'
+    # triggers so they stop writing an unconsumed outbox / channel.
+    from .sources.outbox_pg import PgCaptureManager, PgNotifyCaptureManager
+
+    PgCaptureManager(runner, table_regexp=args.tables).remove()
+    PgNotifyCaptureManager(runner, table_regexp=args.tables).remove()
+    if args.remove:
+        tables = cap.remove()
+        print(f"removed slot {slot!r}; replica identity reset on "
+              f"{len(tables)} tables", file=sys.stderr)
+        return 0
+    tables = cap.install()
+    print(f"logical capture (slot {slot!r}) on {len(tables)} tables: "
+          f"{tables}", file=sys.stderr)
+
+    spark = get_spark("pqstream-daemon")
+    redactions = _load_redactions(args.redactions)
+    poller = PgLogicalPoller.open_durable(
+        runner, slot=slot, consumer=args.consumer or "daemon",
+        table_regexp=args.tables,
+    )
+    if args.out == "-":
+        emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
+    else:
+        from .streaming.sinks import jsonl_seq_writer
+
+        emit = jsonl_seq_writer(args.out)
+    if args.bootstrap:
+        from .sources.outbox_pg import (
+            pg_bootstrap_done,
+            pg_mark_bootstrap_done,
+            pg_snapshot_batch,
+        )
+
+        if not pg_bootstrap_done(runner):
+            # switchover stance: the slot was created BEFORE this
+            # snapshot, so every write the snapshot reflects that also
+            # committed after slot creation arrives AGAIN through the
+            # changelog — at-least-once overlap, absorbed by the
+            # seq-keyed idempotent downstream (weaker than the outbox
+            # path's fenced rewind, documented in DEPLOY §4a)
+            snap_batch = pg_snapshot_batch(runner, spark, args.tables)
+            snap = handle_events(
+                raw_events_from_outbox(snap_batch),
+                redactions=redactions, typed_wire=True,
+            )
+            if args.out != "-":
+                for f in os.listdir(args.out):
+                    if f.startswith("batch--"):
+                        os.remove(os.path.join(args.out, f))
+            emit(snap, -1)
+            pg_mark_bootstrap_done(runner)
+    epoch = 0
+    while not stop.is_set():
+        batch = poller.read_batch(spark)
+        n = batch.count()
+        events = handle_events(
+            raw_events_from_outbox(batch), redactions=redactions,
+            typed_wire=True,
+        )
+        emit(events, epoch)
+        poller.advance()
+        epoch += 1
+        if args.once:
+            if n == 0:
+                break
+        else:
+            stop.wait(args.poll_interval)
     return 0
 
 

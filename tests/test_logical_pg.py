@@ -397,3 +397,58 @@ def test_logical_install_remove_lifecycle(pg):
     assert r.scalar(
         "SELECT relreplident FROM pg_class WHERE relname = 'notes'"
     ) == "d"  # DEFAULT restored
+
+
+# -- daemon e2e ---------------------------------------------------------------
+
+
+def test_daemon_transport_logical_once(pg, tmp_path):
+    """`pqsd --transport logical --once`: first run installs the slot
+    (a slot captures only changes committed AFTER its creation — prior
+    data is the --bootstrap path), later runs drain to seq-named jsonl
+    files with durable resume: only new events are appended, an idle
+    run appends nothing, inapplicable durability flags fail loudly."""
+    import glob
+    import json as _json
+    import os
+
+    from pqstream_spark.__main__ import main
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+
+    pg.createdb("logi_daemon").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_daemon")
+    r = PsqlRunner(conninfo)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    argv = ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+            "--transport", "logical", "--slot", "pq_daemon",
+            "--out", out, "--once"]
+
+    def lines():
+        got = []
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                got.extend(_json.loads(l) for l in fh if l.strip())
+        return got
+
+    assert main(argv) == 0  # installs the slot; nothing to drain yet
+    assert lines() == []
+
+    r.sql("INSERT INTO notes VALUES (1, now(), 'one'), (2, now(), 'two');")
+    assert main(argv) == 0
+    first = lines()
+    assert sorted(e["payload"]["id"] for e in first) == [1, 2]
+
+    r.sql("UPDATE notes SET note = 'uno' WHERE id = 1;")
+    assert main(argv) == 0
+    second = lines()
+    assert len(second) == 3  # only the update was appended
+
+    assert main(argv) == 0  # idle run: nothing new
+    assert len(lines()) == 3
+
+    # inapplicable flags fail loudly
+    assert main(argv + ["--compact"]) == 2
+    assert main(argv + ["--replay-from", "0"]) == 2
+    assert main(argv + ["--parallel-read", "2"]) == 2
