@@ -389,28 +389,33 @@ class PgLogicalPoller:
         return f"{self.consumer}@{self.slot}#lsn"
 
     # -- peek ---------------------------------------------------------------
-    def _flush_barrier(self) -> None:
-        """Logical decoding only sees FLUSHED WAL. Under asynchronous
-        commit (synchronous_commit=off — this sandbox's test clusters,
-        and a legitimate production setting) a transaction can be
-        committed and visible to queries while its WAL record is still
-        unflushed — a poll right after it would miss it, which is
-        correct-but-laggy. One synchronously-committed logical message
-        per poll forces the flush up to NOW, so a poll delivers
-        everything committed before it (the NOTIFY-latency property the
-        reference has) at the cost of one tiny WAL record."""
-        self.runner.sql(
-            "SET synchronous_commit = on;\n"
-            "SELECT pg_logical_emit_message(true, 'pqstream_sync', '');"
-        )
+    # Flush barrier, folded into the peek's psql invocation: logical
+    # decoding only sees FLUSHED WAL, and under asynchronous commit
+    # (synchronous_commit=off — this sandbox's test clusters, and a
+    # legitimate production setting) a transaction can be committed and
+    # visible to queries while its WAL record is still unflushed — a
+    # poll right after it would miss it (correct-but-laggy). One
+    # synchronously-committed logical message forces the flush up to
+    # NOW, so a poll delivers everything committed before it (the
+    # NOTIFY-latency property the reference has) for one tiny WAL
+    # record. SET and DO produce no result rows, so the invocation's
+    # stdout stays a single clean CSV block — barrier + peek in ONE
+    # psql spawn (per-poll fixed cost is process spawns, bench_pg.py).
+    _BARRIER_SQL = (
+        "SET synchronous_commit = on",
+        "DO $$ BEGIN PERFORM pg_logical_emit_message("
+        "true, 'pqstream_sync', ''); END $$",
+    )
 
-    def _peek(self, upto: int) -> list[dict]:
-        return self.runner.query_csv(
+    def _peek(self, upto: int, barrier: bool = True) -> list[dict]:
+        peek = (
             "SELECT lsn::text AS lsn, (lsn - '0/0'::pg_lsn)::bigint AS "
             "lsn_big, xid::text AS xid, data "
             f"FROM pg_logical_slot_peek_changes({_quote_lit(self.slot)}, "
             f"NULL, {int(upto)}, 'include-timestamp', 'on')"
         )
+        pre = self._BARRIER_SQL if barrier else ()
+        return self.runner.query_csv(peek, pre_statements=pre)
 
     def _slot_pending(self) -> bool:
         got = self.runner.scalar(
@@ -457,7 +462,6 @@ class PgLogicalPoller:
         return txns
 
     def read_batch(self, spark):
-        self._flush_barrier()
         upto = self.max_changes
         rows = self._peek(upto)
         txns = self._parse_txns(rows)
@@ -466,8 +470,9 @@ class PgLogicalPoller:
         ):
             # window truncated mid-transaction, or the decoder returned
             # nothing for a small window while WAL is pending — escalate
+            # (barrier already flushed on the first peek)
             upto = min(upto * 4, self.max_peek)
-            rows = self._peek(upto)
+            rows = self._peek(upto, barrier=False)
             txns = self._parse_txns(rows)
         if not txns:
             if rows:
@@ -504,27 +509,32 @@ class PgLogicalPoller:
         if not self._pending:
             return
         lsn_text, lsn_big, end_seq = self._pending
+        stmts = []
         if end_seq != self.last_seq:
             # only a batch that DELIVERED something moves the offset
             # rows; an engine-only batch (the slot decoding this very
             # bookkeeping) advances the slot alone — a table write here
             # would breed the next batch forever
-            self.runner.sql(
-                "BEGIN;\n"
+            stmts += [
+                "BEGIN",
                 f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
                 f"({_quote_lit(self._seq_key)}, {int(end_seq)}) "
                 "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
-                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq);\n"
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
                 f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
                 f"({_quote_lit(self._lsn_key)}, {int(lsn_big)}) "
                 "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
-                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq);\n"
-                "COMMIT;"
-            )
-        self.runner.scalar(
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
+                "COMMIT",
+            ]
+        # one psql spawn: the offset transaction COMMITs strictly before
+        # the slot advance in the same session — the same crash-window
+        # ordering as two spawns, half the per-poll process cost
+        stmts.append(
             f"SELECT pg_replication_slot_advance({_quote_lit(self.slot)}, "
             f"{_quote_lit(lsn_text)})"
         )
+        self.runner.sql(";\n".join(stmts) + ";")
         self.last_seq = end_seq
         self.last_lsn = lsn_big
         self._pending = None

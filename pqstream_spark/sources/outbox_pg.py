@@ -115,13 +115,22 @@ class PsqlRunner:
             )
         return proc.stdout
 
-    def query_csv(self, query: str) -> list[dict[str, str | None]]:
+    def query_csv(
+        self, query: str, pre_statements: tuple[str, ...] = ()
+    ) -> list[dict[str, str | None]]:
         """One SELECT → list of dicts; psql --csv quoting is RFC-4180,
-        parsed by the stdlib csv module; _NULL marks SQL NULL."""
+        parsed by the stdlib csv module; _NULL marks SQL NULL.
+        `pre_statements` run first in the SAME session (one process
+        spawn) and must produce no result rows (SET/DO) so stdout stays
+        a single CSV block — the logical poller's flush barrier rides
+        this."""
+        cmd = ["psql", self.conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
+               "--csv", "-P", f"null={_NULL}"]
+        for s in pre_statements:
+            cmd += ["-c", s]
+        cmd += ["-c", query]
         proc = subprocess.run(
-            ["psql", self.conninfo, "-X", "-q", "-v", "ON_ERROR_STOP=1",
-             "--csv", "-P", f"null={_NULL}", "-c", query],
-            capture_output=True, text=True, cwd="/tmp",
+            cmd, capture_output=True, text=True, cwd="/tmp",
         )
         if proc.returncode != 0:
             raise PsqlError(

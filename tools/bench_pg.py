@@ -120,6 +120,47 @@ def main() -> None:
                 got += lis.poll(timeout=2.0)
             t_notify = time.time() - t0
 
+        # logical transport (round 9): slot capture cost vs the trigger
+        # — same column shape as `plain`/`captured`, no PK, so the only
+        # delta is the capture mechanism itself
+        from pqstream_spark.sources.logical_pg import (
+            PgLogicalCaptureManager,
+            PgLogicalPoller,
+        )
+
+        r.sql("CREATE TABLE slotted (id serial, created_at timestamp, "
+              "note text);")
+        PgLogicalCaptureManager(
+            r, slot="bench_slot", table_regexp="slotted"
+        ).install()
+        bulk_insert("slotted", 1000)  # warm
+        t_slot = bulk_insert("slotted", N_ROWS)
+        lp = PgLogicalPoller.open_durable(
+            r, slot="bench_slot", consumer="bench",
+            max_changes=N_ROWS + 5000,
+        )
+        t0 = time.time()
+        n_log = lp.read_batch(spark).count()
+        t_logdrain = time.time() - t0
+        lp.advance()
+        # per-poll fixed cost on a drained slot (flush barrier + peek:
+        # the logical analog of fence_round_ms — both are per-POLL, so
+        # they amortize over the batch)
+        t0 = time.time()
+        for _ in range(10):
+            lp.read_batch(spark)
+            lp.advance()
+        t_poll = (time.time() - t0) / 10
+        # commit → drained latency for a single row (the flush barrier
+        # makes a poll see everything committed before it)
+        t0 = time.time()
+        r.sql("INSERT INTO slotted VALUES (1, now(), 'latency-probe');")
+        n_lat = 0
+        while n_lat == 0 and time.time() - t0 < 30:
+            n_lat = lp.read_batch(spark).count()
+            lp.advance()
+        t_lat = time.time() - t0
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -134,6 +175,12 @@ def main() -> None:
             "notify_events": len(got),
             "notify_events_per_s": round(len(got) / t_notify),
             "notify_lossless_here": len(got) == N_NOTIFY,
+            "logical_insert_rows_per_s": round(N_ROWS / t_slot),
+            "logical_overhead_x": round(t_slot / t_plain, 2),
+            "logical_drain_rows": n_log,
+            "logical_drain_rows_per_s": round(n_log / t_logdrain),
+            "logical_poll_ms": round(t_poll * 1000, 1),
+            "logical_commit_to_drain_ms": round(t_lat * 1000, 1),
         }
         print(json.dumps(out))
     finally:
