@@ -19,6 +19,18 @@ the state store, emitting the new current row per key per micro-batch
 — bounded state (one row per live key), exactly the operator Spark's
 built-ins lack (dropDuplicates keeps the FIRST seen, we need the
 LATEST by seq with DELETE tombstones).
+
+Transaction-consistent mode (round 9): a multi-row transaction whose
+seqs straddle a fenced batch ceiling arrives split across polls —
+folding each poll independently exposes a torn intermediate state (the
+reference's per-row NOTIFY has the same property, so plain mode is
+parity). For all-or-nothing folds, compose with the envelope's writer
+xid: feed `PgOutboxPoller.read_batch_txn` batches through
+`sources.outbox_pg.TxnAssembler` (one-batch holdback, sound by the
+fence's own finality proof) and fold the assembler's output — each
+emitted batch contains only WHOLE transactions. The logical transport
+needs none of this: its batches are transaction-atomic by
+construction.
 """
 
 from __future__ import annotations

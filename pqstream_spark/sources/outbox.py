@@ -45,9 +45,25 @@ CREATE TABLE IF NOT EXISTS {OUTBOX_TABLE} (
               CHECK (op IN ('INSERT', 'UPDATE', 'DELETE', 'TRUNCATE')),
   id          TEXT,
   payload     JSON,
-  previous    JSON
+  previous    JSON,
+  xid         BIGINT NOT NULL DEFAULT pg_current_xact_id()::text::bigint
 )
 """.strip()
+
+# The writer's xid, carried for free by the column DEFAULT (evaluated
+# inside the writing transaction — the trigger and direct INSERTs both
+# get it without touching the trigger body). It lets a consumer
+# reassemble transactions whose seqs straddle a fenced batch ceiling
+# (TxnAssembler, sources/outbox_pg.py): the reference's NOTIFY is
+# per-row with no transaction identity at all, so this is strictly
+# additive. Legacy outboxes get the column via ADD COLUMN (volatile
+# default → PG rewrites the table, stamping historical rows with the
+# migration's own xid — meaningless for old rows, harmless: the
+# assembler only reasons about xids within a live batch sequence).
+MIGRATE_OUTBOX_XID_SQL = (
+    f"ALTER TABLE {OUTBOX_TABLE} ADD COLUMN IF NOT EXISTS xid BIGINT "
+    "NOT NULL DEFAULT pg_current_xact_id()::text::bigint"
+)
 
 # CREATE TABLE IF NOT EXISTS will not retype or re-constrain an outbox
 # created by an earlier DDL generation; installs run these against
@@ -251,6 +267,7 @@ class CaptureManager:
         # on EVERY install path, not just PgCaptureManager's.
         cur.execute(CLAIM_SEQ_FUNCTION_SQL)
         cur.execute(MIGRATE_OUTBOX_SEQ_DEFAULT_SQL)
+        cur.execute(MIGRATE_OUTBOX_XID_SQL)
         cur.execute(TRIGGER_FUNCTION_SQL)
         cur.execute(TRUNCATE_TRIGGER_FUNCTION_SQL)
         for t in tables:

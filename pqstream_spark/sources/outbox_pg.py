@@ -55,6 +55,7 @@ from .outbox import (
     DISCOVER_TABLES_SQL,
     MIGRATE_OUTBOX_OP_CHECK_SQL,
     MIGRATE_OUTBOX_SEQ_DEFAULT_SQL,
+    MIGRATE_OUTBOX_XID_SQL,
     OUTBOX_TABLE,
     TRIGGER_FUNCTION_SQL,
     TRUNCATE_TRIGGER_FUNCTION_SQL,
@@ -346,8 +347,10 @@ class PgCaptureManager:
         stmts += MIGRATE_OUTBOX_OP_CHECK_SQL
         # seq claims must force xid assignment first (fence soundness
         # for direct outbox INSERTs — CLAIM_SEQ_FUNCTION_SQL comment);
-        # applied as the column default on fresh AND legacy outboxes
-        stmts += [CLAIM_SEQ_FUNCTION_SQL, MIGRATE_OUTBOX_SEQ_DEFAULT_SQL]
+        # applied as the column default on fresh AND legacy outboxes.
+        # The xid column (txn reassembly, round 9) migrates in place too.
+        stmts += [CLAIM_SEQ_FUNCTION_SQL, MIGRATE_OUTBOX_SEQ_DEFAULT_SQL,
+                  MIGRATE_OUTBOX_XID_SQL]
         stmts += [TRIGGER_FUNCTION_SQL, TRUNCATE_TRIGGER_FUNCTION_SQL]
         stmts += [install_trigger_sql(t) for t in tables]
         stmts.append("COMMIT")
@@ -618,6 +621,39 @@ class PgOutboxPoller:
         self._pending_hi = hi
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
 
+    def read_batch_txn(self, spark):
+        """read_batch plus the writer's `xid` column (round 9) — the
+        input to TxnAssembler for transaction-consistent consumption.
+        Same fenced (last_seq, safe_hi] window, same advance()
+        contract."""
+        from pyspark.sql import types as T
+
+        lo = self.last_seq
+        hi = self._safe_hi()
+        schema = T.StructType(
+            OUTBOX_BATCH_SCHEMA.fields + [T.StructField("xid", T.LongType())]
+        )
+        if hi <= lo:
+            self._pending_hi = None
+            return spark.createDataFrame([], schema)
+        rows = self.runner.query_csv(
+            f"SELECT seq, ts, schema_name, table_name, op, id, "
+            f"payload::text AS payload_json, previous::text AS previous_json, "
+            f"xid FROM {OUTBOX_TABLE} "
+            f"WHERE seq > {int(lo)} AND seq <= {int(hi)} ORDER BY seq"
+        )
+        data = [
+            (
+                int(r["seq"]), _parse_pg_ts(r["ts"]), r["schema_name"],
+                r["table_name"], r["op"], r["id"], r["payload_json"],
+                r["previous_json"],
+                int(r["xid"]) if r["xid"] is not None else None,
+            )
+            for r in rows
+        ]
+        self._pending_hi = hi
+        return spark.createDataFrame(data, schema)
+
     def read_batch_distributed(self, spark, num_partitions: int = 8):
         """Same fenced batch contract, but the rows flow through
         `pg_read_outbox_distributed` — N psql sub-range reads on
@@ -685,6 +721,62 @@ class PgOutboxPoller:
             f"WHERE seq <= {int(low)} RETURNING 1) SELECT count(*) FROM d"
         )
         return int(n or 0)
+
+
+class TxnAssembler:
+    """Transaction-consistent consumption over fenced batches (round 9,
+    VERDICT ask #2): a multi-row transaction whose seqs straddle a
+    fenced batch ceiling is split across micro-batches — loss-free and
+    in-order, but a downstream materialization folding each batch
+    independently can expose a torn intermediate state. With the
+    writer's xid in the envelope (outbox xid column), this assembler
+    re-groups rows into whole transactions with a ONE-BATCH holdback.
+
+    Soundness (from the fence's own proof): for any transaction X and
+    the first fenced batch N containing one of X's rows, ALL of X's
+    rows are delivered by batch N+1 — batch N's ceiling C_N is proven
+    final only after every claimer of seqs <= C_N (X included) has
+    finished, and C_{N+1} is read after that proof, hence after X's
+    last claim. So the rule is: rows buffer for one batch; when the
+    next batch arrives, every buffered xid is complete — emit its
+    buffered rows plus its rows in the new batch; xids first seen in
+    the new batch buffer in turn. An EMPTY batch (its fence round still
+    proved a ceiling) completes everything buffered, so a drain loop
+    flushes naturally. NULL xids (pre-migration rows, sqlite) emit
+    immediately — there is no transaction identity to wait for.
+
+    Pure DataFrame ops (distinct + semi/anti join on the bounded
+    buffer, no driver collect); the buffer is localCheckpoint'ed so
+    lineage does not grow across polls. Emission preserves seq order
+    within the union's partitions; consumers that need global order
+    sort by seq as usual."""
+
+    def __init__(self) -> None:
+        self._buffer = None
+
+    def feed(self, batch_df):
+        """One fenced batch in → the now-complete transactions out."""
+        from pyspark.sql import functions as F
+
+        null_xid = batch_df.where(F.col("xid").isNull())
+        batch = batch_df.where(F.col("xid").isNotNull())
+        if self._buffer is None:
+            self._buffer = batch.localCheckpoint(eager=True)
+            return null_xid
+        complete = self._buffer.select("xid").distinct()
+        emit = self._buffer.unionByName(
+            batch.join(F.broadcast(complete), "xid", "left_semi")
+        )
+        self._buffer = batch.join(
+            F.broadcast(complete), "xid", "left_anti"
+        ).localCheckpoint(eager=True)
+        return emit.unionByName(null_xid)
+
+    def flush(self):
+        """End of drain: everything buffered is complete (the final
+        batch's fence ceiling covered all prior claims)."""
+        out, self._buffer = self._buffer, None
+        return out
 
 
 def _quote_lit(s: str) -> str:

@@ -1016,3 +1016,66 @@ def test_claim_seq_forces_xid_assignment_before_claim(pg):
     rows = r.query_csv(
         "SELECT seq, table_name FROM pqstream_outbox ORDER BY seq")
     assert len(rows) == 2 and int(rows[0]["seq"]) < int(rows[1]["seq"])
+
+
+def test_txn_split_across_polls_reassembled(pg, spark):
+    """Round 9 (VERDICT ask #2): a 3-row transaction whose seqs
+    straddle a fenced batch ceiling is split across two polls — the
+    writer's xid (outbox column, free via the DEFAULT) lets
+    TxnAssembler reassemble it with a one-batch holdback, so a
+    txn-consistent consumer never folds a torn intermediate state.
+    The split setup: A claims seq 1, B claims seq 2 and commits, the
+    poll's fence captures ceiling 2 while A is open, A claims 3-4 and
+    commits, a NEW open writer C (claims 5) blocks the next poll's
+    fresh fence so only the old ceiling 2 drains — A's transaction is
+    delivered as seq 1 in batch 1 and seqs 3-4 in batch 2."""
+    from pqstream_spark.sources.outbox_pg import TxnAssembler
+
+    r = _fresh_db(pg, "t_txn_split")
+    PgCaptureManager(r, table_regexp="notes").install()
+    p = PgOutboxPoller.open_durable(r, consumer="c", fence_wait=0.0)
+    asm = TxnAssembler()
+
+    a = TxnSession(pg.conninfo("t_txn_split"))
+    c = TxnSession(pg.conninfo("t_txn_split"))
+    try:
+        a.run("BEGIN;")
+        a.run("INSERT INTO notes VALUES (1, default, 'a1');")   # seq 1
+        r.sql("INSERT INTO notes VALUES (2, default, 'b');")    # seq 2, commits
+        # poll 1: fence captures ceiling 2, A open -> empty batch
+        assert p.read_batch_txn(spark).count() == 0
+        p.advance()
+        a.run("INSERT INTO notes VALUES (3, default, 'a2');")   # seq 3
+        a.run("INSERT INTO notes VALUES (4, default, 'a3');")   # seq 4
+        a.run("COMMIT;")
+        c.run("BEGIN;")
+        c.run("INSERT INTO notes VALUES (5, default, 'c1');")   # seq 5
+        # poll 2: old fence (ceiling 2) drains, fresh fence blocked by C
+        b1 = p.read_batch_txn(spark)
+        assert sorted(row.seq for row in b1.collect()) == [1, 2], (
+            "setup failed to split the transaction"
+        )
+        p.advance()
+        e1 = asm.feed(b1)
+        # nothing emitted yet: both batch-1 xids are on holdback
+        assert e1.count() == 0
+        c.run("COMMIT;")
+        # poll 3: rest of A's txn (3,4) + C's row (5)
+        b2 = p.read_batch_txn(spark)
+        assert sorted(row.seq for row in b2.collect()) == [3, 4, 5]
+        p.advance()
+        e2 = asm.feed(b2).collect()
+        # A's transaction emitted WHOLE (1,3,4) together, plus B's (2);
+        # C holds back until the next batch
+        assert sorted(row.seq for row in e2) == [1, 2, 3, 4]
+        a_xids = {row.xid for row in e2 if row.id in ("1", "3", "4")}
+        assert len(a_xids) == 1, "A's rows must share one xid"
+        # empty batch completes the holdback
+        b3 = p.read_batch_txn(spark)
+        assert b3.count() == 0
+        e3 = asm.feed(b3).collect()
+        assert [row.seq for row in e3] == [5]
+        assert asm.flush().count() == 0
+    finally:
+        a.close()
+        c.close()
