@@ -51,6 +51,9 @@ QUERIES = [
     "sim_ann_lsh_quantized",
     "text_annotations",
     "text_curation_pipeline",
+    # round 9: the CDC fold with the single-exchange TRUNCATE
+    # delete-all branch — its growth must stay the one key shuffle
+    "cdc_materialize_state",
 ]
 
 SCALES = [

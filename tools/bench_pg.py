@@ -120,6 +120,23 @@ def main() -> None:
                 got += lis.poll(timeout=2.0)
             t_notify = time.time() - t0
 
+        # fence cost vs batch size (round 9): the same rows drained
+        # through SMALL fenced batches — each poll pays one full fence
+        # round, so this bounds the amortization claim from the other
+        # side (the single-batch numbers above amortize it to ~zero)
+        poller.rewind(0)
+        poller.max_rows = 4000
+        t0 = time.time()
+        n_small, polls = 0, 0
+        while True:
+            k = poller.read_batch(spark).count()
+            poller.advance()
+            polls += 1
+            if k == 0:
+                break
+            n_small += k
+        t_small = time.time() - t0
+
         # logical transport (round 9): slot capture cost vs the trigger
         # — same column shape as `plain`/`captured`, no PK, so the only
         # delta is the capture mechanism itself
@@ -172,6 +189,9 @@ def main() -> None:
             "parallel_drain_rows": n_par,
             "parallel_drain_rows_per_s": round(n_par / t_par),
             "fence_round_ms": round(t_fence * 1000, 1),
+            "small_batch_rows": n_small,
+            "small_batch_polls": polls,
+            "small_batch_rows_per_s": round(n_small / t_small),
             "notify_events": len(got),
             "notify_events_per_s": round(len(got) / t_notify),
             "notify_lossless_here": len(got) == N_NOTIFY,
