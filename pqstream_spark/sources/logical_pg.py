@@ -461,7 +461,18 @@ class PgLogicalPoller:
                 cur.append(ch)
         return txns
 
-    def read_batch(self, spark):
+    def read_rows(
+        self,
+    ) -> tuple[list[tuple], list[tuple[int, str, int]]]:
+        """Spark-free core of read_batch: one fenced-equivalent peek →
+        (rows, txn_boundaries). `rows` are OUTBOX_BATCH_SCHEMA-shaped
+        tuples with replay-stable seqs; `txn_boundaries` is
+        [(end_seq_of_txn, commit_lsn_text, commit_lsn_big), ...] for
+        every COMPLETE transaction in the window (including
+        change-free engine/message transactions) — the offsets a
+        streaming source may report and later advance to. Sets
+        `_pending` to the window's last boundary (the advance()
+        contract)."""
         upto = self.max_changes
         rows = self._peek(upto)
         txns = self._parse_txns(rows)
@@ -481,14 +492,15 @@ class PgLogicalPoller:
                     "changes; raise max_peek for this drain"
                 )
             self._pending = None
-            return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA)
+            return [], []
         # replay-stable numbering (class docstring): txns at or below
         # the stored LSN are replays of already-numbered changes
         n_replay = sum(
             len(t.changes) for t in txns if t.commit_lsn <= self.last_lsn
         )
         base = self.last_seq - n_replay
-        data = []
+        data: list[tuple] = []
+        boundaries: list[tuple[int, str, int]] = []
         seq = base
         for t in txns:
             ts = _parse_pg_ts(t.commit_ts) if t.commit_ts else None
@@ -497,8 +509,13 @@ class PgLogicalPoller:
                 data.append(
                     (seq, ts, schema, table, op, row_id, payload, previous)
                 )
+            boundaries.append((seq, t.commit_lsn_text, t.commit_lsn))
         last = txns[-1]
         self._pending = (last.commit_lsn_text, last.commit_lsn, seq)
+        return data, boundaries
+
+    def read_batch(self, spark):
+        data, _ = self.read_rows()
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
 
     def advance(self) -> None:
@@ -508,9 +525,14 @@ class PgLogicalPoller:
         docstring)."""
         if not self._pending:
             return
-        lsn_text, lsn_big, end_seq = self._pending
+        self.advance_to(*self._pending)
+
+    def advance_to(self, lsn_text: str, lsn_big: int, end_seq: int) -> None:
+        """Explicit-boundary advance (streaming DataSource commit path:
+        the engine commits txn-aligned offsets from read_rows'
+        boundaries, not necessarily the newest one read)."""
         stmts = []
-        if end_seq != self.last_seq:
+        if end_seq > self.last_seq:
             # only a batch that DELIVERED something moves the offset
             # rows; an engine-only batch (the slot decoding this very
             # bookkeeping) advances the slot alone — a table write here
@@ -535,8 +557,11 @@ class PgLogicalPoller:
             f"{_quote_lit(lsn_text)})"
         )
         self.runner.sql(";\n".join(stmts) + ";")
-        self.last_seq = end_seq
-        self.last_lsn = lsn_big
+        # monotone like the SQL GREATEST merge — a late/duplicate
+        # commit of an older boundary must not regress the numbering
+        # anchor
+        self.last_seq = max(self.last_seq, end_seq)
+        self.last_lsn = max(self.last_lsn, lsn_big)
         self._pending = None
 
     def lag(self) -> dict:
