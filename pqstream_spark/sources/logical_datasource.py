@@ -84,12 +84,13 @@ class LogicalStreamReader(DataSourceStreamReader):
         # a checkpointed range re-stages the same rows).
         self._staged_rows: list[tuple] = []
         self._boundaries: dict[int, tuple[str, int]] = {}
+        self._reported = self._poller.last_seq
 
     def initialOffset(self) -> dict:
         return {"seq": self._poller.last_seq}
 
-    def _stage(self) -> None:
-        rows, boundaries = self._poller.read_rows()
+    def _stage(self, upto: int | None = None) -> None:
+        rows, boundaries = self._poller.read_rows(upto=upto)
         self._staged_rows = rows
         for end_seq, lsn_text, lsn_big in boundaries:
             self._boundaries[end_seq] = (lsn_text, lsn_big)
@@ -103,11 +104,42 @@ class LogicalStreamReader(DataSourceStreamReader):
         Their LSNs still fold into the boundary map under the same seq
         key (dict overwrite keeps the latest), so committing a row
         boundary advances the slot past trailing change-free txns
-        too."""
+        too.
+
+        Progress-aware escalation: the slot re-peeks its whole
+        unconfirmed window each trigger, so a small maxChangesPerBatch
+        can fill the window with ALREADY-REPORTED transactions — the
+        uncommitted batch — and cut off the next one, reporting no
+        progress while data is pending (the engine would believe the
+        source drained). When staged rows show no progress past the
+        last report, the window escalates until it does (bounded by
+        max_peek); an empty stage never escalates here (idle polls
+        must stay one cheap peek)."""
         self._stage()
-        if self._staged_rows:
-            return {"seq": self._staged_rows[-1][0]}
-        return {"seq": self._poller.last_seq}
+        upto = self._poller.max_changes
+        while (self._staged_rows
+               and self._staged_rows[-1][0] <= self._reported
+               and upto < self._poller.max_peek):
+            upto = min(upto * 4, self._poller.max_peek)
+            self._stage(upto=upto)
+        new_bounds = [s for s in self._boundaries if s > self._reported]
+        if new_bounds:
+            # rate limit survives the escalation: report the largest
+            # txn boundary within maxChangesPerBatch of the last
+            # report, or the smallest new boundary when one oversized
+            # transaction exceeds the cap (txn atomicity wins)
+            cap = self._reported + self._poller.max_changes
+            within = [s for s in new_bounds if s <= cap]
+            chosen = max(within) if within else min(new_bounds)
+            self._reported = chosen
+            return {"seq": chosen}
+        # no new boundaries: hold the line at the last REPORT, never the
+        # poller's committed position — an in-flight (reported, not yet
+        # committed) batch keeps last_seq behind _reported, and a
+        # regressed offset lands in Spark's offset log, re-planning a
+        # range the slot will have advanced past by the next trigger
+        self._reported = max(self._reported, self._poller.last_seq)
+        return {"seq": self._reported}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["seq"]), int(end["seq"])

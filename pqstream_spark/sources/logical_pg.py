@@ -462,7 +462,7 @@ class PgLogicalPoller:
         return txns
 
     def read_rows(
-        self,
+        self, upto: int | None = None
     ) -> tuple[list[tuple], list[tuple[int, str, int]]]:
         """Spark-free core of read_batch: one fenced-equivalent peek →
         (rows, txn_boundaries). `rows` are OUTBOX_BATCH_SCHEMA-shaped
@@ -472,8 +472,9 @@ class PgLogicalPoller:
         change-free engine/message transactions) — the offsets a
         streaming source may report and later advance to. Sets
         `_pending` to the window's last boundary (the advance()
-        contract)."""
-        upto = self.max_changes
+        contract). `upto` overrides the initial window (the streaming
+        source's progress-aware escalation)."""
+        upto = upto or self.max_changes
         rows = self._peek(upto)
         txns = self._parse_txns(rows)
         while not txns and upto < self.max_peek and (

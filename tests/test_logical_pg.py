@@ -452,3 +452,110 @@ def test_daemon_transport_logical_once(pg, tmp_path):
     assert main(argv + ["--compact"]) == 2
     assert main(argv + ["--replay-from", "0"]) == 2
     assert main(argv + ["--parallel-read", "2"]) == 2
+
+
+# -- engine-managed offsets: the pqstream_logical DataSource -------------------
+
+
+def test_logical_datasource_stream_and_restart(pg, spark, tmp_path):
+    """readStream.format('pqstream_logical'): live writes surface with
+    engine-tracked offsets; a checkpoint restart resumes at the slot —
+    writes that happened while the query was down arrive exactly once
+    in the file sink."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+    from pqstream_spark.sources.logical_pg import PgLogicalCaptureManager
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+
+    pg.createdb("logi_ds").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_ds")
+    r = PsqlRunner(conninfo)
+    PgLogicalCaptureManager(r, slot="pq_ds", table_regexp="notes").install()
+    spark.dataSource.register(LogicalDataSource)
+
+    r.sql("INSERT INTO notes VALUES (1, now(), 'a'), (2, now(), 'b');")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query():
+        stream = (
+            spark.readStream.format("pqstream_logical")
+            .option("url", f"postgres:{conninfo}")
+            .option("slot", "pq_ds")
+            .option("tableRegexp", "notes")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = run_query()
+    try:
+        q.processAllAvailable()
+        r.sql("UPDATE notes SET note = 'a2' WHERE id = 1;")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    r.sql("DELETE FROM notes WHERE id = 2;")  # while the query is down
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = sorted(out.collect(), key=lambda x: x.seq)
+    assert [row.seq for row in rows] == [1, 2, 3, 4]
+    assert [row.op for row in rows] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+    assert rows[2].previous_json is not None  # REPLICA IDENTITY FULL
+
+
+def test_logical_datasource_txn_aligned_batches(pg, spark, tmp_path):
+    """Offsets are transaction boundaries: a 3-row transaction lands in
+    ONE micro-batch even with maxChangesPerBatch=1 (the peek window
+    completes transactions), so consumers never see a torn txn — the
+    property the outbox DataSource cannot offer without TxnAssembler."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+    from pqstream_spark.sources.logical_pg import PgLogicalCaptureManager
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+
+    pg.createdb("logi_ds_txn").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_ds_txn")
+    r = PsqlRunner(conninfo)
+    PgLogicalCaptureManager(
+        r, slot="pq_ds_txn", table_regexp="notes").install()
+    spark.dataSource.register(LogicalDataSource)
+
+    r.sql("BEGIN;\n"
+          "INSERT INTO notes VALUES (1, now(), 'x');\n"
+          "INSERT INTO notes VALUES (2, now(), 'y');\n"
+          "INSERT INTO notes VALUES (3, now(), 'z');\n"
+          "COMMIT;")
+    r.sql("INSERT INTO notes VALUES (4, now(), 'w');")
+
+    stream = (
+        spark.readStream.format("pqstream_logical")
+        .option("url", f"postgres:{conninfo}")
+        .option("slot", "pq_ds_txn")
+        .option("maxChangesPerBatch", "1")
+        .load()
+    )
+    batches: list[list[int]] = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, ep: batches.append(sorted(r.seq for r in df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    assert sorted(s for b in nonempty for s in b) == [1, 2, 3, 4]
+    # the 3-row txn is never split across batches
+    first = next(b for b in nonempty if 1 in b)
+    assert {1, 2, 3} <= set(first), f"txn torn across batches: {batches}"
