@@ -719,6 +719,39 @@ def _print_lag(connect: str, out) -> int:
     return 0
 
 
+def _print_lag_logical(connect: str, slot: str | None, out) -> int:
+    """`--lag --transport logical`: per-slot backlog straight from
+    pg_replication_slots — wal_bytes_pending is what a stopped consumer
+    costs in retained WAL (the operational number DEPLOY §4a says to
+    watch), wal_bytes_retained what the slot pins against recycling."""
+    from .sources.outbox_pg import PsqlRunner, _quote_lit
+
+    runner = PsqlRunner(connect[len("postgres:"):])
+    where = "WHERE slot_type = 'logical'"
+    if slot:
+        where += f" AND slot_name = {_quote_lit(slot)}"
+    rows = runner.query_csv(
+        # insert_lsn, not wal_lsn: async-committed WAL sitting in
+        # wal_buffers has not moved the WRITE position yet, and lag
+        # must count it
+        "SELECT slot_name, active::text AS active, "
+        "(pg_current_wal_insert_lsn() - confirmed_flush_lsn)::bigint "
+        "AS wal_bytes_pending, "
+        "(pg_current_wal_insert_lsn() - restart_lsn)::bigint "
+        "AS wal_bytes_retained "
+        f"FROM pg_replication_slots {where} ORDER BY slot_name"
+    )
+    for r in rows:
+        print(json.dumps({
+            "slot": r["slot_name"],
+            "active": r["active"] in ("t", "true"),
+            "wal_bytes_pending": int(r["wal_bytes_pending"] or 0),
+            "wal_bytes_retained": int(r["wal_bytes_retained"] or 0),
+        }), file=out)
+    print(json.dumps({"summary": True, "slots": len(rows)}), file=out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     stop = threading.Event()
@@ -749,14 +782,17 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     if args.lag:
+        if (args.connect.startswith("postgres:")
+                and args.transport == "logical"):
+            return _print_lag_logical(args.connect, args.slot, sys.stdout)
         if not args.connect.startswith(("sqlite:", "postgres:")) or (
             args.connect.startswith("postgres:")
             and args.transport != "outbox"
         ):
-            print("--lag requires an outbox backend (--connect "
+            print("--lag requires an offset-keeping backend (--connect "
                   "sqlite:PATH or postgres:CONNINFO with --transport "
-                  "outbox): the NOTIFY wire and the directory backend "
-                  "keep no server-side consumer offsets to measure",
+                  "outbox or logical): the NOTIFY wire and the directory "
+                  "backend keep no server-side consumer offsets to measure",
                   file=sys.stderr)
             return 2
         return _print_lag(args.connect, sys.stdout)

@@ -419,7 +419,7 @@ class PgLogicalPoller:
 
     def _slot_pending(self) -> bool:
         got = self.runner.scalar(
-            "SELECT pg_current_wal_lsn() > confirmed_flush_lsn "
+            "SELECT pg_current_wal_insert_lsn() > confirmed_flush_lsn "
             f"FROM pg_replication_slots WHERE slot_name = {_quote_lit(self.slot)}"
         )
         return got == "t"
@@ -568,7 +568,7 @@ class PgLogicalPoller:
     def lag(self) -> dict:
         """Operational backlog: WAL bytes the slot has not confirmed."""
         got = self.runner.scalar(
-            "SELECT (pg_current_wal_lsn() - confirmed_flush_lsn)::bigint "
+            "SELECT (pg_current_wal_insert_lsn() - confirmed_flush_lsn)::bigint "
             f"FROM pg_replication_slots WHERE slot_name = {_quote_lit(self.slot)}"
         )
         return {

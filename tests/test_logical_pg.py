@@ -559,3 +559,27 @@ def test_logical_datasource_txn_aligned_batches(pg, spark, tmp_path):
     # the 3-row txn is never split across batches
     first = next(b for b in nonempty if 1 in b)
     assert {1, 2, 3} <= set(first), f"txn torn across batches: {batches}"
+
+
+def test_logical_lag_cli(pg, capsys):
+    """`--lag --transport logical`: per-slot WAL backlog straight from
+    pg_replication_slots; consuming shrinks wal_bytes_pending."""
+    import json as _json
+
+    from pqstream_spark.__main__ import main
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+
+    pg.createdb("logi_lag").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_lag")
+    r = PsqlRunner(conninfo)
+    PgLogicalCaptureManager(r, slot="pq_lag", table_regexp="notes").install()
+    r.sql("INSERT INTO notes SELECT g, now(), 'x' || g "
+          "FROM generate_series(1, 50) g;")
+
+    argv = ["--connect", f"postgres:{conninfo}",
+            "--transport", "logical", "--slot", "pq_lag", "--lag"]
+    assert main(argv) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    slot_rows = [l for l in lines if l.get("slot") == "pq_lag"]
+    assert len(slot_rows) == 1 and slot_rows[0]["wal_bytes_pending"] > 0
+    assert lines[-1] == {"summary": True, "slots": 1}
