@@ -161,9 +161,6 @@ def main() -> None:
             col = next((c for c in _DISCRIMINATORS if c in wdf.columns), None)
             if col:
                 branch_col[n] = col
-                branch_values[n] = sorted(
-                    r[col] for r in wdf.select(col).distinct().collect()
-                )
 
     calib = _calibrate(spark)
     calib_total = round(sum(calib.values()), 3)
@@ -229,6 +226,14 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        if n in branch_col:
+            # branch discovery at BENCH SF, not warmup SF: a selective
+            # branch (q21_wait) can emit zero rows at sf0.001 and would
+            # silently vanish from the decomposition
+            branch_values[n] = sorted(
+                r[branch_col[n]]
+                for r in df.select(branch_col[n]).distinct().collect()
+            )
         if n in branch_values:
             # ADDITIVE attribution (r7 ask #6): a raw per-branch run
             # re-pays the entry's SHARED setup (codebook training,
