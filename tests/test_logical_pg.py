@@ -583,3 +583,88 @@ def test_logical_lag_cli(pg, capsys):
     slot_rows = [l for l in lines if l.get("slot") == "pq_lag"]
     assert len(slot_rows) == 1 and slot_rows[0]["wal_bytes_pending"] > 0
     assert lines[-1] == {"summary": True, "slots": 1}
+
+
+def test_daemon_logical_sigkill_exactly_once(pg, tmp_path):
+    """A real SIGKILL of the logical daemon mid-stream, restart on the
+    same slot: the union of jsonl output deduped by seq equals exactly
+    the committed rows — nothing lost (the slot only advances after
+    the sink wrote), nothing double-counted (replay-stable seqs +
+    seq-named idempotent files). The VERDICT's remaining 'done'
+    criterion for the logical backend."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pg.createdb("logi_kill").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_kill")
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+    r = PsqlRunner(conninfo)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    log_path = str(tmp_path / "daemon.log")
+    argv = [sys.executable, "-m", "pqstream_spark",
+            "--connect", f"postgres:{conninfo}", "--transport", "logical",
+            "--slot", "pq_kill", "--tables", "notes", "--out", out,
+            "--poll-interval", "0.2"]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+
+    def lines():
+        got = []
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                got.extend(_json.loads(l) for l in fh if l.strip())
+        return got
+
+    def wait(pred, secs, what):
+        end = time.time() + secs
+        while time.time() < end:
+            if pred():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    with open(log_path, "ab") as log:
+        daemon = subprocess.Popen(argv, cwd=repo, env=env,
+                                  stdout=log, stderr=log)
+    try:
+        # slot appears at daemon startup; only rows after it are captured
+        wait(lambda: r.scalar(
+            "SELECT count(*) FROM pg_replication_slots "
+            "WHERE slot_name = 'pq_kill'") == "1", 120, "slot install")
+        r.sql("INSERT INTO notes SELECT g, now(), 'k' || g "
+              "FROM generate_series(1, 40) g;")
+        wait(lambda: len(lines()) >= 40, 180, "first rows to drain")
+        # more rows, then a hard kill while the poll loop is (likely)
+        # mid-drain — no cleanup runs, the slot holds the position
+        r.sql("INSERT INTO notes SELECT 100 + g, now(), 'k' || g "
+              "FROM generate_series(1, 40) g;")
+        time.sleep(0.4)
+    finally:
+        daemon.kill()  # SIGKILL
+        daemon.wait(timeout=30)
+
+    with open(log_path, "ab") as log:
+        rc = subprocess.run(argv + ["--once"], cwd=repo, env=env,
+                            stdout=log, stderr=log, timeout=300).returncode
+    assert rc == 0
+
+    got = lines()
+    # the wire line is reference-parity (no seq field); a replayed
+    # batch re-renders byte-identical lines, so exactly-once EFFECT =
+    # one distinct line per row id after set-dedup
+    by_id: dict[int, set] = {}
+    for e in got:
+        by_id.setdefault(e["payload"]["id"], set()).add(
+            _json.dumps(e, sort_keys=True))
+    ids = sorted(by_id)
+    assert ids == list(range(1, 41)) + list(range(101, 141)), (
+        f"loss or phantom rows: {len(ids)} unique ids"
+    )
+    multi = {i: len(v) for i, v in by_id.items() if len(v) != 1}
+    assert not multi, f"replay changed content for ids {multi}"
