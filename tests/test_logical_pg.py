@@ -668,3 +668,29 @@ def test_daemon_logical_sigkill_exactly_once(pg, tmp_path):
     )
     multi = {i: len(v) for i, v in by_id.items() if len(v) != 1}
     assert not multi, f"replay changed content for ids {multi}"
+
+
+def test_logical_schema_evolution_mid_stream(pg, spark):
+    """ALTER TABLE ADD COLUMN between polls (the r8 outbox parity pin,
+    on the logical path): decoding continues, envelopes before the
+    ALTER carry the old column set, envelopes after carry the new
+    column — no restart, no re-install, same slot."""
+    r, mgr = _fresh(pg, "logi_evolve")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    r.sql("INSERT INTO notes VALUES (1, now(), 'before');")
+    b1 = p.read_batch(spark).collect()
+    p.advance()
+    assert set(json.loads(b1[0].payload_json)) == {"id", "created_at", "note"}
+
+    r.sql("ALTER TABLE notes ADD COLUMN rating int DEFAULT 5;"
+          "INSERT INTO notes VALUES (2, now(), 'after', 9);"
+          "UPDATE notes SET note = 'patched' WHERE id = 1;")
+    b2 = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    ins, upd = b2
+    new_payload = json.loads(ins.payload_json)
+    assert new_payload["rating"] == 9 and new_payload["note"] == "after"
+    # the pre-ALTER row now has the default-backfilled column too
+    assert json.loads(upd.payload_json)["rating"] == 5
+    assert json.loads(upd.previous_json)["rating"] == 5
+    assert [row.seq for row in b2] == [2, 3]
