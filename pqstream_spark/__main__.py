@@ -706,15 +706,24 @@ def _print_lag(connect: str, out) -> int:
     for consumer, last_seq in rows:
         kind = ("bootstrap" if consumer.endswith("#bootstrap")
                 else "reportfloor" if consumer.endswith("#reportfloor")
+                else "lease" if consumer.endswith("#lease")
+                else "logical" if "#logical" in consumer
                 else "consumer")
-        print(json.dumps({
-            "consumer": consumer, "kind": kind, "last_seq": last_seq,
-            "max_seq": max_seq, "lag": max(0, max_seq - last_seq),
-        }), file=out)
+        rec = {"consumer": consumer, "kind": kind, "last_seq": last_seq}
+        if kind in ("consumer", "reportfloor"):
+            # only outbox-domain offsets compare against the outbox
+            # max_seq; logical anchors and lease nonces are different
+            # number spaces entirely
+            rec["max_seq"] = max_seq
+            rec["lag"] = max(0, max_seq - last_seq)
+        print(json.dumps(rec), file=out)
     print(json.dumps({
         "summary": True, "max_seq": max_seq,
-        "consumers": sum(1 for c, _ in rows
-                         if not c.endswith(("#bootstrap", "#reportfloor"))),
+        "consumers": sum(
+            1 for c, _ in rows
+            if not (c.endswith(("#bootstrap", "#reportfloor", "#lease"))
+                    or "#logical" in c)
+        ),
     }), file=out)
     return 0
 

@@ -380,13 +380,20 @@ class PgLogicalPoller:
         p.last_lsn = int(lsn or 0)
         return p
 
+    # `#logical…` suffixes mark these rows as the LOGICAL transport's
+    # numbering anchors: they share pqstream_consumer_offset with the
+    # outbox transport, whose compact() keys retention on MIN(last_seq)
+    # over plain consumer rows — an unsuffixed logical seq counter
+    # (a different numbering domain entirely) would stall outbox
+    # compaction forever. Both compact() implementations exclude
+    # `%#logical%` (like `#bootstrap` / `#reportfloor` / `#lease`).
     @property
     def _seq_key(self) -> str:
-        return f"{self.consumer}@{self.slot}"
+        return f"{self.consumer}@{self.slot}#logicalseq"
 
     @property
     def _lsn_key(self) -> str:
-        return f"{self.consumer}@{self.slot}#lsn"
+        return f"{self.consumer}@{self.slot}#logicallsn"
 
     # -- peek ---------------------------------------------------------------
     # Flush barrier, folded into the peek's psql invocation: logical

@@ -354,7 +354,8 @@ class LocalOutboxPoller:
             f"SELECT MIN(last_seq) FROM {LOCAL_OFFSET_TABLE} "
             "WHERE consumer NOT LIKE '%#bootstrap' "
             "AND consumer NOT LIKE '%#reportfloor' "
-            "AND consumer NOT LIKE '%#lease'"
+            "AND consumer NOT LIKE '%#lease' "
+            "AND consumer NOT LIKE '%#logical%'"
         ).fetchone()
         low = row[0] if row else None
         if low is None or low <= 0:

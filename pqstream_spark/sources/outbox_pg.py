@@ -712,7 +712,8 @@ class PgOutboxPoller:
             f"SELECT MIN(last_seq) FROM {PG_OFFSET_TABLE} "
             "WHERE consumer NOT LIKE '%#bootstrap' "
             "AND consumer NOT LIKE '%#reportfloor' "
-            "AND consumer NOT LIKE '%#lease'"
+            "AND consumer NOT LIKE '%#lease' "
+            "AND consumer NOT LIKE '%#logical%'"
         )
         if low is None or int(low) <= 0:
             return 0

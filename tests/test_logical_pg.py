@@ -694,3 +694,33 @@ def test_logical_schema_evolution_mid_stream(pg, spark):
     assert json.loads(upd.payload_json)["rating"] == 5
     assert json.loads(upd.previous_json)["rating"] == 5
     assert [row.seq for row in b2] == [2, 3]
+
+
+def test_logical_anchor_rows_never_stall_outbox_compaction(pg, spark):
+    """Cross-transport retention: the logical poller's numbering
+    anchors share pqstream_consumer_offset with the outbox transport.
+    They are a different number space — an unsuffixed anchor row would
+    sit in compact()'s MIN forever and stall outbox retention. Pinned:
+    both transports on one database, outbox compaction advances on the
+    outbox consumer alone."""
+    from pqstream_spark.sources.outbox import OUTBOX_TABLE
+    from pqstream_spark.sources.outbox_pg import PgOutboxPoller
+
+    r, mgr = _fresh(pg, "logi_retention")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes VALUES (1, now(), 'a'), (2, now(), 'b');")
+
+    # logical consumer far "behind" in its own numbering domain
+    lg = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="lg")
+    assert lg.read_batch(spark).count() == 2
+    lg.advance()
+    assert lg.last_seq == 2  # logical domain: tiny numbers
+
+    ob = PgOutboxPoller.open_durable(r, consumer="ob", fence_wait=2.0)
+    assert ob.read_batch(spark).count() == 2
+    ob.advance()
+    # the outbox consumer is fully caught up; the logical anchor rows
+    # (seq=2, lsn=huge) must not hold the MIN down / up
+    pruned = ob.compact()
+    assert pruned == 2
+    assert int(r.scalar(f"SELECT count(*) FROM {OUTBOX_TABLE}")) == 0
