@@ -724,3 +724,53 @@ def test_logical_anchor_rows_never_stall_outbox_compaction(pg, spark):
     pruned = ob.compact()
     assert pruned == 2
     assert int(r.scalar(f"SELECT count(*) FROM {OUTBOX_TABLE}")) == 0
+
+
+def test_daemon_logical_bootstrap_snapshot_plus_changelog(pg, tmp_path):
+    """--bootstrap on the logical transport: pre-existing rows (which
+    predate the slot and can never arrive via decoding) are emitted as
+    a snapshot, then the changelog streams post-install writes; the
+    documented at-least-once overlap stance means dedup by line, never
+    loss. A second --bootstrap run is a no-op (bootstrap sentinel)."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pg.createdb("logi_boot").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_boot")
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+    r = PsqlRunner(conninfo)
+    r.sql("INSERT INTO notes VALUES (1, now(), 'pre1'), (2, now(), 'pre2');")
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    log_path = str(tmp_path / "daemon.log")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    argv = [sys.executable, "-m", "pqstream_spark",
+            "--connect", f"postgres:{conninfo}", "--transport", "logical",
+            "--slot", "pq_boot", "--tables", "notes", "--out", out,
+            "--bootstrap", "--once"]
+
+    def run():
+        with open(log_path, "ab") as log:
+            return subprocess.run(argv, cwd=repo, env=env, stdout=log,
+                                  stderr=log, timeout=300).returncode
+
+    def ids():
+        got = set()
+        for f in glob.glob(out + "/*.jsonl"):
+            with open(f) as fh:
+                for l in fh:
+                    if l.strip():
+                        got.add(_json.loads(l)["payload"]["id"])
+        return got
+
+    assert run() == 0
+    assert ids() == {1, 2}, "pre-slot rows must arrive via the snapshot"
+
+    r.sql("INSERT INTO notes VALUES (3, now(), 'live');")
+    assert run() == 0  # bootstrap sentinel set: snapshot NOT re-taken
+    assert ids() == {1, 2, 3}
