@@ -176,6 +176,12 @@ class LogicalStreamReader(DataSourceStreamReader):
             # offsets are only ever boundaries this reader reported; a
             # restart rebuilds the map in partitions() via _stage()
             self._stage()
+        if end_seq not in self._boundaries:
+            raise RuntimeError(
+                f"pqstream_logical: commit offset {end_seq} is not a "
+                "transaction boundary the slot can reproduce — was the "
+                "slot advanced externally or shared by another consumer?"
+            )
         lsn_text, lsn_big = self._boundaries[end_seq]
         self._poller.advance_to(lsn_text, lsn_big, end_seq)
         self._boundaries = {
