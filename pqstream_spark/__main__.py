@@ -491,6 +491,17 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
     slot = args.slot or DEFAULT_SLOT
     cap = PgLogicalCaptureManager(runner, slot=slot,
                                   table_regexp=args.tables)
+    # validate BEFORE any destructive step (review finding): removing
+    # the other transports' triggers and THEN failing install on
+    # wal_level=replica would leave the database with no capture at
+    # all — every write until the operator re-runs would be lost
+    if not args.remove:
+        wal_level = runner.scalar("SHOW wal_level")
+        if wal_level != "logical":
+            print(f"--transport logical needs wal_level=logical (server "
+                  f"has {wal_level!r}); existing capture left untouched",
+                  file=sys.stderr)
+            return 2
     # NO remove-then-install here: dropping the slot would forget the
     # resume position (triggers are stateless, slots are the offset).
     # But a daemon switched TO logical must clean the other transports'
@@ -527,7 +538,13 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
             pg_snapshot_batch,
         )
 
-        if not pg_bootstrap_done(runner):
+        # transport-scoped sentinel (ends with #bootstrap so both
+        # compact() exclusions still match): an outbox-transport
+        # bootstrap must NOT satisfy the logical one — the slot only
+        # sees WAL after its creation, so the logical path needs its
+        # OWN snapshot regardless of earlier outbox history
+        marker = "daemon@logical#bootstrap"
+        if not pg_bootstrap_done(runner, marker):
             # switchover stance: the slot was created BEFORE this
             # snapshot, so every write the snapshot reflects that also
             # committed after slot creation arrives AGAIN through the
@@ -544,11 +561,17 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
                     if f.startswith("batch--"):
                         os.remove(os.path.join(args.out, f))
             emit(snap, -1)
-            pg_mark_bootstrap_done(runner)
+            pg_mark_bootstrap_done(runner, marker)
+    from .sources.outbox_local import OUTBOX_BATCH_SCHEMA
+
     epoch = 0
     while not stop.is_set():
-        batch = poller.read_batch(spark)
-        n = batch.count()
+        # read_rows gives the row count driver-side for free — a
+        # count() here would burn one Spark job per poll (review
+        # finding; the outbox loop avoids the same trap via _pending_hi)
+        data_rows, _ = poller.read_rows()
+        n = len(data_rows)
+        batch = spark.createDataFrame(data_rows, OUTBOX_BATCH_SCHEMA)
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,

@@ -42,6 +42,13 @@ def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Start df against a memory sink, drain all available input, stop,
     and return the sink table (frozen after stop)."""
     name = f"pq_stream_sink_{next(_sink_ids)}"
+    # recentProgress keeps only the last N entries (default 100); a
+    # drain with more micro-batches would silently undercount the
+    # exec/driver split below and misattribute the rest to idle time —
+    # raise the retention well past any drain this harness runs
+    df.sparkSession.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", "10000"
+    )
     t0 = time.perf_counter()
     q = (
         df.writeStream.format("memory")

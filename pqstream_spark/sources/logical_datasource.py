@@ -86,6 +86,17 @@ class LogicalStreamReader(DataSourceStreamReader):
         self._boundaries: dict[int, tuple[str, int]] = {}
         self._reported = self._poller.last_seq
 
+    def __getstate__(self) -> dict:
+        """pyspark pickles the reader into the executor-side read
+        closure (reader.read(partition)); the staged window and
+        boundary map are driver-state that read() never touches —
+        shipping them would double each micro-batch's serialized
+        payload (review finding). Executors get an empty stage."""
+        state = self.__dict__.copy()
+        state["_staged_rows"] = []
+        state["_boundaries"] = {}
+        return state
+
     def initialOffset(self) -> dict:
         return {"seq": self._poller.last_seq}
 
@@ -141,6 +152,20 @@ class LogicalStreamReader(DataSourceStreamReader):
         self._reported = max(self._reported, self._poller.last_seq)
         return {"seq": self._reported}
 
+    def _restage_until(self, target_seq: int) -> None:
+        """Re-peek with an escalating window until the staged rows
+        reach `target_seq` (or the window caps): a checkpointed range
+        originally staged via latestOffset's escalation is NOT
+        reproducible by one default-window peek after a restart
+        (review finding) — the window must grow the same way."""
+        upto = self._poller.max_changes
+        self._stage()
+        while ((not self._staged_rows
+                or self._staged_rows[-1][0] < target_seq)
+               and upto < self._poller.max_peek):
+            upto = min(upto * 4, self._poller.max_peek)
+            self._stage(upto=upto)
+
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["seq"]), int(end["seq"])
         if hi <= lo:
@@ -149,7 +174,7 @@ class LogicalStreamReader(DataSourceStreamReader):
         if len(rows) != hi - lo:
             # restart replay: the checkpointed range predates this
             # process — re-peek (replay-stable seqs) and re-slice
-            self._stage()
+            self._restage_until(hi)
             rows = [r for r in self._staged_rows if lo < r[0] <= hi]
         if len(rows) != hi - lo:
             raise RuntimeError(
@@ -174,8 +199,8 @@ class LogicalStreamReader(DataSourceStreamReader):
             return
         if end_seq not in self._boundaries:
             # offsets are only ever boundaries this reader reported; a
-            # restart rebuilds the map in partitions() via _stage()
-            self._stage()
+            # restart rebuilds the map with the same escalating window
+            self._restage_until(end_seq)
         if end_seq not in self._boundaries:
             raise RuntimeError(
                 f"pqstream_logical: commit offset {end_seq} is not a "

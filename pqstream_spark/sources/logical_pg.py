@@ -101,7 +101,11 @@ _CHANGE_RE = re.compile(
     r"^table ([^:]+): (INSERT|UPDATE|DELETE|TRUNCATE):\s?(.*)$", re.S
 )
 _COMMIT_TS_RE = re.compile(r"^COMMIT \d+(?: \(at (.+)\))?$")
-_COL_RE = re.compile(r'("[^"]+"|[A-Za-z_][A-Za-z0-9_$]*)\[([^\]]+)\]:')
+# the type part is non-greedy up to the first `]:`: array types render
+# with nested brackets (`tags[integer[]]:`), which a [^\]]+ class would
+# truncate — silently dropping the column AND everything after it
+# (review finding, verified live)
+_COL_RE = re.compile(r'("[^"]+"|[A-Za-z_][A-Za-z0-9_$]*)\[(.+?)\]:')
 
 
 def _parse_tuple(s: str, start: int = 0) -> tuple[list[tuple[str, str, str, bool]], int]:
@@ -165,9 +169,46 @@ def _row_json(cols: list[tuple[str, str, str, bool]]) -> str | None:
     return "{" + ",".join(parts) + "}"
 
 
-def parse_change_line(data: str) -> tuple[str, str, str, str | None, str | None, str | None] | None:
-    """One test_decoding data line → (schema, table, op, id, payload
-    previous), or None for non-change lines (messages etc.).
+def _split_idents(ident: str) -> list[str]:
+    """Split a test_decoding ident list (`public.a, public.b,
+    public."c, d"`) on top-level commas — multi-table TRUNCATE emits
+    ONE line naming every table (review finding: a naive split('.')
+    mangled the names and the delete-all markers never fired)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_quotes = False
+    i = 0
+    while i < len(ident):
+        c = ident[i]
+        if c == '"':
+            in_quotes = not in_quotes
+            buf.append(c)
+        elif not in_quotes and ident.startswith(", ", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 2
+            continue
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def _split_schema_table(ident: str) -> tuple[str, str]:
+    if "." in ident:
+        schema, table = ident.split(".", 1)
+    else:
+        schema, table = "public", ident
+    return schema.strip('"'), table.strip('"')
+
+
+def parse_change_line(data: str) -> list[tuple[str, str, str, str | None, str | None, str | None]]:
+    """One test_decoding data line → envelope tuples (schema, table,
+    op, id, payload, previous) — a LIST because a multi-table TRUNCATE
+    statement decodes as one line naming every table; empty for
+    non-change lines (messages etc.).
 
     OLD/NEW selection parity with the reference trigger
     (queries.go:17-24): INSERT/UPDATE payload = NEW, DELETE payload =
@@ -184,15 +225,14 @@ def parse_change_line(data: str) -> tuple[str, str, str, str | None, str | None,
     byte-identical to the trigger envelope for OLD rows with NULLs."""
     m = _CHANGE_RE.match(data)
     if not m:
-        return None
+        return []
     ident, op, rest = m.group(1), m.group(2), m.group(3)
-    if "." in ident:
-        schema, table = ident.split(".", 1)
-    else:
-        schema, table = "public", ident
-    schema, table = schema.strip('"'), table.strip('"')
     if op == "TRUNCATE":
-        return (schema, table, op, None, None, None)
+        return [
+            (*_split_schema_table(one), op, None, None, None)
+            for one in _split_idents(ident)
+        ]
+    schema, table = _split_schema_table(ident)
     payload_cols: list = []
     prev_cols: list = []
     if op == "UPDATE":
@@ -214,7 +254,7 @@ def parse_change_line(data: str) -> tuple[str, str, str, str | None, str | None,
         if name == "id":
             row_id = None if (not _quoted and val == "null") else val
             break
-    return (schema, table, op, row_id, payload, previous)
+    return [(schema, table, op, row_id, payload, previous)]
 
 
 class PgLogicalCaptureManager:
@@ -457,15 +497,13 @@ class PgLogicalPoller:
                 txns.append(_Txn(r["lsn"], int(r["lsn_big"]), ts, cur))
                 cur = []
             else:
-                ch = parse_change_line(data)
-                if ch is None:
-                    continue
-                table = ch[1]
-                if table.startswith("pqstream_"):
-                    continue
-                if pat is not None and not pat.search(table):
-                    continue
-                cur.append(ch)
+                for ch in parse_change_line(data):
+                    table = ch[1]
+                    if table.startswith("pqstream_"):
+                        continue
+                    if pat is not None and not pat.search(table):
+                        continue
+                    cur.append(ch)
         return txns
 
     def read_rows(
@@ -501,6 +539,26 @@ class PgLogicalPoller:
                 )
             self._pending = None
             return [], []
+        # The replay region must be WHOLLY inside the window before the
+        # numbering is derivable (review finding): the stored anchor
+        # says "seqs end at last_seq AT commit-LSN last_lsn" — if the
+        # window ends BELOW that LSN it holds only a prefix of the
+        # replayed changes, and `last_seq - n_replay` would tail-number
+        # the prefix (e.g. original seqs 1-40 renumbered 61-100:
+        # silent corruption). Escalate until the window reaches the
+        # anchor; a window that cannot is a hard error, never a guess.
+        while (txns[-1].commit_lsn < self.last_lsn
+               and upto < self.max_peek):
+            upto = min(upto * 4, self.max_peek)
+            rows = self._peek(upto, barrier=False)
+            txns = self._parse_txns(rows)
+        if txns[-1].commit_lsn < self.last_lsn:
+            raise PsqlError(
+                f"peek window (max_peek={self.max_peek}) cannot cover "
+                f"the replay region up to the stored anchor LSN "
+                f"{self.last_lsn}; raise max_peek to renumber the "
+                "replay consistently"
+            )
         # replay-stable numbering (class docstring): txns at or below
         # the stored LSN are replays of already-numbered changes
         n_replay = sum(

@@ -232,17 +232,18 @@ class EphemeralPostgres:
         if proc.returncode != 0:
             raise RuntimeError(f"initdb failed: {proc.stderr}\n{proc.stdout}")
 
-    def start(self) -> None:
+    def start(self, wal_level: str = "logical") -> None:
         pg_ctl = shutil.which("pg_ctl")
         # wal_level=logical from the start: the logical-replication
         # capture backend (sources/logical_pg.py) needs it, its cost on
         # a test cluster is noise, and one cluster shape keeps every
-        # suite on the same code path
+        # suite on the same code path (`wal_level` overridable so tests
+        # can exercise the replica-level refusal paths)
         opts = (
             f"-k {self.sock} -c listen_addresses= -c fsync=off "
             f"-c synchronous_commit=off -c full_page_writes=off "
-            f"-c wal_level=logical -c max_replication_slots=16 "
-            f"-c max_wal_senders=16"
+            f"-c wal_level={wal_level} -c max_replication_slots=64 "
+            f"-c max_wal_senders=64"
         )
         proc = self._server_cmd(
             f"{shlex.quote(pg_ctl)} start -w -t 60 -D {shlex.quote(self.data)} "
@@ -791,7 +792,13 @@ def _quote_lit(s: str) -> str:
 BOOTSTRAP_CONSUMER = "daemon#bootstrap"
 
 
-def pg_bootstrap_done(runner: PsqlRunner) -> bool:
+def pg_bootstrap_done(runner: PsqlRunner, marker: str = BOOTSTRAP_CONSUMER) -> bool:
+    """`marker` scopes the bootstrap sentinel: the outbox and logical
+    transports snapshot against DIFFERENT cursors (outbox seq vs slot
+    creation point), so a bootstrap done on one transport must not
+    satisfy the other (review finding: a shared marker silently
+    skipped the logical snapshot after any earlier outbox bootstrap,
+    permanently losing every pre-slot row from that output path)."""
     runner.sql(
         f"CREATE TABLE IF NOT EXISTS {PG_OFFSET_TABLE} ("
         "consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
@@ -799,16 +806,16 @@ def pg_bootstrap_done(runner: PsqlRunner) -> bool:
     return (
         runner.scalar(
             f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
-            f"WHERE consumer = {_quote_lit(BOOTSTRAP_CONSUMER)}"
+            f"WHERE consumer = {_quote_lit(marker)}"
         )
         is not None
     )
 
 
-def pg_mark_bootstrap_done(runner: PsqlRunner) -> None:
+def pg_mark_bootstrap_done(runner: PsqlRunner, marker: str = BOOTSTRAP_CONSUMER) -> None:
     runner.sql(
         f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
-        f"VALUES ({_quote_lit(BOOTSTRAP_CONSUMER)}, 1) "
+        f"VALUES ({_quote_lit(marker)}, 1) "
         "ON CONFLICT (consumer) DO NOTHING;"
     )
 

@@ -57,7 +57,7 @@ def test_parse_insert_quoting_horrors():
     line = ("table public.notes: INSERT: id[integer]:7 "
             "note[text]:'qu''ote, comma new-tuple: [brackets]' "
             "val[double precision]:1.5 flag[boolean]:true gone[text]:null")
-    schema, table, op, row_id, payload, previous = parse_change_line(line)
+    (schema, table, op, row_id, payload, previous), = parse_change_line(line)
     assert (schema, table, op, row_id) == ("public", "notes", "INSERT", "7")
     assert previous is None
     obj = json.loads(payload)
@@ -72,25 +72,44 @@ def test_parse_insert_quoting_horrors():
     assert list(obj) == ["id", "note", "val", "flag", "gone"]
 
 
+def test_parse_array_typed_columns():
+    """Array types render with nested brackets (`tags[integer[]]:`);
+    the review caught the original column regex truncating the payload
+    at the first array column — every later column silently vanished."""
+    line = ("table public.notes: INSERT: id[integer]:1 "
+            "tags[integer[]]:'{1,2}' note[text]:'after-array'")
+    (_, _, _, _, payload, _), = parse_change_line(line)
+    assert json.loads(payload) == {
+        "id": 1, "tags": "{1,2}", "note": "after-array"}
+
+
 def test_parse_update_sections_and_delete_truncate():
     upd = ("table public.notes: UPDATE: "
            "old-key: id[integer]:1 note[text]:'old' "
            "new-tuple: id[integer]:1 note[text]:'new'")
-    _, _, op, row_id, payload, previous = parse_change_line(upd)
+    (_, _, op, row_id, payload, previous), = parse_change_line(upd)
     assert op == "UPDATE" and row_id == "1"
     assert json.loads(payload) == {"id": 1, "note": "new"}
     assert json.loads(previous) == {"id": 1, "note": "old"}
 
     dele = "table public.notes: DELETE: id[integer]:2 note[text]:'bye'"
-    _, _, op, row_id, payload, previous = parse_change_line(dele)
+    (_, _, op, row_id, payload, previous), = parse_change_line(dele)
     assert op == "DELETE" and row_id == "2" and previous is None
     assert json.loads(payload) == {"id": 2, "note": "bye"}
 
     trunc = "table public.notes: TRUNCATE: (no-flags)"
-    schema, table, op, row_id, payload, previous = parse_change_line(trunc)
+    (schema, table, op, row_id, payload, previous), = parse_change_line(trunc)
     assert (op, row_id, payload, previous) == ("TRUNCATE", None, None, None)
 
-    assert parse_change_line("message: whatever") is None
+    # multi-table TRUNCATE: ONE decoded line names every table — each
+    # must get its own delete-all envelope (review finding: the naive
+    # split mangled the names and no marker ever fired)
+    multi = "table public.a, public.b: TRUNCATE: (no-flags)"
+    envs = parse_change_line(multi)
+    assert [(e[0], e[1], e[2]) for e in envs] == [
+        ("public", "a", "TRUNCATE"), ("public", "b", "TRUNCATE")]
+
+    assert parse_change_line("message: whatever") == []
 
 
 # -- golden e2e ------------------------------------------------------------
@@ -364,8 +383,7 @@ def test_walsender_recvlogical_parity(pg, spark):
     endpos = r.scalar("SELECT pg_current_wal_lsn()::text")
     lines = recv_changes_walsender(
         pg.conninfo("logi_wire"), "pqstream_wire", endpos)
-    wire = [parse_change_line(l) for l in lines]
-    wire = [w for w in wire if w is not None]
+    wire = [w for l in lines for w in parse_change_line(l)]
 
     p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
     sql_rows = p.read_batch(spark).collect()
@@ -774,3 +792,134 @@ def test_daemon_logical_bootstrap_snapshot_plus_changelog(pg, tmp_path):
     r.sql("INSERT INTO notes VALUES (3, now(), 'live');")
     assert run() == 0  # bootstrap sentinel set: snapshot NOT re-taken
     assert ids() == {1, 2, 3}
+
+
+def test_logical_partial_replay_window_escalates(pg, spark):
+    """Review finding: a torn advance (offset rows written, slot not
+    advanced) followed by a restart with a SMALLER peek window used to
+    tail-number a prefix of the replay (seqs 1-40 renumbered 61-100 —
+    silent corruption). The window must escalate until it covers the
+    stored anchor LSN, reproducing the original seqs exactly."""
+    r, mgr = _fresh(pg, "logi_pwin")
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}')"
+        for i in range(1, 31)) + ";")  # 30 single-statement txns
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    first = sorted((row.seq, row.id) for row in p.read_batch(spark).collect())
+    assert first == [(i, str(i)) for i in range(1, 31)]
+    # torn advance: offset rows land, slot stays back
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    # restart with a window far smaller than the replay region
+    p2 = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", max_changes=5)
+    replay = sorted(
+        (row.seq, row.id) for row in p2.read_batch(spark).collect())
+    assert replay == first, "replay renumbered under a small window"
+    p2.advance()
+    assert p2.read_batch(spark).count() == 0
+
+
+def test_logical_multi_table_truncate(pg, spark):
+    """TRUNCATE a, b decodes as ONE line naming both tables — each
+    must surface as its own delete-all envelope (op TRUNCATE, idents
+    only), or CDC materialization never clears either table."""
+    r, mgr = _fresh(pg, "logi_mtrunc")
+    r.sql("CREATE TABLE extras (id int, note text);")
+    # re-install so the new table gets REPLICA IDENTITY + capture scope
+    mgr.table_regexp = "notes|extras"
+    mgr.install()
+    p = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", table_regexp="notes|extras")
+    r.sql("INSERT INTO notes VALUES (1, now(), 'n');"
+          "INSERT INTO extras VALUES (2, 'e');"
+          "TRUNCATE notes, extras;")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    assert [(row.table_name, row.op) for row in rows] == [
+        ("notes", "INSERT"), ("extras", "INSERT"),
+        ("notes", "TRUNCATE"), ("extras", "TRUNCATE")]
+    assert all(row.payload_json is None for row in rows[2:])
+
+
+def test_logical_refusal_leaves_existing_capture_intact(tmp_path):
+    """Review finding: `--transport logical` against a server with
+    wal_level=replica (the stock default) used to remove the other
+    transports' triggers BEFORE install failed — leaving the database
+    with NO capture at all, silently losing every write until an
+    operator intervened. The wal_level check must run before anything
+    destructive: rc 2, outbox triggers still firing."""
+    from pqstream_spark.__main__ import main
+    from pqstream_spark.sources.outbox import OUTBOX_TABLE
+    from pqstream_spark.sources.outbox_pg import PgCaptureManager
+
+    srv = EphemeralPostgres.temp("pq_replica_")
+    srv.initdb()
+    srv.start(wal_level="replica")
+    try:
+        r = srv.createdb("replica_db")
+        r.sql(NOTES_DDL + ";")
+        PgCaptureManager(r, table_regexp="notes").install()
+        rc = main(["--connect", f"postgres:{srv.conninfo('replica_db')}",
+                   "--transport", "logical", "--tables", "notes",
+                   "--out", str(tmp_path), "--once"])
+        assert rc == 2
+        # the outbox trigger must still capture
+        r.sql("INSERT INTO notes VALUES (1, now(), 'still-captured');")
+        got = r.scalar(f"SELECT count(*) FROM {OUTBOX_TABLE}")
+        assert int(got) == 1, "existing capture was destroyed"
+    finally:
+        srv.destroy()
+
+
+def test_logical_bootstrap_not_masked_by_outbox_marker(pg, tmp_path):
+    """Review finding: the bootstrap sentinel was shared across
+    transports, so an earlier outbox-transport bootstrap made
+    `--transport logical --bootstrap` silently skip its snapshot —
+    and pre-slot rows can NEVER arrive via decoding, a permanent gap.
+    The logical path now keys its own sentinel."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pg.createdb("logi_bootmask").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_bootmask")
+    from pqstream_spark.sources.outbox_pg import (
+        PsqlRunner,
+        pg_bootstrap_done,
+        pg_mark_bootstrap_done,
+    )
+    r = PsqlRunner(conninfo)
+    r.sql("INSERT INTO notes VALUES (1, now(), 'pre');")
+    # simulate a prior OUTBOX-transport bootstrap (the legacy marker;
+    # pg_bootstrap_done first — it creates the offset table)
+    assert not pg_bootstrap_done(r)
+    pg_mark_bootstrap_done(r)
+    assert pg_bootstrap_done(r)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    with open(str(tmp_path / "log"), "ab") as log:
+        rc = subprocess.run(
+            [sys.executable, "-m", "pqstream_spark",
+             "--connect", f"postgres:{conninfo}", "--transport", "logical",
+             "--slot", "pq_bootmask", "--tables", "notes", "--out", out,
+             "--bootstrap", "--once"],
+            cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+            stdout=log, stderr=log, timeout=300,
+        ).returncode
+    assert rc == 0
+    ids = set()
+    for f in glob.glob(out + "/*.jsonl"):
+        with open(f) as fh:
+            ids.update(_json.loads(l)["payload"]["id"] for l in fh if l.strip())
+    assert ids == {1}, "outbox marker masked the logical snapshot"
