@@ -132,6 +132,20 @@ def build_parser() -> argparse.ArgumentParser:
         "distinct slots per consumer)",
     )
     p.add_argument(
+        "--plugin", choices=("test_decoding", "pgoutput"),
+        default="test_decoding",
+        help="logical transport decoding plugin: 'test_decoding' "
+        "(text protocol, zero setup, client-side table filter) or "
+        "'pgoutput' (the replication-grade binary protocol with "
+        "SERVER-side filtering via a publication — unpublished tables "
+        "never reach the wire; see --publication)",
+    )
+    p.add_argument(
+        "--publication", default=None, metavar="NAME",
+        help="pgoutput plugin: publication name (default "
+        "pqstream_pub); created at install over the --tables set",
+    )
+    p.add_argument(
         "--parallel-read", type=int, default=None, metavar="N",
         help="postgres outbox backend: read each poll batch through N "
         "executor-side psql sub-range reads (mapInPandas) instead of "
@@ -489,8 +503,20 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
             return 2
 
     slot = args.slot or DEFAULT_SLOT
-    cap = PgLogicalCaptureManager(runner, slot=slot,
-                                  table_regexp=args.tables)
+    if args.plugin == "pgoutput":
+        from .sources.pgoutput_pg import (
+            DEFAULT_PUBLICATION,
+            PgOutputCaptureManager,
+            PgOutputPoller,
+        )
+
+        publication = args.publication or DEFAULT_PUBLICATION
+        cap = PgOutputCaptureManager(
+            runner, slot=slot, publication=publication,
+            table_regexp=args.tables)
+    else:
+        cap = PgLogicalCaptureManager(runner, slot=slot,
+                                      table_regexp=args.tables)
     # validate BEFORE any destructive step (review finding): removing
     # the other transports' triggers and THEN failing install on
     # wal_level=replica would leave the database with no capture at
@@ -521,10 +547,16 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
 
     spark = get_spark("pqstream-daemon")
     redactions = _load_redactions(args.redactions)
-    poller = PgLogicalPoller.open_durable(
-        runner, slot=slot, consumer=args.consumer or "daemon",
-        table_regexp=args.tables,
-    )
+    if args.plugin == "pgoutput":
+        poller = PgOutputPoller.open_durable(
+            runner, slot=slot, consumer=args.consumer or "daemon",
+            publication=publication, table_regexp=args.tables,
+        )
+    else:
+        poller = PgLogicalPoller.open_durable(
+            runner, slot=slot, consumer=args.consumer or "daemon",
+            table_regexp=args.tables,
+        )
     if args.out == "-":
         emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
     else:

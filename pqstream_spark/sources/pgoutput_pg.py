@@ -1,0 +1,338 @@
+"""`pgoutput` capture backend — the REPLICATION-grade logical decoding
+plugin (the one PostgreSQL's own publication/subscription system uses),
+with SERVER-SIDE table filtering via publications (SURVEY §2 S1/S5;
+round 9, second logical plugin).
+
+Why a second plugin when test_decoding works: test_decoding has no
+table filter, so a slot decodes EVERY table and the engine filters
+client-side — at scale that pays decode CPU and transfer for unwanted
+tables, including the engine's own offset-table writes (the feedback
+problem `logical_pg._parse_txns` filters away). A PUBLICATION scopes
+decoding to the captured tables ON THE SERVER: unpublished tables never
+reach the wire at all, and the engine's bookkeeping writes produce
+empty transactions (Begin/Commit only) instead of discarded changes.
+
+The binary protocol rides the SAME peek/advance machinery as the
+test_decoding poller — `pg_logical_slot_peek_binary_changes` returns
+one MESSAGE per row (hex-decoded here), so `PgOutputPoller` subclasses
+`PgLogicalPoller` overriding only the peek and the parse: bounded
+transaction-aligned batches, replay-stable seq numbering anchored on
+(consumer seq, commit LSN) offset rows, escalating windows, the flush
+barrier, both torn-advance crash windows — all inherited and re-proven
+by the parity tests.
+
+Message formats parsed (public PostgreSQL docs, "Logical Streaming
+Replication Protocol", protocol version 1): Begin 'B', Commit 'C',
+Relation 'R' (column names + type OIDs — the registry that types the
+envelope JSON), Insert 'I', Update 'U' (old tuple 'O' with REPLICA
+IDENTITY FULL, key-only 'K' otherwise), Delete 'D', Truncate 'T',
+Origin 'O'/Type 'Y'/Message 'M' skipped. Tuple values arrive in text
+format; JSON rendering matches the test_decoding path (bare numerics /
+booleans by type OID, ISO-normalized timestamps, strings otherwise) —
+pinned value-identical by the parity test. One fidelity gain over
+test_decoding: pgoutput keeps NULL columns in OLD tuples too, so
+DELETE payloads and UPDATE previous are complete rows."""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+
+from .logical_pg import (
+    DEFAULT_SLOT,
+    PgLogicalPoller,
+    _normalize_ts,
+    _Txn,
+)
+from .outbox import DISCOVER_TABLES_SQL, _check_ident, filter_tables
+from .outbox_pg import PsqlRunner, _quote_lit
+
+DEFAULT_PUBLICATION = "pqstream_pub"
+
+# type OIDs whose text rendering is a valid bare JSON scalar
+_BARE_OIDS = {
+    20, 21, 23,  # int8, int2, int4
+    26,          # oid
+    700, 701,    # float4, float8
+    1700,        # numeric
+}
+_BOOL_OID = 16
+_TS_OIDS = {1114, 1184}  # timestamp, timestamptz
+
+
+@dataclass
+class _Relation:
+    schema: str
+    table: str
+    columns: list  # [(name, type_oid)]
+
+
+class _Reader:
+    """Sequential reader over one binary pgoutput message."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def u8(self) -> int:
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.pos)
+        self.pos += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def cstring(self) -> str:
+        end = self.buf.index(0, self.pos)
+        s = self.buf[self.pos:end].decode("utf-8")
+        self.pos = end + 1
+        return s
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+
+def _read_tuple(r: _Reader) -> list[str | None] | None:
+    """TupleData → per-column text values (None = SQL NULL). Returns
+    None when the sentinel says no tuple follows."""
+    ncols = r.i16()
+    vals: list[str | None] = []
+    for _ in range(ncols):
+        kind = r.u8()
+        if kind == ord("n"):
+            vals.append(None)
+        elif kind == ord("u"):
+            vals.append(None)  # unchanged TOAST — value not sent
+        elif kind == ord("t"):
+            n = r.i32()
+            vals.append(r.take(n).decode("utf-8"))
+        else:  # 'b' binary — never requested by this reader
+            n = r.i32()
+            r.take(n)
+            vals.append(None)
+    return vals
+
+
+def _row_json(rel: _Relation, vals: list[str | None]) -> str:
+    """Typed text values → compact JSON, column order preserved (the
+    envelope convention shared with the test_decoding parser)."""
+    parts = []
+    for (name, oid), val in zip(rel.columns, vals):
+        if val is None:
+            rendered = "null"
+        elif oid in _BARE_OIDS:
+            rendered = val
+        elif oid == _BOOL_OID:
+            rendered = "true" if val == "t" else "false"
+        else:
+            if oid in _TS_OIDS:
+                val = _normalize_ts(val)
+            rendered = json.dumps(val, ensure_ascii=False)
+        parts.append(f"{json.dumps(name, ensure_ascii=False)}:{rendered}")
+    return "{" + ",".join(parts) + "}"
+
+
+class PgOutputCaptureManager:
+    """Publication + slot + replica-identity lifecycle. The
+    publication IS the server-side table filter: `table_regexp` picks
+    the published set at install time (server.go:149-166 parity, but
+    enforced inside the database, not at the consumer)."""
+
+    def __init__(self, runner: PsqlRunner, slot: str = DEFAULT_SLOT,
+                 publication: str = DEFAULT_PUBLICATION,
+                 table_regexp: str | None = None) -> None:
+        _check_ident(slot)
+        _check_ident(publication)
+        self.runner = runner
+        self.slot = slot
+        self.publication = publication
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
+        return filter_tables([r["table_name"] for r in rows],
+                             self.table_regexp)
+
+    def install(self) -> list[str]:
+        tables = self.discover_tables()
+        if not tables:
+            raise RuntimeError("no tables match the table regexp")
+        wal_level = self.runner.scalar("SHOW wal_level")
+        if wal_level != "logical":
+            raise RuntimeError(
+                f"wal_level is {wal_level!r}; pgoutput needs "
+                "wal_level=logical"
+            )
+        idents = ", ".join(f'"{_check_ident(t)}"' for t in tables)
+        stmts = [
+            f'ALTER TABLE "{_check_ident(t)}" REPLICA IDENTITY FULL'
+            for t in tables
+        ]
+        stmts.append(f"DROP PUBLICATION IF EXISTS {self.publication}")
+        stmts.append(f"CREATE PUBLICATION {self.publication} "
+                     f"FOR TABLE {idents}")
+        self.runner.sql(";\n".join(stmts) + ";")
+        exists = self.runner.scalar(
+            "SELECT count(*) FROM pg_replication_slots WHERE slot_name = "
+            f"{_quote_lit(self.slot)} AND database = current_database()"
+        )
+        if int(exists or 0) == 0:
+            self.runner.sql(
+                "SELECT pg_create_logical_replication_slot("
+                f"{_quote_lit(self.slot)}, 'pgoutput');"
+            )
+        return tables
+
+    def remove(self) -> list[str]:
+        tables = self.discover_tables()
+        stmts = [
+            f'ALTER TABLE "{_check_ident(t)}" REPLICA IDENTITY DEFAULT'
+            for t in tables
+        ]
+        stmts.append(f"DROP PUBLICATION IF EXISTS {self.publication}")
+        self.runner.sql(";\n".join(stmts) + ";")
+        exists = self.runner.scalar(
+            "SELECT count(*) FROM pg_replication_slots WHERE slot_name = "
+            f"{_quote_lit(self.slot)} AND database = current_database()"
+        )
+        if int(exists or 0) > 0:
+            self.runner.sql(
+                f"SELECT pg_drop_replication_slot({_quote_lit(self.slot)});"
+            )
+        return tables
+
+
+@dataclass
+class PgOutputPoller(PgLogicalPoller):
+    """The test_decoding poller's contract on the pgoutput plugin: only
+    the peek (binary, publication-scoped) and the message parse differ;
+    batching, numbering, advance, crash-replay and escalation are
+    inherited verbatim. The engine-table feedback filter is structural
+    here — unpublished tables never reach the wire."""
+
+    publication: str = DEFAULT_PUBLICATION
+    _relations: dict[int, _Relation] = field(default_factory=dict, repr=False)
+
+    def _peek(self, upto: int, barrier: bool = True) -> list[dict]:
+        peek = (
+            "SELECT lsn::text AS lsn, (lsn - '0/0'::pg_lsn)::bigint AS "
+            "lsn_big, xid::text AS xid, encode(data, 'hex') AS data "
+            f"FROM pg_logical_slot_peek_binary_changes("
+            f"{_quote_lit(self.slot)}, NULL, {int(upto)}, "
+            f"'proto_version', '1', "
+            f"'publication_names', {_quote_lit(self.publication)})"
+        )
+        pre = self._BARRIER_SQL if barrier else ()
+        return self.runner.query_csv(peek, pre_statements=pre)
+
+    # -- binary message parse -------------------------------------------------
+    def _envelopes(self, msg: bytes) -> list[tuple]:
+        """One pgoutput message → envelope tuples (same shape as
+        logical_pg.parse_change_line). Relation messages update the
+        registry and emit nothing; Begin/Commit are handled by
+        _parse_txns."""
+        kind = chr(msg[0])
+        r = _Reader(msg)
+        r.u8()
+        if kind == "R":
+            rel_id = r.i32()
+            schema = r.cstring() or "public"
+            table = r.cstring()
+            r.u8()  # replica identity setting
+            ncols = r.i16()
+            cols = []
+            for _ in range(ncols):
+                r.u8()  # flags
+                name = r.cstring()
+                oid = r.i32()
+                r.i32()  # typmod
+                cols.append((name, oid))
+            self._relations[rel_id] = _Relation(schema, table, cols)
+            return []
+        if kind == "T":
+            nrels = r.i32()
+            r.u8()  # option flags (CASCADE / RESTART IDENTITY)
+            out = []
+            for _ in range(nrels):
+                rel = self._relations.get(r.i32())
+                if rel is not None:
+                    out.append((rel.schema, rel.table, "TRUNCATE",
+                                None, None, None))
+            return out
+        if kind not in ("I", "U", "D"):
+            return []  # Origin / Type / Message — not row changes
+        rel = self._relations.get(r.i32())
+        if rel is None:
+            return []
+        old_vals = new_vals = None
+        tag = chr(r.u8())
+        if kind == "I":
+            # tag is 'N'
+            new_vals = _read_tuple(r)
+        elif kind == "U":
+            if tag in ("O", "K"):
+                old_vals = _read_tuple(r)
+                tag = chr(r.u8())
+            new_vals = _read_tuple(r)
+        else:  # D — tag 'O' (REPLICA IDENTITY FULL) or 'K' (key only)
+            old_vals = _read_tuple(r)
+        op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[kind]
+        payload_vals = old_vals if kind == "D" else new_vals
+        payload = _row_json(rel, payload_vals)
+        previous = (
+            _row_json(rel, old_vals)
+            if kind == "U" and old_vals is not None else None
+        )
+        row_id = None
+        for (name, _oid), val in zip(rel.columns, payload_vals):
+            if name == "id":
+                row_id = val
+                break
+        return [(rel.schema, rel.table, op, row_id, payload, previous)]
+
+    def _parse_txns(self, rows: list[dict]) -> list[_Txn]:
+        import re as _re
+        from datetime import datetime, timedelta
+
+        pat = _re.compile(self.table_regexp) if self.table_regexp else None
+        pg_epoch = datetime(2000, 1, 1)
+        txns: list[_Txn] = []
+        cur: list = []
+        cur_ts: str | None = None
+        for row in rows:
+            msg = bytes.fromhex(row["data"])
+            kind = chr(msg[0])
+            if kind == "B":
+                cur = []
+                # Begin: final_lsn(8) + commit_ts(8, µs since 2000-01-01)
+                (_, ts_us) = struct.unpack_from(">qq", msg, 1)
+                cur_ts = (pg_epoch + timedelta(microseconds=ts_us)
+                          ).isoformat(sep=" ")
+            elif kind == "C":
+                txns.append(_Txn(row["lsn"], int(row["lsn_big"]),
+                                 cur_ts, cur))
+                cur, cur_ts = [], None
+            else:
+                for ch in self._envelopes(msg):
+                    table = ch[1]
+                    if table.startswith("pqstream_"):
+                        continue  # belt: the publication already filters
+                    if pat is not None and not pat.search(table):
+                        continue
+                    cur.append(ch)
+        return txns

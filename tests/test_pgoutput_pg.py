@@ -1,0 +1,255 @@
+"""pgoutput capture backend on LIVE PostgreSQL (round 9, second
+logical plugin): the replication-grade binary protocol with
+SERVER-SIDE publication filtering, riding the test_decoding poller's
+inherited peek/advance machinery — parity-pinned envelope for envelope."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pqstream_spark.sources.logical_pg import (
+    PgLogicalCaptureManager,
+    PgLogicalPoller,
+)
+from pqstream_spark.sources.outbox_pg import (
+    EphemeralPostgres,
+    PsqlRunner,
+    pg_available,
+)
+from pqstream_spark.sources.pgoutput_pg import (
+    PgOutputCaptureManager,
+    PgOutputPoller,
+)
+
+pytestmark = pytest.mark.skipif(
+    not pg_available(), reason="PostgreSQL server binaries not installed"
+)
+
+NOTES_DDL = ("CREATE TABLE notes (id serial PRIMARY KEY, "
+             "created_at timestamp, note text, val float8, ok boolean)")
+
+
+@pytest.fixture(scope="module")
+def pg():
+    srv = EphemeralPostgres.temp("pq_pgoutput_")
+    srv.initdb()
+    srv.start()
+    yield srv
+    srv.destroy()
+
+
+def _fresh(pg, name):
+    r = pg.createdb(name)
+    r.sql(NOTES_DDL + ";")
+    mgr = PgOutputCaptureManager(
+        r, slot=f"po_{name}", publication=f"pub_{name}",
+        table_regexp="notes")
+    assert mgr.install() == ["notes"]
+    return r, mgr
+
+
+def test_pgoutput_golden_envelopes(pg, spark):
+    """INSERT/UPDATE/DELETE/TRUNCATE through the binary protocol →
+    the standard envelope: typed JSON (bare numerics, true/false
+    booleans, ISO timestamps, nulls kept in OLD tuples too), dense
+    commit-ordered seqs, commit timestamps."""
+    r, mgr = _fresh(pg, "golden")
+    r.sql(
+        "INSERT INTO notes VALUES (default, '2020-01-02T03:04:05', "
+        "E'qu''ote, comma', 1.5, true);"
+        "UPDATE notes SET note = NULL, ok = false WHERE id = 1;"
+        "DELETE FROM notes WHERE id = 1;"
+        "TRUNCATE notes;"
+    )
+    p = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", publication=mgr.publication)
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    assert [row.op for row in rows] == [
+        "INSERT", "UPDATE", "DELETE", "TRUNCATE"]
+    assert [row.seq for row in rows] == [1, 2, 3, 4]
+    ins, upd, dele, trunc = rows
+    assert json.loads(ins.payload_json) == {
+        "id": 1, "created_at": "2020-01-02T03:04:05",
+        "note": "qu'ote, comma", "val": 1.5, "ok": True}
+    assert ins.id == "1"
+    assert json.loads(upd.payload_json)["note"] is None
+    assert json.loads(upd.payload_json)["ok"] is False
+    # fidelity gain over test_decoding: previous keeps non-null OLD row
+    assert json.loads(upd.previous_json)["note"] == "qu'ote, comma"
+    # DELETE payload = full OLD row INCLUDING the null column
+    assert json.loads(dele.payload_json) == {
+        "id": 1, "created_at": "2020-01-02T03:04:05",
+        "note": None, "val": 1.5, "ok": False}
+    assert (trunc.table_name, trunc.payload_json) == ("notes", None)
+    assert all(row.ts is not None for row in rows)
+    assert p.read_batch(spark).count() == 0
+
+
+def test_pgoutput_parity_with_test_decoding(pg, spark):
+    """The SAME writes through both plugins (separate slots) produce
+    identical envelopes after normalizing test_decoding's old-tuple
+    null omission — op, id, seq order, payload, previous."""
+    r, mgr = _fresh(pg, "parity")
+    PgLogicalCaptureManager(
+        r, slot="td_parity", table_regexp="notes").install()
+    r.sql(
+        "INSERT INTO notes VALUES (default, '2021-05-06T07:08:09', "
+        "'x', NULL, true);"
+        "UPDATE notes SET note = 'y' WHERE id = 1;"
+        "DELETE FROM notes WHERE id = 1;"
+        "TRUNCATE notes;"
+    )
+    po = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="po", publication=mgr.publication)
+    td = PgLogicalPoller.open_durable(r, slot="td_parity", consumer="td")
+    po_rows = sorted(po.read_batch(spark).collect(), key=lambda x: x.seq)
+    td_rows = sorted(td.read_batch(spark).collect(), key=lambda x: x.seq)
+    assert len(po_rows) == len(td_rows) == 4
+
+    def norm(row):
+        def load(s):
+            if s is None:
+                return None
+            return {k: v for k, v in json.loads(s).items() if v is not None}
+        return (row.seq, row.op, row.id, load(row.payload_json),
+                load(row.previous_json))
+
+    assert [norm(a) for a in po_rows] == [norm(b) for b in td_rows]
+
+
+def test_pgoutput_server_side_filtering(pg, spark):
+    """The publication scopes decoding ON THE SERVER: writes to an
+    unpublished table (and the engine's own offset-table bookkeeping)
+    never reach the wire — the feedback problem the test_decoding
+    parser filters client-side simply does not exist here."""
+    r, mgr = _fresh(pg, "filter")
+    r.sql("CREATE TABLE unpublished (id int, junk text);")
+    p = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", publication=mgr.publication)
+    r.sql("INSERT INTO unpublished SELECT g, 'j' || g "
+          "FROM generate_series(1, 50) g;")
+    r.sql("INSERT INTO notes VALUES (default, now(), 'mine', 1, true);")
+    rows = p.read_batch(spark).collect()
+    p.advance()
+    assert [(row.table_name, row.id) for row in rows] == [("notes", "1")]
+    # advance()'s own offset writes breed no decodable changes: the
+    # next poll is empty (no escalation churn, no feedback)
+    assert p.read_batch(spark).count() == 0
+
+
+def test_pgoutput_replay_and_small_window(pg, spark):
+    """Inherited machinery re-proven on the binary plugin: a crash
+    between sink and advance replays byte-identical seqs, and a
+    restart with a tiny peek window escalates to cover the anchor."""
+    r, mgr = _fresh(pg, "replay")
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}', NULL, true)"
+        for i in range(1, 21)) + ";")
+    p = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", publication=mgr.publication)
+    first = sorted((row.seq, row.id) for row in p.read_batch(spark).collect())
+    assert first == [(i, str(i)) for i in range(1, 21)]
+    # torn advance: offset rows land, slot stays back — a restarted
+    # poller with a TINY window must escalate to the stored anchor and
+    # renumber the replay byte-identically
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    p2 = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", publication=mgr.publication,
+        max_changes=4)
+    replay = sorted(
+        (row.seq, row.id) for row in p2.read_batch(spark).collect())
+    assert replay == first
+    p2.advance()
+    r.sql("INSERT INTO notes VALUES (99, now(), 'new', NULL, false);")
+    nxt = [(row.seq, row.id) for row in p2.read_batch(spark).collect()]
+    assert nxt == [(21, "99")]
+
+
+def test_pgoutput_multi_table_truncate(pg, spark):
+    """TRUNCATE a, b arrives as ONE binary message carrying both
+    relation ids — one delete-all envelope per table."""
+    r, _ = _fresh(pg, "mtrunc")
+    r.sql("CREATE TABLE extras (id int, note text);")
+    mgr = PgOutputCaptureManager(
+        r, slot="po_mtrunc2", publication="pub_mtrunc2",
+        table_regexp="notes|extras")
+    assert sorted(mgr.install()) == ["extras", "notes"]
+    p = PgOutputPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", publication=mgr.publication,
+        table_regexp="notes|extras")
+    r.sql("INSERT INTO notes VALUES (1, now(), 'n', NULL, true);"
+          "INSERT INTO extras VALUES (2, 'e');"
+          "TRUNCATE notes, extras;")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    assert [(row.table_name, row.op) for row in rows] == [
+        ("notes", "INSERT"), ("extras", "INSERT"),
+        ("notes", "TRUNCATE"), ("extras", "TRUNCATE")]
+
+
+def test_pgoutput_lifecycle(pg):
+    r, mgr = _fresh(pg, "lifecycle")
+    assert mgr.install() == ["notes"]  # idempotent
+    assert mgr.remove() == ["notes"]
+    assert r.scalar(
+        "SELECT count(*) FROM pg_publication "
+        f"WHERE pubname = '{mgr.publication}'") == "0"
+    assert r.scalar(
+        "SELECT count(*) FROM pg_replication_slots "
+        f"WHERE slot_name = '{mgr.slot}'") == "0"
+
+
+def test_daemon_plugin_pgoutput_once(pg, tmp_path):
+    """`pqsd --transport logical --plugin pgoutput --once`: publication
+    install, incremental drains, durable resume — the full daemon
+    pipeline over the binary protocol."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pg.createdb("po_daemon").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("po_daemon")
+    r = PsqlRunner(conninfo)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    argv = [sys.executable, "-m", "pqstream_spark",
+            "--connect", f"postgres:{conninfo}", "--transport", "logical",
+            "--plugin", "pgoutput", "--slot", "po_daemon",
+            "--publication", "pub_daemon", "--tables", "notes",
+            "--out", out, "--once"]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+
+    def run():
+        with open(str(tmp_path / "log"), "ab") as log:
+            return subprocess.run(argv, cwd=repo, env=env, stdout=log,
+                                  stderr=log, timeout=300).returncode
+
+    def ids():
+        got = []
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                got.extend(_json.loads(l)["payload"]["id"]
+                           for l in fh if l.strip())
+        return got
+
+    assert run() == 0  # installs publication + slot
+    r.sql("INSERT INTO notes VALUES (default, now(), 'a', 1.0, true);"
+          "INSERT INTO notes VALUES (default, now(), 'b', NULL, false);")
+    assert run() == 0
+    assert sorted(ids()) == [1, 2]
+    assert run() == 0  # idle: nothing new
+    assert sorted(ids()) == [1, 2]
