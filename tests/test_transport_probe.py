@@ -67,10 +67,14 @@ def test_logical_replication_binaries_probe():
             "(logical_pg.recv_changes_walsender) would silently skip"
         )
         import tests.test_logical_pg as logical
+        import tests.test_pgoutput_pg as pgoutput
 
         # same skip flag wiring as the other live-PG suites
         assert not logical.pytestmark.args[0], (
             "logical suite would skip with a live server available"
+        )
+        assert not pgoutput.pytestmark.args[0], (
+            "pgoutput suite would skip with a live server available"
         )
 
 
