@@ -68,12 +68,31 @@ class LogicalStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "pqstream_logical requires option url=postgres:CONNINFO"
             )
-        self._poller = PgLogicalPoller.open_durable(
-            PsqlRunner(conninfo),
-            slot=options.get("slot", DEFAULT_SLOT),
-            consumer=options.get("consumer", "datasource"),
-            table_regexp=options.get("tableregexp") or None,
-        )
+        plugin = options.get("plugin", "test_decoding")
+        if plugin == "pgoutput":
+            # the replication-grade binary plugin with server-side
+            # publication filtering — same poller contract, so the
+            # entire offset/staging machinery below is plugin-agnostic
+            from .pgoutput_pg import DEFAULT_PUBLICATION, PgOutputPoller
+
+            self._poller = PgOutputPoller.open_durable(
+                PsqlRunner(conninfo),
+                slot=options.get("slot", DEFAULT_SLOT),
+                consumer=options.get("consumer", "datasource"),
+                publication=options.get("publication", DEFAULT_PUBLICATION),
+                table_regexp=options.get("tableregexp") or None,
+            )
+        elif plugin == "test_decoding":
+            self._poller = PgLogicalPoller.open_durable(
+                PsqlRunner(conninfo),
+                slot=options.get("slot", DEFAULT_SLOT),
+                consumer=options.get("consumer", "datasource"),
+                table_regexp=options.get("tableregexp") or None,
+            )
+        else:
+            raise ValueError(
+                f"unknown plugin {plugin!r} (test_decoding or pgoutput)"
+            )
         self._poller.max_changes = int(
             options.get("maxchangesperbatch", 100_000)
         )

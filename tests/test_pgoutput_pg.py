@@ -253,3 +253,53 @@ def test_daemon_plugin_pgoutput_once(pg, tmp_path):
     assert sorted(ids()) == [1, 2]
     assert run() == 0  # idle: nothing new
     assert sorted(ids()) == [1, 2]
+
+
+def test_pgoutput_through_streaming_datasource(pg, spark, tmp_path):
+    """readStream.format('pqstream_logical').option('plugin',
+    'pgoutput'): the engine-managed-offset path over the binary
+    protocol — live writes, checkpoint restart exactly once, server-
+    side filtering intact."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+
+    r, mgr = _fresh(pg, "ds")
+    r.sql("CREATE TABLE unpublished (id int);")
+    spark.dataSource.register(LogicalDataSource)
+    conninfo = pg.conninfo("ds")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query():
+        stream = (
+            spark.readStream.format("pqstream_logical")
+            .option("url", f"postgres:{conninfo}")
+            .option("plugin", "pgoutput")
+            .option("slot", mgr.slot)
+            .option("publication", mgr.publication)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    r.sql("INSERT INTO notes VALUES (default, now(), 'a', 1.0, true);"
+          "INSERT INTO unpublished VALUES (99);")
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r.sql("UPDATE notes SET note = 'b' WHERE id = 1;")  # while down
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = sorted(out.collect(), key=lambda x: x.seq)
+    assert [(row.seq, row.op, row.table_name) for row in rows] == [
+        (1, "INSERT", "notes"), (2, "UPDATE", "notes")]
+    assert json.loads(rows[1].previous_json)["note"] == "a"
