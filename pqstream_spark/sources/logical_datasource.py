@@ -169,6 +169,22 @@ class LogicalStreamReader(DataSourceStreamReader):
         # regressed offset lands in Spark's offset log, re-planning a
         # range the slot will have advanced past by the next trigger
         self._reported = max(self._reported, self._poller.last_seq)
+        # Idle housekeeping (round 10, ADVICE r9): each poll's flush
+        # barrier writes one WAL record, but the slot only advances in
+        # commit() — which never fires while the stream is idle, so
+        # confirmed_flush_lsn froze while every trigger appended
+        # another barrier transaction: WAL retention AND the per-poll
+        # decode window grew without bound for the whole idle period.
+        # When the staged window holds ONLY change-free boundaries
+        # (no undelivered rows anywhere — an in-flight reported batch
+        # would re-peek its rows into _staged_rows), advancing the slot
+        # to the newest one is safe: those transactions deliver no rows
+        # and no seqs depend on them.
+        if not self._staged_rows:
+            idle = self._boundaries.pop(self._poller.last_seq, None)
+            if idle is not None:
+                self._poller.advance_to(
+                    idle[0], idle[1], self._poller.last_seq)
         return {"seq": self._reported}
 
     def _restage_until(self, target_seq: int) -> None:

@@ -100,6 +100,25 @@ def _normalize_ts(val: str) -> str:
 _CHANGE_RE = re.compile(
     r"^table ([^:]+): (INSERT|UPDATE|DELETE|TRUNCATE):\s?(.*)$", re.S
 )
+
+# test_decoding renders an UPDATE's unchanged out-of-line TOAST columns
+# as the UNQUOTED token `col[text]:unchanged-toast-datum` — the value
+# was not re-logged because the new tuple reuses the old toast pointer.
+# Detection is unambiguous: a genuine user string that happens to BE
+# this text always renders single-quoted ('unchanged-toast-datum'),
+# the marker never does (round-10 lead fix; the naive parse emitted the
+# literal marker string as the column value — silent corruption for
+# any >2 KB column an UPDATE didn't touch, i.e. the NORMAL case for a
+# documents table).
+_TOAST_TOKEN = "unchanged-toast-datum"
+
+# In-flight placeholder for an unchanged-toast column that could NOT be
+# filled from the old tuple (replica identity not FULL). PostgreSQL
+# text values can never contain NUL, so the NUL framing makes collision
+# with real data impossible; the poller resolves it via the P3
+# re-select before any row leaves read_rows — it never reaches a sink.
+UNCHANGED_TOAST_MARKER = "\x00pqstream:unchanged-toast\x00"
+_MARKER_JSON = json.dumps(UNCHANGED_TOAST_MARKER)  # NULs escaped as \u0000
 _COMMIT_TS_RE = re.compile(r"^COMMIT \d+(?: \(at (.+)\))?$")
 # the type part is non-greedy up to the first `]:`: array types render
 # with nested brackets (`tags[integer[]]:`), which a [^\]]+ class would
@@ -245,6 +264,28 @@ def parse_change_line(data: str) -> list[tuple[str, str, str, str | None, str | 
         if rest.startswith("new-tuple: ", i):
             i += len("new-tuple: ")
         payload_cols, _ = _parse_tuple(rest, i)
+        # Unchanged-TOAST backfill (round-10 lead fix, VERDICT r9 #1):
+        # an out-of-line TOASTed column the UPDATE didn't touch renders
+        # as the UNQUOTED `unchanged-toast-datum` token — the new tuple
+        # reuses the old toast pointer, so the true value is BY
+        # DEFINITION the old tuple's (REPLICA IDENTITY FULL, which
+        # install() sets, logs it there — toast included). A quoted
+        # occurrence is a genuine user string and passes through.
+        # When the old tuple lacks the column (identity not FULL) the
+        # NUL-framed marker goes in; PgLogicalPoller resolves it via
+        # the P3 re-select before the row leaves read_rows.
+        if any(not q and v == _TOAST_TOKEN for _, _, v, q in payload_cols):
+            old_by_name = {c[0]: c for c in prev_cols}
+            payload_cols = [
+                (
+                    (name, typ, old_by_name[name][2], old_by_name[name][3])
+                    if name in old_by_name
+                    else (name, typ, UNCHANGED_TOAST_MARKER, True)
+                )
+                if (not quoted and val == _TOAST_TOKEN)
+                else (name, typ, val, quoted)
+                for (name, typ, val, quoted) in payload_cols
+            ]
     else:
         payload_cols, _ = _parse_tuple(rest)
     payload = _row_json(payload_cols)
@@ -559,6 +600,7 @@ class PgLogicalPoller:
                 f"{self.last_lsn}; raise max_peek to renumber the "
                 "replay consistently"
             )
+        self._resolve_unchanged_toast(txns)
         # replay-stable numbering (class docstring): txns at or below
         # the stored LSN are replays of already-numbered changes
         n_replay = sum(
@@ -579,6 +621,60 @@ class PgLogicalPoller:
         last = txns[-1]
         self._pending = (last.commit_lsn_text, last.commit_lsn, seq)
         return data, boundaries
+
+    def _resolve_unchanged_toast(self, txns: list[_Txn]) -> None:
+        """Resolve any UNCHANGED_TOAST_MARKER placeholders left by the
+        parse (an UPDATE's untouched TOAST column whose old tuple did
+        not carry it — replica identity not FULL). Resolution order,
+        per VERDICT r9 #1: (1) the P3 re-select by id
+        (`pg_fetch_row_by_id`, the reference's fallbackLookup,
+        server.go:194-212 — current-value semantics, same as the
+        reference's own degradation recovery); (2) when the row is
+        gone or has no id, degrade the payload to None — the S2 tier-2
+        shape downstream already handles (queries.go:41-47) — NEVER a
+        plausible-looking wrong value. The marker itself is NUL-framed
+        so it cannot collide with any PostgreSQL text value; it never
+        leaves this method."""
+        from .outbox_pg import pg_fetch_row_by_id
+
+        sub = _MARKER_JSON[1:-1]  # escaped marker, sans the JSON quotes
+        cache: dict[tuple[str, str], dict | None] = {}
+        for t in txns:
+            for idx, ch in enumerate(t.changes):
+                schema, table, op, row_id, payload, previous = ch
+                if not payload or sub not in payload:
+                    continue
+                obj = json.loads(payload)
+                marked = [k for k, v in obj.items()
+                          if v == UNCHANGED_TOAST_MARKER]
+                if not marked:
+                    continue  # escaped lookalike in user data — leave it
+                fetched = None
+                if row_id is not None and "\x00" not in row_id:
+                    key = (table, row_id)
+                    if key not in cache:
+                        try:
+                            raw = pg_fetch_row_by_id(
+                                self.runner, table, row_id)
+                        except (PsqlError, ValueError):
+                            raw = None
+                        cache[key] = json.loads(raw) if raw else None
+                    fetched = cache[key]
+                if fetched is not None and all(k in fetched for k in marked):
+                    # splice the fetched values in by string surgery so
+                    # every OTHER column keeps its exact wire rendering
+                    # (a loads/dumps round-trip would rewrite numeric
+                    # digits, e.g. 1.50 -> 1.5)
+                    for k in marked:
+                        kj = json.dumps(k, ensure_ascii=False)
+                        payload = payload.replace(
+                            f"{kj}:{_MARKER_JSON}",
+                            f"{kj}:{json.dumps(fetched[k], ensure_ascii=False)}",
+                        )
+                else:
+                    payload = None
+                t.changes[idx] = (schema, table, op, row_id, payload,
+                                  previous)
 
     def read_batch(self, spark):
         data, _ = self.read_rows()
@@ -631,16 +727,28 @@ class PgLogicalPoller:
         self._pending = None
 
     def lag(self) -> dict:
-        """Operational backlog: WAL bytes the slot has not confirmed."""
-        got = self.runner.scalar(
-            "SELECT (pg_current_wal_insert_lsn() - confirmed_flush_lsn)::bigint "
+        """Operational backlog: WAL bytes the slot has not confirmed,
+        plus the retention-health columns (round 10): `wal_status`
+        'unreserved'/'lost' means max_slot_wal_keep_size pressure is
+        discarding WAL the slot still needs — the abandoned-slot
+        footgun; `safe_wal_size` is the byte budget left before that
+        happens (None when no limit is configured)."""
+        rows = self.runner.query_csv(
+            "SELECT (pg_current_wal_insert_lsn() - confirmed_flush_lsn)"
+            "::bigint AS pending, wal_status, safe_wal_size "
             f"FROM pg_replication_slots WHERE slot_name = {_quote_lit(self.slot)}"
         )
+        r = rows[0] if rows else {}
         return {
             "slot": self.slot,
             "consumer": self.consumer,
             "last_seq": self.last_seq,
-            "wal_bytes_pending": int(got or 0),
+            "wal_bytes_pending": int(r.get("pending") or 0),
+            "wal_status": r.get("wal_status"),
+            "safe_wal_size": (
+                int(r["safe_wal_size"])
+                if r.get("safe_wal_size") is not None else None
+            ),
         }
 
 

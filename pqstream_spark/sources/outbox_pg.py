@@ -220,31 +220,39 @@ class EphemeralPostgres:
                            check=True, cwd="/tmp")
 
     # -- lifecycle --------------------------------------------------------
-    def initdb(self) -> None:
+    def initdb(self, extra: str = "") -> None:
+        """`extra` appends raw initdb options (e.g. '--wal-segsize=1'
+        for the WAL-retention tests — 1 MiB segments make
+        max_slot_wal_keep_size pressure reachable with kilobytes of
+        writes instead of multiples of 16 MiB)."""
         os.makedirs(self.data, exist_ok=True)
         os.makedirs(self.sock, exist_ok=True)
         self._chown_for_server()
         pg_ctl = shutil.which("pg_ctl")
         proc = self._server_cmd(
             f"{shlex.quote(pg_ctl)} initdb -D {shlex.quote(self.data)} "
-            f"-o '--auth=trust --no-sync -U {self.superuser}'"
+            f"-o '--auth=trust --no-sync -U {self.superuser} {extra}'"
         )
         if proc.returncode != 0:
             raise RuntimeError(f"initdb failed: {proc.stderr}\n{proc.stdout}")
 
-    def start(self, wal_level: str = "logical") -> None:
+    def start(self, wal_level: str = "logical", extra_conf: str = "") -> None:
         pg_ctl = shutil.which("pg_ctl")
         # wal_level=logical from the start: the logical-replication
         # capture backend (sources/logical_pg.py) needs it, its cost on
         # a test cluster is noise, and one cluster shape keeps every
         # suite on the same code path (`wal_level` overridable so tests
-        # can exercise the replica-level refusal paths)
+        # can exercise the replica-level refusal paths; `extra_conf`
+        # appends raw `-c k=v` settings, e.g. max_slot_wal_keep_size
+        # for the retention-pressure tests)
         opts = (
             f"-k {self.sock} -c listen_addresses= -c fsync=off "
             f"-c synchronous_commit=off -c full_page_writes=off "
             f"-c wal_level={wal_level} -c max_replication_slots=64 "
             f"-c max_wal_senders=64"
         )
+        if extra_conf:
+            opts += f" {extra_conf}"
         proc = self._server_cmd(
             f"{shlex.quote(pg_ctl)} start -w -t 60 -D {shlex.quote(self.data)} "
             f"-l {shlex.quote(self.log)} -o {shlex.quote(opts)}"

@@ -41,7 +41,9 @@ from dataclasses import dataclass, field
 
 from .logical_pg import (
     DEFAULT_SLOT,
+    UNCHANGED_TOAST_MARKER,
     PgLogicalPoller,
+    _MARKER_JSON,
     _normalize_ts,
     _Txn,
 )
@@ -117,7 +119,13 @@ def _read_tuple(r: _Reader) -> list[str | None] | None:
         if kind == ord("n"):
             vals.append(None)
         elif kind == ord("u"):
-            vals.append(None)  # unchanged TOAST — value not sent
+            # unchanged TOAST — the value was NOT sent (the new tuple
+            # reuses the old toast pointer). Round-10 lead fix: mapping
+            # this to None silently nulled the column in UPDATE
+            # payloads; the NUL-framed marker (collision-free: PG text
+            # cannot contain NUL) is backfilled from the old tuple in
+            # _envelopes, or P3-resolved by the inherited poller.
+            vals.append(UNCHANGED_TOAST_MARKER)
         elif kind == ord("t"):
             n = r.i32()
             vals.append(r.take(n).decode("utf-8"))
@@ -135,6 +143,13 @@ def _row_json(rel: _Relation, vals: list[str | None]) -> str:
     for (name, oid), val in zip(rel.columns, vals):
         if val is None:
             rendered = "null"
+        elif val == UNCHANGED_TOAST_MARKER:
+            # unresolved unchanged-TOAST placeholder (no FULL-identity
+            # old tuple to backfill from): rendered as the escaped
+            # marker REGARDLESS of the column's type oid (a bare-oid
+            # rendering would emit invalid JSON) for the poller's P3
+            # resolution pass — it never reaches a sink
+            rendered = _MARKER_JSON
         elif oid in _BARE_OIDS:
             rendered = val
         elif oid == _BOOL_OID:
@@ -168,6 +183,25 @@ class PgOutputCaptureManager:
         return filter_tables([r["table_name"] for r in rows],
                              self.table_regexp)
 
+    def _slot_exists(self) -> bool:
+        """Same cluster-global contract as the test_decoding manager: a
+        same-name slot owned by ANOTHER database must fail loudly
+        (pre-validated by the daemon before any destructive step)."""
+        rows = self.runner.query_csv(
+            "SELECT database = current_database() AS here "
+            "FROM pg_replication_slots "
+            f"WHERE slot_name = {_quote_lit(self.slot)}"
+        )
+        if not rows:
+            return False
+        if rows[0]["here"] != "t":
+            raise RuntimeError(
+                f"replication slot {self.slot!r} already exists in another "
+                "database of this cluster (slot names are cluster-global); "
+                "pick a distinct slot name"
+            )
+        return True
+
     def install(self) -> list[str]:
         tables = self.discover_tables()
         if not tables:
@@ -183,15 +217,25 @@ class PgOutputCaptureManager:
             f'ALTER TABLE "{_check_ident(t)}" REPLICA IDENTITY FULL'
             for t in tables
         ]
-        stmts.append(f"DROP PUBLICATION IF EXISTS {self.publication}")
-        stmts.append(f"CREATE PUBLICATION {self.publication} "
-                     f"FOR TABLE {idents}")
-        self.runner.sql(";\n".join(stmts) + ";")
-        exists = self.runner.scalar(
-            "SELECT count(*) FROM pg_replication_slots WHERE slot_name = "
-            f"{_quote_lit(self.slot)} AND database = current_database()"
+        # Publication membership must never lapse (round-10 hardening,
+        # ADVICE r9): the old DROP-then-CREATE ran as two autocommitted
+        # statements, and a transaction committing in that window had
+        # NO publication membership in the historic catalog — silently
+        # excluded from decode under a live slot (lost rows). ALTER
+        # PUBLICATION ... SET TABLE swaps the table set in ONE
+        # statement, so membership is continuous across re-installs.
+        pub_exists = self.runner.scalar(
+            "SELECT count(*) FROM pg_publication WHERE pubname = "
+            f"{_quote_lit(self.publication)}"
         )
-        if int(exists or 0) == 0:
+        if int(pub_exists or 0) > 0:
+            stmts.append(f"ALTER PUBLICATION {self.publication} "
+                         f"SET TABLE {idents}")
+        else:
+            stmts.append(f"CREATE PUBLICATION {self.publication} "
+                         f"FOR TABLE {idents}")
+        self.runner.sql(";\n".join(stmts) + ";")
+        if not self._slot_exists():
             self.runner.sql(
                 "SELECT pg_create_logical_replication_slot("
                 f"{_quote_lit(self.slot)}, 'pgoutput');"
@@ -206,11 +250,7 @@ class PgOutputCaptureManager:
         ]
         stmts.append(f"DROP PUBLICATION IF EXISTS {self.publication}")
         self.runner.sql(";\n".join(stmts) + ";")
-        exists = self.runner.scalar(
-            "SELECT count(*) FROM pg_replication_slots WHERE slot_name = "
-            f"{_quote_lit(self.slot)} AND database = current_database()"
-        )
-        if int(exists or 0) > 0:
+        if self._slot_exists():
             self.runner.sql(
                 f"SELECT pg_drop_replication_slot({_quote_lit(self.slot)});"
             )
@@ -280,15 +320,29 @@ class PgOutputPoller(PgLogicalPoller):
         if rel is None:
             return []
         old_vals = new_vals = None
+        old_tag = None
         tag = chr(r.u8())
         if kind == "I":
             # tag is 'N'
             new_vals = _read_tuple(r)
         elif kind == "U":
             if tag in ("O", "K"):
+                old_tag = tag
                 old_vals = _read_tuple(r)
                 tag = chr(r.u8())
             new_vals = _read_tuple(r)
+            # Unchanged-TOAST backfill (round-10 lead fix): a column
+            # the UPDATE didn't touch arrives as TupleData kind 'u' —
+            # its true value is BY DEFINITION the old tuple's, and the
+            # FULL-identity old tuple ('O', which install() guarantees)
+            # carries it, toast included. A key-only old tuple ('K')
+            # nulls non-key columns, so it must NOT be used — those
+            # fall through to the poller's P3 resolution.
+            if old_tag == "O" and old_vals is not None:
+                new_vals = [
+                    ov if nv == UNCHANGED_TOAST_MARKER else nv
+                    for nv, ov in zip(new_vals, old_vals)
+                ]
         else:  # D — tag 'O' (REPLICA IDENTITY FULL) or 'K' (key only)
             old_vals = _read_tuple(r)
         op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[kind]

@@ -600,7 +600,8 @@ def test_logical_lag_cli(pg, capsys):
     lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     slot_rows = [l for l in lines if l.get("slot") == "pq_lag"]
     assert len(slot_rows) == 1 and slot_rows[0]["wal_bytes_pending"] > 0
-    assert lines[-1] == {"summary": True, "slots": 1}
+    assert slot_rows[0]["wal_status"] == "reserved"  # healthy slot
+    assert lines[-1] == {"summary": True, "slots": 1, "unhealthy": 0}
 
 
 def test_daemon_logical_sigkill_exactly_once(pg, tmp_path):
@@ -923,3 +924,225 @@ def test_logical_bootstrap_not_masked_by_outbox_marker(pg, tmp_path):
         with open(f) as fh:
             ids.update(_json.loads(l)["payload"]["id"] for l in fh if l.strip())
     assert ids == {1}, "outbox marker masked the logical snapshot"
+
+
+# -- unchanged-TOAST payload fidelity (round-10 lead fix, VERDICT r9 #1) -----
+
+
+def _toast_text(tag: str, n: int = 8192) -> str:
+    """Deterministic incompressible text > the 2 KB TOAST threshold
+    (sha256 chain — no compressible structure), so the column is stored
+    out-of-line even without STORAGE EXTERNAL; the tests force EXTERNAL
+    anyway so the out-of-line condition never depends on compression
+    ratios."""
+    import hashlib
+
+    out: list[str] = []
+    seed = tag.encode()
+    while sum(len(x) for x in out) < n:
+        seed = hashlib.sha256(seed).digest()
+        out.append(seed.hex())
+    return "".join(out)[:n]
+
+
+DOCS_DDL = ("CREATE TABLE docs (id int PRIMARY KEY, meta text, body text);"
+            "ALTER TABLE docs ALTER COLUMN body SET STORAGE EXTERNAL;")
+
+
+def test_unchanged_toast_matrix_test_decoding(pg, spark):
+    """The LLM-pipeline shape: a documents table whose >2 KB body is
+    TOASTed out-of-line. An UPDATE that does NOT touch the body used to
+    deliver the literal string 'unchanged-toast-datum' as the column
+    value (silent corruption); the fix backfills it from the same
+    message's REPLICA-IDENTITY-FULL old tuple. Full matrix:
+    INSERT / metadata-only UPDATE / body UPDATE / DELETE."""
+    r = pg.createdb("logi_toast")
+    r.sql(DOCS_DDL)
+    mgr = PgLogicalCaptureManager(r, slot="pq_toast", table_regexp="docs")
+    assert mgr.install() == ["docs"]
+    body0 = _toast_text("v0")
+    body1 = _toast_text("v1")
+    r.sql(f"INSERT INTO docs VALUES (1, 'm0', '{body0}');"
+          f"UPDATE docs SET meta = 'm1' WHERE id = 1;"       # body untouched
+          f"UPDATE docs SET body = '{body1}' WHERE id = 1;"  # body changed
+          f"DELETE FROM docs WHERE id = 1;")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    ins, upd_meta, upd_body, dele = rows
+    assert json.loads(ins.payload_json)["body"] == body0
+    # the metadata-only UPDATE: payload == previous == original body
+    pm = json.loads(upd_meta.payload_json)
+    assert pm["meta"] == "m1"
+    assert pm["body"] == body0, "unchanged-TOAST body corrupted in payload"
+    assert json.loads(upd_meta.previous_json)["body"] == body0
+    # the body UPDATE: payload carries the new value, previous the old
+    assert json.loads(upd_body.payload_json)["body"] == body1
+    assert json.loads(upd_body.previous_json)["body"] == body0
+    # DELETE payload = full OLD row including the TOASTed column
+    assert json.loads(dele.payload_json)["body"] == body1
+
+
+def test_unchanged_toast_marker_string_collision(pg, spark):
+    """A row whose GENUINE text value is the literal string
+    'unchanged-toast-datum' must pass through untouched: the wire
+    renders a real user string single-quoted, the toast marker never is
+    — detection is by quoting, not by content."""
+    r = pg.createdb("logi_toastlit")
+    r.sql(NOTES_DDL + ";")
+    mgr = PgLogicalCaptureManager(
+        r, slot="pq_toastlit", table_regexp="notes")
+    mgr.install()
+    r.sql("INSERT INTO notes VALUES (1, now(), 'unchanged-toast-datum');"
+          "UPDATE notes SET created_at = now() WHERE id = 1;"
+          "UPDATE notes SET note = 'unchanged-toast-datum' WHERE id = 1;")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    for row in rows:
+        assert json.loads(row.payload_json)["note"] == (
+            "unchanged-toast-datum"), "literal user string mangled"
+    assert json.loads(rows[1].previous_json)["note"] == (
+        "unchanged-toast-datum")
+
+
+def test_unchanged_toast_non_full_identity_p3_fallback(pg, spark):
+    """When REPLICA IDENTITY is not FULL (an operator reset it under a
+    live slot) the old tuple lacks the unchanged column: the poller
+    falls back to the P3 re-select (reference fallbackLookup,
+    server.go:194-212) — current-value semantics. When even that fails
+    (the row was deleted before the poll) the payload degrades to None
+    (the S2 tier-2 shape, queries.go:41-47) — NEVER a plausible-looking
+    wrong value."""
+    r = pg.createdb("logi_toastnf")
+    r.sql(DOCS_DDL)
+    mgr = PgLogicalCaptureManager(r, slot="pq_toastnf", table_regexp="docs")
+    mgr.install()
+    r.sql("ALTER TABLE docs REPLICA IDENTITY DEFAULT;")
+    body = _toast_text("nf")
+    r.sql(f"INSERT INTO docs VALUES (1, 'm0', '{body}');"
+          "UPDATE docs SET meta = 'm1' WHERE id = 1;")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    upd = rows[1]
+    assert upd.op == "UPDATE"
+    # P3 re-select recovered the live row's body
+    assert json.loads(upd.payload_json)["body"] == body
+    assert "\x00" not in upd.payload_json
+
+    # row gone before the poll: explicit degradation, id preserved
+    r.sql("UPDATE docs SET meta = 'm2' WHERE id = 1;"
+          "DELETE FROM docs WHERE id = 1;")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    upd2 = rows[0]
+    assert upd2.op == "UPDATE" and upd2.id == "1"
+    assert upd2.payload_json is None, (
+        "unresolvable unchanged-TOAST must degrade, not guess")
+
+
+def test_logical_lag_surfaces_wal_retention_pressure(capsys):
+    """The abandoned-slot footgun (VERDICT r9 #3): a slot whose
+    consumer stops polling retains WAL until the disk fills — unless
+    max_slot_wal_keep_size caps it, at which point the slot goes
+    'unreserved'/'lost' and its changes are unrecoverable. `--lag
+    --transport logical` must surface wal_status/safe_wal_size and
+    count unhealthy slots; driven live on a dedicated cluster with
+    1 MiB WAL segments and max_slot_wal_keep_size=1MB."""
+    import json as _json
+
+    from pqstream_spark.__main__ import main
+
+    srv = EphemeralPostgres.temp("pq_walkeep_")
+    srv.initdb(extra="--wal-segsize=1")
+    srv.start(extra_conf="-c max_slot_wal_keep_size=1MB")
+    try:
+        r = srv.createdb("keep")
+        r.sql(NOTES_DDL + ";")
+        mgr = PgLogicalCaptureManager(r, slot="pq_keep",
+                                      table_regexp="notes")
+        mgr.install()
+        argv = ["--connect", f"postgres:{srv.conninfo('keep')}",
+                "--transport", "logical", "--slot", "pq_keep", "--lag"]
+
+        # healthy first: fresh slot, nothing pending beyond noise
+        assert main(argv) == 0
+        lines = [_json.loads(l)
+                 for l in capsys.readouterr().out.splitlines()]
+        (row,) = [l for l in lines if l.get("slot") == "pq_keep"]
+        assert row["wal_status"] == "reserved"
+        assert row["safe_wal_size"] is not None  # keep-size configured
+        assert lines[-1]["unhealthy"] == 0
+
+        # abandon the slot under ~5 MB of WAL, then let a checkpoint
+        # apply the retention limit
+        r.sql("INSERT INTO notes SELECT g, now(), repeat('x', 1000) "
+              "FROM generate_series(1, 5000) g;")
+        r.sql("SELECT pg_switch_wal();")
+        r.sql("CHECKPOINT;")
+        assert main(argv) == 0
+        lines = [_json.loads(l)
+                 for l in capsys.readouterr().out.splitlines()]
+        (row,) = [l for l in lines if l.get("slot") == "pq_keep"]
+        assert row["wal_status"] in ("unreserved", "lost"), row
+        assert lines[-1]["unhealthy"] >= 1
+    finally:
+        srv.destroy()
+
+
+def test_logical_datasource_idle_polls_bound_wal_retention(pg):
+    """ADVICE r9: every latestOffset poll emits a synchronously-flushed
+    barrier WAL record, but the slot only advanced in commit() — on an
+    idle stream confirmed_flush_lsn froze while each trigger appended
+    another barrier transaction: unbounded WAL retention and an
+    ever-growing per-poll decode window. Fixed: a poll whose staged
+    window holds only change-free boundaries advances the slot to the
+    newest one directly. Pinned: across idle polls the slot's
+    confirmed_flush_lsn keeps moving and the pending window stays
+    within a couple of barrier records."""
+    from pqstream_spark.sources.logical_datasource import LogicalStreamReader
+
+    pg.createdb("logi_idle").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_idle")
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+    r = PsqlRunner(conninfo)
+    PgLogicalCaptureManager(r, slot="pq_idle", table_regexp="notes").install()
+
+    reader = LogicalStreamReader({
+        "url": f"postgres:{conninfo}", "slot": "pq_idle",
+        "tableregexp": "notes",
+    })
+    # one real micro-batch first (report + commit), then go idle
+    r.sql("INSERT INTO notes VALUES (1, now(), 'x');")
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end["seq"] == 1
+    list(reader.read(reader.partitions(start, end)[0]))
+    reader.commit(end)
+
+    def pending() -> int:
+        return int(r.scalar(
+            "SELECT (pg_current_wal_insert_lsn() - confirmed_flush_lsn)"
+            "::bigint FROM pg_replication_slots "
+            "WHERE slot_name = 'pq_idle'"))
+
+    flushed = []
+    for _ in range(6):
+        assert reader.latestOffset() == end  # idle: offset holds
+        flushed.append(int(r.scalar(
+            "SELECT (confirmed_flush_lsn - '0/0'::pg_lsn)::bigint "
+            "FROM pg_replication_slots WHERE slot_name = 'pq_idle'")))
+    # the slot keeps advancing across idle polls...
+    assert flushed[-1] > flushed[0], "confirmed_flush_lsn frozen while idle"
+    # ...and the unconfirmed window stays ~one barrier record, not
+    # one-per-poll (each barrier txn is < ~300 bytes of WAL)
+    assert pending() < 1500, f"idle WAL window grew: {pending()} bytes"
+
+    # the stream still works after idle housekeeping
+    r.sql("UPDATE notes SET note = 'y' WHERE id = 1;")
+    end2 = reader.latestOffset()
+    assert end2["seq"] == 2
+    rows = list(reader.read(reader.partitions(end, end2)[0]))
+    assert [row[4] for row in rows] == ["UPDATE"]
+    reader.commit(end2)
