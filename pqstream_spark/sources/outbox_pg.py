@@ -828,20 +828,35 @@ def pg_mark_bootstrap_done(runner: PsqlRunner, marker: str = BOOTSTRAP_CONSUMER)
     )
 
 
-def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None):
+def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None,
+                      snapshot_name: str | None = None):
     """Initial-state snapshot as synthetic INSERT outbox rows with
     negative seqs, mirroring outbox_local.snapshot_batch. Payload JSON
     is rendered server-side by to_json(t) — byte-identical to what the
-    capture trigger would have emitted for the same row."""
+    capture trigger would have emitted for the same row.
+
+    `snapshot_name` anchors every table read at an EXPORTED snapshot
+    (`SET TRANSACTION SNAPSHOT` inside REPEATABLE READ) — the logical
+    transport's exactly-once bootstrap passes the slot's creation
+    snapshot here (SlotSnapshotSession) so snapshot ∪ changelog
+    partition history disjointly; without it each table reads its own
+    read-committed snapshot (the outbox path, which fences instead)."""
     mgr = PgCaptureManager(runner, table_regexp=table_regexp)
     tables = mgr.discover_tables()
     now = datetime.now(timezone.utc).replace(tzinfo=None)
+    pre: tuple[str, ...] = ()
+    if snapshot_name is not None:
+        if not re.fullmatch(r"[0-9A-Fa-f-]+", snapshot_name):
+            raise ValueError(f"bad snapshot name: {snapshot_name!r}")
+        pre = ("BEGIN ISOLATION LEVEL REPEATABLE READ",
+               f"SET TRANSACTION SNAPSHOT '{snapshot_name}'")
     rows = []
     for t in sorted(tables):
         ti = _check_ident(t)
         recs = runner.query_csv(
             f'SELECT to_json(t)::text AS payload, '
-            f"(to_json(t) ->> 'id') AS id FROM \"{ti}\" t ORDER BY to_json(t)::text"
+            f"(to_json(t) ->> 'id') AS id FROM \"{ti}\" t ORDER BY to_json(t)::text",
+            pre_statements=pre,
         )
         for r in recs:
             rows.append((0, now, "public", t, "INSERT", r["id"], r["payload"], None))

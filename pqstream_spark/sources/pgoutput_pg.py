@@ -202,7 +202,10 @@ class PgOutputCaptureManager:
             )
         return True
 
-    def install(self) -> list[str]:
+    def install(self, create_slot: bool = True) -> list[str]:
+        """`create_slot=False`: see PgLogicalCaptureManager.install —
+        the exactly-once bootstrap creates the slot via walsender with
+        an exported snapshot, after identity/publication are ready."""
         tables = self.discover_tables()
         if not tables:
             raise RuntimeError("no tables match the table regexp")
@@ -235,7 +238,7 @@ class PgOutputCaptureManager:
             stmts.append(f"CREATE PUBLICATION {self.publication} "
                          f"FOR TABLE {idents}")
         self.runner.sql(";\n".join(stmts) + ";")
-        if not self._slot_exists():
+        if create_slot and not self._slot_exists():
             self.runner.sql(
                 "SELECT pg_create_logical_replication_slot("
                 f"{_quote_lit(self.slot)}, 'pgoutput');"
