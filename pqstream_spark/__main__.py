@@ -168,6 +168,16 @@ def build_parser() -> argparse.ArgumentParser:
         "compaction keys on)",
     )
     p.add_argument(
+        "--txn-consistent", action="store_true",
+        help="postgres outbox backend: emit whole transactions only "
+        "(TxnAssembler over the envelope xid with a one-batch "
+        "holdback) — a multi-row transaction straddling a fenced "
+        "batch ceiling lands in the sink all-or-nothing; the durable "
+        "offset trails one batch so a crash replays (never loses) the "
+        "holdback. The logical transport needs no flag: its batches "
+        "are transaction-atomic by construction",
+    )
+    p.add_argument(
         "--fence-wait", type=float, default=2.0, metavar="SEC",
         help="postgres outbox backend: max seconds a poll waits for "
         "in-flight transactions to finish before settling for the "
@@ -321,6 +331,11 @@ def _run_postgres(args, stop: threading.Event) -> int:
         return _run_postgres_notify(args, stop, runner)
     if args.transport == "logical":
         return _run_postgres_logical(args, stop, runner)
+    if args.txn_consistent and args.parallel_read:
+        print("--txn-consistent reads the envelope xid driver-side "
+              "(read_batch_txn); it does not compose with "
+              "--parallel-read", file=sys.stderr)
+        return 2
     cap = PgCaptureManager(runner, table_regexp=args.tables)
     # remove-then-install (cmd/pqsd/main.go:95-102) — including the
     # OTHER transport's triggers: a daemon restarted with a different
@@ -370,9 +385,17 @@ def _run_postgres(args, stop: threading.Event) -> int:
         emit(snap, -1)
         poller.rewind(hi)
         pg_mark_bootstrap_done(runner)
+    assembler = None
+    if args.txn_consistent:
+        from .sources.outbox_pg import TxnAssembler
+
+        assembler = TxnAssembler()
     epoch = 0
     while not stop.is_set():
-        if args.parallel_read:
+        if assembler is not None:
+            raw = poller.read_batch_txn(spark)
+            batch = assembler.feed(raw).drop("xid")
+        elif args.parallel_read:
             batch = poller.read_batch_distributed(
                 spark, num_partitions=args.parallel_read
             )
@@ -391,7 +414,20 @@ def _run_postgres(args, stop: threading.Event) -> int:
             typed_wire=True,
         )
         emit(events, epoch)
-        poller.advance()
+        if assembler is None:
+            poller.advance()
+        else:
+            # transaction-consistent durability: the read cursor moves
+            # batch by batch, but the PERSISTED offset stays below the
+            # lowest seq the assembler still holds (pending_floor) — a
+            # crash replays the held-back rows instead of losing them;
+            # replayed complete transactions are absorbed by the
+            # seq-keyed idempotent sink and a fresh assembler re-groups
+            # the replayed window.
+            poller.advance_read()
+            floor = assembler.pending_floor()
+            poller.persist_at(
+                poller.last_seq if floor is None else floor - 1)
         if args.compact:
             poller.compact()
         epoch += 1
@@ -418,7 +454,8 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
     for flag, name in ((args.replay_from is not None, "--replay-from"),
                        (args.compact, "--compact"),
                        (args.bootstrap, "--bootstrap"),
-                       (args.consumer is not None, "--consumer")):
+                       (args.consumer is not None, "--consumer"),
+                       (args.txn_consistent, "--txn-consistent")):
         if flag:
             print(f"{name} requires the durable outbox transport "
                   "(NOTIFY has no cursor, offsets, or replay)",
@@ -496,6 +533,10 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
         (args.parallel_read is not None, "--parallel-read",
          "WAL decode order is inherently serial (it IS the changelog); "
          "parallelism applies downstream of the batch"),
+        (args.txn_consistent, "--txn-consistent",
+         "logical batches are transaction-atomic by construction "
+         "(pg_logical_slot_peek_changes only stops at commit "
+         "boundaries) — no assembler needed"),
     ):
         if flag:
             print(f"{name} does not apply to the logical transport: {why}",

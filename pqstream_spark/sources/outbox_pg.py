@@ -631,25 +631,47 @@ class PgOutboxPoller:
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
 
     def read_batch_txn(self, spark):
-        """read_batch plus the writer's `xid` column (round 9) — the
-        input to TxnAssembler for transaction-consistent consumption.
-        Same fenced (last_seq, safe_hi] window, same advance()
-        contract."""
+        """read_batch plus the writer's `xid` column AND a per-row
+        `txn_complete` flag (round 10 — the exact-completion signal for
+        TxnAssembler): txn_complete is true iff the xid has NO visible
+        rows above this batch's fence ceiling. Soundness: every row in
+        the batch sits at or below the fence, so its writer has
+        FINISHED (the fence's own proof) and ALL the transaction's rows
+        are already visible — the per-xid MAX(seq) over an UNBOUNDED
+        window above `lo` is the transaction's true extent, computed
+        server-side by one window function. Same fenced
+        (last_seq, safe_hi] window, same advance() contract.
+
+        Why a flag instead of round 9's one-batch holdback: the
+        holdback's 'batch N+1 completes batch N's xids' claim breaks
+        when the next fence round cannot advance (an open writer pins
+        the ceiling — the next 'batch' is an empty window and flushing
+        on it tears the buffered transaction) and when the max_rows
+        rate cap moves the ceiling to less than the proven candidate
+        (the tail of a wide transaction sits beyond the cap). The
+        completion flag is immune to both: an xid emits exactly when
+        its last row is delivered."""
         from pyspark.sql import types as T
 
         lo = self.last_seq
         hi = self._safe_hi()
         schema = T.StructType(
-            OUTBOX_BATCH_SCHEMA.fields + [T.StructField("xid", T.LongType())]
+            OUTBOX_BATCH_SCHEMA.fields
+            + [T.StructField("xid", T.LongType()),
+               T.StructField("txn_complete", T.BooleanType())]
         )
         if hi <= lo:
             self._pending_hi = None
             return spark.createDataFrame([], schema)
         rows = self.runner.query_csv(
-            f"SELECT seq, ts, schema_name, table_name, op, id, "
-            f"payload::text AS payload_json, previous::text AS previous_json, "
-            f"xid FROM {OUTBOX_TABLE} "
-            f"WHERE seq > {int(lo)} AND seq <= {int(hi)} ORDER BY seq"
+            "WITH w AS (SELECT seq, ts, schema_name, table_name, op, id, "
+            "payload::text AS payload_json, previous::text AS previous_json, "
+            "xid, MAX(seq) OVER (PARTITION BY "
+            "COALESCE(xid::text, 'n' || seq::text)) AS txn_max "
+            f"FROM {OUTBOX_TABLE} WHERE seq > {int(lo)}) "
+            "SELECT seq, ts, schema_name, table_name, op, id, payload_json, "
+            f"previous_json, xid, (txn_max <= {int(hi)})::text AS txn_complete "
+            f"FROM w WHERE seq <= {int(hi)} ORDER BY seq"
         )
         data = [
             (
@@ -657,6 +679,7 @@ class PgOutboxPoller:
                 r["table_name"], r["op"], r["id"], r["payload_json"],
                 r["previous_json"],
                 int(r["xid"]) if r["xid"] is not None else None,
+                r["txn_complete"] == "true",
             )
             for r in rows
         ]
@@ -703,6 +726,32 @@ class PgOutboxPoller:
             self._persist()
         return self.last_seq
 
+    def advance_read(self) -> int:
+        """advance() for the IN-MEMORY read cursor only — the durable
+        offset row is written separately via persist_at. The
+        --txn-consistent daemon uses this pair: reads progress batch by
+        batch while the persisted offset trails ONE batch (the
+        TxnAssembler holdback window), so a crash replays — never
+        loses — rows the assembler was still holding; replayed
+        complete transactions are absorbed by the seq-keyed idempotent
+        sink, and a fresh assembler re-groups the replayed window."""
+        if self._pending_hi is not None:
+            self.last_seq = self._pending_hi
+            self._pending_hi = None
+        return self.last_seq
+
+    def persist_at(self, seq: int) -> None:
+        """Write the durable offset row at an explicit position behind
+        the read cursor (see advance_read). Monotone guard: a stale
+        trailing value must never regress the stored offset."""
+        if self.consumer is not None:
+            self.runner.sql(
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+                f"VALUES ({_quote_lit(self.consumer)}, {int(seq)}) "
+                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq);"
+            )
+
     def rewind(self, seq: int) -> int:
         self.last_seq = int(seq)
         self._pending_hi = None
@@ -734,57 +783,87 @@ class PgOutboxPoller:
 
 
 class TxnAssembler:
-    """Transaction-consistent consumption over fenced batches (round 9,
-    VERDICT ask #2): a multi-row transaction whose seqs straddle a
-    fenced batch ceiling is split across micro-batches — loss-free and
-    in-order, but a downstream materialization folding each batch
-    independently can expose a torn intermediate state. With the
-    writer's xid in the envelope (outbox xid column), this assembler
-    re-groups rows into whole transactions with a ONE-BATCH holdback.
+    """Transaction-consistent consumption over fenced batches: a
+    multi-row transaction whose seqs straddle a fenced batch ceiling is
+    split across micro-batches — loss-free and in-order, but a
+    downstream materialization folding each batch independently can
+    expose a torn intermediate state. With the writer's xid and the
+    per-row `txn_complete` flag (read_batch_txn), this assembler
+    re-groups rows into whole transactions with EXACT completion
+    (round 10; supersedes round 9's one-batch holdback, whose
+    'the next batch completes everything buffered' rule tore a
+    buffered transaction whenever the next fence round could not
+    advance — an open writer pinning the ceiling made the next window
+    empty and the flush-on-empty emitted a prefix — or whenever the
+    max_rows rate cap moved the ceiling short of the proven
+    candidate).
 
-    Soundness (from the fence's own proof): for any transaction X and
-    the first fenced batch N containing one of X's rows, ALL of X's
-    rows are delivered by batch N+1 — batch N's ceiling C_N is proven
-    final only after every claimer of seqs <= C_N (X included) has
-    finished, and C_{N+1} is read after that proof, hence after X's
-    last claim. So the rule is: rows buffer for one batch; when the
-    next batch arrives, every buffered xid is complete — emit its
-    buffered rows plus its rows in the new batch; xids first seen in
-    the new batch buffer in turn. An EMPTY batch (its fence round still
-    proved a ceiling) completes everything buffered, so a drain loop
-    flushes naturally. NULL xids (pre-migration rows, sqlite) emit
-    immediately — there is no transaction identity to wait for.
+    Rule: an xid emits exactly when a row of it arrives flagged
+    txn_complete (= the batch ceiling covers the transaction's true
+    MAX(seq), which read_batch_txn computes over an unbounded window —
+    sound because any xid with a row under the fence has finished, so
+    all its rows are visible to that read). Until then its rows buffer.
+    Self-contained transactions (the common case) therefore emit in
+    the SAME batch they arrive in — no added latency. NULL xids
+    (pre-migration rows, sqlite) emit immediately: no transaction
+    identity, nothing to wait for. An empty window emits nothing and
+    buffers nothing — never a flush-by-assumption.
 
     Pure DataFrame ops (distinct + semi/anti join on the bounded
-    buffer, no driver collect); the buffer is localCheckpoint'ed so
-    lineage does not grow across polls. Emission preserves seq order
-    within the union's partitions; consumers that need global order
-    sort by seq as usual."""
+    buffer, no driver collect in feed); the buffer is
+    localCheckpoint'ed so lineage does not grow across polls. Emission
+    preserves seq order within the union's partitions; consumers that
+    need global order sort by seq as usual. `pending_floor()` (one
+    1-row aggregate on the tiny buffer) tells a durability manager the
+    lowest seq still held back — the --txn-consistent daemon persists
+    its offset below it so a crash REPLAYS the holdback instead of
+    losing it."""
 
     def __init__(self) -> None:
-        self._buffer = None
+        self._buffer = None  # rows (without txn_complete) of open xids
 
     def feed(self, batch_df):
-        """One fenced batch in → the now-complete transactions out."""
+        """One read_batch_txn batch in → the now-complete transactions
+        out (without the txn_complete column; xid kept)."""
         from pyspark.sql import functions as F
 
-        null_xid = batch_df.where(F.col("xid").isNull())
+        null_xid = batch_df.where(F.col("xid").isNull()).drop("txn_complete")
         batch = batch_df.where(F.col("xid").isNotNull())
+        complete = (batch.where(F.col("txn_complete"))
+                    .select("xid").distinct())
+        ready = batch.join(
+            F.broadcast(complete), "xid", "left_semi").drop("txn_complete")
+        held = batch.join(
+            F.broadcast(complete), "xid", "left_anti").drop("txn_complete")
         if self._buffer is None:
-            self._buffer = batch.localCheckpoint(eager=True)
-            return null_xid
-        complete = self._buffer.select("xid").distinct()
-        emit = self._buffer.unionByName(
-            batch.join(F.broadcast(complete), "xid", "left_semi")
-        )
-        self._buffer = batch.join(
-            F.broadcast(complete), "xid", "left_anti"
-        ).localCheckpoint(eager=True)
+            emit = ready
+            self._buffer = held.localCheckpoint(eager=True)
+        else:
+            emit = ready.unionByName(
+                self._buffer.join(F.broadcast(complete), "xid", "left_semi")
+            )
+            self._buffer = (
+                self._buffer.join(F.broadcast(complete), "xid", "left_anti")
+                .unionByName(held)
+                .localCheckpoint(eager=True)
+            )
         return emit.unionByName(null_xid)
 
+    def pending_floor(self):
+        """Lowest seq still buffered (None when nothing is held) — the
+        durable-offset ceiling for a crash-replayable consumer."""
+        from pyspark.sql import functions as F
+
+        if self._buffer is None:
+            return None
+        row = self._buffer.agg(F.min("seq")).first()
+        return row[0]
+
     def flush(self):
-        """End of drain: everything buffered is complete (the final
-        batch's fence ceiling covered all prior claims)."""
+        """Terminal drain: hand back whatever is still buffered (the
+        caller decided the stream is over; incomplete transactions are
+        possible here by definition — prefer letting the durable offset
+        trail pending_floor() and replaying on the next run)."""
         out, self._buffer = self._buffer, None
         return out
 

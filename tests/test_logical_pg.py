@@ -470,6 +470,10 @@ def test_daemon_transport_logical_once(pg, tmp_path):
     assert main(argv + ["--compact"]) == 2
     assert main(argv + ["--replay-from", "0"]) == 2
     assert main(argv + ["--parallel-read", "2"]) == 2
+    # txn parity: the logical transport is transaction-atomic by
+    # construction (peek stops at commit boundaries), so the outbox
+    # path's --txn-consistent flag is rejected as inapplicable
+    assert main(argv + ["--txn-consistent"]) == 2
 
 
 # -- engine-managed offsets: the pqstream_logical DataSource -------------------

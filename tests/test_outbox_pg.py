@@ -1052,30 +1052,230 @@ def test_txn_split_across_polls_reassembled(pg, spark):
         c.run("INSERT INTO notes VALUES (5, default, 'c1');")   # seq 5
         # poll 2: old fence (ceiling 2) drains, fresh fence blocked by C
         b1 = p.read_batch_txn(spark)
-        assert sorted(row.seq for row in b1.collect()) == [1, 2], (
+        rows1 = sorted(b1.collect(), key=lambda x: x.seq)
+        assert [row.seq for row in rows1] == [1, 2], (
             "setup failed to split the transaction"
         )
+        # exact completion (round 10): A's row 1 is flagged incomplete
+        # (its txn extends to seq 4, above ceiling 2) while B's
+        # self-contained row 2 is complete and emits IMMEDIATELY
+        assert [row.txn_complete for row in rows1] == [False, True]
         p.advance()
-        e1 = asm.feed(b1)
-        # nothing emitted yet: both batch-1 xids are on holdback
-        assert e1.count() == 0
+        e1 = asm.feed(b1).collect()
+        assert [row.seq for row in e1] == [2], "B must emit same-batch"
+        assert asm.pending_floor() == 1  # A's row 1 held back
+        # round-9 regression, the reason the one-batch holdback died:
+        # an EMPTY window (C pins the fence, ceiling unmoved) must NOT
+        # flush A's partial rows — the old flush-on-empty emitted them
+        b_empty = p.read_batch_txn(spark)
+        assert b_empty.count() == 0
+        assert asm.feed(b_empty).count() == 0, (
+            "empty window tore the buffered transaction")
+        assert asm.pending_floor() == 1
         c.run("COMMIT;")
-        # poll 3: rest of A's txn (3,4) + C's row (5)
+        # poll 3: rest of A's txn (3,4) + C's row (5), all complete now
         b2 = p.read_batch_txn(spark)
         assert sorted(row.seq for row in b2.collect()) == [3, 4, 5]
         p.advance()
         e2 = asm.feed(b2).collect()
-        # A's transaction emitted WHOLE (1,3,4) together, plus B's (2);
-        # C holds back until the next batch
-        assert sorted(row.seq for row in e2) == [1, 2, 3, 4]
+        # A's transaction emitted WHOLE (1,3,4) together, with C's (5)
+        assert sorted(row.seq for row in e2) == [1, 3, 4, 5]
         a_xids = {row.xid for row in e2 if row.id in ("1", "3", "4")}
         assert len(a_xids) == 1, "A's rows must share one xid"
-        # empty batch completes the holdback
+        assert asm.pending_floor() is None
         b3 = p.read_batch_txn(spark)
-        assert b3.count() == 0
-        e3 = asm.feed(b3).collect()
-        assert [row.seq for row in e3] == [5]
+        assert b3.count() == 0 and asm.feed(b3).count() == 0
         assert asm.flush().count() == 0
     finally:
         a.close()
         c.close()
+
+
+def test_daemon_txn_consistent_all_or_nothing(pg, tmp_path):
+    """Round 10 (VERDICT r9 #5): `--txn-consistent` wires TxnAssembler
+    into the daemon — a transaction straddling a fenced ceiling (the
+    library-test interleave: A claims seq 1, B commits seq 2, poll
+    fences at 2 while A is open, A commits 3-4, C pins the next
+    ceiling) lands in the jsonl sink ALL-OR-NOTHING: one batch file
+    carries A's rows 1, 3, 4 together, never a torn prefix."""
+    import glob
+    import json as _json
+    import os
+    import threading
+    import time
+
+    from pqstream_spark.__main__ import _run_postgres, build_parser
+
+    r = _fresh_db(pg, "t_txn_daemon")
+    conninfo = pg.conninfo("t_txn_daemon")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    args = build_parser().parse_args(
+        ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+         "--out", out, "--txn-consistent", "--poll-interval", "0.2",
+         "--fence-wait", "0"])
+    stop = threading.Event()
+
+    def by_file():
+        got = {}
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                ids = [_json.loads(l)["payload"]["id"]
+                       for l in fh if l.strip()]
+            if ids:
+                got[os.path.basename(f)] = ids
+        return got
+
+    def all_ids():
+        return sorted(i for ids in by_file().values() for i in ids)
+
+    def wait(pred, secs, what):
+        end = time.time() + secs
+        while time.time() < end:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {what}: {by_file()}")
+
+    a = TxnSession(conninfo)
+    c = TxnSession(conninfo)
+    t = threading.Thread(target=_run_postgres, args=(args, stop))
+    try:
+        # daemon first: writers must start AFTER the capture triggers
+        # exist (an open writer would even block CREATE TRIGGER)
+        t.start()
+        wait(lambda: r.scalar(
+            "SELECT count(*) FROM pg_trigger "
+            "WHERE tgname = 'pqstream_outbox_trigger'") == "1", 60,
+            "trigger install")
+        # wait past the Spark session boot until the poll loop is LIVE
+        # (every poll persists the offset row, even idle ones) — the
+        # intermediate ceiling-2 emission below needs fence rounds to
+        # run while only A is open, i.e. polls must be ticking before
+        # the writers start
+        from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE
+        wait(lambda: r.scalar(
+            f"SELECT count(*) FROM pg_tables WHERE tablename = "
+            f"'{PG_OFFSET_TABLE}'") == "1"
+            and r.scalar(
+                f"SELECT count(*) FROM {PG_OFFSET_TABLE} "
+                "WHERE consumer = 'daemon'") == "1", 120,
+            "poll loop start")
+        time.sleep(1.2)  # several fence rounds with nothing open
+        a.run("BEGIN;")
+        a.run("INSERT INTO notes VALUES (1, default, 'a1');")   # seq 1
+        r.sql("INSERT INTO notes VALUES (2, default, 'b');")    # seq 2
+        time.sleep(1.2)  # several polls: fence below A's open claim
+        assert all_ids() == [], "rows emitted while A still open"
+        # C claims seq 3 BEFORE A's tail rows (4, 5): while C stays
+        # open no fence round can prove past 2, so A's transaction is
+        # guaranteed split — row 1 under the ceiling, rows 4-5 above it
+        c.run("BEGIN;")
+        c.run("INSERT INTO notes VALUES (9, default, 'c1');")   # seq 3
+        a.run("INSERT INTO notes VALUES (4, default, 'a2');")   # seq 4
+        a.run("INSERT INTO notes VALUES (5, default, 'a3');")   # seq 5
+        a.run("COMMIT;")
+        # While C pins the fence, whether anything emits depends on
+        # whether a fence round landed inside the A-open window (poll
+        # cadence); what must hold REGARDLESS: A's rows {1,4,5} never
+        # appear as a proper subset — row 1 sits under any provable
+        # ceiling while 4-5 sit above it, so a torn assembler would
+        # emit exactly {1} here (round 9's flush-on-empty did).
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            a_rows = {i for ids in by_file().values()
+                      for i in ids if i in (1, 4, 5)}
+            assert a_rows in (set(), {1, 4, 5}), (
+                f"A's txn emitted torn while C pins: {by_file()}")
+            if a_rows:
+                break
+            time.sleep(0.5)
+        c.run("COMMIT;")
+        wait(lambda: all_ids() == [1, 2, 4, 5, 9], 120, "full drain")
+        # the all-or-nothing pin: A's three rows share ONE batch file
+        homes = {fn for fn, ids in by_file().items()
+                 if set(ids) & {1, 4, 5}}
+        assert len(homes) == 1, f"A's txn torn across files: {by_file()}"
+    finally:
+        stop.set()
+        t.join(timeout=60)
+        a.close()
+        c.close()
+    assert not t.is_alive()
+
+
+def test_datasource_txn_aligned_offsets_never_tear(pg, spark):
+    """`option('txnAligned', 'true')` on pqstream_outbox: reported
+    offsets are pulled back to transaction boundaries, so a micro-batch
+    is all-or-nothing per writer transaction (the logical DataSource's
+    inherent property, now on the outbox path). A spans seqs {1,3,4}
+    with B's seq 2 inside the span — every offset in {1,2,3} would
+    tear A and must never be reported; an oversized transaction beats
+    the rate cap via the smallest-boundary escape."""
+    from pqstream_spark.sources.outbox_datasource import OutboxStreamReader
+
+    r = _fresh_db(pg, "t_txn_ds")
+    PgCaptureManager(r, table_regexp="notes").install()
+    conninfo = pg.conninfo("t_txn_ds")
+    reader = OutboxStreamReader({
+        "url": f"postgres:{conninfo}", "consumer": "txnal",
+        "txnaligned": "true", "fencewait": "0",
+    })
+    offsets = []
+
+    def poll():
+        o = int(reader.latestOffset()["seq"])
+        offsets.append(o)
+        return o
+
+    a = TxnSession(conninfo)
+    c = TxnSession(conninfo)
+    try:
+        a.run("BEGIN;")
+        a.run("INSERT INTO notes VALUES (1, default, 'a1');")   # seq 1
+        r.sql("INSERT INTO notes VALUES (2, default, 'b');")    # seq 2
+        poll()  # fence below A's claim
+        a.run("INSERT INTO notes VALUES (3, default, 'a2');")
+        a.run("INSERT INTO notes VALUES (4, default, 'a3');")
+        a.run("COMMIT;")
+        c.run("BEGIN;")
+        c.run("INSERT INTO notes VALUES (5, default, 'c1');")   # pins fence
+        # even if the fence proves ceiling 2 here, boundary 2 tears A
+        # (rows 3,4 above it) — the aligned report must hold back
+        poll()
+        c.run("COMMIT;")
+    finally:
+        a.close()
+        c.close()
+    import time
+    deadline = time.time() + 30
+    while poll() < 5 and time.time() < deadline:
+        time.sleep(0.3)
+    torn = [o for o in offsets if o in (1, 2, 3)]
+    assert not torn, f"txn-tearing offsets reported: {offsets}"
+    assert offsets[-1] == 5
+
+    # oversized transaction vs the rate cap: after priming the reader
+    # at seq 1, maxRowsPerBatch=1 caps the next report at seq 2 — which
+    # would tear the 3-row txn (seqs 2-4); the smallest-boundary escape
+    # must report 4 instead (txn atomicity beats the cap)
+    r2 = _fresh_db(pg, "t_txn_ds2")
+    PgCaptureManager(r2, table_regexp="notes").install()
+    big = OutboxStreamReader({
+        "url": f"postgres:{pg.conninfo('t_txn_ds2')}", "consumer": "txnal2",
+        "txnaligned": "true", "fencewait": "2", "maxrowsperbatch": "1",
+    })
+    r2.sql("INSERT INTO notes VALUES (6, default, 'solo');")   # seq 1
+    assert int(big.latestOffset()["seq"]) == 1
+    r2.sql("BEGIN;\n"
+           "INSERT INTO notes VALUES (7, default, 'x');\n"
+           "INSERT INTO notes VALUES (8, default, 'y');\n"
+           "INSERT INTO notes VALUES (9, default, 'z');\n"
+           "COMMIT;")
+    assert int(big.latestOffset()["seq"]) == 4, "txn atomicity beats the cap"
+
+    # sqlite backend: loud rejection (no xid column to align on)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="txnAligned"):
+        OutboxStreamReader({"url": "sqlite:/tmp/nope.db",
+                            "txnaligned": "true"})
