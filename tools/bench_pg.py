@@ -178,6 +178,62 @@ def main() -> None:
             lp.advance()
         t_lat = time.time() - t0
 
+        # TOAST / wide-row workload (round 10, VERDICT r9 #6): the
+        # LLM-pipeline shape — a documents table whose >2 KB body is
+        # stored out-of-line (STORAGE EXTERNAL pins that regardless of
+        # compressibility). Measures trigger vs logical write cost on
+        # TOASTed tables, wide-row drain throughput, and the
+        # metadata-only UPDATE drain (every row exercises the
+        # unchanged-TOAST old-tuple backfill, the round-10 lead fix).
+        W_ROWS, W_KB = 1_500, 8
+        body_expr = f"repeat(md5(g::text), {W_KB * 1024 // 32})"
+        wide_ddl = "(id int, meta text, body text)"
+        ext = "ALTER TABLE {t} ALTER COLUMN body SET STORAGE EXTERNAL;"
+        r.sql(";\n".join(
+            f"CREATE TABLE {t} {wide_ddl}; {ext.format(t=t)}"
+            for t in ("wplain", "wcap", "wslot")))
+        PgCaptureManager(r, table_regexp="wcap").install()
+        PgLogicalCaptureManager(
+            r, slot="bench_wslot", table_regexp="wslot").install()
+
+        def wide_insert(table: str, n: int, base: int = 0) -> float:
+            t0 = time.time()
+            r.sql(f"INSERT INTO {table} SELECT {base} + g, 'm' || g, "
+                  f"{body_expr} FROM generate_series(1, {n}) g;")
+            return time.time() - t0
+
+        for t in ("wplain", "wcap", "wslot"):
+            wide_insert(t, 100, base=1_000_000)  # warm
+        t_wplain = wide_insert("wplain", W_ROWS)
+        t_wcap = wide_insert("wcap", W_ROWS)
+        t_wslot = wide_insert("wslot", W_ROWS)
+
+        wlp = PgLogicalPoller.open_durable(
+            r, slot="bench_wslot", consumer="bench",
+            max_changes=4 * W_ROWS + 5000, max_peek=16 * W_ROWS + 20000,
+        )
+        t0 = time.time()
+        n_wlog = wlp.read_batch(spark).count()
+        t_wdrain = time.time() - t0
+        wlp.advance()
+        # metadata-only UPDATE: the body is untouched (renders as the
+        # unchanged-toast token on the wire) and must be backfilled
+        # from the REPLICA-IDENTITY-FULL old tuple — per-row cost of
+        # the round-10 fidelity fix, measured
+        r.sql(f"UPDATE wslot SET meta = meta || '+' WHERE id <= {W_ROWS};")
+        t0 = time.time()
+        upd = wlp.read_batch(spark)
+        import pyspark.sql.functions as F
+        agg = upd.agg(
+            F.count("*").alias("n"),
+            F.min(F.length(F.get_json_object("payload_json", "$.body"))
+                  ).alias("minlen")).first()
+        t_wupd = time.time() - t0
+        wlp.advance()
+        assert agg["n"] == W_ROWS and agg["minlen"] == W_KB * 1024, (
+            "unchanged-TOAST backfill failed in the bench drain"
+        )
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -201,6 +257,17 @@ def main() -> None:
             "logical_drain_rows_per_s": round(n_log / t_logdrain),
             "logical_poll_ms": round(t_poll * 1000, 1),
             "logical_commit_to_drain_ms": round(t_lat * 1000, 1),
+            "wide_row_kb": W_KB,
+            "wide_rows": W_ROWS,
+            "wide_plain_rows_per_s": round(W_ROWS / t_wplain),
+            "wide_captured_rows_per_s": round(W_ROWS / t_wcap),
+            "wide_trigger_overhead_x": round(t_wcap / t_wplain, 2),
+            "wide_logical_rows_per_s": round(W_ROWS / t_wslot),
+            "wide_logical_overhead_x": round(t_wslot / t_wplain, 2),
+            "wide_logical_drain_rows_per_s": round(n_wlog / t_wdrain),
+            "wide_logical_drain_mb_per_s": round(
+                n_wlog * W_KB / 1024 / t_wdrain, 1),
+            "wide_toast_update_drain_rows_per_s": round(W_ROWS / t_wupd),
         }
         print(json.dumps(out))
     finally:
