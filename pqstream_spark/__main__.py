@@ -168,6 +168,15 @@ def build_parser() -> argparse.ArgumentParser:
         "compaction keys on)",
     )
     p.add_argument(
+        "--spill-dir", default=None, metavar="DIR",
+        help="logical transport (test_decoding plugin): giant-"
+        "transaction escape hatch — a transaction exceeding max_peek "
+        "decoded changes drains through pg_recvlogical into on-disk "
+        "spool segments under DIR (bounded memory both sides, "
+        "txn-atomic at the sink, crash-resumable) instead of failing "
+        "loudly",
+    )
+    p.add_argument(
         "--txn-consistent", action="store_true",
         help="postgres outbox backend: emit whole transactions only "
         "(TxnAssembler over the envelope xid with a one-batch "
@@ -331,6 +340,11 @@ def _run_postgres(args, stop: threading.Event) -> int:
         return _run_postgres_notify(args, stop, runner)
     if args.transport == "logical":
         return _run_postgres_logical(args, stop, runner)
+    if args.spill_dir is not None:
+        print("--spill-dir applies to the logical transport only "
+              "(--transport logical, test_decoding plugin)",
+              file=sys.stderr)
+        return 2
     if args.txn_consistent and args.parallel_read:
         print("--txn-consistent reads the envelope xid driver-side "
               "(read_batch_txn); it does not compose with "
@@ -455,7 +469,8 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
                        (args.compact, "--compact"),
                        (args.bootstrap, "--bootstrap"),
                        (args.consumer is not None, "--consumer"),
-                       (args.txn_consistent, "--txn-consistent")):
+                       (args.txn_consistent, "--txn-consistent"),
+                       (args.spill_dir is not None, "--spill-dir")):
         if flag:
             print(f"{name} requires the durable outbox transport "
                   "(NOTIFY has no cursor, offsets, or replay)",
@@ -537,6 +552,10 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
          "logical batches are transaction-atomic by construction "
          "(pg_logical_slot_peek_changes only stops at commit "
          "boundaries) — no assembler needed"),
+        (args.spill_dir is not None and args.plugin == "pgoutput",
+         "--spill-dir",
+         "the spill drain rides pg_recvlogical's text framing "
+         "(test_decoding plugin only)"),
     ):
         if flag:
             print(f"{name} does not apply to the logical transport: {why}",
@@ -641,7 +660,7 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
     else:
         poller = PgLogicalPoller.open_durable(
             runner, slot=slot, consumer=args.consumer or "daemon",
-            table_regexp=args.tables,
+            table_regexp=args.tables, spill_dir=args.spill_dir,
         )
     # slot retention health at startup (round 10): an 'unreserved'/
     # 'lost' slot means max_slot_wal_keep_size pressure already

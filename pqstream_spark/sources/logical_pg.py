@@ -298,6 +298,12 @@ def parse_change_line(data: str) -> list[tuple[str, str, str, str | None, str | 
     return [(schema, table, op, row_id, payload, previous)]
 
 
+class GiantTxnError(PsqlError):
+    """One transaction exceeds the peek window cap (max_peek). Without
+    a spill_dir this is a hard, loud error (the LSH-cap philosophy);
+    with one, PgLogicalPoller switches to the spill-to-disk drain."""
+
+
 class PgLogicalCaptureManager:
     """Slot + replica-identity lifecycle — the logical analog of
     PgCaptureManager's remove-then-install contract
@@ -442,7 +448,13 @@ class PgLogicalPoller:
     table_regexp: str | None = None
     last_seq: int = 0
     last_lsn: int = 0
+    # giant-transaction escape hatch (round 10, VERDICT r9 #4): when a
+    # transaction exceeds max_peek changes, drain it through
+    # pg_recvlogical into on-disk spool segments under this directory
+    # instead of failing (see _spool_drain); None keeps the loud error
+    spill_dir: str | None = None
     _pending: tuple | None = field(default=None, repr=False)
+    _pending_spool: bool = field(default=False, repr=False)
 
     @classmethod
     def open_durable(cls, runner: PsqlRunner, slot: str = DEFAULT_SLOT,
@@ -556,6 +568,34 @@ class PgLogicalPoller:
     def read_rows(
         self, upto: int | None = None
     ) -> tuple[list[tuple], list[tuple[int, str, int]]]:
+        """The peek path, plus the giant-transaction spill drain when
+        `spill_dir` is set: a leftover spool (crash recovery) is
+        consumed first; a GiantTxnError from the peek escalation
+        switches to `_spool_drain` (bounded memory on BOTH sides:
+        the server's reorder buffer spills at logical_decoding_work_mem
+        and the client streams to disk via pg_recvlogical)."""
+        if self.spill_dir is not None:
+            import os
+
+            if os.path.isdir(self._spool_dir()) and any(
+                f.startswith("seg-") for f in os.listdir(self._spool_dir())
+            ):
+                got = self._rows_from_spool()
+                if got is not None:
+                    return got
+        try:
+            return self._read_rows_peek(upto)
+        except GiantTxnError:
+            if self.spill_dir is None:
+                raise
+            self._spool_drain()
+            got = self._rows_from_spool()
+            assert got is not None
+            return got
+
+    def _read_rows_peek(
+        self, upto: int | None = None
+    ) -> tuple[list[tuple], list[tuple[int, str, int]]]:
         """Spark-free core of read_batch: one fenced-equivalent peek →
         (rows, txn_boundaries). `rows` are OUTBOX_BATCH_SCHEMA-shaped
         tuples with replay-stable seqs; `txn_boundaries` is
@@ -566,6 +606,7 @@ class PgLogicalPoller:
         `_pending` to the window's last boundary (the advance()
         contract). `upto` overrides the initial window (the streaming
         source's progress-aware escalation)."""
+        self._pending_spool = False
         upto = upto or self.max_changes
         rows = self._peek(upto)
         txns = self._parse_txns(rows)
@@ -580,9 +621,10 @@ class PgLogicalPoller:
             txns = self._parse_txns(rows)
         if not txns:
             if rows:
-                raise PsqlError(
+                raise GiantTxnError(
                     f"one transaction exceeds max_peek={self.max_peek} "
-                    "changes; raise max_peek for this drain"
+                    "changes; raise max_peek for this drain, or set "
+                    "spill_dir for the bounded-memory spill drain"
                 )
             self._pending = None
             return [], []
@@ -600,11 +642,11 @@ class PgLogicalPoller:
             rows = self._peek(upto, barrier=False)
             txns = self._parse_txns(rows)
         if txns[-1].commit_lsn < self.last_lsn:
-            raise PsqlError(
+            raise GiantTxnError(
                 f"peek window (max_peek={self.max_peek}) cannot cover "
                 f"the replay region up to the stored anchor LSN "
                 f"{self.last_lsn}; raise max_peek to renumber the "
-                "replay consistently"
+                "replay consistently, or set spill_dir"
             )
         self._resolve_unchanged_toast(txns)
         # replay-stable numbering (class docstring): txns at or below
@@ -682,6 +724,225 @@ class PgLogicalPoller:
                 t.changes[idx] = (schema, table, op, row_id, payload,
                                   previous)
 
+    # -- giant-transaction spill drain (round 10, VERDICT r9 #4) -------------
+    # A transaction larger than max_peek cannot be assembled through
+    # pg_logical_slot_peek_changes windows (every peek re-decodes from
+    # confirmed_flush and upto_nchanges must cover the whole txn to see
+    # its COMMIT). The spill drain streams the backlog to DISK instead:
+    # pg_recvlogical (walsender START_REPLICATION) writes decoded text
+    # to a spool segment with -F 1, so the slot's confirmed_flush never
+    # passes the segment's fsynced prefix — the file IS the durable
+    # copy of everything the slot has released. Memory stays bounded on
+    # both sides (the server's reorder buffer spills to its own disk at
+    # logical_decoding_work_mem; the client writes sequentially).
+    #
+    # Crash contract: a `.done` marker (fsynced) records a clean drain
+    # covering [start, endpos]. A crash mid-drain leaves a segment
+    # without `.done`; recovery re-drains to a NEW segment with the
+    # SAME endpos — logical decoding redelivers any txn whose COMMIT
+    # was not confirmed WHOLE, so assembly dedups complete BEGIN..COMMIT
+    # blocks by xid (keep-first preserves commit order) and drops torn
+    # tails of non-final segments. Seqs number from the meta's
+    # start_seq, so reassembly after any crash is byte-identical (the
+    # files are fixed); after the sink, advance() writes the offset
+    # rows, moves the slot forward to endpos (GREATEST-guarded: the
+    # drain usually left it there already), and deletes the spool.
+
+    def _spool_dir(self) -> str:
+        import os
+
+        return os.path.join(self.spill_dir, self.slot)
+
+    def _spool_meta_path(self) -> str:
+        import os
+
+        return os.path.join(self._spool_dir(), "meta.json")
+
+    def _spool_drain(self) -> None:
+        """Drain the slot's backlog into the next spool segment, up to
+        a freshly-flushed endpos (resume-safe: reuses a leftover meta's
+        endpos so recovery converges instead of chasing new WAL)."""
+        import os
+
+        bin_ = shutil.which("pg_recvlogical")
+        if bin_ is None:
+            raise PsqlError(
+                "spill drain needs pg_recvlogical (not installed)"
+            )
+        d = self._spool_dir()
+        os.makedirs(d, exist_ok=True)
+        # torn-advance repair: when the stored anchor LSN is ahead of
+        # the slot (crash between the offset write and the slot
+        # advance), everything at or below it was already SUNK and
+        # offset-anchored — advancing the slot forward to the anchor is
+        # safe and required here: the spool has no per-line LSNs, so it
+        # cannot renumber a replayed prefix the way the peek path does;
+        # repairing first makes the spool cover exactly (anchor, endpos]
+        # with fresh seqs from last_seq.
+        if self.last_lsn > 0:
+            self.runner.sql(
+                "SELECT pg_replication_slot_advance(slot_name, "
+                f"GREATEST(confirmed_flush_lsn, "
+                f"'0/0'::pg_lsn + {int(self.last_lsn)})) "
+                "FROM pg_replication_slots "
+                f"WHERE slot_name = {_quote_lit(self.slot)} "
+                f"AND confirmed_flush_lsn < '0/0'::pg_lsn + {int(self.last_lsn)};"
+            )
+        meta_path = self._spool_meta_path()
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+        else:
+            # flush barrier first: endpos must cover everything
+            # committed before this drain (async commits included)
+            self.runner.sql(
+                "SET synchronous_commit = on;\n"
+                "SELECT pg_logical_emit_message(true, 'pqstream_sync', '');"
+            )
+            endpos = self.runner.scalar("SELECT pg_current_wal_lsn()::text")
+            endpos_big = int(self.runner.scalar(
+                f"SELECT ('{endpos}'::pg_lsn - '0/0'::pg_lsn)::bigint"))
+            meta = {"start_seq": self.last_seq, "endpos": endpos,
+                    "endpos_big": endpos_big}
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, meta_path)
+        segs = sorted(f for f in os.listdir(d) if f.startswith("seg-"))
+        seg = os.path.join(d, f"seg-{len(segs):04d}.txt")
+        proc = subprocess.run(
+            [bin_, "-d", self.runner.conninfo, "--slot", self.slot,
+             "--start", "--endpos", meta["endpos"], "-f", seg,
+             "--no-loop", "-F", "1", "-o", "include-timestamp=on"],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+        if proc.returncode != 0:
+            raise PsqlError(
+                f"spill drain failed (rc={proc.returncode}): "
+                f"{proc.stderr.strip()} — the spool segment holds the "
+                "fsynced prefix; the next read_rows resumes the drain"
+            )
+        done = os.path.join(d, "done")
+        with open(done, "w") as f:
+            f.write(meta["endpos"])
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _rows_from_spool(self):
+        """Assemble the spool into (rows, boundaries) with replay-stable
+        seqs, or None when the spool is absent/already consumed (files
+        then cleaned up). An un-`done` spool first resumes the drain."""
+        import os
+
+        d = self._spool_dir()
+        meta_path = self._spool_meta_path()
+        if not os.path.isdir(d) or not os.path.exists(meta_path):
+            return None
+        if not os.path.exists(os.path.join(d, "done")):
+            self._spool_drain()  # crash recovery: finish the drain
+        meta = json.load(open(meta_path))
+        pat = re.compile(self.table_regexp) if self.table_regexp else None
+        txns: list[tuple[str | None, list]] = []  # (ts, changes)
+        seen_xids: set[str] = set()
+        begin_re = re.compile(r"^BEGIN (\d+)$")
+        commit_re = re.compile(r"^COMMIT (\d+)(?: \(at (.+)\))?$")
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("seg-"):
+                continue
+            cur_xid: str | None = None
+            cur: list = []
+            with open(os.path.join(d, f)) as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    m = begin_re.match(line)
+                    if m:
+                        cur_xid, cur = m.group(1), []
+                        continue
+                    m = commit_re.match(line)
+                    if m:
+                        # complete block; dedup by xid keep-first
+                        # (crash redelivery repeats WHOLE txns)
+                        if cur_xid is not None and cur_xid not in seen_xids:
+                            seen_xids.add(cur_xid)
+                            txns.append((m.group(2), cur))
+                        cur_xid, cur = None, []
+                        continue
+                    if cur_xid is None:
+                        continue  # messages outside any txn
+                    for ch in parse_change_line(line):
+                        table = ch[1]
+                        if table.startswith("pqstream_"):
+                            continue
+                        if pat is not None and not pat.search(table):
+                            continue
+                        cur.append(ch)
+                # torn tail (no COMMIT before EOF): dropped — its txn
+                # redelivers whole in the resumed segment or the peek
+        base = int(meta["start_seq"])
+        n_total = sum(len(c) for _, c in txns)
+        if self.last_seq >= base + n_total and n_total > 0:
+            # consumed in a prior run (crash between offset write and
+            # cleanup): drop the spool and let the peek path continue
+            self._spool_cleanup()
+            return None
+        data: list[tuple] = []
+        seq = base
+        for ts_text, changes in txns:
+            ts = _parse_pg_ts(ts_text) if ts_text else None
+            for (schema, table, op, row_id, payload, previous) in changes:
+                seq += 1
+                data.append(
+                    (seq, ts, schema, table, op, row_id, payload, previous)
+                )
+        self._pending = (meta["endpos"], int(meta["endpos_big"]), seq)
+        self._pending_spool = True
+        return data, [(seq, meta["endpos"], int(meta["endpos_big"]))]
+
+    def _spool_cleanup(self) -> None:
+        import os
+
+        d = self._spool_dir()
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.unlink(os.path.join(d, f))
+            os.rmdir(d)
+
+    def _advance_spool(self, lsn_text: str, lsn_big: int,
+                       end_seq: int) -> None:
+        """Spool-batch advance: offset rows as usual, slot moved
+        FORWARD to endpos only if the drain left it behind (GREATEST —
+        pg_replication_slot_advance refuses to move backwards), then
+        the spool is deleted. A crash before the delete is absorbed by
+        _rows_from_spool's consumed-check."""
+        stmts = []
+        if end_seq > self.last_seq:
+            stmts += [
+                "BEGIN",
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
+                f"({_quote_lit(self._seq_key)}, {int(end_seq)}) "
+                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
+                f"({_quote_lit(self._lsn_key)}, {int(lsn_big)}) "
+                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
+                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
+                "COMMIT",
+            ]
+        stmts.append(
+            f"SELECT pg_replication_slot_advance(slot_name, "
+            f"GREATEST(confirmed_flush_lsn, {_quote_lit(lsn_text)}::pg_lsn)) "
+            f"FROM pg_replication_slots "
+            f"WHERE slot_name = {_quote_lit(self.slot)} "
+            f"AND confirmed_flush_lsn < {_quote_lit(lsn_text)}::pg_lsn"
+        )
+        self.runner.sql(";\n".join(stmts) + ";")
+        self.last_seq = max(self.last_seq, end_seq)
+        self.last_lsn = max(self.last_lsn, lsn_big)
+        self._pending = None
+        self._pending_spool = False
+        self._spool_cleanup()
+
     def read_batch(self, spark):
         data, _ = self.read_rows()
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
@@ -692,6 +953,9 @@ class PgLogicalPoller:
         Either crash window replays with identical seqs (class
         docstring)."""
         if not self._pending:
+            return
+        if self._pending_spool:
+            self._advance_spool(*self._pending)
             return
         self.advance_to(*self._pending)
 

@@ -271,6 +271,16 @@ class PgOutputPoller(PgLogicalPoller):
     publication: str = DEFAULT_PUBLICATION
     _relations: dict[int, _Relation] = field(default_factory=dict, repr=False)
 
+    def _spool_drain(self) -> None:
+        from .outbox_pg import PsqlError
+
+        raise PsqlError(
+            "the giant-transaction spill drain rides pg_recvlogical's "
+            "text framing (test_decoding); for pgoutput slots raise "
+            "max_peek, or run giant-transaction workloads through "
+            "--plugin test_decoding"
+        )
+
     def _peek(self, upto: int, barrier: bool = True) -> list[dict]:
         peek = (
             "SELECT lsn::text AS lsn, (lsn - '0/0'::pg_lsn)::bigint AS "

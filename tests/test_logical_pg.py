@@ -1265,3 +1265,176 @@ def test_daemon_logical_bootstrap_continuous_writer_exactly_once(pg, tmp_path):
     assert got_w == written[:len(got_w)], "gap in the delivered prefix"
     assert counts.get(1) == 1 and counts.get(2) == 1
     assert len(got_w) >= 1, "no boundary-window writes delivered at all"
+
+
+# -- giant-transaction spill drain (round 10, VERDICT r9 #4) -----------------
+
+
+def test_giant_txn_4x_max_peek_drains_txn_atomic(pg, spark):
+    """A transaction 4x max_peek drains in ONE txn-atomic batch through
+    the plain peek path: pg_logical_slot_peek_changes never tears a
+    transaction — upto_nchanges OVERSHOOTS to complete the transaction
+    in which the limit was reached (pinned here: 800 changes against
+    max_peek=200), so bulk loads do not kill the stream; the trailing
+    separate txn waits for the next poll (the limit applies between
+    transactions)."""
+    r, mgr = _fresh(pg, "logi_giant4x")
+    p = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", max_changes=50, max_peek=200)
+    r.sql("BEGIN;\n"
+          "INSERT INTO notes SELECT g, now(), 'g' || g "
+          "FROM generate_series(1, 800) g;\n"
+          "COMMIT;")
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'after-giant');")
+    batch = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    assert [row.seq for row in batch] == list(range(1, 801))
+    assert [json.loads(row.payload_json)["id"] for row in batch] == (
+        list(range(1, 801)))
+    p.advance()
+    nxt = p.read_batch(spark).collect()
+    p.advance()
+    assert [(row.seq, row.id) for row in nxt] == [(801, "9001")]
+
+
+def test_spill_drain_repairs_uncoverable_replay_window(pg, spark, tmp_path):
+    """The GiantTxnError case the peek path genuinely cannot handle: a
+    torn advance whose replay region exceeds max_peek (the window must
+    cover the stored anchor to renumber consistently). Without
+    spill_dir: loud error. With it: the drain first repairs the torn
+    slot forward to the anchor (everything at or below it was sunk and
+    offset-anchored), then spools the post-anchor backlog through
+    pg_recvlogical — fresh seqs continue from the anchor, nothing
+    double-numbered, spool cleaned up after advance."""
+    import os
+
+    from pqstream_spark.sources.logical_pg import GiantTxnError
+
+    r, mgr = _fresh(pg, "logi_spillrep")
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}')"
+        for i in range(1, 31)) + ";")  # 30 single-statement txns
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    first = sorted((row.seq, row.id) for row in p.read_batch(spark).collect())
+    assert first == [(i, str(i)) for i in range(1, 31)]
+    # torn advance: offset rows land, slot stays back
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    r.sql("BEGIN;\n"
+          "INSERT INTO notes SELECT 100 + g, now(), 'n' || g "
+          "FROM generate_series(1, 300) g;\n"
+          "COMMIT;")
+    # restart with a window that cannot cover the 30-txn replay region
+    kw = dict(slot=mgr.slot, consumer="c", max_changes=5, max_peek=20)
+    p_nospill = PgLogicalPoller.open_durable(r, **kw)
+    with pytest.raises(GiantTxnError):
+        p_nospill.read_batch(spark)
+    spool = str(tmp_path / "spool")
+    p2 = PgLogicalPoller.open_durable(r, spill_dir=spool, **kw)
+    rows = sorted(p2.read_batch(spark).collect(), key=lambda x: x.seq)
+    # the replay region (seqs 1-30, already sunk + anchored) is NOT
+    # re-delivered; the 300-row backlog continues at seq 31, one batch
+    assert [row.seq for row in rows] == list(range(31, 331))
+    assert [json.loads(x.payload_json)["id"] for x in rows] == (
+        [100 + g for g in range(1, 301)])
+    p2.advance()
+    assert not os.path.isdir(os.path.join(spool, mgr.slot))
+    # the stream continues on the normal peek path
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post');")
+    nxt = [(row.seq, row.id) for row in p2.read_batch(spark).collect()]
+    p2.advance()
+    assert nxt == [(331, "9001")]
+
+
+def test_spill_spool_crash_windows(pg, spark, tmp_path):
+    """Spool crash contract: (a) crash between sink and advance — a
+    fresh poller reassembles the on-disk spool byte-identically
+    (replay-stable seqs); (b) crash between the offset write and the
+    spool cleanup — the consumed-check deletes the spool and the peek
+    path continues with zero re-delivery and zero loss."""
+    import os
+
+    r, mgr = _fresh(pg, "logi_spillcr")
+    spool = str(tmp_path / "spool")
+    # build an uncoverable replay window like the repair test
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}')"
+        for i in range(1, 31)) + ";")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c")
+    p.read_batch(spark).collect()
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    r.sql("BEGIN;\n"
+          "INSERT INTO notes SELECT 100 + g, now(), 'n' || g "
+          "FROM generate_series(1, 300) g;\n"
+          "COMMIT;")
+    kw = dict(slot=mgr.slot, consumer="c", max_changes=5, max_peek=20,
+              spill_dir=spool)
+    p1 = PgLogicalPoller.open_durable(r, **kw)
+    first = [(row.seq, row.id) for row in
+             sorted(p1.read_batch(spark).collect(), key=lambda x: x.seq)]
+    assert len(first) == 300 and first[0][0] == 31
+    # (a) no advance — fresh poller re-reads the SPOOL byte-identically
+    p2 = PgLogicalPoller.open_durable(r, **kw)
+    replay = [(row.seq, row.id) for row in
+              sorted(p2.read_batch(spark).collect(), key=lambda x: x.seq)]
+    assert replay == first
+    # (b) offset rows written, cleanup skipped (simulated crash window)
+    lsn_text, lsn_big, end_seq = p2._pending
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p2._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p2._lsn_key)};"
+    )
+    assert os.path.isdir(os.path.join(spool, mgr.slot))
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post');")
+    p3 = PgLogicalPoller.open_durable(r, **kw)
+    # drain loop: the tiny window first advances over the change-free
+    # barrier-message txns the spill drains left behind
+    rows: list = []
+    for _ in range(5):
+        rows += [(row.seq, row.id)
+                 for row in p3.read_batch(spark).collect()]
+        p3.advance()
+        if rows:
+            break
+    assert rows == [(331, "9001")], f"spool re-delivered or lost: {rows}"
+    assert not os.path.isdir(os.path.join(spool, mgr.slot))
+
+
+def test_daemon_spill_dir_flag(pg, tmp_path):
+    """`--spill-dir` flag surface: rejected on the outbox transport,
+    the notify transport, and the pgoutput plugin; accepted on
+    logical/test_decoding."""
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    pg.createdb("logi_spilld").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_spilld")
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    spool = str(tmp_path / "spool")
+    base = ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+            "--out", out, "--once"]
+    assert main(base + ["--spill-dir", spool]) == 2  # outbox transport
+    assert main(base + ["--transport", "notify",
+                        "--spill-dir", spool]) == 2
+    assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
+                        "--slot", "sp_po", "--spill-dir", spool]) == 2
+    argv = base + ["--transport", "logical", "--slot", "sp_td",
+                   "--spill-dir", spool]
+    assert main(argv) == 0  # install + idle drain
