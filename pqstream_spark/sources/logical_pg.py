@@ -477,6 +477,45 @@ class PgLogicalPoller:
         )
         p.last_seq = int(seq or 0)
         p.last_lsn = int(lsn or 0)
+        # Filter anchoring (ADVICE r9): the replay-stable numbering
+        # counts only post-filter changes, so a crash-replay is only
+        # byte-stable if table_regexp is IDENTICAL across restarts —
+        # reopening with a different filter while an unconfirmed window
+        # exists would silently renumber the replay (breaking the
+        # idempotent-sink and CDC replay-guard invariants). The
+        # filter's hash is persisted next to the (seq, LSN) anchors;
+        # a mismatch is allowed only when the slot holds NO unconfirmed
+        # numbered window (confirmed_flush has reached the anchor LSN),
+        # and fails loudly otherwise.
+        cur_hash = p._filter_hash()
+        stored = runner.scalar(
+            f"SELECT last_seq FROM {PG_OFFSET_TABLE} "
+            f"WHERE consumer = {_quote_lit(p._filter_key)}"
+        )
+        if stored is None:
+            runner.sql(
+                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+                f"VALUES ({_quote_lit(p._filter_key)}, {cur_hash}) "
+                "ON CONFLICT (consumer) DO NOTHING;"
+            )
+        elif int(stored) != cur_hash:
+            confirmed = runner.scalar(
+                "SELECT (confirmed_flush_lsn - '0/0'::pg_lsn)::bigint "
+                "FROM pg_replication_slots "
+                f"WHERE slot_name = {_quote_lit(p.slot)}"
+            )
+            if confirmed is not None and int(confirmed) < p.last_lsn:
+                raise PsqlError(
+                    f"tableRegexp changed for consumer {consumer!r} on "
+                    f"slot {slot!r} while an unconfirmed window exists "
+                    "— a replay under a different filter would renumber "
+                    "silently. Drain and advance under the ORIGINAL "
+                    "filter first, or use a new consumer+slot."
+                )
+            runner.sql(
+                f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {cur_hash} "
+                f"WHERE consumer = {_quote_lit(p._filter_key)};"
+            )
         return p
 
     # `#logical…` suffixes mark these rows as the LOGICAL transport's
@@ -493,6 +532,17 @@ class PgLogicalPoller:
     @property
     def _lsn_key(self) -> str:
         return f"{self.consumer}@{self.slot}#logicallsn"
+
+    @property
+    def _filter_key(self) -> str:
+        return f"{self.consumer}@{self.slot}#logicalfilter"
+
+    def _filter_hash(self) -> int:
+        import hashlib
+
+        digest = hashlib.sha256(
+            (self.table_regexp or "").encode()).digest()
+        return int.from_bytes(digest[:8], "big", signed=True)
 
     # -- peek ---------------------------------------------------------------
     # Flush barrier, folded into the peek's psql invocation: logical

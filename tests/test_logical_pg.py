@@ -1438,3 +1438,50 @@ def test_daemon_spill_dir_flag(pg, tmp_path):
     argv = base + ["--transport", "logical", "--slot", "sp_td",
                    "--spill-dir", spool]
     assert main(argv) == 0  # install + idle drain
+
+
+def test_filter_change_guard_on_unconfirmed_window(pg, spark):
+    """ADVICE r9: the replay-stable numbering counts only post-filter
+    changes, so reopening a consumer with a DIFFERENT tableRegexp while
+    an unconfirmed window exists would silently renumber the replay.
+    The filter hash is anchored next to the (seq, LSN) rows: a mismatch
+    under an unconfirmed window fails loudly; with everything confirmed
+    the filter may change freely."""
+    from pqstream_spark.sources.outbox_pg import PsqlError
+
+    r, mgr = _fresh(pg, "logi_filter")
+    r.sql("CREATE TABLE extras (id int PRIMARY KEY, note text);")
+    mgr.table_regexp = "notes|extras"
+    mgr.install()
+    r.sql("INSERT INTO notes VALUES (1, now(), 'n');"
+          "INSERT INTO extras VALUES (2, 'e');")
+    p = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", table_regexp="notes|extras")
+    assert p.read_batch(spark).count() == 2
+    # torn advance (anchor rows written, slot not advanced): the
+    # numbered-but-unconfirmed window would REPLAY on the next open —
+    # under a different filter it renumbers silently, so the reopen
+    # must fail loudly; the original filter still works
+    lsn_text, lsn_big, end_seq = p._pending
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    with pytest.raises(PsqlError, match="tableRegexp changed"):
+        PgLogicalPoller.open_durable(
+            r, slot=mgr.slot, consumer="c", table_regexp="notes")
+    p2 = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", table_regexp="notes|extras")
+    assert p2.read_batch(spark).count() == 2
+    p2.advance()
+    # fully confirmed: the filter change is accepted and re-anchored
+    p3 = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", table_regexp="notes")
+    r.sql("INSERT INTO notes VALUES (3, now(), 'n2');"
+          "INSERT INTO extras VALUES (4, 'e2');")
+    rows = p3.read_batch(spark).collect()
+    p3.advance()
+    assert [(row.seq, row.table_name) for row in rows] == [(3, "notes")]
