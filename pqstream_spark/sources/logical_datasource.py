@@ -69,6 +69,11 @@ class LogicalStreamReader(DataSourceStreamReader):
                 "pqstream_logical requires option url=postgres:CONNINFO"
             )
         plugin = options.get("plugin", "test_decoding")
+        if plugin == "pgoutput" and options.get("spilldir"):
+            raise ValueError(
+                "spillDir requires plugin=test_decoding (the spill "
+                "drain rides pg_recvlogical's text framing)"
+            )
         if plugin == "pgoutput":
             # the replication-grade binary plugin with server-side
             # publication filtering — same poller contract, so the
@@ -88,6 +93,15 @@ class LogicalStreamReader(DataSourceStreamReader):
                 slot=options.get("slot", DEFAULT_SLOT),
                 consumer=options.get("consumer", "datasource"),
                 table_regexp=options.get("tableregexp") or None,
+                # giant-transaction spill drain (round 10): without it
+                # a GiantTxnError (torn-anchor replay window wider than
+                # max_peek) fails the query loudly; with it the backlog
+                # spools through pg_recvlogical and arrives as one
+                # txn-aligned batch. Spool batches compose with the
+                # normal commit path: advance_to's GREATEST guard
+                # absorbs the already-advanced slot, and the
+                # consumed-check cleans the spool on the next trigger.
+                spill_dir=options.get("spilldir") or None,
             )
         else:
             raise ValueError(
@@ -95,6 +109,9 @@ class LogicalStreamReader(DataSourceStreamReader):
             )
         self._poller.max_changes = int(
             options.get("maxchangesperbatch", 100_000)
+        )
+        self._poller.max_peek = int(
+            options.get("maxpeek", self._poller.max_peek)
         )
         # staging from the most recent read_rows: seq-keyed rows and the
         # txn boundaries they can be committed at. Rebuilt on every

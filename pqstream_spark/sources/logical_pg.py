@@ -960,36 +960,11 @@ class PgLogicalPoller:
 
     def _advance_spool(self, lsn_text: str, lsn_big: int,
                        end_seq: int) -> None:
-        """Spool-batch advance: offset rows as usual, slot moved
-        FORWARD to endpos only if the drain left it behind (GREATEST —
-        pg_replication_slot_advance refuses to move backwards), then
-        the spool is deleted. A crash before the delete is absorbed by
-        _rows_from_spool's consumed-check."""
-        stmts = []
-        if end_seq > self.last_seq:
-            stmts += [
-                "BEGIN",
-                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
-                f"({_quote_lit(self._seq_key)}, {int(end_seq)}) "
-                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
-                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
-                f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) VALUES "
-                f"({_quote_lit(self._lsn_key)}, {int(lsn_big)}) "
-                "ON CONFLICT (consumer) DO UPDATE SET last_seq = "
-                f"GREATEST({PG_OFFSET_TABLE}.last_seq, excluded.last_seq)",
-                "COMMIT",
-            ]
-        stmts.append(
-            f"SELECT pg_replication_slot_advance(slot_name, "
-            f"GREATEST(confirmed_flush_lsn, {_quote_lit(lsn_text)}::pg_lsn)) "
-            f"FROM pg_replication_slots "
-            f"WHERE slot_name = {_quote_lit(self.slot)} "
-            f"AND confirmed_flush_lsn < {_quote_lit(lsn_text)}::pg_lsn"
-        )
-        self.runner.sql(";\n".join(stmts) + ";")
-        self.last_seq = max(self.last_seq, end_seq)
-        self.last_lsn = max(self.last_lsn, lsn_big)
-        self._pending = None
+        """Spool-batch advance: advance_to (its GREATEST guard absorbs
+        the slot already sitting at the spool endpos — the drain moved
+        it), then the spool is deleted. A crash before the delete is
+        absorbed by _rows_from_spool's consumed-check."""
+        self.advance_to(lsn_text, lsn_big, end_seq)
         self._pending_spool = False
         self._spool_cleanup()
 
@@ -1033,10 +1008,18 @@ class PgLogicalPoller:
             ]
         # one psql spawn: the offset transaction COMMITs strictly before
         # the slot advance in the same session — the same crash-window
-        # ordering as two spawns, half the per-poll process cost
+        # ordering as two spawns, half the per-poll process cost.
+        # GREATEST-guarded (round 10): pg_replication_slot_advance
+        # refuses to move backwards, and a spool drain (pg_recvlogical)
+        # leaves the slot already AT the boundary — the guard makes
+        # advance_to idempotent for every caller (poller, DataSource
+        # commit, spool batches) instead of erroring on a no-op.
         stmts.append(
-            f"SELECT pg_replication_slot_advance({_quote_lit(self.slot)}, "
-            f"{_quote_lit(lsn_text)})"
+            "SELECT pg_replication_slot_advance(slot_name, "
+            f"GREATEST(confirmed_flush_lsn, {_quote_lit(lsn_text)}::pg_lsn)) "
+            "FROM pg_replication_slots "
+            f"WHERE slot_name = {_quote_lit(self.slot)} "
+            f"AND confirmed_flush_lsn < {_quote_lit(lsn_text)}::pg_lsn"
         )
         self.runner.sql(";\n".join(stmts) + ";")
         # monotone like the SQL GREATEST merge — a late/duplicate

@@ -1485,3 +1485,62 @@ def test_filter_change_guard_on_unconfirmed_window(pg, spark):
     rows = p3.read_batch(spark).collect()
     p3.advance()
     assert [(row.seq, row.table_name) for row in rows] == [(3, "notes")]
+
+
+def test_logical_datasource_spilldir_option(pg, spark, tmp_path):
+    """`option("spillDir", ...)` on pqstream_logical: a torn-anchor
+    replay window wider than maxPeek — which would kill the query with
+    GiantTxnError — drains through the spool instead; spool batches
+    ride the NORMAL commit path (advance_to's GREATEST guard absorbs
+    the already-advanced slot) and the spool cleans up."""
+    import os
+
+    from pqstream_spark.sources.logical_datasource import LogicalStreamReader
+    from pqstream_spark.sources.logical_pg import GiantTxnError
+    from pqstream_spark.sources.outbox_pg import (
+        PG_OFFSET_TABLE,
+        PsqlRunner,
+        _quote_lit,
+    )
+
+    pg.createdb("logi_dsspill").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_dsspill")
+    r = PsqlRunner(conninfo)
+    PgLogicalCaptureManager(
+        r, slot="pq_dsspill", table_regexp="notes").install()
+    # torn-anchor setup: 30 numbered txns, offset rows written, slot back
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}')"
+        for i in range(1, 31)) + ";")
+    p = PgLogicalPoller.open_durable(r, slot="pq_dsspill", consumer="seed",
+                                     table_regexp="notes")
+    p.read_batch(spark).collect()
+    lsn_text, lsn_big, end_seq = p._pending
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p._lsn_key)};"
+    )
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post');")
+
+    opts = {"url": f"postgres:{conninfo}", "slot": "pq_dsspill",
+            "consumer": "seed", "tableregexp": "notes",
+            "maxchangesperbatch": "5", "maxpeek": "20"}
+    with pytest.raises(GiantTxnError):
+        LogicalStreamReader(dict(opts)).latestOffset()
+    spool = str(tmp_path / "spool")
+    reader = LogicalStreamReader({**opts, "spilldir": spool})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end["seq"] == 31  # the post-anchor row, fresh seq
+    rows = [row for part in reader.partitions(start, end)
+            for row in reader.read(part)]
+    assert [(row[0], row[5]) for row in rows] == [(31, "9001")]
+    reader.commit(end)
+    # next trigger: consumed-check cleans the spool, stream is live
+    assert reader.latestOffset() == end
+    assert not os.path.isdir(os.path.join(spool, "pq_dsspill"))
+    r.sql("INSERT INTO notes VALUES (9002, now(), 'live');")
+    end2 = reader.latestOffset()
+    assert end2["seq"] == 32
