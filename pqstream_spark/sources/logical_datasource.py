@@ -86,6 +86,11 @@ class LogicalStreamReader(DataSourceStreamReader):
                 consumer=options.get("consumer", "datasource"),
                 publication=options.get("publication", DEFAULT_PUBLICATION),
                 table_regexp=options.get("tableregexp") or None,
+                # protocol v2 streamed in-progress transactions: large
+                # txns stream at logical_decoding_work_mem instead of
+                # buffering server-side; batches stay txn-aligned
+                streaming=str(options.get("streaming", "")
+                              ).lower() in ("1", "true", "yes"),
             )
         elif plugin == "test_decoding":
             self._poller = PgLogicalPoller.open_durable(

@@ -269,6 +269,18 @@ class PgOutputPoller(PgLogicalPoller):
     here — unpublished tables never reach the wire."""
 
     publication: str = DEFAULT_PUBLICATION
+    # protocol version 2 streamed in-progress transactions (round 10,
+    # VERDICT r9 #4): with 'streaming','on' the server emits a large
+    # transaction's changes in Stream Start/Stop segments WHILE
+    # decoding (as soon as logical_decoding_work_mem is exceeded)
+    # instead of buffering or spilling the whole reorder buffer
+    # server-side; the poller reassembles segments per top-level xid
+    # and a transaction completes at its Stream Commit — the same
+    # only-complete-transactions batch contract, with server decode
+    # memory bounded by work_mem. The peek window must still cover the
+    # whole stream + commit (upto_nchanges counts streamed changes),
+    # so max_peek remains the client-side bound.
+    streaming: bool = False
     _relations: dict[int, _Relation] = field(default_factory=dict, repr=False)
 
     def _spool_drain(self) -> None:
@@ -282,12 +294,14 @@ class PgOutputPoller(PgLogicalPoller):
         )
 
     def _peek(self, upto: int, barrier: bool = True) -> list[dict]:
+        proto = ("'proto_version', '2', 'streaming', 'on'"
+                 if self.streaming else "'proto_version', '1'")
         peek = (
             "SELECT lsn::text AS lsn, (lsn - '0/0'::pg_lsn)::bigint AS "
             "lsn_big, xid::text AS xid, encode(data, 'hex') AS data "
             f"FROM pg_logical_slot_peek_binary_changes("
             f"{_quote_lit(self.slot)}, NULL, {int(upto)}, "
-            f"'proto_version', '1', "
+            f"{proto}, "
             f"'publication_names', {_quote_lit(self.publication)})"
         )
         pre = self._BARRIER_SQL if barrier else ()
@@ -378,28 +392,78 @@ class PgOutputPoller(PgLogicalPoller):
 
         pat = _re.compile(self.table_regexp) if self.table_regexp else None
         pg_epoch = datetime(2000, 1, 1)
+
+        def _ts(us: int) -> str:
+            return (pg_epoch + timedelta(microseconds=us)
+                    ).isoformat(sep=" ")
+
+        def _keep(ch) -> bool:
+            table = ch[1]
+            if table.startswith("pqstream_"):
+                return False  # belt: the publication already filters
+            return pat is None or bool(pat.search(table))
+
         txns: list[_Txn] = []
         cur: list = []
         cur_ts: str | None = None
+        # proto v2 streamed-transaction state: segments (Stream Start
+        # 'S' .. Stream Stop 'E') carry xid-prefixed messages of one
+        # top-level transaction; messages keep their own (sub)txn xid,
+        # Stream Abort 'A' discards a subtransaction's rows (or the
+        # whole buffer when subxid == xid), Stream Commit 'c' turns the
+        # buffer into a complete _Txn at the commit position
+        stream_top: int | None = None
+        stream_buf: dict[int, list] = {}       # top xid → [(msg_xid, ch)]
+        stream_abort: dict[int, set] = {}      # top xid → aborted subxids
         for row in rows:
             msg = bytes.fromhex(row["data"])
             kind = chr(msg[0])
+            if kind == "S":
+                (stream_top,) = struct.unpack_from(">i", msg, 1)
+                stream_buf.setdefault(stream_top, [])
+                continue
+            if kind == "E":
+                stream_top = None
+                continue
+            if kind == "c":
+                (xid,) = struct.unpack_from(">i", msg, 1)
+                # flags u8 at 5, commit_lsn q at 6, end_lsn q at 14,
+                # commit_ts q at 22
+                (ts_us,) = struct.unpack_from(">q", msg, 22)
+                aborted = stream_abort.pop(xid, set())
+                entries = stream_buf.pop(xid, [])
+                txns.append(_Txn(
+                    row["lsn"], int(row["lsn_big"]), _ts(ts_us),
+                    [ch for mx, ch in entries if mx not in aborted],
+                ))
+                continue
+            if kind == "A":
+                xid, subxid = struct.unpack_from(">ii", msg, 1)
+                if subxid == xid:
+                    stream_buf.pop(xid, None)
+                    stream_abort.pop(xid, None)
+                else:
+                    stream_abort.setdefault(xid, set()).add(subxid)
+                continue
+            if stream_top is not None:
+                # in-segment message: type byte + xid(4) + normal body —
+                # reframe and reuse the plain parser
+                (msg_xid,) = struct.unpack_from(">i", msg, 1)
+                for ch in self._envelopes(msg[:1] + msg[5:]):
+                    if _keep(ch):
+                        stream_buf[stream_top].append((msg_xid, ch))
+                continue
             if kind == "B":
                 cur = []
                 # Begin: final_lsn(8) + commit_ts(8, µs since 2000-01-01)
                 (_, ts_us) = struct.unpack_from(">qq", msg, 1)
-                cur_ts = (pg_epoch + timedelta(microseconds=ts_us)
-                          ).isoformat(sep=" ")
+                cur_ts = _ts(ts_us)
             elif kind == "C":
                 txns.append(_Txn(row["lsn"], int(row["lsn_big"]),
                                  cur_ts, cur))
                 cur, cur_ts = [], None
             else:
                 for ch in self._envelopes(msg):
-                    table = ch[1]
-                    if table.startswith("pqstream_"):
-                        continue  # belt: the publication already filters
-                    if pat is not None and not pat.search(table):
-                        continue
-                    cur.append(ch)
+                    if _keep(ch):
+                        cur.append(ch)
         return txns

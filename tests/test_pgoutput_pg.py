@@ -409,3 +409,74 @@ def test_pgoutput_reinstall_keeps_publication_continuous(pg, spark):
     p.advance()
     assert [(row.table_name, row.id) for row in rows] == [
         ("notes", "1"), ("notes", "2"), ("extras", "3")]
+
+
+# -- protocol v2 streamed in-progress transactions (round 10) ----------------
+
+
+def test_pgoutput_streamed_transactions(spark):
+    """proto_version 2 + streaming=on: a transaction larger than
+    logical_decoding_work_mem is emitted in Stream Start/Stop segments
+    WHILE the server decodes (bounded server memory, no reorder-buffer
+    spill) and completes at Stream Commit — the poller reassembles it
+    into the same txn-atomic batch, a savepoint rollback inside it
+    discards exactly the aborted subtransaction's rows, and envelopes
+    are identical to a non-streaming slot over the same writes."""
+    srv = EphemeralPostgres.temp("pq_postream_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("stream")
+        r.sql(NOTES_DDL + ";")
+        mgr = PgOutputCaptureManager(
+            r, slot="po_stream", publication="pub_stream",
+            table_regexp="notes")
+        mgr.install()
+        # second slot on the same publication, plain proto v1
+        r.sql("SELECT pg_create_logical_replication_slot("
+              "'po_plain', 'pgoutput');")
+
+        # one large txn with an aborted savepoint inside, plus a small
+        # trailing txn
+        r.sql("BEGIN;\n"
+              "INSERT INTO notes SELECT g, now(), 'big' || g, NULL, true "
+              "FROM generate_series(1, 4000) g;\n"
+              "SAVEPOINT sp;\n"
+              "INSERT INTO notes SELECT 90000 + g, now(), 'poison', "
+              "NULL, false FROM generate_series(1, 500) g;\n"
+              "ROLLBACK TO sp;\n"
+              "INSERT INTO notes VALUES (5000, now(), 'tail', 1.5, true);\n"
+              "COMMIT;")
+        r.sql("INSERT INTO notes VALUES (6000, now(), 'small', NULL, false);")
+
+        p = PgOutputPoller.open_durable(
+            r, slot="po_stream", consumer="c", publication="pub_stream",
+            streaming=True)
+        rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+        ids = [json.loads(row.payload_json)["id"] for row in rows]
+        assert ids == list(range(1, 4001)) + [5000, 6000], (
+            f"{len(ids)} rows; poison leaked: "
+            f"{[i for i in ids if i >= 90000][:3]}")
+        assert [row.seq for row in rows] == list(range(1, 4003))
+        # the giant txn is ONE transaction boundary: replay without
+        # advance is byte-stable through the streamed path too
+        p2 = PgOutputPoller.open_durable(
+            r, slot="po_stream", consumer="c", publication="pub_stream",
+            streaming=True)
+        replay = [(row.seq, row.id) for row in p2.read_batch(spark).collect()]
+        assert sorted(replay) == sorted(
+            (row.seq, row.id) for row in rows)
+        p2.advance()
+        assert p2.read_batch(spark).count() == 0
+
+        # envelope parity with the non-streaming protocol
+        pp = PgOutputPoller.open_durable(
+            r, slot="po_plain", consumer="pp", publication="pub_stream")
+        plain = sorted(pp.read_batch(spark).collect(), key=lambda x: x.seq)
+        assert [
+            (row.seq, row.op, row.id, row.payload_json) for row in plain
+        ] == [
+            (row.seq, row.op, row.id, row.payload_json) for row in rows
+        ]
+    finally:
+        srv.destroy()
