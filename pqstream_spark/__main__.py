@@ -404,6 +404,10 @@ def _run_postgres(args, stop: threading.Event) -> int:
         from .sources.outbox_pg import TxnAssembler
 
         assembler = TxnAssembler()
+        # xid-extent index at STARTUP, never inside a poll (CREATE
+        # INDEX queues behind open writers — a mid-poll creation would
+        # wedge the loop exactly when transactions are in flight)
+        poller.ensure_xid_index()
     epoch = 0
     while not stop.is_set():
         if assembler is not None:

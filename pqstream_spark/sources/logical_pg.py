@@ -751,11 +751,19 @@ class PgLogicalPoller:
                 if row_id is not None and "\x00" not in row_id:
                     key = (table, row_id)
                     if key not in cache:
-                        try:
-                            raw = pg_fetch_row_by_id(
-                                self.runner, table, row_id)
-                        except (PsqlError, ValueError):
-                            raw = None
+                        raw = None
+                        # integer first (the reference's hardcoded
+                        # cast, server.go:26), text second — a TEXT
+                        # primary key fails the ::integer cast, not
+                        # the lookup (review fix)
+                        for id_type in ("integer", "text"):
+                            try:
+                                raw = pg_fetch_row_by_id(
+                                    self.runner, table, row_id,
+                                    id_type=id_type)
+                                break
+                            except (PsqlError, ValueError):
+                                continue
                         cache[key] = json.loads(raw) if raw else None
                     fetched = cache[key]
                 if fetched is not None and all(k in fetched for k in marked):
@@ -936,11 +944,17 @@ class PgLogicalPoller:
             # cleanup): drop the spool and let the peek path continue
             self._spool_cleanup()
             return None
+        # spool rows go through the SAME unchanged-TOAST resolution as
+        # the peek path (review fix: without it the NUL-framed marker
+        # from a non-FULL-identity UPDATE would leak to the sink)
+        txn_objs = [_Txn("", 0, ts_text, changes)
+                    for ts_text, changes in txns]
+        self._resolve_unchanged_toast(txn_objs)
         data: list[tuple] = []
         seq = base
-        for ts_text, changes in txns:
-            ts = _parse_pg_ts(ts_text) if ts_text else None
-            for (schema, table, op, row_id, payload, previous) in changes:
+        for t in txn_objs:
+            ts = _parse_pg_ts(t.commit_ts) if t.commit_ts else None
+            for (schema, table, op, row_id, payload, previous) in t.changes:
                 seq += 1
                 data.append(
                     (seq, ts, schema, table, op, row_id, payload, previous)

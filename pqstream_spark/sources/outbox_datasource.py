@@ -218,6 +218,17 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
                 "txnAligned requires the postgres backend (the sqlite "
                 "outbox is single-writer and carries no xid)"
             )
+        if self._txn_aligned:
+            # xid extent lookups as index probes; created HERE (reader
+            # construction), never inside a poll — CREATE INDEX queues
+            # behind open writers and would wedge the trigger loop
+            from .outbox_pg import OUTBOX_TABLE as _OT
+            from .outbox_pg import PsqlRunner as _PR
+
+            _PR(self._target).sql(
+                f"CREATE INDEX IF NOT EXISTS {_OT}_xid_idx "
+                f"ON {_OT} (xid);"
+            )
         self._last_end: int | None = None
         self._fence = None  # lazy: driver-side only, never shipped state
         self._floor_persisted = 0
@@ -443,13 +454,18 @@ class OutboxStreamReader(_ReaderCommon, DataSourceStreamReader):
         prevents."""
         from .outbox_pg import OUTBOX_TABLE, PsqlRunner
 
+        runner = PsqlRunner(self._target)
         agg = "MIN" if smallest else "MAX"
-        got = PsqlRunner(self._target).scalar(
-            "WITH w AS (SELECT seq, MAX(seq) OVER (PARTITION BY "
-            "COALESCE(xid::text, 'n' || seq::text)) AS txn_max "
-            f"FROM {OUTBOX_TABLE} WHERE seq > {int(base)}), "
-            "r AS (SELECT seq, MAX(txn_max) OVER (ORDER BY seq) AS reach "
-            f"FROM w WHERE seq <= {int(cap)}) "
+        got = runner.scalar(
+            "WITH win AS (SELECT seq, xid "
+            f"FROM {OUTBOX_TABLE} WHERE seq > {int(base)} "
+            f"AND seq <= {int(cap)}), "
+            "ext AS (SELECT x.xid, MAX(o.seq) AS mx "
+            "FROM (SELECT DISTINCT xid FROM win WHERE xid IS NOT NULL) x "
+            f"JOIN {OUTBOX_TABLE} o ON o.xid = x.xid GROUP BY x.xid), "
+            "r AS (SELECT win.seq, MAX(COALESCE(ext.mx, win.seq)) "
+            "OVER (ORDER BY win.seq) AS reach "
+            "FROM win LEFT JOIN ext ON win.xid = ext.xid) "
             f"SELECT COALESCE({agg}(seq), {int(base)}) FROM r "
             "WHERE reach = seq"
         )

@@ -630,6 +630,23 @@ class PgOutboxPoller:
         self._pending_hi = hi
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
 
+    def ensure_xid_index(self) -> None:
+        """Index on the envelope xid — OPT-IN (plain consumers never
+        pay its write amplification) and created at CONSTRUCTION time,
+        never inside a poll: CREATE INDEX takes a lock that queues
+        behind open writers, so a mid-poll creation would wedge the
+        poll loop exactly when transactions are in flight (review
+        finding — the first lazy-in-read version deadlocked the
+        --txn-consistent daemon against its own test writers). With
+        it, read_batch_txn's and the DataSource's per-xid extent
+        lookups are index probes bounded by the window's xids; without
+        it the same queries run as one hash-join scan per poll —
+        correct either way."""
+        self.runner.sql(
+            f"CREATE INDEX IF NOT EXISTS {OUTBOX_TABLE}_xid_idx "
+            f"ON {OUTBOX_TABLE} (xid);"
+        )
+
     def read_batch_txn(self, spark):
         """read_batch plus the writer's `xid` column AND a per-row
         `txn_complete` flag (round 10 — the exact-completion signal for
@@ -663,15 +680,23 @@ class PgOutboxPoller:
         if hi <= lo:
             self._pending_hi = None
             return spark.createDataFrame([], schema)
+        # per-xid extents computed only for xids PRESENT in the window
+        # — an index probe per distinct xid when ensure_xid_index ran,
+        # one hash-join scan otherwise; never the naive unbounded-
+        # window MAX OVER, which re-scanned the whole backlog above hi
+        # every poll — O(backlog) per poll, O(n²) drains (review fix)
         rows = self.runner.query_csv(
-            "WITH w AS (SELECT seq, ts, schema_name, table_name, op, id, "
+            "WITH win AS (SELECT seq, ts, schema_name, table_name, op, id, "
             "payload::text AS payload_json, previous::text AS previous_json, "
-            "xid, MAX(seq) OVER (PARTITION BY "
-            "COALESCE(xid::text, 'n' || seq::text)) AS txn_max "
-            f"FROM {OUTBOX_TABLE} WHERE seq > {int(lo)}) "
-            "SELECT seq, ts, schema_name, table_name, op, id, payload_json, "
-            f"previous_json, xid, (txn_max <= {int(hi)})::text AS txn_complete "
-            f"FROM w WHERE seq <= {int(hi)} ORDER BY seq"
+            f"xid FROM {OUTBOX_TABLE} "
+            f"WHERE seq > {int(lo)} AND seq <= {int(hi)}), "
+            "ext AS (SELECT x.xid, MAX(o.seq) AS txn_max "
+            "FROM (SELECT DISTINCT xid FROM win WHERE xid IS NOT NULL) x "
+            f"JOIN {OUTBOX_TABLE} o ON o.xid = x.xid GROUP BY x.xid) "
+            "SELECT win.seq, win.ts, win.schema_name, win.table_name, "
+            "win.op, win.id, win.payload_json, win.previous_json, win.xid, "
+            f"COALESCE(ext.txn_max <= {int(hi)}, true)::text AS txn_complete "
+            "FROM win LEFT JOIN ext ON win.xid = ext.xid ORDER BY win.seq"
         )
         data = [
             (
