@@ -54,7 +54,11 @@ def main() -> None:
     pg = EphemeralPostgres.temp(prefix="pqstream_bench_pg_")
     try:
         pg.initdb()
-        pg.start()
+        # 4MB decode memory: the 12MB wide-row transaction then
+        # exercises the at-scale server behaviors — reorder-buffer
+        # disk spill on test_decoding, protocol-v2 streaming on
+        # pgoutput; the narrow workloads (~1MB) stay in memory
+        pg.start(extra_conf="-c logical_decoding_work_mem=4MB")
         r = pg.createdb("bench")
         r.sql("CREATE TABLE plain (id serial, created_at timestamp, note text);"
               "CREATE TABLE captured (id serial, created_at timestamp, note text);")
@@ -234,6 +238,32 @@ def main() -> None:
             "unchanged-TOAST backfill failed in the bench drain"
         )
 
+        # pgoutput streamed-transaction drain (round 10): the same
+        # wide-row txn decoded through protocol v2 with streaming=on —
+        # what the Stream Start/Stop reassembly costs relative to the
+        # plain-protocol drain (server decode memory is bounded by
+        # logical_decoding_work_mem on this path)
+        from pqstream_spark.sources.pgoutput_pg import (
+            PgOutputCaptureManager,
+            PgOutputPoller,
+        )
+
+        r.sql("CREATE TABLE wstream " + wide_ddl + ";"
+              + ext.format(t="wstream"))
+        PgOutputCaptureManager(
+            r, slot="bench_wstream", publication="bench_pub",
+            table_regexp="wstream").install()
+        t_ws_ins = wide_insert("wstream", W_ROWS)
+        sp = PgOutputPoller.open_durable(
+            r, slot="bench_wstream", consumer="bench",
+            publication="bench_pub", streaming=True,
+            max_changes=4 * W_ROWS + 5000, max_peek=16 * W_ROWS + 20000,
+        )
+        t0 = time.time()
+        n_ws = sp.read_batch(spark).count()
+        t_ws = time.time() - t0
+        sp.advance()
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -268,6 +298,9 @@ def main() -> None:
             "wide_logical_drain_mb_per_s": round(
                 n_wlog * W_KB / 1024 / t_wdrain, 1),
             "wide_toast_update_drain_rows_per_s": round(W_ROWS / t_wupd),
+            "wide_pgoutput_stream_insert_rows_per_s": round(
+                W_ROWS / t_ws_ins),
+            "wide_pgoutput_stream_drain_rows_per_s": round(n_ws / t_ws),
         }
         print(json.dumps(out))
     finally:
