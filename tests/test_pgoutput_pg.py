@@ -480,3 +480,53 @@ def test_pgoutput_streamed_transactions(spark):
         ]
     finally:
         srv.destroy()
+
+
+def test_pgoutput_streaming_through_datasource(spark, tmp_path):
+    """readStream.format('pqstream_logical') with plugin=pgoutput +
+    streaming=true: a work_mem-exceeding transaction arrives through a
+    real StreamingQuery as ONE txn-aligned micro-batch."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+
+    srv = EphemeralPostgres.temp("pq_postrds_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("ds")
+        r.sql(NOTES_DDL + ";")
+        mgr = PgOutputCaptureManager(
+            r, slot="po_strds", publication="pub_strds",
+            table_regexp="notes")
+        mgr.install()
+        spark.dataSource.register(LogicalDataSource)
+        r.sql("BEGIN;\n"
+              "INSERT INTO notes SELECT g, now(), 'v' || g, NULL, true "
+              "FROM generate_series(1, 3000) g;\n"
+              "COMMIT;")
+        stream = (
+            spark.readStream.format("pqstream_logical")
+            .option("url", f"postgres:{srv.conninfo('ds')}")
+            .option("plugin", "pgoutput")
+            .option("slot", "po_strds")
+            .option("publication", "pub_strds")
+            .option("streaming", "true")
+            .load()
+        )
+        batches: list[list[int]] = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, ep: batches.append(
+                    sorted(row.seq for row in df.collect()))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        nonempty = [b for b in batches if b]
+        assert len(nonempty) == 1 and nonempty[0] == list(range(1, 3001)), (
+            f"streamed txn torn or lost: {[len(b) for b in batches]}")
+    finally:
+        srv.destroy()
