@@ -530,3 +530,94 @@ def test_pgoutput_streaming_through_datasource(spark, tmp_path):
             f"streamed txn torn or lost: {[len(b) for b in batches]}")
     finally:
         srv.destroy()
+
+
+def test_pgoutput_interleaved_streams_commit_order(spark):
+    """Two concurrent work_mem-exceeding writers: their Stream
+    Start/Stop segments INTERLEAVE on the wire; reassembly must keep
+    each transaction whole and deliver them in COMMIT order (the
+    writer that started first but committed last arrives last)."""
+    import tests.test_outbox_pg as ob
+
+    srv = EphemeralPostgres.temp("pq_pointer_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("inter")
+        r.sql(NOTES_DDL + ";")
+        mgr = PgOutputCaptureManager(
+            r, slot="po_inter", publication="pub_inter",
+            table_regexp="notes")
+        mgr.install()
+        conninfo = srv.conninfo("inter")
+        a = ob.TxnSession(conninfo)
+        b = ob.TxnSession(conninfo)
+        try:
+            # alternate large chunks so both reorder buffers exceed
+            # work_mem and stream interleaved segments
+            a.run("BEGIN;")
+            b.run("BEGIN;")
+            for i in range(4):
+                a.run(f"INSERT INTO notes SELECT {i*1000} + g, now(), "
+                      f"'a' || g, NULL, true FROM generate_series(1, 900) g;")
+                b.run(f"INSERT INTO notes SELECT 100000 + {i*1000} + g, "
+                      f"now(), 'b' || g, NULL, false "
+                      f"FROM generate_series(1, 900) g;")
+            b.run("COMMIT;")  # B commits FIRST though A started first
+            a.run("COMMIT;")
+        finally:
+            a.close()
+            b.close()
+        p = PgOutputPoller.open_durable(
+            r, slot="po_inter", consumer="c", publication="pub_inter",
+            streaming=True)
+        rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+        p.advance()
+        assert len(rows) == 7200
+        ids = [json.loads(row.payload_json)["id"] for row in rows]
+        # commit order: ALL of B (ids >= 100000) before ALL of A
+        assert all(i >= 100000 for i in ids[:3600]), "B's txn not first"
+        assert all(i < 100000 for i in ids[3600:]), "A's txn torn/mixed"
+    finally:
+        srv.destroy()
+
+
+def test_pgoutput_streamed_txn_unchanged_toast(spark):
+    """The round-10 lead fix inside the round-10 streaming path: a
+    work_mem-exceeding transaction of metadata-only UPDATEs over
+    TOASTed rows — every streamed 'u' column is backfilled from its
+    FULL-identity old tuple, bodies byte-intact."""
+    from tests.test_logical_pg import DOCS_DDL, _toast_text
+
+    srv = EphemeralPostgres.temp("pq_postoast_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("st")
+        r.sql(DOCS_DDL)
+        mgr = PgOutputCaptureManager(
+            r, slot="po_sttoast", publication="pub_sttoast",
+            table_regexp="docs")
+        mgr.install()
+        bodies = {i: _toast_text(f"st{i}") for i in range(1, 41)}
+        r.sql(";\n".join(
+            f"INSERT INTO docs VALUES ({i}, 'm0', '{bodies[i]}')"
+            for i in bodies) + ";")
+        # one streamed txn of metadata-only updates (40 x 8KB old
+        # tuples exceed 64kB work_mem)
+        r.sql("BEGIN;\nUPDATE docs SET meta = 'm1';\nCOMMIT;")
+        p = PgOutputPoller.open_durable(
+            r, slot="po_sttoast", consumer="c", publication="pub_sttoast",
+            streaming=True)
+        rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+        p.advance()
+        upds = [row for row in rows if row.op == "UPDATE"]
+        assert len(upds) == 40
+        for row in upds:
+            obj = json.loads(row.payload_json)
+            assert obj["meta"] == "m1"
+            assert obj["body"] == bodies[obj["id"]], (
+                f"streamed unchanged-TOAST corrupted for id {obj['id']}")
+            assert json.loads(row.previous_json)["body"] == bodies[obj["id"]]
+    finally:
+        srv.destroy()
