@@ -621,3 +621,109 @@ def test_pgoutput_streamed_txn_unchanged_toast(spark):
             assert json.loads(row.previous_json)["body"] == bodies[obj["id"]]
     finally:
         srv.destroy()
+
+
+def test_pgoutput_streaming_randomized_multi_writer_stress(spark):
+    """The randomized 4-writer stress (the harness that caught the
+    round-8 fence bug) on the STREAMED pgoutput path with a 64kB
+    decode budget: random interleave of large-chunk writers, commits
+    and rollbacks — every committed row delivered exactly once, in
+    dense commit-ordered seqs, rollbacks never delivered, transactions
+    never torn across batches."""
+    import random
+
+    import tests.test_outbox_pg as ob
+
+    rng = random.Random(0xBEEF)
+    srv = EphemeralPostgres.temp("pq_postress_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("stress")
+        r.sql(NOTES_DDL + ";")
+        PgOutputCaptureManager(
+            r, slot="po_stress", publication="pub_stress",
+            table_regexp="notes").install()
+        conninfo = srv.conninfo("stress")
+        writers = [ob.TxnSession(conninfo) for _ in range(4)]
+        p = PgOutputPoller.open_durable(
+            r, slot="po_stress", consumer="c", publication="pub_stress",
+            streaming=True, max_changes=700)
+        delivered: list[tuple[int, int]] = []
+        batch_of: dict[int, int] = {}  # row id -> batch index
+        txn_of: dict[int, int] = {}    # row id -> writer txn number
+        committed: set[int] = set()
+        aborted: set[int] = set()
+        next_id = 0
+        txn_no = 0
+        open_ids: dict[int, list[int]] = {i: [] for i in range(4)}
+        open_txn: dict[int, int] = {}
+        batches = 0
+
+        def drain() -> int:
+            nonlocal batches
+            rows = p.read_batch(spark).collect()
+            for row in rows:
+                rid = json.loads(row.payload_json)["id"]
+                delivered.append((row.seq, rid))
+                batch_of[rid] = batches
+            p.advance()
+            batches += 1
+            return len(rows)
+
+        try:
+            for step in range(40):
+                w = rng.randrange(4)
+                action = rng.random()
+                sess = writers[w]
+                if not open_ids[w] and action < 0.6:
+                    txn_no += 1
+                    open_txn[w] = txn_no
+                    sess.run("BEGIN;")
+                    # large chunks: every txn exceeds the 64kB budget
+                    # and streams
+                    for _ in range(rng.randrange(1, 3)):
+                        base = next_id
+                        n = rng.randrange(200, 500)
+                        next_id += n
+                        sess.run(
+                            f"INSERT INTO notes SELECT {base} + g, now(), "
+                            f"repeat('x', 300), NULL, true "
+                            f"FROM generate_series(1, {n}) g;")
+                        ids = list(range(base + 1, base + n + 1))
+                        open_ids[w].extend(ids)
+                        for i in ids:
+                            txn_of[i] = open_txn[w]
+                elif open_ids[w]:
+                    if action < 0.85:
+                        sess.run("COMMIT;")
+                        committed.update(open_ids[w])
+                    else:
+                        sess.run("ROLLBACK;")
+                        aborted.update(open_ids[w])
+                    open_ids[w] = []
+                if step % 5 == 4:
+                    drain()
+        finally:
+            for w, sess in enumerate(writers):
+                if open_ids[w]:
+                    sess.run("COMMIT;")
+                    committed.update(open_ids[w])
+                sess.close()
+        empty = 0
+        while empty < 2:
+            empty = empty + 1 if drain() == 0 else 0
+        got_ids = [i for _, i in delivered]
+        assert sorted(got_ids) == sorted(committed), "loss or duplication"
+        assert not (set(got_ids) & aborted), "rolled-back rows delivered"
+        seqs = [s for s, _ in delivered]
+        assert seqs == list(range(1, len(seqs) + 1)), "seqs not dense/ordered"
+        # txn atomicity across micro-batches: every committed txn's
+        # rows landed in ONE batch
+        by_txn: dict[int, set] = {}
+        for rid in got_ids:
+            by_txn.setdefault(txn_of[rid], set()).add(batch_of[rid])
+        torn = {t: b for t, b in by_txn.items() if len(b) != 1}
+        assert not torn, f"transactions torn across batches: {torn}"
+    finally:
+        srv.destroy()
