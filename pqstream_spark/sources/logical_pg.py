@@ -188,6 +188,43 @@ def _row_json(cols: list[tuple[str, str, str, bool]]) -> str | None:
     return "{" + ",".join(parts) + "}"
 
 
+def iter_logical_records(lines) -> "iter":
+    """Reassemble pg_recvlogical/test_decoding PHYSICAL lines into
+    LOGICAL records (ADVICE r10 high): test_decoding escapes single
+    quotes by doubling ('') but does NOT escape newlines inside quoted
+    values, so a text value containing '\\n' spans physical lines — a
+    line-by-line parse silently truncates the value, drops the
+    continuation lines, and a continuation that happens to look like
+    `COMMIT <n>` falsely closes the transaction. Reassembly is
+    unambiguous by QUOTE PARITY: every single quote in a complete
+    record is either a value delimiter (2 per quoted value) or half of
+    a doubled escape (2), so a complete record contains an EVEN number
+    of quotes; odd parity after a physical line means the scan is
+    inside a quoted value and the next physical line (even an empty
+    one) is its continuation. BEGIN/COMMIT/message lines contain no
+    single quotes, so they can never be mis-joined — only a genuinely
+    torn value absorbs them, which is exactly right.
+
+    `lines` yields physical lines WITHOUT their trailing newline; a
+    torn tail (odd parity at EOF — crash mid-record) is yielded as-is:
+    its transaction has no COMMIT and the spool assembly drops it, the
+    same contract as a torn segment tail."""
+    buf: str | None = None
+    parity = 0
+    for line in lines:
+        if buf is None:
+            buf = line
+            parity = line.count("'") & 1
+        else:
+            buf = f"{buf}\n{line}"
+            parity ^= line.count("'") & 1
+        if parity == 0:
+            yield buf
+            buf = None
+    if buf is not None:
+        yield buf
+
+
 def _split_idents(ident: str) -> list[str]:
     """Split a test_decoding ident list (`public.a, public.b,
     public."c, d"`) on top-level commas — multi-table TRUNCATE emits
@@ -624,24 +661,30 @@ class PgLogicalPoller:
         switches to `_spool_drain` (bounded memory on BOTH sides:
         the server's reorder buffer spills at logical_decoding_work_mem
         and the client streams to disk via pg_recvlogical)."""
-        if self.spill_dir is not None:
-            import os
+        while True:
+            if self.spill_dir is not None:
+                import os
 
-            if os.path.isdir(self._spool_dir()) and any(
-                f.startswith("seg-") for f in os.listdir(self._spool_dir())
-            ):
+                if os.path.isdir(self._spool_dir()) and any(
+                    f.startswith("seg-")
+                    for f in os.listdir(self._spool_dir())
+                ):
+                    got = self._rows_from_spool()
+                    if got is not None:
+                        return got
+            try:
+                return self._read_rows_peek(upto)
+            except GiantTxnError:
+                if self.spill_dir is None:
+                    raise
+                self._spool_drain()
                 got = self._rows_from_spool()
                 if got is not None:
                     return got
-        try:
-            return self._read_rows_peek(upto)
-        except GiantTxnError:
-            if self.spill_dir is None:
-                raise
-            self._spool_drain()
-            got = self._rows_from_spool()
-            assert got is not None
-            return got
+                # fully-filtered spool: the slot advanced past it
+                # (_rows_from_spool cleaned up) — loop back to the peek
+                # for whatever follows. Terminates: every iteration
+                # moves confirmed_flush strictly forward.
 
     def _read_rows_peek(
         self, upto: int | None = None
@@ -736,7 +779,7 @@ class PgLogicalPoller:
         from .outbox_pg import pg_fetch_row_by_id
 
         sub = _MARKER_JSON[1:-1]  # escaped marker, sans the JSON quotes
-        cache: dict[tuple[str, str], dict | None] = {}
+        cache: dict[tuple[str, str, str], dict | None] = {}
         for t in txns:
             for idx, ch in enumerate(t.changes):
                 schema, table, op, row_id, payload, previous = ch
@@ -749,7 +792,14 @@ class PgLogicalPoller:
                     continue  # escaped lookalike in user data — leave it
                 fetched = None
                 if row_id is not None and "\x00" not in row_id:
-                    key = (table, row_id)
+                    # keyed on (schema, table, row_id) and the lookup is
+                    # SCHEMA-QUALIFIED (ADVICE r10 / VERDICT #1): the
+                    # envelope knows the schema, and a search_path
+                    # resolution could splice a SAME-NAMED table's value
+                    # from another schema into the payload — a
+                    # plausible-looking wrong value, the exact outcome
+                    # this resolution contract forbids
+                    key = (schema, table, row_id)
                     if key not in cache:
                         raw = None
                         # integer first (the reference's hardcoded
@@ -760,7 +810,7 @@ class PgLogicalPoller:
                             try:
                                 raw = pg_fetch_row_by_id(
                                     self.runner, table, row_id,
-                                    id_type=id_type)
+                                    id_type=id_type, schema=schema)
                                 break
                             except (PsqlError, ValueError):
                                 continue
@@ -911,8 +961,12 @@ class PgLogicalPoller:
             cur_xid: str | None = None
             cur: list = []
             with open(os.path.join(d, f)) as fh:
-                for line in fh:
-                    line = line.rstrip("\n")
+                # quote-parity reassembly of multi-line records (ADVICE
+                # r10 high): a newline INSIDE a quoted value must not be
+                # read as a record boundary — see iter_logical_records
+                for line in iter_logical_records(
+                    l.rstrip("\n") for l in fh
+                ):
                     m = begin_re.match(line)
                     if m:
                         cur_xid, cur = m.group(1), []
@@ -939,7 +993,18 @@ class PgLogicalPoller:
                 # redelivers whole in the resumed segment or the peek
         base = int(meta["start_seq"])
         n_total = sum(len(c) for _, c in txns)
-        if self.last_seq >= base + n_total and n_total > 0:
+        if n_total == 0:
+            # the WHOLE spooled window was filtered out (table_regexp /
+            # engine tables): no seqs were assigned, so nothing needs
+            # sinking — advance the slot past the window and resume the
+            # peek path (ADVICE r10 medium: without this the consumed-
+            # check never fires and a DataSource — which never calls
+            # advance() — re-reads the empty spool forever, permanently
+            # stalling the stream)
+            self.advance_to(meta["endpos"], int(meta["endpos_big"]), base)
+            self._spool_cleanup()
+            return None
+        if self.last_seq >= base + n_total:
             # consumed in a prior run (crash between offset write and
             # cleanup): drop the spool and let the peek path continue
             self._spool_cleanup()
@@ -1106,11 +1171,30 @@ class SlotSnapshotSession:
         self._proc: subprocess.Popen | None = None
         self._out: str | None = None
 
+    @staticmethod
+    def create_slot_command(slot: str, plugin: str,
+                            server_version_num: int) -> str:
+        """The walsender CREATE_REPLICATION_SLOT grammar is version-
+        gated (ADVICE r10 low): PG15+ takes the option-list form
+        `(SNAPSHOT 'export')`; PG10-14 only accept the keyword form
+        `EXPORT_SNAPSHOT` — emitting the new grammar there raises a
+        syntax error and crashes the exactly-once bootstrap instead of
+        exporting the snapshot."""
+        if server_version_num >= 150000:
+            return (f'CREATE_REPLICATION_SLOT "{slot}" LOGICAL '
+                    f"{plugin} (SNAPSHOT 'export');")
+        return (f'CREATE_REPLICATION_SLOT "{slot}" LOGICAL '
+                f"{plugin} EXPORT_SNAPSHOT;")
+
     def __enter__(self) -> "SlotSnapshotSession":
         import os
         import tempfile
         import time
 
+        version_num = int(
+            PsqlRunner(self.conninfo).scalar("SHOW server_version_num")
+            or 150000
+        )
         fd, self._out = tempfile.mkstemp(prefix="pq_slot_snap_")
         os.close(fd)
         os.unlink(self._out)  # \o creates it; emptiness = not-ready
@@ -1122,9 +1206,8 @@ class SlotSnapshotSession:
         )
         self._proc.stdin.write(
             f"\\o {self._out}\n"
-            f'CREATE_REPLICATION_SLOT "{self.slot}" LOGICAL '
-            f"{self.plugin} (SNAPSHOT 'export');\n"
-            "\\o\n"
+            + self.create_slot_command(self.slot, self.plugin, version_num)
+            + "\n\\o\n"
         )
         self._proc.stdin.flush()
         deadline = time.time() + self.timeout
@@ -1197,4 +1280,10 @@ def recv_changes_walsender(
             f"pg_recvlogical failed (rc={proc.returncode}): "
             f"{proc.stderr.strip()}"
         )
-    return [l for l in proc.stdout.splitlines() if l.strip()]
+    # quote-parity reassembly first (a value containing '\n' spans
+    # physical lines — see iter_logical_records), THEN drop records
+    # that are genuinely empty
+    return [
+        rec for rec in iter_logical_records(proc.stdout.splitlines())
+        if rec.strip()
+    ]

@@ -1097,7 +1097,7 @@ def capture_notifications(
 
 def pg_fetch_row_by_id(
     runner: PsqlRunner, table: str, id_value: str,
-    id_type: str = "integer",
+    id_type: str = "integer", schema: str | None = None,
 ) -> str | None:
     """P3 fallback point lookup against LIVE Postgres — the
     reference's sqlFetchRowByID (`queries.go:62-64`, invoked at
@@ -1114,10 +1114,18 @@ def pg_fetch_row_by_id(
     before the lookup; the reference itself never handles this (its
     fallback hardcodes `id = $1::integer`, server.go:26 — text ids
     are simply broken there), so this is a documented upgrade, not a
-    divergence."""
+    divergence.
+
+    `schema` (round 11, ADVICE r10): when given, the lookup is
+    schema-qualified — required by the unchanged-TOAST resolution,
+    whose envelope knows the schema and must never splice a same-named
+    table's value resolved via search_path. Default None keeps the
+    reference's unqualified resolution (queries.go:62-64 is itself
+    unqualified) for the NOTIFY-parity path."""
     import json as _json
 
     t = _check_ident(table)
+    qualified = f'"{t}"' if schema is None else f'"{_check_ident(schema)}"."{t}"'
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", id_type):
         raise ValueError(f"bad id type: {id_type!r}")
     sid = str(id_value)
@@ -1129,7 +1137,7 @@ def pg_fetch_row_by_id(
     lit = _quote_lit(sid)
     return runner.scalar(
         f'SELECT row_to_json(r)::text FROM '
-        f'(SELECT * FROM "{t}" WHERE id = {lit}::{id_type}) r'
+        f'(SELECT * FROM {qualified} WHERE id = {lit}::{id_type}) r'
     )
 
 

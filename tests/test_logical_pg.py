@@ -1544,3 +1544,177 @@ def test_logical_datasource_spilldir_option(pg, spark, tmp_path):
     r.sql("INSERT INTO notes VALUES (9002, now(), 'live');")
     end2 = reader.latestOffset()
     assert end2["seq"] == 32
+
+
+# -- round 11: ADVICE r10 fixes ---------------------------------------------
+
+
+def test_iter_logical_records_quote_parity():
+    """Unit pin of the multi-line reassembly (ADVICE r10 high):
+    test_decoding doubles single quotes but does NOT escape newlines,
+    so quote PARITY is the unambiguous record-continuation signal. A
+    continuation line that looks exactly like `COMMIT 42` (or an empty
+    line) must stay inside the value."""
+    from pqstream_spark.sources.logical_pg import iter_logical_records
+
+    physical = [
+        "BEGIN 700",
+        "table public.notes: INSERT: id[integer]:1 note[text]:'line1",
+        "COMMIT 42",
+        "",
+        "tail''quoted'",
+        "COMMIT 700 (at 2021-01-01 00:00:00+00)",
+        "table public.notes: INSERT: id[integer]:2 note[text]:'plain'",
+    ]
+    records = list(iter_logical_records(physical))
+    assert records == [
+        "BEGIN 700",
+        "table public.notes: INSERT: id[integer]:1 note[text]:'line1\n"
+        "COMMIT 42\n\ntail''quoted'",
+        "COMMIT 700 (at 2021-01-01 00:00:00+00)",
+        "table public.notes: INSERT: id[integer]:2 note[text]:'plain'",
+    ]
+    # the reassembled record parses to the exact multi-line value
+    (_, _, _, _, payload, _), = parse_change_line(records[1])
+    assert json.loads(payload)["note"] == "line1\nCOMMIT 42\n\ntail'quoted"
+    # torn tail (crash mid-value): yielded as-is, parser's no-COMMIT
+    # txn-drop handles it downstream
+    assert list(iter_logical_records(["x[text]:'open", "still open"])) == [
+        "x[text]:'open\nstill open"]
+
+
+def test_spool_multiline_values_survive(pg, spark, tmp_path):
+    """Live regression for the spool newline corruption (ADVICE r10
+    high): a giant transaction whose text values contain newlines —
+    including a line that looks like a bare `COMMIT <n>` and an empty
+    line — drains through pg_recvlogical + the spool byte-exactly.
+    Before the fix the values were truncated at the first newline, the
+    continuation lines vanished, and the fake COMMIT line falsely
+    closed the transaction (dropping the rest of it)."""
+    r, mgr = _fresh(pg, "logi_ml")
+    p = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", max_changes=50, max_peek=100,
+        spill_dir=str(tmp_path / "spool"))
+    # one 300-change txn (> max_peek forces the spool drain), every
+    # value multi-line with adversarial continuation lines
+    r.sql("BEGIN;\n"
+          "INSERT INTO notes SELECT g, now(), "
+          "'v' || g || E'\\nCOMMIT 42\\n\\ntail' || g "
+          "FROM generate_series(1, 300) g;\n"
+          "COMMIT;")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    assert [row.seq for row in rows] == list(range(1, 301))
+    for g, row in enumerate(rows, start=1):
+        assert json.loads(row.payload_json)["note"] == (
+            f"v{g}\nCOMMIT 42\n\ntail{g}"), f"row {g} corrupted"
+    # stream continues cleanly past the spool
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post');")
+    nxt = [(row.seq, row.id) for row in p.read_batch(spark).collect()]
+    p.advance()
+    assert nxt == [(301, "9001")]
+
+
+def test_spool_fully_filtered_resumes_peek(pg, spark, tmp_path):
+    """ADVICE r10 medium: a spooled giant transaction that is ENTIRELY
+    on filtered-out tables (n_total == 0) must advance the slot past
+    the window, clean the spool, and resume the peek path — without
+    the fix the spool was never cleaned and a consumer that never
+    calls advance() (the DataSource) re-read the empty spool forever,
+    permanently stalling the stream."""
+    import os
+
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+
+    r, mgr = _fresh(pg, "logi_filtspool")
+    r.sql("CREATE TABLE other (id int PRIMARY KEY, note text);")
+    spool = str(tmp_path / "spool")
+    # torn-anchor setup (the GiantTxnError trigger, as in the repair
+    # test): 30 numbered notes txns, offset rows written, slot back
+    r.sql(";\n".join(
+        f"INSERT INTO notes VALUES ({i}, now(), 'w{i}')"
+        for i in range(1, 31)) + ";")
+    p0 = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c",
+                                      table_regexp="notes")
+    p0.read_batch(spark).collect()
+    lsn_text, lsn_big, end_seq = p0._pending
+    r.sql(
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {end_seq} "
+        f"WHERE consumer = {_quote_lit(p0._seq_key)};"
+        f"UPDATE {PG_OFFSET_TABLE} SET last_seq = {lsn_big} "
+        f"WHERE consumer = {_quote_lit(p0._lsn_key)};"
+    )
+    # post-anchor backlog ENTIRELY on the filtered table
+    r.sql("BEGIN;\n"
+          "INSERT INTO other SELECT g, 'o' || g "
+          "FROM generate_series(1, 300) g;\n"
+          "COMMIT;")
+    p = PgLogicalPoller.open_durable(
+        r, slot=mgr.slot, consumer="c", table_regexp="notes",
+        max_changes=5, max_peek=20, spill_dir=spool)
+    # the spool drains, turns out fully filtered (n_total == 0): the
+    # slot must advance past it, the spool must be CLEANED, and the
+    # peek path must resume — all inside one read_rows call, with NO
+    # advance() in between (the DataSource-shaped contract)
+    rows, _ = p.read_rows()
+    assert rows == []
+    assert not os.path.isdir(os.path.join(spool, mgr.slot)), (
+        "fully-filtered spool was never cleaned — the stream is stalled")
+    # the stream is live: a new notes row arrives on the peek path
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'real');")
+    rows2, _ = p.read_rows()
+    assert [(row[0], row[5]) for row in rows2] == [(31, "9001")]
+    p.advance()
+
+
+def test_toast_p3_resolution_schema_qualified(pg, spark):
+    """ADVICE r10 medium / VERDICT #1: the unchanged-TOAST P3 re-select
+    must be schema-qualified. Setup: the captured table lives in schema
+    `s1` with REPLICA IDENTITY DEFAULT (non-public tables are exactly
+    the ones install() never set FULL on), and a SAME-NAMED table with
+    the SAME id exists earlier in search_path (`public.docs`) carrying
+    a different body. The backfill must come from s1.docs — before the
+    fix the unqualified lookup spliced public.docs's body in: a
+    plausible-looking wrong value, the outcome the resolution contract
+    explicitly forbids."""
+    r = pg.createdb("logi_toastsch")
+    # shadow FIRST (its writes predate the slot, so they never decode)
+    r.sql("CREATE TABLE docs (id int PRIMARY KEY, meta text, body text);")
+    shadow_body = _toast_text("shadow")
+    r.sql(f"INSERT INTO docs VALUES (1, 'shadow', '{shadow_body}');")
+    r.sql("CREATE SCHEMA s1;"
+          "CREATE TABLE s1.docs (id int PRIMARY KEY, meta text, body text);"
+          "ALTER TABLE s1.docs ALTER COLUMN body SET STORAGE EXTERNAL;")
+    mgr = PgLogicalCaptureManager(r, slot="pq_toastsch",
+                                  table_regexp="docs")
+    mgr.install()  # discovers only public.docs; s1.docs stays DEFAULT
+    real_body = _toast_text("real")
+    r.sql(f"INSERT INTO s1.docs VALUES (1, 'm0', '{real_body}');"
+          "UPDATE s1.docs SET meta = 'm1' WHERE id = 1;")
+    p = PgLogicalPoller.open_durable(r, slot=mgr.slot, consumer="c",
+                                     table_regexp="docs")
+    rows = sorted(p.read_batch(spark).collect(), key=lambda x: x.seq)
+    p.advance()
+    upd = rows[-1]
+    assert (upd.op, upd.schema_name, upd.table_name) == (
+        "UPDATE", "s1", "docs")
+    body = json.loads(upd.payload_json)["body"]
+    assert body != shadow_body, (
+        "P3 backfill leaked the shadowing public table's value")
+    assert body == real_body
+
+
+def test_slot_create_command_version_gate():
+    """ADVICE r10 low: PG15+ takes the option-list walsender grammar
+    (SNAPSHOT 'export'); PG10-14 need the keyword form EXPORT_SNAPSHOT
+    — the new grammar raises a syntax error there and crashes the
+    exactly-once bootstrap."""
+    from pqstream_spark.sources.logical_pg import SlotSnapshotSession
+
+    new = SlotSnapshotSession.create_slot_command("s", "test_decoding",
+                                                  150000)
+    assert "(SNAPSHOT 'export')" in new and "EXPORT_SNAPSHOT" not in new
+    old = SlotSnapshotSession.create_slot_command("s", "test_decoding",
+                                                  140007)
+    assert old.rstrip(";").endswith("EXPORT_SNAPSHOT")
+    assert "SNAPSHOT '" not in old
