@@ -1,0 +1,239 @@
+"""Horizontal capture scale-out: shard capture across N pgoutput
+publications/slots (round 11 lead item, VERDICT r10 next #1).
+
+Why: per-slot WAL decode is inherently SERIAL — one walsender/decoder
+process walks the WAL for one slot (stated at `logical_pg.py` module
+docstring; measured at ~1-13 MB/s per slot on wide rows in
+`tools/bench_pg.py`). At 100 TB that single decoder is THE ingest
+bottleneck, and no amount of downstream Spark parallelism recovers it:
+the bytes all funnel through one decode loop before Spark ever sees
+them. pgoutput's server-side publication scoping (`pgoutput_pg.py`)
+is the lever: a publication restricts what a slot DECODES, so N
+publications over disjoint table sets give N INDEPENDENT decoders that
+each walk the WAL but only pay the decode/transfer cost for their own
+tables — aggregate decode throughput scales with N until the WAL read
+itself saturates.
+
+Sharding contract:
+
+- **Tables, not transactions, are the sharding domain.** A table maps
+  to exactly one shard by a stable hash of its name (`shard_of`), so
+  every event of one table flows through ONE slot in commit order —
+  the ordering CDC materialization and per-table folds require.
+  Cross-shard ordering is NOT preserved: a transaction touching tables
+  on two shards is split, and its halves are delivered independently
+  (each half txn-atomic within its shard). This is the documented
+  trade: the reference's single NOTIFY stream has global commit order
+  and zero parallelism; N shards have per-shard (hence per-table)
+  commit order and N× decode throughput. Workloads needing
+  cross-table transactional folds keep n_shards=1.
+
+- **Replay-stable global seqs by interleaved encoding.** Shard i's
+  local seq s (dense 1..k per shard, replay-stable per
+  PgLogicalPoller's numbering invariant) maps to
+  `global = (s - 1) * n_shards + i + 1`. Unique across shards,
+  strictly monotone per shard (hence per table), and deterministic
+  across crash-replays because each shard's local numbering is.
+  Global seqs are NOT dense (shards advance at their own pace) —
+  downstream consumers already treat seq as an ordering/dedup key,
+  not a row count.
+
+- **Crash contract is per shard and composes.** Each shard poller
+  carries its own (seq, LSN) anchor rows and its own
+  confirmed_flush_lsn; advance() is per shard after the merged batch
+  is sunk. A crash between sink and advance replays each shard's
+  unconfirmed window with byte-identical local seqs, hence identical
+  global seqs — the merged replay is a superset-free re-read.
+
+Reference anchor: this generalizes S5 (`server.go:98-109`, one
+listener goroutine) the same way the engine already generalized F1's
+fan-out — the reference's single stream becomes N independent streams
+with an explicit, documented ordering domain."""
+
+from __future__ import annotations
+
+import hashlib
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from .outbox import DISCOVER_TABLES_SQL, filter_tables
+from .outbox_local import OUTBOX_BATCH_SCHEMA
+from .outbox_pg import PsqlRunner
+from .pgoutput_pg import PgOutputCaptureManager, PgOutputPoller
+
+DEFAULT_SHARD_SLOT = "pqstream_shard"
+DEFAULT_SHARD_PUB = "pqstream_pub_shard"
+
+
+def shard_of(table: str, n_shards: int) -> int:
+    """Stable table→shard assignment: first 8 bytes of sha256(name).
+    Deterministic across processes/restarts (not Python's salted
+    hash()), uniform enough for table-count balancing. Same-table
+    events therefore always ride one shard — the ordering invariant."""
+    digest = hashlib.sha256(table.encode()).digest()
+    return int.from_bytes(digest[:8], "big") % n_shards
+
+
+def _anchored_regexp(tables: list[str]) -> str:
+    """Exact-match regexp for a shard's table set (filter_tables and
+    the pollers use re.search, so anchor both ends)."""
+    import re
+
+    return "^(?:" + "|".join(re.escape(t) for t in sorted(tables)) + ")$"
+
+
+class ShardedPgOutputCapture:
+    """Publication/slot lifecycle for N shards. Shards with no
+    assigned tables are skipped entirely (a publication cannot be
+    empty); `shards()` returns the live assignment so pollers and
+    tests agree on it."""
+
+    def __init__(self, runner: PsqlRunner, n_shards: int,
+                 slot_prefix: str = DEFAULT_SHARD_SLOT,
+                 publication_prefix: str = DEFAULT_SHARD_PUB,
+                 table_regexp: str | None = None) -> None:
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.runner = runner
+        self.n_shards = n_shards
+        self.slot_prefix = slot_prefix
+        self.publication_prefix = publication_prefix
+        self.table_regexp = table_regexp
+
+    def discover_tables(self) -> list[str]:
+        rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
+        return filter_tables([r["table_name"] for r in rows],
+                             self.table_regexp)
+
+    def shards(self) -> dict[int, list[str]]:
+        """shard id → its (sorted) captured tables; empty shards
+        omitted."""
+        out: dict[int, list[str]] = {}
+        for t in self.discover_tables():
+            out.setdefault(shard_of(t, self.n_shards), []).append(t)
+        return {i: sorted(ts) for i, ts in sorted(out.items())}
+
+    def _manager(self, i: int, tables: list[str]) -> PgOutputCaptureManager:
+        return PgOutputCaptureManager(
+            self.runner,
+            slot=f"{self.slot_prefix}_s{i}",
+            publication=f"{self.publication_prefix}_s{i}",
+            table_regexp=_anchored_regexp(tables),
+        )
+
+    def install(self) -> dict[int, list[str]]:
+        assignment = self.shards()
+        if not assignment:
+            raise RuntimeError("no tables match the table regexp")
+        for i, tables in assignment.items():
+            self._manager(i, tables).install()
+        return assignment
+
+    def remove(self) -> None:
+        """Drop every shard's publication+slot (probing ALL shard ids,
+        not just currently-assigned ones — a table drop can empty a
+        shard whose slot still exists)."""
+        for i in range(self.n_shards):
+            mgr = PgOutputCaptureManager(
+                self.runner,
+                slot=f"{self.slot_prefix}_s{i}",
+                publication=f"{self.publication_prefix}_s{i}",
+                # remove() resets replica identity on discovered
+                # tables; scope to this capture's regexp so shard 0's
+                # remove doesn't touch unrelated tables
+                table_regexp=self.table_regexp if i == 0 else "^$",
+            )
+            try:
+                mgr.remove()
+            except RuntimeError:
+                pass  # shard never existed
+
+
+@dataclass
+class ShardedPgOutputPoller:
+    """N PgOutputPollers drained IN PARALLEL (one psql subprocess per
+    shard — subprocess spawning releases the GIL, so a thread pool
+    gives true parallel decode), merged into one OUTBOX_BATCH_SCHEMA
+    batch under the interleaved global-seq encoding (module
+    docstring)."""
+
+    conninfo: str
+    n_shards: int
+    slot_prefix: str = DEFAULT_SHARD_SLOT
+    publication_prefix: str = DEFAULT_SHARD_PUB
+    consumer: str = "sharded"
+    max_changes: int = 100_000
+    max_peek: int = 1_600_000
+    shard_ids: tuple[int, ...] = ()
+    _pollers: dict[int, PgOutputPoller] = field(default_factory=dict,
+                                                repr=False)
+
+    @classmethod
+    def open_durable(cls, conninfo: str, n_shards: int,
+                     shard_ids: tuple[int, ...] | None = None,
+                     **kw) -> "ShardedPgOutputPoller":
+        """`shard_ids` defaults to every shard whose slot exists (the
+        install-time assignment may have skipped empty shards)."""
+        p = cls(conninfo=conninfo, n_shards=n_shards, **kw)
+        if shard_ids is None:
+            probe = PsqlRunner(conninfo)
+            rows = probe.query_csv(
+                "SELECT slot_name FROM pg_replication_slots "
+                f"WHERE slot_name LIKE "
+                f"'{p.slot_prefix}_s%' AND database = current_database()"
+            )
+            prefix = f"{p.slot_prefix}_s"
+            shard_ids = tuple(sorted(
+                int(r["slot_name"][len(prefix):]) for r in rows
+                if r["slot_name"].startswith(prefix)
+                and r["slot_name"][len(prefix):].isdigit()
+            ))
+        p.shard_ids = tuple(shard_ids)
+        for i in p.shard_ids:
+            p._pollers[i] = PgOutputPoller.open_durable(
+                PsqlRunner(p.conninfo),  # one runner per shard: the
+                # parallel drain must not serialize on shared state
+                slot=f"{p.slot_prefix}_s{i}",
+                consumer=p.consumer,
+                publication=f"{p.publication_prefix}_s{i}",
+                max_changes=p.max_changes,
+                max_peek=p.max_peek,
+            )
+        return p
+
+    def _global_seq(self, shard: int, local_seq: int) -> int:
+        return (local_seq - 1) * self.n_shards + shard + 1
+
+    def read_rows(self) -> list[tuple]:
+        """Drain every shard in parallel; merge with global seqs.
+        Rows within a shard keep local-seq order; shards are
+        concatenated in shard-id order (the DataFrame is unordered —
+        `seq` carries the per-shard order downstream needs)."""
+        if not self._pollers:
+            return []
+
+        def _one(item):
+            shard, poller = item
+            rows, _ = poller.read_rows()
+            return [
+                (self._global_seq(shard, r[0]), *r[1:]) for r in rows
+            ]
+
+        with ThreadPoolExecutor(max_workers=len(self._pollers)) as ex:
+            parts = list(ex.map(_one, sorted(self._pollers.items())))
+        return [r for part in parts for r in part]
+
+    def read_batch(self, spark):
+        return spark.createDataFrame(self.read_rows(), OUTBOX_BATCH_SCHEMA)
+
+    def advance(self) -> None:
+        """Per-shard durable commit, parallel (each shard's offset
+        rows + slot advance are independent; a crash mid-loop leaves
+        some shards advanced and some replaying — the replay is
+        byte-stable per shard, so the merged re-read is exactly the
+        unadvanced shards' windows)."""
+        with ThreadPoolExecutor(max_workers=max(1, len(self._pollers))) as ex:
+            list(ex.map(lambda p: p.advance(), self._pollers.values()))
+
+    def lag(self) -> list[dict]:
+        return [p.lag() for _, p in sorted(self._pollers.items())]

@@ -264,6 +264,58 @@ def main() -> None:
         t_ws = time.time() - t0
         sp.advance()
 
+        # sharded capture scale-out (round 11, VERDICT r10 #1): the
+        # SAME wide-row volume decoded through ONE slot/publication vs
+        # FOUR sharded publications/slots drained by parallel pollers.
+        # Both captures cover identical tables, so both decode the
+        # identical WAL range — the delta is pure decode parallelism
+        # (per-slot WAL decode is serial; N publications give N
+        # independent decoders).
+        from pqstream_spark.sources.sharded_pg import (
+            ShardedPgOutputCapture,
+            ShardedPgOutputPoller,
+            shard_of,
+        )
+
+        N_SH = 4
+        shard_tables: dict[int, str] = {}
+        i = 0
+        while len(shard_tables) < N_SH:
+            name = f"wsh{i}"
+            shard_tables.setdefault(shard_of(name, N_SH), name)
+            i += 1
+        r.sql(";\n".join(
+            f"CREATE TABLE {t} {wide_ddl}; {ext.format(t=t)}"
+            for t in shard_tables.values()))
+        PgOutputCaptureManager(
+            r, slot="bench_one", publication="bench_pub_one",
+            table_regexp="^wsh").install()
+        ShardedPgOutputCapture(
+            r, n_shards=N_SH, slot_prefix="bench_sh",
+            publication_prefix="bench_shpub",
+            table_regexp="^wsh").install()
+        for t in shard_tables.values():
+            wide_insert(t, W_ROWS)
+        one = PgOutputPoller.open_durable(
+            r, slot="bench_one", consumer="bench",
+            publication="bench_pub_one",
+            max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
+        )
+        t0 = time.time()
+        n_one = one.read_batch(spark).count()
+        t_one = time.time() - t0
+        one.advance()
+        shp = ShardedPgOutputPoller.open_durable(
+            pg.conninfo("bench"), n_shards=N_SH, slot_prefix="bench_sh",
+            publication_prefix="bench_shpub", consumer="bench",
+            max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
+        )
+        t0 = time.time()
+        n_sh = shp.read_batch(spark).count()
+        t_shard = time.time() - t0
+        shp.advance()
+        assert n_one == n_sh == N_SH * W_ROWS, (n_one, n_sh)
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -301,6 +353,11 @@ def main() -> None:
             "wide_pgoutput_stream_insert_rows_per_s": round(
                 W_ROWS / t_ws_ins),
             "wide_pgoutput_stream_drain_rows_per_s": round(n_ws / t_ws),
+            "wide_single_slot_drain_rows_per_s": round(n_one / t_one),
+            "wide_sharded4_drain_rows_per_s": round(n_sh / t_shard),
+            "wide_sharded4_speedup_x": round(t_one / t_shard, 2),
+            "wide_sharded4_drain_mb_per_s": round(
+                n_sh * W_KB / 1024 / t_shard, 1),
         }
         print(json.dumps(out))
     finally:
