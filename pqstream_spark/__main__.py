@@ -177,6 +177,26 @@ def build_parser() -> argparse.ArgumentParser:
         "loudly",
     )
     p.add_argument(
+        "--rebootstrap", action="store_true",
+        help="logical transport: recover a LOST slot (wal_status="
+        "'lost' — max_slot_wal_keep_size pressure discarded WAL the "
+        "slot still needed, its changes are unrecoverable). Drops the "
+        "dead slot, creates a fresh one over the walsender with an "
+        "exported snapshot, re-emits the snapshot (exactly-once "
+        "switchover), and resumes the changelog. No-op while the slot "
+        "is healthy",
+    )
+    p.add_argument(
+        "--spool-mode", action="store_true",
+        help="logical transport (test_decoding plugin, requires "
+        "--spill-dir): ALWAYS-ON executor-side spool ingest — every "
+        "poll drains the slot through pg_recvlogical into spool "
+        "segments (database -> disk, bytes never transit driver "
+        "Python) and the segments are parsed on an executor via "
+        "mapInPandas (Arrow batches). Same crash/exactly-once "
+        "contract as the peek path; highest wide-row drain throughput",
+    )
+    p.add_argument(
         "--txn-consistent", action="store_true",
         help="postgres outbox backend: emit whole transactions only "
         "(TxnAssembler over the envelope xid with a one-batch "
@@ -340,9 +360,9 @@ def _run_postgres(args, stop: threading.Event) -> int:
         return _run_postgres_notify(args, stop, runner)
     if args.transport == "logical":
         return _run_postgres_logical(args, stop, runner)
-    if args.spill_dir is not None:
-        print("--spill-dir applies to the logical transport only "
-              "(--transport logical, test_decoding plugin)",
+    if args.spill_dir is not None or args.spool_mode or args.rebootstrap:
+        print("--spill-dir/--spool-mode/--rebootstrap apply to the "
+              "logical transport only (--transport logical)",
               file=sys.stderr)
         return 2
     if args.txn_consistent and args.parallel_read:
@@ -474,6 +494,8 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
                        (args.bootstrap, "--bootstrap"),
                        (args.consumer is not None, "--consumer"),
                        (args.txn_consistent, "--txn-consistent"),
+                       (args.spool_mode, "--spool-mode"),
+                       (args.rebootstrap, "--rebootstrap"),
                        (args.spill_dir is not None, "--spill-dir")):
         if flag:
             print(f"{name} requires the durable outbox transport "
@@ -560,6 +582,14 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
          "--spill-dir",
          "the spill drain rides pg_recvlogical's text framing "
          "(test_decoding plugin only)"),
+        (args.spool_mode and args.plugin == "pgoutput",
+         "--spool-mode",
+         "the spool ingest rides pg_recvlogical's text framing "
+         "(test_decoding plugin only)"),
+        (args.spool_mode and args.spill_dir is None,
+         "--spool-mode",
+         "continuous spool ingest needs --spill-dir (the spool "
+         "directory is the durable copy of drained WAL)"),
     ):
         if flag:
             print(f"{name} does not apply to the logical transport: {why}",
@@ -634,6 +664,37 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
     # documented at-least-once overlap stance below.
     snap_session = None
     boot_marker = "daemon@logical#bootstrap"
+    if args.rebootstrap:
+        # Slot-loss recovery (round 11, VERDICT r10 #6): wal_status=
+        # 'lost' means max_slot_wal_keep_size pressure discarded WAL
+        # this slot still needed — its unconsumed changes are GONE and
+        # the stream is dead (decode errors on the next peek). The
+        # recovery is the bootstrap machinery re-run: drop the dead
+        # slot, clear the bootstrap sentinel, and route through the
+        # exported-snapshot session below — the fresh snapshot shows
+        # the table state INCLUDING every change the lost WAL carried,
+        # and the fresh slot decodes exactly what commits after it
+        # (disjoint, exactly-once switchover). Seq anchors are kept:
+        # they describe rows already durably sunk, and the new slot's
+        # commit LSNs are strictly beyond the stored anchor.
+        from .sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+
+        status = runner.scalar(
+            "SELECT wal_status FROM pg_replication_slots "
+            f"WHERE slot_name = {_quote_lit(slot)}")
+        if status == "lost":
+            print(f"slot {slot!r} is LOST (WAL retention pressure); "
+                  "rebootstrapping: drop slot -> exported-snapshot "
+                  "slot -> snapshot + changelog", file=sys.stderr)
+            runner.sql(
+                f"SELECT pg_drop_replication_slot({_quote_lit(slot)});")
+            # clear the sentinel so the snapshot re-runs (check=False:
+            # a first-ever run has no offset table yet)
+            runner.sql(
+                f"DELETE FROM {PG_OFFSET_TABLE} "
+                f"WHERE consumer = {_quote_lit(boot_marker)};",
+                check=False)
+            args.bootstrap = True
     if args.bootstrap:
         from .sources.logical_pg import DECODING_PLUGIN, SlotSnapshotSession
         from .sources.outbox_pg import pg_bootstrap_done as _boot_done
@@ -731,12 +792,20 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
 
     epoch = 0
     while not stop.is_set():
-        # read_rows gives the row count driver-side for free — a
-        # count() here would burn one Spark job per poll (review
-        # finding; the outbox loop avoids the same trap via _pending_hi)
-        data_rows, _ = poller.read_rows()
-        n = len(data_rows)
-        batch = spark.createDataFrame(data_rows, OUTBOX_BATCH_SCHEMA)
+        if args.spool_mode:
+            # continuous executor-side spool ingest (round 11): the
+            # drain writes segments database->disk and an executor
+            # parses them into Arrow batches; the persisted frame is
+            # counted once here and reused by the sink
+            batch, n = poller.read_batch_spool_distributed(spark)
+        else:
+            # read_rows gives the row count driver-side for free — a
+            # count() here would burn one Spark job per poll (review
+            # finding; the outbox loop avoids the same trap via
+            # _pending_hi)
+            data_rows, _ = poller.read_rows()
+            n = len(data_rows)
+            batch = spark.createDataFrame(data_rows, OUTBOX_BATCH_SCHEMA)
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,

@@ -335,6 +335,186 @@ def parse_change_line(data: str) -> list[tuple[str, str, str, str | None, str | 
     return [(schema, table, op, row_id, payload, previous)]
 
 
+def assemble_spool_txns(seg_dir: str, table_regexp: str | None):
+    """Stream the spool directory's segments into complete transactions
+    — a GENERATOR of (commit_ts_text, changes) so the caller bounds its
+    own memory (one transaction at a time). Shared by the driver-side
+    spool assembly (`_rows_from_spool`) and the executor-side
+    continuous-ingest scan (`spool_scan`), so both parse the SAME
+    bytes with the SAME state machine: quote-parity record reassembly,
+    BEGIN/COMMIT framing, keep-first xid dedup across segments (crash
+    redelivery repeats WHOLE transactions), torn-tail drop, engine
+    table + table_regexp filtering."""
+    import os
+
+    pat = re.compile(table_regexp) if table_regexp else None
+    seen_xids: set[str] = set()
+    begin_re = re.compile(r"^BEGIN (\d+)$")
+    commit_re = re.compile(r"^COMMIT (\d+)(?: \(at (.+)\))?$")
+    for f in sorted(os.listdir(seg_dir)):
+        if not f.startswith("seg-"):
+            continue
+        cur_xid: str | None = None
+        cur: list = []
+        with open(os.path.join(seg_dir, f)) as fh:
+            # quote-parity reassembly of multi-line records (ADVICE
+            # r10 high): a newline INSIDE a quoted value must not be
+            # read as a record boundary — see iter_logical_records
+            for line in iter_logical_records(
+                l.rstrip("\n") for l in fh
+            ):
+                m = begin_re.match(line)
+                if m:
+                    cur_xid, cur = m.group(1), []
+                    continue
+                m = commit_re.match(line)
+                if m:
+                    # complete block; dedup by xid keep-first
+                    if cur_xid is not None and cur_xid not in seen_xids:
+                        seen_xids.add(cur_xid)
+                        yield (m.group(2), cur)
+                    cur_xid, cur = None, []
+                    continue
+                if cur_xid is None:
+                    continue  # messages outside any txn
+                for ch in parse_change_line(line):
+                    table = ch[1]
+                    if table.startswith("pqstream_"):
+                        continue
+                    if pat is not None and not pat.search(table):
+                        continue
+                    cur.append(ch)
+            # torn tail (no COMMIT before EOF): dropped — its txn
+            # redelivers whole in the resumed segment or the peek
+
+
+def resolve_unchanged_toast(runner: PsqlRunner, txns: list["_Txn"]) -> None:
+    """Resolve any UNCHANGED_TOAST_MARKER placeholders left by the
+    parse (an UPDATE's untouched TOAST column whose old tuple did
+    not carry it — replica identity not FULL). Resolution order,
+    per VERDICT r9 #1: (1) the P3 re-select by id
+    (`pg_fetch_row_by_id`, the reference's fallbackLookup,
+    server.go:194-212 — current-value semantics, same as the
+    reference's own degradation recovery); (2) when the row is
+    gone or has no id, degrade the payload to None — the S2 tier-2
+    shape downstream already handles (queries.go:41-47) — NEVER a
+    plausible-looking wrong value. The marker itself is NUL-framed
+    so it cannot collide with any PostgreSQL text value; it never
+    leaves this function. Module-level (round 11) so the executor-side
+    spool scan resolves with ITS OWN runner — markers must never
+    survive into a sink regardless of where the parse runs."""
+    from .outbox_pg import pg_fetch_row_by_id
+
+    sub = _MARKER_JSON[1:-1]  # escaped marker, sans the JSON quotes
+    cache: dict[tuple[str, str, str], dict | None] = {}
+    for t in txns:
+        for idx, ch in enumerate(t.changes):
+            schema, table, op, row_id, payload, previous = ch
+            if not payload or sub not in payload:
+                continue
+            obj = json.loads(payload)
+            marked = [k for k, v in obj.items()
+                      if v == UNCHANGED_TOAST_MARKER]
+            if not marked:
+                continue  # escaped lookalike in user data — leave it
+            fetched = None
+            if row_id is not None and "\x00" not in row_id:
+                # keyed on (schema, table, row_id) and the lookup is
+                # SCHEMA-QUALIFIED (ADVICE r10): a search_path
+                # resolution could splice a SAME-NAMED table's value
+                # from another schema into the payload
+                key = (schema, table, row_id)
+                if key not in cache:
+                    raw = None
+                    # integer first (the reference's hardcoded cast,
+                    # server.go:26), text second — a TEXT primary key
+                    # fails the ::integer cast, not the lookup
+                    for id_type in ("integer", "text"):
+                        try:
+                            raw = pg_fetch_row_by_id(
+                                runner, table, row_id,
+                                id_type=id_type, schema=schema)
+                            break
+                        except (PsqlError, ValueError):
+                            continue
+                    cache[key] = json.loads(raw) if raw else None
+                fetched = cache[key]
+            if fetched is not None and all(k in fetched for k in marked):
+                # splice the fetched values in by string surgery so
+                # every OTHER column keeps its exact wire rendering
+                # (a loads/dumps round-trip would rewrite numeric
+                # digits, e.g. 1.50 -> 1.5)
+                for k in marked:
+                    kj = json.dumps(k, ensure_ascii=False)
+                    payload = payload.replace(
+                        f"{kj}:{_MARKER_JSON}",
+                        f"{kj}:{json.dumps(fetched[k], ensure_ascii=False)}",
+                    )
+            else:
+                payload = None
+            t.changes[idx] = (schema, table, op, row_id, payload,
+                              previous)
+
+
+def spool_scan(spark, seg_dir: str, table_regexp: str | None,
+               start_seq: int, conninfo: str):
+    """Executor-side spool parse (round 11, VERDICT r10 #2): one
+    mapInPandas task walks the spool directory's segments through the
+    SAME assembly state machine as the driver path
+    (`assemble_spool_txns`) and emits OUTBOX_BATCH_SCHEMA rows in Arrow
+    batches — segment bytes are read and parsed WHERE THE TASK RUNS,
+    never materialized in driver Python. One task per batch is the
+    honest shape: seq numbering and cross-segment xid dedup are
+    sequential by definition (they ARE the changelog order); intra-
+    batch parallelism would need per-segment seq offsets that only a
+    full parse yields. Parallel ingest across SLOTS is the sharded
+    capture's job. Unresolved unchanged-TOAST markers are P3-resolved
+    in the task against `conninfo` (executors need database
+    reachability for that rare path)."""
+    _CHUNK = 10_000
+
+    def _parse(iterator):
+        import pandas as pd
+
+        from .outbox_pg import PsqlRunner
+
+        cols = [f.name for f in OUTBOX_BATCH_SCHEMA.fields]
+
+        def _flush(buf):
+            pdf = pd.DataFrame(buf, columns=cols)
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            return pdf
+
+        for pdf_in in iterator:
+            for seg_d, regexp, base, ci in pdf_in.itertuples(index=False):
+                runner = PsqlRunner(ci)
+                seq = int(base)
+                buf: list[tuple] = []
+                for ts_text, changes in assemble_spool_txns(
+                    seg_d, regexp or None
+                ):
+                    t = _Txn("", 0, ts_text, changes)
+                    resolve_unchanged_toast(runner, [t])
+                    ts = (_parse_pg_ts(t.commit_ts)
+                          if t.commit_ts else None)
+                    for (schema, table, op, row_id, payload,
+                         previous) in t.changes:
+                        seq += 1
+                        buf.append((seq, ts, schema, table, op,
+                                    row_id, payload, previous))
+                    if len(buf) >= _CHUNK:
+                        yield _flush(buf)
+                        buf = []
+                if buf:
+                    yield _flush(buf)
+
+    src = spark.createDataFrame(
+        [(seg_dir, table_regexp or "", int(start_seq), conninfo)],
+        "seg_dir string, regexp string, start_seq long, conninfo string",
+    )
+    return src.mapInPandas(_parse, OUTBOX_BATCH_SCHEMA)
+
+
 class GiantTxnError(PsqlError):
     """One transaction exceeds the peek window cap (max_peek). Without
     a spill_dir this is a hard, loud error (the LSH-cap philosophy);
@@ -764,73 +944,9 @@ class PgLogicalPoller:
         return data, boundaries
 
     def _resolve_unchanged_toast(self, txns: list[_Txn]) -> None:
-        """Resolve any UNCHANGED_TOAST_MARKER placeholders left by the
-        parse (an UPDATE's untouched TOAST column whose old tuple did
-        not carry it — replica identity not FULL). Resolution order,
-        per VERDICT r9 #1: (1) the P3 re-select by id
-        (`pg_fetch_row_by_id`, the reference's fallbackLookup,
-        server.go:194-212 — current-value semantics, same as the
-        reference's own degradation recovery); (2) when the row is
-        gone or has no id, degrade the payload to None — the S2 tier-2
-        shape downstream already handles (queries.go:41-47) — NEVER a
-        plausible-looking wrong value. The marker itself is NUL-framed
-        so it cannot collide with any PostgreSQL text value; it never
-        leaves this method."""
-        from .outbox_pg import pg_fetch_row_by_id
-
-        sub = _MARKER_JSON[1:-1]  # escaped marker, sans the JSON quotes
-        cache: dict[tuple[str, str, str], dict | None] = {}
-        for t in txns:
-            for idx, ch in enumerate(t.changes):
-                schema, table, op, row_id, payload, previous = ch
-                if not payload or sub not in payload:
-                    continue
-                obj = json.loads(payload)
-                marked = [k for k, v in obj.items()
-                          if v == UNCHANGED_TOAST_MARKER]
-                if not marked:
-                    continue  # escaped lookalike in user data — leave it
-                fetched = None
-                if row_id is not None and "\x00" not in row_id:
-                    # keyed on (schema, table, row_id) and the lookup is
-                    # SCHEMA-QUALIFIED (ADVICE r10 / VERDICT #1): the
-                    # envelope knows the schema, and a search_path
-                    # resolution could splice a SAME-NAMED table's value
-                    # from another schema into the payload — a
-                    # plausible-looking wrong value, the exact outcome
-                    # this resolution contract forbids
-                    key = (schema, table, row_id)
-                    if key not in cache:
-                        raw = None
-                        # integer first (the reference's hardcoded
-                        # cast, server.go:26), text second — a TEXT
-                        # primary key fails the ::integer cast, not
-                        # the lookup (review fix)
-                        for id_type in ("integer", "text"):
-                            try:
-                                raw = pg_fetch_row_by_id(
-                                    self.runner, table, row_id,
-                                    id_type=id_type, schema=schema)
-                                break
-                            except (PsqlError, ValueError):
-                                continue
-                        cache[key] = json.loads(raw) if raw else None
-                    fetched = cache[key]
-                if fetched is not None and all(k in fetched for k in marked):
-                    # splice the fetched values in by string surgery so
-                    # every OTHER column keeps its exact wire rendering
-                    # (a loads/dumps round-trip would rewrite numeric
-                    # digits, e.g. 1.50 -> 1.5)
-                    for k in marked:
-                        kj = json.dumps(k, ensure_ascii=False)
-                        payload = payload.replace(
-                            f"{kj}:{_MARKER_JSON}",
-                            f"{kj}:{json.dumps(fetched[k], ensure_ascii=False)}",
-                        )
-                else:
-                    payload = None
-                t.changes[idx] = (schema, table, op, row_id, payload,
-                                  previous)
+        """See module-level resolve_unchanged_toast (extracted in
+        round 11 so the executor-side spool scan shares it)."""
+        resolve_unchanged_toast(self.runner, txns)
 
     # -- giant-transaction spill drain (round 10, VERDICT r9 #4) -------------
     # A transaction larger than max_peek cannot be assembled through
@@ -950,47 +1066,7 @@ class PgLogicalPoller:
         if not os.path.exists(os.path.join(d, "done")):
             self._spool_drain()  # crash recovery: finish the drain
         meta = json.load(open(meta_path))
-        pat = re.compile(self.table_regexp) if self.table_regexp else None
-        txns: list[tuple[str | None, list]] = []  # (ts, changes)
-        seen_xids: set[str] = set()
-        begin_re = re.compile(r"^BEGIN (\d+)$")
-        commit_re = re.compile(r"^COMMIT (\d+)(?: \(at (.+)\))?$")
-        for f in sorted(os.listdir(d)):
-            if not f.startswith("seg-"):
-                continue
-            cur_xid: str | None = None
-            cur: list = []
-            with open(os.path.join(d, f)) as fh:
-                # quote-parity reassembly of multi-line records (ADVICE
-                # r10 high): a newline INSIDE a quoted value must not be
-                # read as a record boundary — see iter_logical_records
-                for line in iter_logical_records(
-                    l.rstrip("\n") for l in fh
-                ):
-                    m = begin_re.match(line)
-                    if m:
-                        cur_xid, cur = m.group(1), []
-                        continue
-                    m = commit_re.match(line)
-                    if m:
-                        # complete block; dedup by xid keep-first
-                        # (crash redelivery repeats WHOLE txns)
-                        if cur_xid is not None and cur_xid not in seen_xids:
-                            seen_xids.add(cur_xid)
-                            txns.append((m.group(2), cur))
-                        cur_xid, cur = None, []
-                        continue
-                    if cur_xid is None:
-                        continue  # messages outside any txn
-                    for ch in parse_change_line(line):
-                        table = ch[1]
-                        if table.startswith("pqstream_"):
-                            continue
-                        if pat is not None and not pat.search(table):
-                            continue
-                        cur.append(ch)
-                # torn tail (no COMMIT before EOF): dropped — its txn
-                # redelivers whole in the resumed segment or the peek
+        txns = list(assemble_spool_txns(d, self.table_regexp))
         base = int(meta["start_seq"])
         n_total = sum(len(c) for _, c in txns)
         if n_total == 0:
@@ -1046,10 +1122,85 @@ class PgLogicalPoller:
         self.advance_to(lsn_text, lsn_big, end_seq)
         self._pending_spool = False
         self._spool_cleanup()
+        df = getattr(self, "_spool_df", None)
+        if df is not None:
+            df.unpersist()
+            self._spool_df = None
 
     def read_batch(self, spark):
         data, _ = self.read_rows()
         return spark.createDataFrame(data, OUTBOX_BATCH_SCHEMA)
+
+    # -- continuous executor-side spool ingest (round 11, VERDICT r10 #2) ----
+    # The round-10 spill machinery generalized from a giant-txn
+    # overflow path into an ALWAYS-ON ingest mode: every poll drains
+    # the slot's backlog through pg_recvlogical into spool segments
+    # (PG -> disk directly, never through driver Python), and the
+    # segments are parsed ON AN EXECUTOR via mapInPandas — the driver
+    # handles only the meta bookkeeping and the row COUNT. This removes
+    # the driver-side createDataFrame of wide python tuples (the
+    # dominant cost of the peek path on wide rows: every byte was
+    # parsed AND pickled in the driver), replacing it with one Arrow
+    # task per batch. WAL decode stays serial per slot (it IS the
+    # changelog); cross-slot parallelism comes from sharded capture
+    # (sharded_pg.py). Cluster note: local mode shares the filesystem;
+    # on a real cluster spill_dir must be shared storage reachable from
+    # executors, and conninfo reachable for the TOAST P3 resolution.
+
+    def read_batch_spool_distributed(self, spark):
+        """One continuous-mode poll: ensure a drained spool, scan it on
+        an executor, return (DataFrame, n_rows). The DataFrame is
+        persisted (parse once: the count here + the caller's sink reuse
+        it); advance() unpersists and cleans the spool. Crash contract
+        identical to the overflow spool: a crash between sink and
+        advance re-parses the SAME files into byte-identical seqs; a
+        crash between offset write and cleanup is absorbed by the
+        consumed-check (spool dropped, fresh drain)."""
+        import os
+
+        if self.spill_dir is None:
+            raise ValueError(
+                "continuous spool ingest needs spill_dir (the spool "
+                "directory is the durable copy of drained WAL)"
+            )
+        for _ in range(3):
+            d = self._spool_dir()
+            if not (os.path.isdir(d)
+                    and os.path.exists(self._spool_meta_path())):
+                self._spool_drain()
+            elif not os.path.exists(os.path.join(d, "done")):
+                self._spool_drain()  # crash recovery: resume the drain
+            meta = json.load(open(self._spool_meta_path()))
+            base = int(meta["start_seq"])
+            df = spool_scan(spark, d, self.table_regexp, base,
+                            self.runner.conninfo).persist()
+            n = df.count()
+            if n == 0:
+                # idle poll (barrier/engine txns only) or fully
+                # filtered window: advance the slot, clean, report
+                # empty — do NOT re-drain (each drain writes its own
+                # barrier record; looping would churn forever)
+                df.unpersist()
+                self.advance_to(meta["endpos"], int(meta["endpos_big"]),
+                                base)
+                self._spool_cleanup()
+                self._pending = None
+                return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA), 0
+            if self.last_seq >= base + n:
+                # consumed in a prior run (crash between offset write
+                # and cleanup): drop and drain the fresh backlog
+                df.unpersist()
+                self._spool_cleanup()
+                continue
+            self._pending = (meta["endpos"], int(meta["endpos_big"]),
+                             base + n)
+            self._pending_spool = True
+            self._spool_df = df
+            return df, n
+        raise PsqlError(
+            "spool ingest could not converge on an unconsumed spool "
+            "after 3 drains — is another consumer advancing this slot?"
+        )
 
     def advance(self) -> None:
         """Durable commit of the last read_batch, AFTER the downstream

@@ -1661,10 +1661,17 @@ def test_spool_fully_filtered_resumes_peek(pg, spark, tmp_path):
     assert not os.path.isdir(os.path.join(spool, mgr.slot)), (
         "fully-filtered spool was never cleaned — the stream is stalled")
     # the stream is live: a new notes row arrives on the peek path
+    # (drain loop: the tiny max_changes=5 window may first pass over
+    # change-free txns — spool barriers, autovacuum — one poll each)
     r.sql("INSERT INTO notes VALUES (9001, now(), 'real');")
-    rows2, _ = p.read_rows()
+    rows2: list = []
+    for _ in range(8):
+        got2, _ = p.read_rows()
+        rows2 += got2
+        p.advance()
+        if rows2:
+            break
     assert [(row[0], row[5]) for row in rows2] == [(31, "9001")]
-    p.advance()
 
 
 def test_toast_p3_resolution_schema_qualified(pg, spark):
@@ -1718,3 +1725,250 @@ def test_slot_create_command_version_gate():
                                                   140007)
     assert old.rstrip(";").endswith("EXPORT_SNAPSHOT")
     assert "SNAPSHOT '" not in old
+
+
+# -- round 11: continuous executor-side spool ingest (VERDICT r10 #2) -------
+
+
+def test_spool_mode_parity_with_peek_path(pg, spark, tmp_path):
+    """Two slots over the same writes: the continuous spool-ingest
+    batch (pg_recvlogical → segments → executor mapInPandas parse) is
+    ROW-IDENTICAL to the peek path's batch — same seqs, same commit
+    timestamps, same JSON renderings (multi-line values, UPDATEs with
+    previous, DELETEs included)."""
+    r = pg.createdb("logi_spoolpar")
+    r.sql(NOTES_DDL + ";")
+    m1 = PgLogicalCaptureManager(r, slot="pq_sp_peek",
+                                 table_regexp="notes")
+    m1.install()
+    m2 = PgLogicalCaptureManager(r, slot="pq_sp_spool",
+                                 table_regexp="notes")
+    m2.install()
+    r.sql("INSERT INTO notes SELECT g, timestamp '2021-05-06 07:08:09', "
+          "'v' || g || E'\\nml''x' FROM generate_series(1, 500) g;"
+          "UPDATE notes SET note = note || '+' WHERE id <= 100;"
+          "DELETE FROM notes WHERE id = 7;")
+    p1 = PgLogicalPoller.open_durable(r, slot="pq_sp_peek", consumer="c",
+                                      table_regexp="notes")
+    peek_rows = sorted(tuple(x) for x in p1.read_batch(spark).collect())
+    p1.advance()
+    p2 = PgLogicalPoller.open_durable(
+        r, slot="pq_sp_spool", consumer="c", table_regexp="notes",
+        spill_dir=str(tmp_path / "spool"))
+    df, n = p2.read_batch_spool_distributed(spark)
+    spool_rows = sorted(tuple(x) for x in df.collect())
+    assert n == len(peek_rows) == 601
+    assert spool_rows == peek_rows
+
+    # crash window (a): no advance — a FRESH poller re-parses the same
+    # spool files into byte-identical rows
+    p2b = PgLogicalPoller.open_durable(
+        r, slot="pq_sp_spool", consumer="c", table_regexp="notes",
+        spill_dir=str(tmp_path / "spool"))
+    df_b, n_b = p2b.read_batch_spool_distributed(spark)
+    assert sorted(tuple(x) for x in df_b.collect()) == spool_rows
+    p2b.advance()
+    import os
+
+    assert not os.path.isdir(p2b._spool_dir())
+    # idle poll: empty batch, no churn, slot housekeeping done
+    df_i, n_i = p2b.read_batch_spool_distributed(spark)
+    assert n_i == 0 and df_i.count() == 0
+    # the stream continues with fresh seqs
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post');")
+    df_n, n_n = p2b.read_batch_spool_distributed(spark)
+    assert [(x.seq, x.id) for x in df_n.collect()] == [(602, "9001")]
+    p2b.advance()
+
+
+def test_daemon_spool_mode_sigkill_exactly_once(pg, tmp_path):
+    """The SIGKILL exactly-once e2e, in continuous spool-ingest mode
+    (--spool-mode --spill-dir): union of the jsonl output deduped by
+    id equals exactly the committed rows across a hard kill + restart
+    — the spool files are the durable copy of everything the slot
+    released, and replay re-parses them into identical output."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pg.createdb("logi_spkill").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_spkill")
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+    r = PsqlRunner(conninfo)
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    spool = str(tmp_path / "spool")
+    log_path = str(tmp_path / "daemon.log")
+    argv = [sys.executable, "-m", "pqstream_spark",
+            "--connect", f"postgres:{conninfo}", "--transport", "logical",
+            "--slot", "pq_spkill", "--tables", "notes", "--out", out,
+            "--spill-dir", spool, "--spool-mode",
+            "--poll-interval", "0.2"]
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+
+    def lines():
+        got = []
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                got.extend(_json.loads(l) for l in fh if l.strip())
+        return got
+
+    def wait(pred, secs, what):
+        end = time.time() + secs
+        while time.time() < end:
+            if pred():
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    with open(log_path, "ab") as log:
+        daemon = subprocess.Popen(argv, cwd=repo, env=env,
+                                  stdout=log, stderr=log)
+    try:
+        wait(lambda: r.scalar(
+            "SELECT count(*) FROM pg_replication_slots "
+            "WHERE slot_name = 'pq_spkill'") == "1", 120, "slot install")
+        r.sql("INSERT INTO notes SELECT g, now(), 'k' || g "
+              "FROM generate_series(1, 40) g;")
+        wait(lambda: len(lines()) >= 40, 180, "first rows to drain")
+        r.sql("INSERT INTO notes SELECT 100 + g, now(), 'k' || g "
+              "FROM generate_series(1, 40) g;")
+        time.sleep(0.4)
+    finally:
+        daemon.kill()  # SIGKILL
+        daemon.wait(timeout=30)
+
+    with open(log_path, "ab") as log:
+        rc = subprocess.run(argv + ["--once"], cwd=repo, env=env,
+                            stdout=log, stderr=log, timeout=300).returncode
+    assert rc == 0
+
+    got = lines()
+    by_id: dict[int, set] = {}
+    for e in got:
+        by_id.setdefault(e["payload"]["id"], set()).add(
+            _json.dumps(e, sort_keys=True))
+    ids = sorted(by_id)
+    assert ids == list(range(1, 41)) + list(range(101, 141)), (
+        f"loss or phantom rows: {len(ids)} unique ids"
+    )
+    multi = {i: len(v) for i, v in by_id.items() if len(v) != 1}
+    assert not multi, f"replay changed content for ids {multi}"
+
+
+def test_spool_mode_flag_validation(pg, tmp_path):
+    """--spool-mode flag surface: rejected without --spill-dir, on the
+    pgoutput plugin, on the outbox transport, and on notify."""
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    pg.createdb("logi_spflag").sql(NOTES_DDL + ";")
+    conninfo = pg.conninfo("logi_spflag")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    spool = str(tmp_path / "spool")
+    base = ["--connect", f"postgres:{conninfo}", "--tables", "notes",
+            "--out", out, "--once"]
+    assert main(base + ["--spool-mode", "--spill-dir", spool]) == 2
+    assert main(base + ["--transport", "notify", "--spool-mode"]) == 2
+    assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
+                        "--slot", "spf_po", "--spool-mode",
+                        "--spill-dir", spool]) == 2
+    assert main(base + ["--transport", "logical", "--slot", "spf_td",
+                        "--spool-mode"]) == 2  # no --spill-dir
+    argv = base + ["--transport", "logical", "--slot", "spf_ok",
+                   "--spill-dir", spool, "--spool-mode"]
+    assert main(argv) == 0  # install + one idle spool poll
+
+
+def test_rebootstrap_recovers_lost_slot_end_to_end(pg, tmp_path, spark):
+    """Slot-loss recovery (round 11, VERDICT r10 #6): a slot
+    invalidated by max_slot_wal_keep_size pressure (wal_status='lost')
+    strands its consumer — the WAL is gone. `--rebootstrap` drops the
+    dead slot, re-creates it over the walsender with an exported
+    snapshot, re-emits the snapshot and resumes the changelog: the
+    recovered output's final state is the loss-free multiset INCLUDING
+    rows whose changelog entries were destroyed with the WAL."""
+    import glob
+    import json as _json
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    srv = EphemeralPostgres.temp("pq_rebs_")
+    srv.initdb(extra="--wal-segsize=1")
+    srv.start(extra_conf="-c max_slot_wal_keep_size=1MB")
+    try:
+        r = srv.createdb("keep")
+        r.sql(NOTES_DDL + ";"
+              "CREATE TABLE filler (id int, pad text);")
+        # slot exists BEFORE any write, so the healthy run drains the
+        # changelog (a slot only decodes WAL after its creation)
+        PgLogicalCaptureManager(
+            r, slot="pq_rebs", table_regexp="notes").install()
+        out = str(tmp_path / "out")
+        os.makedirs(out)
+        argv = ["--connect", f"postgres:{srv.conninfo('keep')}",
+                "--transport", "logical", "--slot", "pq_rebs",
+                "--tables", "notes", "--out", out, "--once"]
+
+        def state():
+            """Current notes state from the jsonl output: last op per
+            id wins within (negative-seq snapshot, then changelog
+            epochs in filename order)."""
+            rows = {}
+            for f in sorted(glob.glob(out + "/*.jsonl")):
+                with open(f) as fh:
+                    for line in fh:
+                        e = _json.loads(line)
+                        rows[e["payload"]["id"]] = e["op"]
+            return {i for i, op in rows.items() if op != "DELETE"}
+
+        # healthy run: --rebootstrap is a NO-OP on a live slot
+        r.sql("INSERT INTO notes SELECT g, now(), 'a' || g "
+              "FROM generate_series(1, 5) g;")
+        assert main(argv + ["--rebootstrap"]) == 0
+        assert state() == set(range(1, 6))
+        assert r.scalar(
+            "SELECT count(*) FROM pg_replication_slots "
+            "WHERE slot_name = 'pq_rebs'") == "1"
+
+        # rows the slot will LOSE with the WAL, then retention pressure
+        # on the unfiltered filler table until the slot is invalidated
+        r.sql("INSERT INTO notes SELECT g, now(), 'b' || g "
+              "FROM generate_series(6, 10) g;")
+        for _ in range(12):
+            r.sql("INSERT INTO filler SELECT g, repeat('x', 1000) "
+                  "FROM generate_series(1, 2000) g;"
+                  "SELECT pg_switch_wal();"
+                  "CHECKPOINT;")
+            if r.scalar(
+                "SELECT wal_status FROM pg_replication_slots "
+                "WHERE slot_name = 'pq_rebs'"
+            ) == "lost":
+                break
+        assert r.scalar(
+            "SELECT wal_status FROM pg_replication_slots "
+            "WHERE slot_name = 'pq_rebs'") == "lost"
+
+        # recovery: drop dead slot -> exported-snapshot slot ->
+        # snapshot (contains ids 1-10, the 'lost' 6-10 included) ->
+        # changelog resumes
+        assert main(argv + ["--rebootstrap"]) == 0
+        assert state() == set(range(1, 11)), state()
+        snap_files = glob.glob(out + "/batch--*")
+        assert snap_files, "snapshot was not re-emitted"
+
+        # the recovered stream is live: post-recovery writes drain
+        r.sql("INSERT INTO notes VALUES (11, now(), 'post');"
+              "DELETE FROM notes WHERE id = 1;")
+        assert main(argv) == 0
+        assert state() == set(range(2, 12)), state()
+    finally:
+        srv.destroy()

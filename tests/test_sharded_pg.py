@@ -202,3 +202,39 @@ def test_sharded_remove_cleans_all_shards(pg):
     assert left == []
     pubs = r.query_csv("SELECT pubname FROM pg_publication")
     assert pubs == []
+
+
+def test_sharded_distributed_read_parity_and_advance(pg, spark):
+    """read_batch_distributed (executor-side per-shard drain): row
+    parity with the driver-side merge, no marker rows in the returned
+    batch, marker-armed advance commits every shard, and a replayed
+    (unadvanced) distributed read is byte-stable."""
+    r, cap = _setup(pg, "dist")
+    expected = _write_workload(r, rounds=2)
+    n_expected = sum(len(v) for v in expected.values())
+    kw = dict(n_shards=N, slot_prefix=cap.slot_prefix,
+              publication_prefix=cap.publication_prefix, consumer="c")
+    ref = sorted(
+        (t[0], t[3], t[4], t[5]) for t in
+        ShardedPgOutputPoller.open_durable(r.conninfo, **kw).read_rows())
+    p = ShardedPgOutputPoller.open_durable(r.conninfo, **kw)
+    batch, n = p.read_batch_distributed(spark)
+    got = sorted((x.seq, x.table_name, x.op, x.id)
+                 for x in batch.collect())
+    assert n == n_expected and got == ref
+    assert all(op in ("INSERT", "UPDATE", "DELETE") for _, _, op, _ in got)
+    # replay (no advance): a fresh poller's distributed read is stable
+    p2 = ShardedPgOutputPoller.open_durable(r.conninfo, **kw)
+    batch2, n2 = p2.read_batch_distributed(spark)
+    assert sorted((x.seq, x.table_name, x.op, x.id)
+                  for x in batch2.collect()) == got
+    p2.advance()  # marker-armed per-shard commit
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (901, 'post-dist');")
+    p3 = ShardedPgOutputPoller.open_durable(r.conninfo, **kw)
+    batch3, n3 = p3.read_batch_distributed(spark)
+    rows3 = batch3.collect()
+    p3.advance()
+    assert n3 == N == len(rows3)
+    assert {x.id for x in rows3} == {"901"}
+    assert {x.seq for x in rows3}.isdisjoint({s for s, *_ in got})

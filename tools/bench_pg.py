@@ -248,6 +248,26 @@ def main() -> None:
             PgOutputPoller,
         )
 
+        # continuous executor-side spool ingest (round 11, VERDICT r10
+        # #2): a second slot over the SAME wslot writes, drained via
+        # pg_recvlogical → spool segments → executor mapInPandas —
+        # bytes never transit driver Python (vs the peek path's
+        # driver-side parse + createDataFrame measured above)
+        import tempfile
+
+        PgLogicalCaptureManager(
+            r, slot="bench_wspool", table_regexp="wslot").install()
+        wide_insert("wslot", W_ROWS, base=2_000_000)
+        slp = PgLogicalPoller.open_durable(
+            r, slot="bench_wspool", consumer="bench",
+            table_regexp="wslot", spill_dir=tempfile.mkdtemp(),
+            max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
+        )
+        t0 = time.time()
+        _, n_spool = slp.read_batch_spool_distributed(spark)
+        t_spool = time.time() - t0
+        slp.advance()
+
         r.sql("CREATE TABLE wstream " + wide_ddl + ";"
               + ext.format(t="wstream"))
         PgOutputCaptureManager(
@@ -294,24 +314,32 @@ def main() -> None:
             r, n_shards=N_SH, slot_prefix="bench_sh",
             publication_prefix="bench_shpub",
             table_regexp="^wsh").install()
-        for t in shard_tables.values():
-            wide_insert(t, W_ROWS)
         one = PgOutputPoller.open_durable(
             r, slot="bench_one", consumer="bench",
             publication="bench_pub_one",
             max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
         )
-        t0 = time.time()
-        n_one = one.read_batch(spark).count()
-        t_one = time.time() - t0
-        one.advance()
         shp = ShardedPgOutputPoller.open_durable(
             pg.conninfo("bench"), n_shards=N_SH, slot_prefix="bench_sh",
             publication_prefix="bench_shpub", consumer="bench",
             max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
         )
+        # warm round: both paths pay one-time costs (python workers,
+        # mapInPandas Arrow path, codegen) before the measured drain
+        for t in shard_tables.values():
+            wide_insert(t, 50, base=3_000_000)
+        one.read_batch(spark).count()
+        one.advance()
+        shp.read_batch_distributed(spark)
+        shp.advance()
+        for t in shard_tables.values():
+            wide_insert(t, W_ROWS)
         t0 = time.time()
-        n_sh = shp.read_batch(spark).count()
+        n_one = one.read_batch(spark).count()
+        t_one = time.time() - t0
+        one.advance()
+        t0 = time.time()
+        _, n_sh = shp.read_batch_distributed(spark)
         t_shard = time.time() - t0
         shp.advance()
         assert n_one == n_sh == N_SH * W_ROWS, (n_one, n_sh)
@@ -350,6 +378,10 @@ def main() -> None:
             "wide_logical_drain_mb_per_s": round(
                 n_wlog * W_KB / 1024 / t_wdrain, 1),
             "wide_toast_update_drain_rows_per_s": round(W_ROWS / t_wupd),
+            "wide_spool_ingest_rows": n_spool,
+            "wide_spool_ingest_rows_per_s": round(n_spool / t_spool),
+            "wide_spool_ingest_mb_per_s": round(
+                n_spool * W_KB / 1024 / t_spool, 1),
             "wide_pgoutput_stream_insert_rows_per_s": round(
                 W_ROWS / t_ws_ins),
             "wide_pgoutput_stream_drain_rows_per_s": round(n_ws / t_ws),
