@@ -146,6 +146,17 @@ def build_parser() -> argparse.ArgumentParser:
         "pqstream_pub); created at install over the --tables set",
     )
     p.add_argument(
+        "--shards", type=int, default=None, metavar="N",
+        help="logical transport, pgoutput plugin: shard capture across "
+        "N publications/slots (tables hash-assigned; same-table events "
+        "always ride one shard, so per-table commit order holds) and "
+        "drain them with N parallel executor-side pollers — N "
+        "independent WAL decoders instead of one. Global event order "
+        "is per shard only; cross-table transactions are split across "
+        "shards (keep N=1 for cross-table atomicity). --slot/"
+        "--publication become the per-shard name prefixes",
+    )
+    p.add_argument(
         "--parallel-read", type=int, default=None, metavar="N",
         help="postgres outbox backend: read each poll batch through N "
         "executor-side psql sub-range reads (mapInPandas) instead of "
@@ -188,7 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--spool-mode", action="store_true",
-        help="logical transport (test_decoding plugin, requires "
+        help="logical transport (either plugin, requires "
         "--spill-dir): ALWAYS-ON executor-side spool ingest — every "
         "poll drains the slot through pg_recvlogical into spool "
         "segments (database -> disk, bytes never transit driver "
@@ -360,9 +371,10 @@ def _run_postgres(args, stop: threading.Event) -> int:
         return _run_postgres_notify(args, stop, runner)
     if args.transport == "logical":
         return _run_postgres_logical(args, stop, runner)
-    if args.spill_dir is not None or args.spool_mode or args.rebootstrap:
-        print("--spill-dir/--spool-mode/--rebootstrap apply to the "
-              "logical transport only (--transport logical)",
+    if (args.spill_dir is not None or args.spool_mode
+            or args.rebootstrap or args.shards is not None):
+        print("--spill-dir/--spool-mode/--rebootstrap/--shards apply to "
+              "the logical transport only (--transport logical)",
               file=sys.stderr)
         return 2
     if args.txn_consistent and args.parallel_read:
@@ -495,6 +507,7 @@ def _run_postgres_notify(args, stop: threading.Event, runner) -> int:
                        (args.consumer is not None, "--consumer"),
                        (args.txn_consistent, "--txn-consistent"),
                        (args.spool_mode, "--spool-mode"),
+                       (args.shards is not None, "--shards"),
                        (args.rebootstrap, "--rebootstrap"),
                        (args.spill_dir is not None, "--spill-dir")):
         if flag:
@@ -578,14 +591,20 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
          "logical batches are transaction-atomic by construction "
          "(pg_logical_slot_peek_changes only stops at commit "
          "boundaries) — no assembler needed"),
-        (args.spill_dir is not None and args.plugin == "pgoutput",
-         "--spill-dir",
-         "the spill drain rides pg_recvlogical's text framing "
-         "(test_decoding plugin only)"),
-        (args.spool_mode and args.plugin == "pgoutput",
-         "--spool-mode",
-         "the spool ingest rides pg_recvlogical's text framing "
-         "(test_decoding plugin only)"),
+        (args.shards is not None and args.plugin != "pgoutput",
+         "--shards",
+         "sharding scopes decode via publications — pgoutput only "
+         "(--plugin pgoutput)"),
+        (args.shards is not None and args.shards < 1,
+         "--shards", "N must be >= 1"),
+        (args.shards is not None and (
+            args.bootstrap or args.rebootstrap or args.spill_dir
+            or args.spool_mode),
+         "--shards",
+         "sharded capture does not compose with --bootstrap/"
+         "--rebootstrap/--spill-dir/--spool-mode yet (per-shard "
+         "snapshot/spool wiring; drive those per shard via the "
+         "library)"),
         (args.spool_mode and args.spill_dir is None,
          "--spool-mode",
          "continuous spool ingest needs --spill-dir (the spool "
@@ -597,6 +616,8 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
             return 2
 
     slot = args.slot or DEFAULT_SLOT
+    if args.shards is not None:
+        return _run_postgres_logical_sharded(args, stop, runner)
     if args.plugin == "pgoutput":
         from .sources.pgoutput_pg import (
             DEFAULT_PUBLICATION,
@@ -721,6 +742,9 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
         poller = PgOutputPoller.open_durable(
             runner, slot=slot, consumer=args.consumer or "daemon",
             publication=publication, table_regexp=args.tables,
+            # giant-transaction escape hatch (round 11): the binary
+            # spool — structural reframing of pg_recvlogical's output
+            spill_dir=args.spill_dir,
         )
     else:
         poller = PgLogicalPoller.open_durable(
@@ -806,6 +830,90 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
             data_rows, _ = poller.read_rows()
             n = len(data_rows)
             batch = spark.createDataFrame(data_rows, OUTBOX_BATCH_SCHEMA)
+        events = handle_events(
+            raw_events_from_outbox(batch), redactions=redactions,
+            typed_wire=True,
+        )
+        emit(events, epoch)
+        poller.advance()
+        epoch += 1
+        if args.once:
+            if n == 0:
+                break
+        else:
+            stop.wait(args.poll_interval)
+    return 0
+
+
+def _run_postgres_logical_sharded(args, stop: threading.Event,
+                                  runner) -> int:
+    """`--shards N` (round 11, VERDICT r10 #1): capture sharded across
+    N pgoutput publications/slots, drained by N parallel executor-side
+    pollers (sources/sharded_pg.py) and merged into one stream with
+    replay-stable interleaved global seqs. Ordering contract printed at
+    startup: per-table commit order (tables hash-pin to one shard);
+    cross-shard interleaving is arbitrary."""
+    from .pipeline import handle_events
+    from .session import get_spark
+    from .sources.logical_pg import DEFAULT_SLOT
+    from .sources.outbox_local import raw_events_from_outbox
+    from .sources.outbox_pg import PgCaptureManager, PgNotifyCaptureManager
+    from .sources.pgoutput_pg import DEFAULT_PUBLICATION
+    from .sources.sharded_pg import (
+        ShardedPgOutputCapture,
+        ShardedPgOutputPoller,
+    )
+
+    slot = args.slot or DEFAULT_SLOT
+    publication = args.publication or DEFAULT_PUBLICATION
+    cap = ShardedPgOutputCapture(
+        runner, n_shards=args.shards, slot_prefix=slot,
+        publication_prefix=publication, table_regexp=args.tables)
+    if not args.remove:
+        wal_level = runner.scalar("SHOW wal_level")
+        if wal_level != "logical":
+            print(f"--transport logical needs wal_level=logical (server "
+                  f"has {wal_level!r}); existing capture left untouched",
+                  file=sys.stderr)
+            return 2
+        if not cap.discover_tables():
+            print("no tables match the table regexp; existing capture "
+                  "left untouched", file=sys.stderr)
+            return 2
+    PgCaptureManager(runner, table_regexp=args.tables).remove()
+    PgNotifyCaptureManager(runner, table_regexp=args.tables).remove()
+    if args.remove:
+        cap.remove()
+        print(f"removed sharded capture ({args.shards} shards, slot "
+              f"prefix {slot!r})", file=sys.stderr)
+        return 0
+    assignment = cap.install()
+    print(f"sharded logical capture: {len(assignment)} live shards over "
+          f"{sum(len(t) for t in assignment.values())} tables "
+          f"{dict(assignment)}; ordering domain = per table (same-table "
+          "events ride one shard; cross-shard order arbitrary)",
+          file=sys.stderr)
+
+    spark = get_spark("pqstream-daemon")
+    redactions = _load_redactions(args.redactions)
+    poller = ShardedPgOutputPoller.open_durable(
+        runner.conninfo, n_shards=args.shards, slot_prefix=slot,
+        publication_prefix=publication,
+        consumer=args.consumer or "daemon")
+    for h in poller.lag():
+        if h.get("wal_status") not in (None, "reserved", "extended"):
+            print(f"WARNING: shard slot {h['slot']!r} wal_status="
+                  f"{h['wal_status']!r} — WAL under retention pressure",
+                  file=sys.stderr)
+    if args.out == "-":
+        emit = lambda df, ep: _emit(df, "-", ep)  # noqa: E731
+    else:
+        from .streaming.sinks import jsonl_seq_writer
+
+        emit = jsonl_seq_writer(args.out)
+    epoch = 0
+    while not stop.is_set():
+        batch, n = poller.read_batch_distributed(spark)
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,

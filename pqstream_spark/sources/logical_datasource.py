@@ -69,11 +69,6 @@ class LogicalStreamReader(DataSourceStreamReader):
                 "pqstream_logical requires option url=postgres:CONNINFO"
             )
         plugin = options.get("plugin", "test_decoding")
-        if plugin == "pgoutput" and options.get("spilldir"):
-            raise ValueError(
-                "spillDir requires plugin=test_decoding (the spill "
-                "drain rides pg_recvlogical's text framing)"
-            )
         if plugin == "pgoutput":
             # the replication-grade binary plugin with server-side
             # publication filtering — same poller contract, so the
@@ -91,6 +86,9 @@ class LogicalStreamReader(DataSourceStreamReader):
                 # buffering server-side; batches stay txn-aligned
                 streaming=str(options.get("streaming", "")
                               ).lower() in ("1", "true", "yes"),
+                # giant-transaction spool (round 11): binary spool via
+                # structural reframing of pg_recvlogical's output
+                spill_dir=options.get("spilldir") or None,
             )
         elif plugin == "test_decoding":
             self._poller = PgLogicalPoller.open_durable(

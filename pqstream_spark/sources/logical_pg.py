@@ -456,21 +456,21 @@ def resolve_unchanged_toast(runner: PsqlRunner, txns: list["_Txn"]) -> None:
                               previous)
 
 
-def spool_scan(spark, seg_dir: str, table_regexp: str | None,
-               start_seq: int, conninfo: str):
+def spool_scan(spark, poller, seg_dir: str, start_seq: int):
     """Executor-side spool parse (round 11, VERDICT r10 #2): one
     mapInPandas task walks the spool directory's segments through the
-    SAME assembly state machine as the driver path
-    (`assemble_spool_txns`) and emits OUTBOX_BATCH_SCHEMA rows in Arrow
-    batches — segment bytes are read and parsed WHERE THE TASK RUNS,
-    never materialized in driver Python. One task per batch is the
-    honest shape: seq numbering and cross-segment xid dedup are
-    sequential by definition (they ARE the changelog order); intra-
-    batch parallelism would need per-segment seq offsets that only a
-    full parse yields. Parallel ingest across SLOTS is the sharded
-    capture's job. Unresolved unchanged-TOAST markers are P3-resolved
-    in the task against `conninfo` (executors need database
-    reachability for that rare path)."""
+    SAME plugin-specific assembly as the driver path (the pickled
+    poller's `_spool_txns_iter` — test_decoding's streaming text
+    assembler, or pgoutput's structural binary reframing) and emits
+    OUTBOX_BATCH_SCHEMA rows in Arrow batches — segment bytes are read
+    and parsed WHERE THE TASK RUNS, never materialized in driver
+    Python. One task per batch is the honest shape: seq numbering and
+    cross-segment xid dedup are sequential by definition (they ARE the
+    changelog order); intra-batch parallelism would need per-segment
+    seq offsets that only a full parse yields. Parallel ingest across
+    SLOTS is the sharded capture's job. Unresolved unchanged-TOAST
+    markers are P3-resolved in the task against the poller's conninfo
+    (executors need database reachability for that rare path)."""
     _CHUNK = 10_000
 
     def _parse(iterator):
@@ -486,13 +486,11 @@ def spool_scan(spark, seg_dir: str, table_regexp: str | None,
             return pdf
 
         for pdf_in in iterator:
-            for seg_d, regexp, base, ci in pdf_in.itertuples(index=False):
-                runner = PsqlRunner(ci)
+            for seg_d, base in pdf_in.itertuples(index=False):
+                runner = PsqlRunner(poller.runner.conninfo)
                 seq = int(base)
                 buf: list[tuple] = []
-                for ts_text, changes in assemble_spool_txns(
-                    seg_d, regexp or None
-                ):
+                for ts_text, changes in poller._spool_txns_iter(seg_d):
                     t = _Txn("", 0, ts_text, changes)
                     resolve_unchanged_toast(runner, [t])
                     ts = (_parse_pg_ts(t.commit_ts)
@@ -509,8 +507,7 @@ def spool_scan(spark, seg_dir: str, table_regexp: str | None,
                     yield _flush(buf)
 
     src = spark.createDataFrame(
-        [(seg_dir, table_regexp or "", int(start_seq), conninfo)],
-        "seg_dir string, regexp string, start_seq long, conninfo string",
+        [(seg_dir, int(start_seq))], "seg_dir string, start_seq long",
     )
     return src.mapInPandas(_parse, OUTBOX_BATCH_SCHEMA)
 
@@ -613,6 +610,10 @@ class _Txn:
     commit_lsn: int
     commit_ts: str | None
     changes: list  # parse_change_line tuples
+    # transaction id, when the parser tracked it (pgoutput does; the
+    # test_decoding peek path doesn't need it) — spool assembly dedups
+    # crash-redelivered complete transactions by this key
+    xid: str | None = None
 
 
 @dataclass
@@ -977,6 +978,23 @@ class PgLogicalPoller:
 
         return os.path.join(self.spill_dir, self.slot)
 
+    def _spool_txns_iter(self, seg_dir: str):
+        """Plugin hook: spool segment files → complete (commit_ts,
+        changes) transactions, crash-redelivery-deduped, as a lazy
+        iterator (the executor scan streams it). test_decoding rides
+        the text assembler; PgOutputPoller overrides with the binary
+        frame scanner (inherently materialized — streamed-chunk
+        reassembly needs the full buffer)."""
+        return assemble_spool_txns(seg_dir, self.table_regexp)
+
+    def _spool_txns(self, seg_dir: str) -> list[tuple[str | None, list]]:
+        return list(self._spool_txns_iter(seg_dir))
+
+    def _recv_plugin_options(self) -> list[str]:
+        """Plugin hook: extra pg_recvlogical `-o` options for the spool
+        drain (plugin output options travel with the plugin)."""
+        return ["-o", "include-timestamp=on"]
+
     def _spool_meta_path(self) -> str:
         import os
 
@@ -1038,7 +1056,7 @@ class PgLogicalPoller:
         proc = subprocess.run(
             [bin_, "-d", self.runner.conninfo, "--slot", self.slot,
              "--start", "--endpos", meta["endpos"], "-f", seg,
-             "--no-loop", "-F", "1", "-o", "include-timestamp=on"],
+             "--no-loop", "-F", "1", *self._recv_plugin_options()],
             capture_output=True, text=True, cwd="/tmp",
         )
         if proc.returncode != 0:
@@ -1066,7 +1084,7 @@ class PgLogicalPoller:
         if not os.path.exists(os.path.join(d, "done")):
             self._spool_drain()  # crash recovery: finish the drain
         meta = json.load(open(meta_path))
-        txns = list(assemble_spool_txns(d, self.table_regexp))
+        txns = self._spool_txns(d)
         base = int(meta["start_seq"])
         n_total = sum(len(c) for _, c in txns)
         if n_total == 0:
@@ -1172,8 +1190,7 @@ class PgLogicalPoller:
                 self._spool_drain()  # crash recovery: resume the drain
             meta = json.load(open(self._spool_meta_path()))
             base = int(meta["start_seq"])
-            df = spool_scan(spark, d, self.table_regexp, base,
-                            self.runner.conninfo).persist()
+            df = spool_scan(spark, self, d, base).persist()
             n = df.count()
             if n == 0:
                 # idle poll (barrier/engine txns only) or fully

@@ -162,6 +162,110 @@ def _row_json(rel: _Relation, vals: list[str | None]) -> str:
     return "{" + ",".join(parts) + "}"
 
 
+def _skip_cstring(buf: bytes, i: int) -> int:
+    return buf.index(0, i) + 1
+
+
+def _skip_tupledata(buf: bytes, i: int) -> int:
+    (ncols,) = struct.unpack_from(">h", buf, i)
+    i += 2
+    for _ in range(ncols):
+        kind = buf[i]
+        i += 1
+        if kind in (ord("n"), ord("u")):
+            continue
+        (ln,) = struct.unpack_from(">i", buf, i)
+        i += 4
+        if ln > 0:
+            i += ln
+    return i
+
+
+def scan_pgoutput_frames(data: bytes) -> list[bytes]:
+    """Reframe a pg_recvlogical byte stream into pgoutput MESSAGES
+    (round 11, VERDICT r10 #3 — the pgoutput giant-transaction spool).
+    pg_recvlogical separates messages with a single '\\n', but the
+    messages are BINARY and may themselves contain 0x0A (any text
+    value with a newline does), so line splitting is ambiguous. The
+    messages are structurally self-describing instead: every type's
+    length is computable from its content (cstrings are NUL-terminated,
+    TupleData carries explicit column lengths), so this scanner walks
+    the stream message-by-message and verifies the separator at each
+    computed boundary. In-stream messages (between Stream Start 'S'
+    and Stream Stop 'E') carry a 4-byte xid prefix — tracked
+    statefully, exactly like the poller's streamed reassembly.
+
+    A torn tail (crash mid-write: truncated message, or a missing
+    separator) stops the scan; the un-consumed suffix belongs to a
+    transaction without a commit, which the assembly drops and the
+    resumed drain redelivers whole."""
+    frames: list[bytes] = []
+    i, n = 0, len(data)
+    in_stream = False
+    while i < n:
+        try:
+            kind = chr(data[i])
+            j = i + 1
+            if in_stream and kind in "RIUDTM":
+                j += 4  # xid prefix on in-stream messages (proto v2)
+            if kind == "B":
+                j += 20
+            elif kind == "C":
+                j += 25
+            elif kind == "O":
+                j = _skip_cstring(data, j + 8)
+            elif kind == "R":
+                j += 4
+                j = _skip_cstring(data, j)
+                j = _skip_cstring(data, j)
+                j += 1
+                (ncols,) = struct.unpack_from(">h", data, j)
+                j += 2
+                for _ in range(ncols):
+                    j += 1
+                    j = _skip_cstring(data, j)
+                    j += 8
+            elif kind == "Y":
+                j = _skip_cstring(data, _skip_cstring(data, j + 4))
+            elif kind == "I":
+                j = _skip_tupledata(data, j + 5)
+            elif kind == "U":
+                j += 4
+                tag = chr(data[j])
+                j = _skip_tupledata(data, j + 1)
+                if tag in ("K", "O"):
+                    j = _skip_tupledata(data, j + 1)
+            elif kind == "D":
+                j = _skip_tupledata(data, j + 5)
+            elif kind == "T":
+                (nrels,) = struct.unpack_from(">i", data, j)
+                j += 4 + 1 + 4 * nrels
+            elif kind == "M":
+                j = _skip_cstring(data, j + 9)
+                (ln,) = struct.unpack_from(">i", data, j)
+                j += 4 + max(ln, 0)
+            elif kind == "S":
+                j += 5
+                in_stream = True
+            elif kind == "E":
+                in_stream = False
+            elif kind == "c":
+                j += 29
+            elif kind == "A":
+                j += 8
+            else:
+                break  # unknown type: garbage/torn — stop
+        except (IndexError, struct.error):
+            break  # truncated message — torn tail
+        if j > n:
+            break
+        if j < n and data[j] != 0x0A:
+            break  # framing violated — treat the rest as torn
+        frames.append(data[i:j])
+        i = j + 1
+    return frames
+
+
 class PgOutputCaptureManager:
     """Publication + slot + replica-identity lifecycle. The
     publication IS the server-side table filter: `table_regexp` picks
@@ -283,15 +387,58 @@ class PgOutputPoller(PgLogicalPoller):
     streaming: bool = False
     _relations: dict[int, _Relation] = field(default_factory=dict, repr=False)
 
-    def _spool_drain(self) -> None:
-        from .outbox_pg import PsqlError
+    def _recv_plugin_options(self) -> list[str]:
+        """pg_recvlogical options for the pgoutput spool drain (round
+        11, VERDICT r10 #3): the publication scopes decode server-side;
+        proto v2 + streaming keeps the server's reorder-buffer memory
+        bounded at logical_decoding_work_mem while the giant
+        transaction streams to the spool file."""
+        opts = ["-o", f"publication_names={self.publication}"]
+        if self.streaming:
+            opts += ["-o", "proto_version=2", "-o", "streaming=on"]
+        else:
+            opts += ["-o", "proto_version=1"]
+        return opts
 
-        raise PsqlError(
-            "the giant-transaction spill drain rides pg_recvlogical's "
-            "text framing (test_decoding); for pgoutput slots raise "
-            "max_peek, or run giant-transaction workloads through "
-            "--plugin test_decoding"
-        )
+    def _spool_txns_iter(self, seg_dir: str):
+        return iter(self._spool_txns(seg_dir))
+
+    def _spool_txns(self, seg_dir: str) -> list:
+        """Binary spool assembly: structural reframing of every
+        segment's byte stream (scan_pgoutput_frames — pg_recvlogical's
+        newline separators are ambiguous for binary payloads), then the
+        SAME streamed-protocol transaction parser as the peek path over
+        pseudo peek rows, then crash-redelivery dedup: complete
+        transactions keep-first by xid (Begin/Commit and Stream Commit
+        both carry it), re-streamed chunk prefixes reset by the Stream
+        Start first_segment flag, torn tails dropped (no commit)."""
+        import os
+
+        frames: list[bytes] = []
+        for f in sorted(os.listdir(seg_dir)):
+            if not f.startswith("seg-"):
+                continue
+            with open(os.path.join(seg_dir, f), "rb") as fh:
+                frames += scan_pgoutput_frames(fh.read())
+        rows = [{"lsn": "", "lsn_big": 0, "data": fr.hex()}
+                for fr in frames]
+        relations_before = dict(self._relations)
+        try:
+            txns = self._parse_txns(rows)
+        finally:
+            # the spool's Relation messages must not leak into the
+            # PEEK path's registry mid-replay (a replayed spool could
+            # otherwise regress a schema the live registry advanced)
+            self._relations = relations_before
+        seen: set[str] = set()
+        out: list[tuple[str | None, list]] = []
+        for t in txns:
+            if t.xid is not None:
+                if t.xid in seen:
+                    continue
+                seen.add(t.xid)
+            out.append((t.commit_ts, t.changes))
+        return out
 
     def _peek(self, upto: int, barrier: bool = True) -> list[dict]:
         proto = ("'proto_version', '2', 'streaming', 'on'"
@@ -406,6 +553,7 @@ class PgOutputPoller(PgLogicalPoller):
         txns: list[_Txn] = []
         cur: list = []
         cur_ts: str | None = None
+        cur_xid: int = 0
         # proto v2 streamed-transaction state: segments (Stream Start
         # 'S' .. Stream Stop 'E') carry xid-prefixed messages of one
         # top-level transaction; messages keep their own (sub)txn xid,
@@ -424,7 +572,15 @@ class PgOutputPoller(PgLogicalPoller):
             # these keys)
             if kind == "S":
                 (stream_top,) = struct.unpack_from(">I", msg, 1)
-                stream_buf.setdefault(stream_top, [])
+                if len(msg) > 5 and msg[5] == 1:
+                    # first_segment flag: the server (re)streams this
+                    # transaction FROM THE START — reset any buffered
+                    # chunks (crash-redelivery across spool segments
+                    # would otherwise duplicate the replayed prefix)
+                    stream_buf[stream_top] = []
+                    stream_abort.pop(stream_top, None)
+                else:
+                    stream_buf.setdefault(stream_top, [])
                 continue
             if kind == "E":
                 stream_top = None
@@ -439,6 +595,7 @@ class PgOutputPoller(PgLogicalPoller):
                 txns.append(_Txn(
                     row["lsn"], int(row["lsn_big"]), _ts(ts_us),
                     [ch for mx, ch in entries if mx not in aborted],
+                    xid=str(xid),
                 ))
                 continue
             if kind == "A":
@@ -460,11 +617,13 @@ class PgOutputPoller(PgLogicalPoller):
             if kind == "B":
                 cur = []
                 # Begin: final_lsn(8) + commit_ts(8, µs since 2000-01-01)
+                # + xid(4) — the xid keys spool crash-redelivery dedup
                 (_, ts_us) = struct.unpack_from(">qq", msg, 1)
+                (cur_xid,) = struct.unpack_from(">I", msg, 17)
                 cur_ts = _ts(ts_us)
             elif kind == "C":
                 txns.append(_Txn(row["lsn"], int(row["lsn_big"]),
-                                 cur_ts, cur))
+                                 cur_ts, cur, xid=str(cur_xid)))
                 cur, cur_ts = [], None
             else:
                 for ch in self._envelopes(msg):

@@ -1415,9 +1415,9 @@ def test_spill_spool_crash_windows(pg, spark, tmp_path):
 
 
 def test_daemon_spill_dir_flag(pg, tmp_path):
-    """`--spill-dir` flag surface: rejected on the outbox transport,
-    the notify transport, and the pgoutput plugin; accepted on
-    logical/test_decoding."""
+    """`--spill-dir` flag surface: rejected on the outbox transport
+    and the notify transport; accepted on the logical transport for
+    BOTH plugins (round 11: pgoutput gained its own binary spool)."""
     import os
 
     from pqstream_spark.__main__ import main
@@ -1434,7 +1434,7 @@ def test_daemon_spill_dir_flag(pg, tmp_path):
     assert main(base + ["--transport", "notify",
                         "--spill-dir", spool]) == 2
     assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
-                        "--slot", "sp_po", "--spill-dir", spool]) == 2
+                        "--slot", "sp_po", "--spill-dir", spool]) == 0
     argv = base + ["--transport", "logical", "--slot", "sp_td",
                    "--spill-dir", spool]
     assert main(argv) == 0  # install + idle drain
@@ -1863,7 +1863,8 @@ def test_daemon_spool_mode_sigkill_exactly_once(pg, tmp_path):
 
 def test_spool_mode_flag_validation(pg, tmp_path):
     """--spool-mode flag surface: rejected without --spill-dir, on the
-    pgoutput plugin, on the outbox transport, and on notify."""
+    outbox transport, and on notify; accepted on BOTH logical plugins
+    (round 11: pgoutput gained its own binary spool)."""
     import os
 
     from pqstream_spark.__main__ import main
@@ -1879,7 +1880,7 @@ def test_spool_mode_flag_validation(pg, tmp_path):
     assert main(base + ["--transport", "notify", "--spool-mode"]) == 2
     assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
                         "--slot", "spf_po", "--spool-mode",
-                        "--spill-dir", spool]) == 2
+                        "--spill-dir", spool]) == 0
     assert main(base + ["--transport", "logical", "--slot", "spf_td",
                         "--spool-mode"]) == 2  # no --spill-dir
     argv = base + ["--transport", "logical", "--slot", "spf_ok",

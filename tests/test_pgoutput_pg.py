@@ -727,3 +727,182 @@ def test_pgoutput_streaming_randomized_multi_writer_stress(spark):
         assert not torn, f"transactions torn across batches: {torn}"
     finally:
         srv.destroy()
+
+
+# -- round 11: pgoutput giant-transaction binary spool (VERDICT r10 #3) -----
+
+
+def test_scan_pgoutput_frames_reframes_binary_stream(pg):
+    """Unit-level pin of the structural reframing: pg_recvlogical
+    separates binary pgoutput messages with '\\n', which is ambiguous
+    (message bodies can contain 0x0A — any text value with a newline).
+    The scanner must recover EXACTLY the messages the SQL peek
+    interface returns for the same WAL window."""
+    from pqstream_spark.sources.logical_pg import recv_changes_walsender
+    from pqstream_spark.sources.pgoutput_pg import scan_pgoutput_frames
+    import subprocess
+
+    r = pg.createdb("po_scan")
+    r.sql(NOTES_DDL + ";")
+    mgr = PgOutputCaptureManager(
+        r, slot="po_scan", publication="pub_scan", table_regexp="notes")
+    mgr.install()
+    # second slot for the pg_recvlogical copy of the same window
+    r.sql("SELECT pg_create_logical_replication_slot("
+          "'po_scan2', 'pgoutput');")
+    r.sql("INSERT INTO notes VALUES "
+          "(1, now(), E'line1\\nCOMMIT 9\\n\\ntail''q', 1.5, true), "
+          "(2, now(), 'plain', NULL, false);"
+          "UPDATE notes SET note = E'x\\ny' WHERE id = 1;"
+          "DELETE FROM notes WHERE id = 2;")
+    r.sql("SET synchronous_commit = on;\n"
+          "SELECT pg_logical_emit_message(true, 'pqstream_sync', '');")
+    endpos = r.scalar("SELECT pg_current_wal_lsn()::text")
+    p = PgOutputPoller.open_durable(
+        r, slot="po_scan", consumer="c", publication="pub_scan")
+    peeked = [row["data"] for row in p._peek(100000, barrier=False)]
+    proc = subprocess.run(
+        ["pg_recvlogical", "-d", r.conninfo, "--slot", "po_scan2",
+         "--start", "--endpos", endpos, "-f", "-", "--no-loop",
+         "-o", "proto_version=1", "-o", "publication_names=pub_scan"],
+        capture_output=True, timeout=60, cwd="/tmp")
+    assert proc.returncode == 0, proc.stderr
+    frames = [f.hex() for f in scan_pgoutput_frames(proc.stdout)]
+    assert frames == peeked, (
+        f"reframed {len(frames)} vs peeked {len(peeked)} messages")
+
+
+def test_pgoutput_giant_txn_4x_max_peek_spool_drain(spark, tmp_path):
+    """The VERDICT r10 #3 done-criterion: a streamed transaction 4x
+    max_peek drains txn-atomically through --spill-dir on a pgoutput
+    slot — without switching plugins. Multi-line values survive the
+    binary spool byte-exactly (the framing hazard the structural
+    scanner exists for), and the stream continues on the peek path."""
+    from pqstream_spark.sources.logical_pg import GiantTxnError
+
+    srv = EphemeralPostgres.temp("pq_pospill_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("spill")
+        r.sql(NOTES_DDL + ";")
+        PgOutputCaptureManager(
+            r, slot="po_spill", publication="pub_spill",
+            table_regexp="notes").install()
+        r.sql("BEGIN;\n"
+              "INSERT INTO notes SELECT g, now(), "
+              "'v' || g || E'\\nml''x', NULL, true "
+              "FROM generate_series(1, 800) g;\n"
+              "COMMIT;")
+        r.sql("INSERT INTO notes VALUES (9001, now(), 'post', 1.5, true);")
+        kw = dict(slot="po_spill", consumer="c", publication="pub_spill",
+                  streaming=True, max_changes=50, max_peek=200)
+        # without spill_dir: loud error (the streamed peek window stops
+        # between chunks, never reaching the Stream Commit)
+        with pytest.raises(GiantTxnError):
+            PgOutputPoller.open_durable(r, **kw).read_rows()
+        spool = str(tmp_path / "spool")
+        p = PgOutputPoller.open_durable(r, spill_dir=spool, **kw)
+        rows, bounds = p.read_rows()
+        assert [x[0] for x in rows] == list(range(1, 802))
+        for g, x in enumerate(rows[:800], start=1):
+            assert json.loads(x[6])["note"] == f"v{g}\nml'x", g
+        assert (rows[800][5], json.loads(rows[800][6])["note"]) == (
+            "9001", "post")
+
+        # crash window (a): no advance — a FRESH poller re-parses the
+        # same spool byte-identically
+        p2 = PgOutputPoller.open_durable(r, spill_dir=spool, **kw)
+        rows_b, _ = p2.read_rows()
+        assert rows_b == rows
+        p2.advance()
+        import os
+
+        assert not os.path.isdir(os.path.join(spool, "po_spill"))
+        # the stream continues on the peek path (drain loop over
+        # change-free barrier txns, tiny window)
+        r.sql("INSERT INTO notes VALUES (9002, now(), 'live', NULL, false);")
+        got: list = []
+        for _ in range(8):
+            nxt, _ = p2.read_rows()
+            got += nxt
+            p2.advance()
+            if got:
+                break
+        assert [(x[0], x[5]) for x in got] == [(802, "9002")]
+    finally:
+        srv.destroy()
+
+
+def test_pgoutput_datasource_spilldir(spark, tmp_path):
+    """option("spillDir", ...) now composes with plugin=pgoutput: a
+    streamed giant transaction beyond maxPeek arrives through the
+    DataSource as one txn-aligned batch instead of killing the query."""
+    from pqstream_spark.sources.logical_datasource import LogicalStreamReader
+
+    srv = EphemeralPostgres.temp("pq_podsspill_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("ds")
+        r.sql(NOTES_DDL + ";")
+        PgOutputCaptureManager(
+            r, slot="po_ds", publication="pub_ds",
+            table_regexp="notes").install()
+        r.sql("BEGIN;\n"
+              "INSERT INTO notes SELECT g, now(), 'g' || g, NULL, true "
+              "FROM generate_series(1, 800) g;\n"
+              "COMMIT;")
+        opts = {"url": f"postgres:{r.conninfo}", "slot": "po_ds",
+                "plugin": "pgoutput", "publication": "pub_ds",
+                "streaming": "true", "consumer": "ds",
+                "maxchangesperbatch": "50", "maxpeek": "200",
+                "spilldir": str(tmp_path / "spool")}
+        reader = LogicalStreamReader(opts)
+        start = reader.initialOffset()
+        end = reader.latestOffset()
+        assert end["seq"] == 800  # the whole txn, one boundary
+        rows = [row for part in reader.partitions(start, end)
+                for row in reader.read(part)]
+        assert len(rows) == 800
+        reader.commit(end)
+    finally:
+        srv.destroy()
+
+
+def test_pgoutput_spool_mode_parity_with_peek(pg, spark, tmp_path):
+    """Continuous executor-side spool ingest on the pgoutput plugin
+    (round 11): the binary spool scan is row-identical to the peek
+    path over the same writes — publication-scoped decode, streamed
+    protocol, multi-line values, UPDATE previous, DELETEs."""
+    r = pg.createdb("po_spoolmode")
+    r.sql(NOTES_DDL + ";")
+    m1 = PgOutputCaptureManager(
+        r, slot="po_sm_peek", publication="pub_sm", table_regexp="notes")
+    m1.install()
+    r.sql("SELECT pg_create_logical_replication_slot("
+          "'po_sm_spool', 'pgoutput');")
+    r.sql("INSERT INTO notes SELECT g, timestamp '2021-05-06 07:08:09', "
+          "'v' || g || E'\\nml''x', g + 0.5, g % 2 = 0 "
+          "FROM generate_series(1, 300) g;"
+          "UPDATE notes SET note = note || '+' WHERE id <= 50;"
+          "DELETE FROM notes WHERE id = 7;")
+    kw = dict(consumer="c", publication="pub_sm", streaming=True)
+    p1 = PgOutputPoller.open_durable(r, slot="po_sm_peek", **kw)
+    peek_rows = sorted(tuple(x) for x in p1.read_batch(spark).collect())
+    p1.advance()
+    p2 = PgOutputPoller.open_durable(
+        r, slot="po_sm_spool", spill_dir=str(tmp_path / "spool"), **kw)
+    df, n = p2.read_batch_spool_distributed(spark)
+    spool_rows = sorted(tuple(x) for x in df.collect())
+    assert n == len(peek_rows) == 351
+    assert spool_rows == peek_rows
+    p2.advance()
+    import os
+
+    assert not os.path.isdir(p2._spool_dir())
+    # the spool-mode stream continues
+    r.sql("INSERT INTO notes VALUES (9001, now(), 'post', NULL, true);")
+    df2, n2 = p2.read_batch_spool_distributed(spark)
+    assert [(x.seq, x.id) for x in df2.collect()] == [(352, "9001")]
+    p2.advance()

@@ -238,3 +238,56 @@ def test_sharded_distributed_read_parity_and_advance(pg, spark):
     assert n3 == N == len(rows3)
     assert {x.id for x in rows3} == {"901"}
     assert {x.seq for x in rows3}.isdisjoint({s for s, *_ in got})
+
+
+def test_daemon_sharded_capture(pg, tmp_path):
+    """`--shards N` product surface: install N publications/slots,
+    drain via the parallel executor-side pollers into jsonl, loss-free
+    duplicate-free; flag validations; --remove cleans every shard."""
+    import glob
+    import json as _json
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    r = pg.createdb("daemon")
+    r.sql(DDL)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    conninfo = pg.conninfo("daemon")
+    base = ["--connect", f"postgres:{conninfo}", "--tables", "^tbl",
+            "--out", out, "--once"]
+    # validations
+    assert main(base + ["--shards", "4"]) == 2  # outbox transport
+    assert main(base + ["--transport", "logical", "--shards", "4"]) == 2
+    assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
+                        "--shards", "0"]) == 2
+    assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
+                        "--shards", "4", "--bootstrap"]) == 2
+
+    argv = base + ["--transport", "logical", "--plugin", "pgoutput",
+                   "--shards", "4", "--slot", "dmn", "--publication",
+                   "dmnpub"]
+    assert main(argv) == 0  # install + idle drain
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (1, 'x-' || '{t}'), (2, 'y');"
+              f"UPDATE {t} SET note = 'z' WHERE id = 1;")
+    assert main(argv) == 0
+    lines = []
+    for f in sorted(glob.glob(out + "/*.jsonl")):
+        with open(f) as fh:
+            lines += [_json.loads(l) for l in fh if l.strip()]
+    got = sorted((e["table"], e["op"], e["payload"]["id"]) for e in lines)
+    want = sorted((t, op, i) for t in TABLES
+                  for op, i in (("INSERT", 1), ("INSERT", 2),
+                                ("UPDATE", 1)))
+    assert got == want, f"{len(got)} events"
+    # UPDATE carries the reference's NEW->OLD merge-patch changes
+    upd = next(e for e in lines if e["op"] == "UPDATE")
+    assert upd["changes"] == {"note": f"x-{upd['table']}"}
+
+    assert main(argv + ["--remove"]) == 0
+    assert r.query_csv(
+        "SELECT slot_name FROM pg_replication_slots "
+        "WHERE database = current_database() "
+        "AND slot_name LIKE 'dmn%'") == []
