@@ -597,14 +597,6 @@ def _run_postgres_logical(args, stop: threading.Event, runner) -> int:
          "(--plugin pgoutput)"),
         (args.shards is not None and args.shards < 1,
          "--shards", "N must be >= 1"),
-        (args.shards is not None and (
-            args.bootstrap or args.rebootstrap or args.spill_dir
-            or args.spool_mode),
-         "--shards",
-         "sharded capture does not compose with --bootstrap/"
-         "--rebootstrap/--spill-dir/--spool-mode yet (per-shard "
-         "snapshot/spool wiring; drive those per shard via the "
-         "library)"),
         (args.spool_mode and args.spill_dir is None,
          "--spool-mode",
          "continuous spool ingest needs --spill-dir (the spool "
@@ -887,7 +879,71 @@ def _run_postgres_logical_sharded(args, stop: threading.Event,
         print(f"removed sharded capture ({args.shards} shards, slot "
               f"prefix {slot!r})", file=sys.stderr)
         return 0
-    assignment = cap.install()
+    # Per-shard exactly-once bootstrap (round 11 composition: the
+    # sharded analog of the single-slot exported-snapshot anchor).
+    # Shards are TABLE-DISJOINT, so "snapshot ∪ changelog partitions
+    # history disjointly" holds independently per shard and the union
+    # of N per-shard exactly-once streams is globally exactly-once.
+    # Each shard gets its own sentinel (a crash between shard k's
+    # snapshot and shard k+1's resumes at k+1, never re-snapshots k).
+    from .sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
+    from .sources.sharded_pg import _anchored_regexp
+
+    def _shard_slot(i: int) -> str:
+        return f"{slot}_s{i}"
+
+    def _shard_marker(i: int) -> str:
+        return f"daemon@logical#bootstrap#s{i}@shard"
+
+    pre_assignment = cap.shards()
+    rebooted: set[int] = set()
+    if args.rebootstrap:
+        # per-shard slot-loss recovery: only LOST shards re-bootstrap;
+        # healthy shards keep their slots and stream on undisturbed
+        for i in pre_assignment:
+            status = runner.scalar(
+                "SELECT wal_status FROM pg_replication_slots "
+                f"WHERE slot_name = {_quote_lit(_shard_slot(i))}")
+            if status == "lost":
+                print(f"shard slot {_shard_slot(i)!r} is LOST (WAL "
+                      "retention pressure); rebootstrapping shard "
+                      f"{i}: drop slot -> exported-snapshot slot -> "
+                      "snapshot + changelog", file=sys.stderr)
+                runner.sql("SELECT pg_drop_replication_slot("
+                           f"{_quote_lit(_shard_slot(i))});")
+                runner.sql(
+                    f"DELETE FROM {PG_OFFSET_TABLE} "
+                    f"WHERE consumer = {_quote_lit(_shard_marker(i))};",
+                    check=False)
+                rebooted.add(i)
+    snap_sessions: dict[int, object] = {}
+    if args.bootstrap or rebooted:
+        from .sources.logical_pg import SlotSnapshotSession
+        from .sources.outbox_pg import pg_bootstrap_done as _boot_done
+
+        for i, tables in pre_assignment.items():
+            if not (args.bootstrap or i in rebooted):
+                continue
+            mgr = cap._manager(i, tables)
+            if not _boot_done(runner, _shard_marker(i)) \
+                    and not mgr._slot_exists():
+                # identity + publication BEFORE the slot so the first
+                # decoded UPDATE already carries the full old tuple
+                mgr.install(create_slot=False)
+                try:
+                    snap_sessions[i] = SlotSnapshotSession(
+                        runner.conninfo, _shard_slot(i),
+                        plugin="pgoutput").__enter__()
+                except Exception:
+                    for s in snap_sessions.values():
+                        s.close()
+                    raise
+    try:
+        assignment = cap.install()
+    except Exception:
+        for s in snap_sessions.values():
+            s.close()
+        raise
     print(f"sharded logical capture: {len(assignment)} live shards over "
           f"{sum(len(t) for t in assignment.values())} tables "
           f"{dict(assignment)}; ordering domain = per table (same-table "
@@ -899,7 +955,8 @@ def _run_postgres_logical_sharded(args, stop: threading.Event,
     poller = ShardedPgOutputPoller.open_durable(
         runner.conninfo, n_shards=args.shards, slot_prefix=slot,
         publication_prefix=publication,
-        consumer=args.consumer or "daemon")
+        consumer=args.consumer or "daemon",
+        spill_dir=args.spill_dir)
     for h in poller.lag():
         if h.get("wal_status") not in (None, "reserved", "extended"):
             print(f"WARNING: shard slot {h['slot']!r} wal_status="
@@ -911,9 +968,63 @@ def _run_postgres_logical_sharded(args, stop: threading.Event,
         from .streaming.sinks import jsonl_seq_writer
 
         emit = jsonl_seq_writer(args.out)
+    if args.bootstrap or rebooted:
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .sources.outbox_pg import (
+            pg_bootstrap_done,
+            pg_mark_bootstrap_done,
+            pg_snapshot_batch,
+        )
+
+        n_sh = args.shards
+        for i, tables in sorted(pre_assignment.items()):
+            if not (args.bootstrap or i in rebooted):
+                continue
+            if pg_bootstrap_done(runner, _shard_marker(i)):
+                continue
+            sess = snap_sessions.get(i)
+            try:
+                snap_batch = pg_snapshot_batch(
+                    runner, spark, _anchored_regexp(tables),
+                    snapshot_name=(sess.snapshot_name
+                                   if sess is not None else None),
+                )
+                # snapshot seqs are -n..-1 PER SHARD; re-encode them
+                # uniquely (local*N - shard: still negative, distinct
+                # across shards, and (-seq) % N recovers the shard —
+                # which is how the stale-file cleanup below scopes
+                # itself to THIS shard on a partial re-bootstrap)
+                snap_batch = snap_batch.withColumn(
+                    "seq", (F.col("seq") * n_sh - i).cast("long"))
+                snap = handle_events(
+                    raw_events_from_outbox(snap_batch),
+                    redactions=redactions, typed_wire=True,
+                )
+                if args.out != "-":
+                    for f in os.listdir(args.out):
+                        m = _re.fullmatch(
+                            r"batch-(-\d+)-(-\d+)\.jsonl", f)
+                        if m and (-int(m.group(2))) % n_sh == i:
+                            os.remove(os.path.join(args.out, f))
+                emit(snap, -(i + 1))
+            finally:
+                if sess is not None:
+                    sess.close()
+                    snap_sessions.pop(i, None)
+            pg_mark_bootstrap_done(runner, _shard_marker(i))
+    for s in snap_sessions.values():  # sentinels already set
+        s.close()
     epoch = 0
     while not stop.is_set():
-        batch, n = poller.read_batch_distributed(spark)
+        if args.spool_mode:
+            # sharded continuous spool ingest: N parallel
+            # pg_recvlogical drains, one executor-side parse job
+            batch, n = poller.read_batch_spool_distributed(spark)
+        else:
+            batch, n = poller.read_batch_distributed(spark)
         events = handle_events(
             raw_events_from_outbox(batch), redactions=redactions,
             typed_wire=True,

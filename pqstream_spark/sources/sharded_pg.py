@@ -53,6 +53,7 @@ with an explicit, documented ordering domain."""
 from __future__ import annotations
 
 import hashlib
+import json
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -164,6 +165,15 @@ class ShardedPgOutputPoller:
     consumer: str = "sharded"
     max_changes: int = 100_000
     max_peek: int = 1_600_000
+    # spool composition (round 11): spill_dir gives every shard poller
+    # the giant-transaction escape hatch AND enables the sharded
+    # continuous spool ingest (read_batch_spool_distributed) — each
+    # shard spools under spill_dir/<slot>_s<i> (the per-slot namespacing
+    # PgLogicalPoller._spool_dir already provides), so one shared
+    # directory serves all shards. `streaming` turns on pgoutput proto
+    # v2 streamed in-progress transactions per shard.
+    spill_dir: str | None = None
+    streaming: bool = False
     shard_ids: tuple[int, ...] = ()
     _pollers: dict[int, PgOutputPoller] = field(default_factory=dict,
                                                 repr=False)
@@ -198,6 +208,8 @@ class ShardedPgOutputPoller:
                 publication=f"{p.publication_prefix}_s{i}",
                 max_changes=p.max_changes,
                 max_peek=p.max_peek,
+                spill_dir=p.spill_dir,
+                streaming=p.streaming,
             )
         return p
 
@@ -299,12 +311,132 @@ class ShardedPgOutputPoller:
         markers = df.filter(F.col("op") == boundary_op).collect()
         n = 0
         for m in markers:
-            self._pollers[int(m.schema_name)]._pending = (
-                m.table_name, int(m.payload_json), int(m.id))
+            p = self._pollers[int(m.schema_name)]
+            p._pending = (m.table_name, int(m.payload_json), int(m.id))
+            # spool composition: when the shard's batch came from the
+            # giant-transaction spool (the task's read_rows left the
+            # spool directory with its `done` marker — cleanup is
+            # advance's job), arm the spool advance so the driver-side
+            # advance() deletes it. read_rows guarantees the
+            # equivalence: a done spool with unconsumed rows IS the
+            # batch source; consumed/filtered spools are cleaned
+            # in-task before the peek path runs. Requires spill_dir on
+            # shared storage (the spool_scan contract already does).
+            if p.spill_dir is not None:
+                import os
+
+                d = p._spool_dir()
+                p._pending_spool = (
+                    os.path.isdir(d)
+                    and os.path.exists(os.path.join(d, "done")))
             n += int(m.previous_json)
         batch = df.filter(F.col("op") != boundary_op)
         self._batch_df = df
         return batch, n
+
+    def read_batch_spool_distributed(self, spark):
+        """Sharded continuous spool ingest (round 11 composition:
+        VERDICT r10 #1 ∘ #2): every shard's backlog drains through its
+        own pg_recvlogical into its own spool (N parallel subprocesses
+        — the drains are the serial-per-slot decode, so the thread
+        pool buys true N× decode), then ONE Spark job parses all
+        spools on executors — each shard's `spool_scan` is its own
+        partition, so the N parses run concurrently and the driver
+        never touches envelope bytes. Global seqs use the same
+        interleaved encoding as every other sharded path, so
+        `(seq - 1) % n_shards` recovers the shard — which is exactly
+        how the per-shard row counts (consumed-check, advance targets)
+        come back from the one persisted aggregate.
+
+        Per-shard crash contract is inherited verbatim from the
+        per-poller spool mode: a crash between sink and advance
+        re-parses the SAME files into byte-identical seqs; a crash
+        between a shard's offset write and its cleanup is absorbed by
+        that shard's consumed-check (spool dropped, fresh drain) while
+        the other shards' windows ride through unchanged."""
+        import os
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from .logical_pg import PsqlError, spool_scan
+
+        if self.spill_dir is None:
+            raise ValueError(
+                "sharded spool ingest needs spill_dir (the spool "
+                "directories are the durable copy of drained WAL)"
+            )
+        if not self._pollers:
+            return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA), 0
+        n_shards = self.n_shards
+        for _ in range(3):
+            def _ensure(item):
+                shard, p = item
+                d = p._spool_dir()
+                if (not (os.path.isdir(d)
+                         and os.path.exists(p._spool_meta_path()))
+                        or not os.path.exists(os.path.join(d, "done"))):
+                    p._spool_drain()  # fresh drain or crash resume
+                return shard, json.load(open(p._spool_meta_path()))
+
+            with ThreadPoolExecutor(max_workers=len(self._pollers)) as ex:
+                metas = dict(ex.map(_ensure, sorted(self._pollers.items())))
+            parts = []
+            for shard, p in sorted(self._pollers.items()):
+                base = int(metas[shard]["start_seq"])
+                scan = spool_scan(spark, p, p._spool_dir(), base)
+                parts.append(scan.withColumn(
+                    "seq",
+                    ((F.col("seq") - 1) * n_shards + shard + 1)
+                    .cast("long")))
+            df = reduce(lambda a, b: a.union(b), parts).persist()
+            # ONE action: the count-per-shard aggregate materializes
+            # (and caches) the whole frame; shard ids fall out of the
+            # seq encoding, so no marker rows are needed here
+            counts = {
+                int(r["shard"]): int(r["n"])
+                for r in df.groupBy(
+                    ((F.col("seq") - 1) % n_shards).alias("shard"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            redrain = False
+            total = 0
+            for shard, p in sorted(self._pollers.items()):
+                meta = metas[shard]
+                base = int(meta["start_seq"])
+                n = counts.get(shard, 0)
+                if n == 0:
+                    # idle/fully-filtered shard window: advance the
+                    # slot, clean, keep polling the others
+                    p.advance_to(meta["endpos"],
+                                 int(meta["endpos_big"]), base)
+                    p._spool_cleanup()
+                    p._pending = None
+                    p._pending_spool = False
+                elif p.last_seq >= base + n:
+                    # consumed in a prior run (crash between this
+                    # shard's offset write and cleanup): drop its
+                    # spool and re-drain everything that still holds
+                    p._spool_cleanup()
+                    redrain = True
+                else:
+                    p._pending = (meta["endpos"],
+                                  int(meta["endpos_big"]), base + n)
+                    p._pending_spool = True
+                    total += n
+            if redrain:
+                df.unpersist()
+                continue
+            if total == 0:
+                df.unpersist()
+                return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA), 0
+            self._batch_df = df
+            return df, total
+        raise PsqlError(
+            "sharded spool ingest could not converge on unconsumed "
+            "spools after 3 drains — is another consumer advancing "
+            "these slots?"
+        )
 
     def advance(self) -> None:
         """Per-shard durable commit, parallel (each shard's offset

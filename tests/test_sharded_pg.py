@@ -263,7 +263,7 @@ def test_daemon_sharded_capture(pg, tmp_path):
     assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
                         "--shards", "0"]) == 2
     assert main(base + ["--transport", "logical", "--plugin", "pgoutput",
-                        "--shards", "4", "--bootstrap"]) == 2
+                        "--shards", "4", "--spool-mode"]) == 2  # no spill-dir
 
     argv = base + ["--transport", "logical", "--plugin", "pgoutput",
                    "--shards", "4", "--slot", "dmn", "--publication",
@@ -291,3 +291,246 @@ def test_daemon_sharded_capture(pg, tmp_path):
         "SELECT slot_name FROM pg_replication_slots "
         "WHERE database = current_database() "
         "AND slot_name LIKE 'dmn%'") == []
+
+
+# -- round 11: sharding ∘ spool / bootstrap compositions --------------------
+
+
+def test_sharded_spill_dir_giant_txn(spark, tmp_path):
+    """spill_dir composes with sharding: a STREAMED transaction 4x
+    max_peek on ONE shard escalates to that shard's binary spool
+    INSIDE its executor task while the other shards ride the peek
+    path; the marker-armed advance cleans the spool; the stream
+    continues. (Needs streaming=on + small logical_decoding_work_mem:
+    the SQL peek's upto_nchanges overruns to the end of a BUFFERED
+    transaction, so only the streamed protocol's chunk boundaries can
+    strand a peek mid-transaction — same setup as the single-slot
+    giant-txn test.)"""
+    import os
+
+    srv = EphemeralPostgres.temp("pq_shspill_")
+    srv.initdb()
+    srv.start(extra_conf="-c logical_decoding_work_mem=64kB")
+    try:
+        r = srv.createdb("spill")
+        r.sql(DDL)
+        cap = ShardedPgOutputCapture(
+            r, n_shards=N, slot_prefix="sh_spill",
+            publication_prefix="shpub_spill", table_regexp="^tbl")
+        cap.install()
+        giant, others = TABLES[0], TABLES[1:]
+        r.sql("BEGIN;\n"
+              f"INSERT INTO {giant} SELECT g, 'v' || g || E'\\nml''x' "
+              "FROM generate_series(1, 800) g;\n"
+              "COMMIT;")
+        for t in others:
+            r.sql(f"INSERT INTO {t} VALUES (1, 'small');")
+        spool = str(tmp_path / "spool")
+        p = ShardedPgOutputPoller.open_durable(
+            r.conninfo, n_shards=N, slot_prefix="sh_spill",
+            publication_prefix="shpub_spill", consumer="c",
+            max_changes=50, max_peek=200, streaming=True,
+            spill_dir=spool)
+        batch, n = p.read_batch_distributed(spark)
+        rows = batch.collect()
+        assert n == 803 == len(rows)
+        g_rows = sorted((x.seq, x.id, x.payload_json)
+                        for x in rows if x.table_name == giant)
+        assert [int(i) for _, i, _ in g_rows] == list(range(1, 801))
+        # multi-line values survive the shard's binary spool byte-exactly
+        assert json.loads(g_rows[0][2])["note"] == "v1\nml'x"
+        # the giant shard's spool exists (advance owns cleanup); the
+        # marker handler armed the spool advance
+        g_shard = shard_of(giant, N)
+        g_poller = p._pollers[g_shard]
+        assert os.path.isdir(g_poller._spool_dir())
+        assert g_poller._pending_spool
+        assert all(not p._pollers[s]._pending_spool
+                   for s in p._pollers if s != g_shard)
+        p.advance()
+        assert not os.path.isdir(g_poller._spool_dir())
+        # the stream continues on the peek path across every shard
+        for t in TABLES:
+            r.sql(f"INSERT INTO {t} VALUES (9001, 'post');")
+        batch2, n2 = p.read_batch_distributed(spark)
+        rows2 = batch2.collect()
+        p.advance()
+        assert n2 == N == len(rows2)
+        assert {x.id for x in rows2} == {"9001"}
+        assert {x.seq for x in rows2}.isdisjoint({x.seq for x in rows})
+    finally:
+        srv.destroy()
+
+
+def test_sharded_spool_mode_parity_crash_and_continue(pg, spark, tmp_path):
+    """Sharded continuous spool ingest: N parallel pg_recvlogical
+    drains + ONE executor-side parse job is row-identical to the
+    peek-path merge; an unadvanced re-read re-parses the SAME spools
+    byte-identically (crash window); advance cleans every shard's
+    spool; the next poll drains fresh writes with disjoint seqs."""
+    import os
+
+    r, cap = _setup(pg, "spoolm")
+    expected = _write_workload(r, rounds=2)
+    n_expected = sum(len(v) for v in expected.values())
+    kw = dict(n_shards=N, slot_prefix=cap.slot_prefix,
+              publication_prefix=cap.publication_prefix, consumer="c")
+    # peek-path reference FIRST (the spool drain moves confirmed_flush)
+    ref = sorted(
+        (t[0], t[3], t[4], t[5]) for t in
+        ShardedPgOutputPoller.open_durable(r.conninfo, **kw).read_rows())
+    spool = str(tmp_path / "spool")
+    p = ShardedPgOutputPoller.open_durable(
+        r.conninfo, spill_dir=spool, **kw)
+    df, n = p.read_batch_spool_distributed(spark)
+    got = sorted((x.seq, x.table_name, x.op, x.id) for x in df.collect())
+    assert n == n_expected and got == ref
+    # crash window: a fresh sharded poller re-parses the same spools
+    p2 = ShardedPgOutputPoller.open_durable(
+        r.conninfo, spill_dir=spool, **kw)
+    df2, n2 = p2.read_batch_spool_distributed(spark)
+    assert sorted((x.seq, x.table_name, x.op, x.id)
+                  for x in df2.collect()) == got
+    p2.advance()
+    for sp in p2._pollers.values():
+        assert not os.path.isdir(sp._spool_dir())
+    # spool-mode stream continues with fresh disjoint seqs
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (902, 'post-spool');")
+    p3 = ShardedPgOutputPoller.open_durable(
+        r.conninfo, spill_dir=spool, **kw)
+    df3, n3 = p3.read_batch_spool_distributed(spark)
+    rows3 = df3.collect()
+    p3.advance()
+    assert n3 == N == len(rows3)
+    assert {x.id for x in rows3} == {"902"}
+    assert {x.seq for x in rows3}.isdisjoint({s for s, *_ in got})
+
+
+def test_daemon_sharded_bootstrap_exactly_once(pg, tmp_path):
+    """--shards ∘ --bootstrap: per-shard exported-snapshot slots make
+    snapshot ∪ changelog disjoint PER SHARD (shards are
+    table-disjoint, so the union is globally exactly-once). Seed rows
+    appear exactly once (snapshot only); post-install writes appear
+    exactly once (changelog only); a second run does not re-snapshot."""
+    import glob
+    import json as _json
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    r = pg.createdb("boot")
+    r.sql(DDL)
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (1, 'seed-{t}');")
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    argv = ["--connect", f"postgres:{pg.conninfo('boot')}",
+            "--tables", "^tbl", "--out", out, "--once",
+            "--transport", "logical", "--plugin", "pgoutput",
+            "--shards", "4", "--slot", "bsh", "--publication", "bshpub",
+            "--bootstrap"]
+    assert main(argv) == 0
+    snap_files = sorted(glob.glob(out + "/batch--*.jsonl"))
+    assert len(snap_files) == N  # one snapshot emit per shard
+
+    def events():
+        lines = []
+        for f in sorted(glob.glob(out + "/*.jsonl")):
+            with open(f) as fh:
+                lines += [_json.loads(l) for l in fh if l.strip()]
+        return lines
+
+    got = sorted((e["table"], e["op"], e["payload"]["id"])
+                 for e in events())
+    assert got == sorted((t, "INSERT", 1) for t in TABLES)
+    # post-install writes ride the changelog exactly once; the
+    # second run re-snapshots NOTHING (per-shard sentinels)
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (2, 'post');"
+              f"UPDATE {t} SET note = 'u' WHERE id = 1;")
+    assert main(argv) == 0
+    assert sorted(glob.glob(out + "/batch--*.jsonl")) == snap_files
+    got2 = sorted((e["table"], e["op"], e["payload"]["id"])
+                  for e in events())
+    want = sorted([(t, "INSERT", 1) for t in TABLES]
+                  + [(t, "INSERT", 2) for t in TABLES]
+                  + [(t, "UPDATE", 1) for t in TABLES])
+    assert got2 == want
+    assert main(argv + ["--remove"]) == 0
+
+
+def test_daemon_sharded_rebootstrap_recovers_lost_shards(tmp_path):
+    """--shards ∘ --rebootstrap: shard slots invalidated by
+    max_slot_wal_keep_size pressure (wal_status='lost') are dropped and
+    re-created with per-shard exported snapshots; the recovered state
+    includes rows whose changelog entries were destroyed with the WAL,
+    and the recovered stream keeps draining. Healthy runs are no-ops."""
+    import glob
+    import json as _json
+    import os
+
+    from pqstream_spark.__main__ import main
+
+    srv = EphemeralPostgres.temp("pq_shrebs_")
+    srv.initdb(extra="--wal-segsize=1")
+    srv.start(extra_conf="-c max_slot_wal_keep_size=1MB")
+    try:
+        r = srv.createdb("keep")
+        # filler is OUTSIDE the capture regexp: churn on it creates
+        # retention pressure without adding captured events
+        r.sql(DDL + "\nCREATE TABLE zfiller (id int, pad text);")
+        for t in TABLES:
+            r.sql(f"INSERT INTO {t} VALUES (1, 'seed');")
+        out = str(tmp_path / "out")
+        os.makedirs(out)
+        argv = ["--connect", f"postgres:{srv.conninfo('keep')}",
+                "--tables", "^tbl", "--out", out, "--once",
+                "--transport", "logical", "--plugin", "pgoutput",
+                "--shards", "4", "--slot", "rsh",
+                "--publication", "rshpub"]
+
+        def state():
+            rows = {}
+            for f in sorted(glob.glob(out + "/*.jsonl")):
+                with open(f) as fh:
+                    for line in fh:
+                        e = _json.loads(line)
+                        rows[(e["table"], e["payload"]["id"])] = e["op"]
+            return {k for k, op in rows.items() if op != "DELETE"}
+
+        assert main(argv + ["--bootstrap"]) == 0
+        assert state() == {(t, 1) for t in TABLES}
+        # healthy slots: --rebootstrap is a no-op (no re-snapshot)
+        snaps_before = sorted(glob.glob(out + "/batch--*.jsonl"))
+        assert main(argv + ["--rebootstrap"]) == 0
+        assert sorted(glob.glob(out + "/batch--*.jsonl")) == snaps_before
+
+        # rows every shard's slot will LOSE with the WAL, then
+        # retention churn until all four shard slots are invalidated
+        for t in TABLES:
+            r.sql(f"INSERT INTO {t} VALUES (2, 'lost-row');")
+        for _ in range(14):
+            r.sql("INSERT INTO zfiller SELECT g, repeat('x', 1000) "
+                  "FROM generate_series(1, 2000) g;"
+                  "SELECT pg_switch_wal();"
+                  "CHECKPOINT;")
+            statuses = {x["wal_status"] for x in r.query_csv(
+                "SELECT wal_status FROM pg_replication_slots "
+                "WHERE slot_name LIKE 'rsh_s%'")}
+            if statuses == {"lost"}:
+                break
+        assert statuses == {"lost"}, statuses
+
+        # recovery: every lost shard re-bootstraps; the fresh per-shard
+        # snapshots contain the lost id=2 rows
+        assert main(argv + ["--rebootstrap"]) == 0
+        assert state() == {(t, i) for t in TABLES for i in (1, 2)}
+        # the recovered stream is live
+        for t in TABLES:
+            r.sql(f"INSERT INTO {t} VALUES (3, 'post');")
+        assert main(argv) == 0
+        assert state() == {(t, i) for t in TABLES for i in (1, 2, 3)}
+        assert main(argv + ["--remove"]) == 0
+    finally:
+        srv.destroy()
