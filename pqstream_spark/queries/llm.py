@@ -2099,12 +2099,325 @@ FROM (
 """
 
 
+# τ = 9/10 as an exact rational: the pair threshold runs in INTEGER
+# arithmetic (den²·dotq² ≥ num²·n2a·n2b), so the qualifying pair set
+# is bit-identical across engines and across summation orders.
+SEMDEDUP_TAU_NUM = 9
+SEMDEDUP_TAU_DEN = 10
+SEMDEDUP_TAU = SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN
+# SemDeDup's pair bound is the cluster: within-cell pairwise is
+# O(n²/k), and the paper trains k ∝ n to hold cell size constant.
+# k=32 keeps the corpus-wide pair count ~4× below the k=8 IVF-entry
+# default at every driver SF (2.2M pairs at sf0.1 instead of 9M) —
+# the knob a 100 TB run turns further, not a semantics change.
+SEMDEDUP_K = 32
+
+
+def _semdedup_sq_sql(spark: bool) -> str:
+    """The SemDeDup branch's quantized-embedding relation
+    (vec_id, qv) over the near-dup corpus: hashing-trick sparse
+    embedding (`_embed_bk_sql`), normalize+quantize computed on the
+    SPARSE (doc_id, bucket, v) rows — `q = round(127·v / sqrt(Σv²))`
+    with the norm as a window sum over doc_id (one pass, scalar
+    codegen arithmetic; zero buckets quantize to 0, so the dense
+    vector is identical) — then densified to EMBED_DIM=64 via a
+    bucket→value map. The window and the densify groupBy hash on the
+    SAME doc_id key (one exchange), bk is referenced ONCE, and no
+    lambda ever contains an aggregate (the q_sim_topk CollapseProject
+    trap: `transform(vec, x -> x / sqrt(<64-term sum>))` re-expands
+    the norm per element — measured 5-8 s for the dense formulations
+    vs ~2 s for this one at sf0.1). Exactly the (vec_id, qv) shape
+    `_ivf_train_cte` trains on."""
+    if spark:
+        mk = "map_from_entries(collect_list(struct(bucket, q)))"
+        dense = ("transform(sequence(0, 63), "
+                 "i -> CAST(coalesce(element_at(m, i), 0) AS BIGINT))")
+    else:
+        mk = "map_from_entries(list({'k': bucket, 'v': q}))"
+        dense = ("list_transform(range(0, 64), "
+                 "i -> CAST(coalesce(map_extract(m, i)[1], 0) AS BIGINT))")
+    return f"""
+WITH sd_bk AS ({_embed_bk_sql(spark).strip()}),
+sd_w AS (SELECT doc_id, bucket, v,
+                SUM(v * v) OVER (PARTITION BY doc_id) AS n2
+         FROM sd_bk),
+sd_q AS (SELECT doc_id, bucket,
+                CAST(round(v * 127 / sqrt(CAST(n2 AS DOUBLE)), 0)
+                     AS BIGINT) AS q
+         FROM sd_w WHERE n2 > 0),
+sd_m AS (SELECT doc_id, {mk} AS m FROM sd_q GROUP BY doc_id)
+SELECT doc_id AS vec_id, {dense} AS qv FROM sd_m
+"""
+
+
+def _semdedup_n2q_expr(spark: bool, qv: str = "qd") -> str:
+    """Σ qd[i]² as a static 64-term sum over the integer-valued
+    DOUBLE vector (row property, computed once per doc; exact — every
+    intermediate is an integer < 2^53)."""
+    idx = range(64) if spark else range(1, 65)
+    return " + ".join(f"{qv}[{i}] * {qv}[{i}]" for i in idx)
+
+
+def _semdedup_tail_sql(spark: bool, lab: str) -> str:
+    """The SemDeDup decision over a `lab(vec_id, qd, n2q, cid)`
+    relation (qd = the quantized vector as integer-valued DOUBLEs):
+    within-cell pairs, QUANTIZED cosine ≥ SEMDEDUP_TAU,
+    dominated-by-smaller-id drop rule, one row per dropped doc naming
+    its smallest keeper.
+
+    Everything pairwise is EXACT-INTEGER arithmetic carried in
+    doubles: |qd[i]| ≤ 127, so dotq ≤ 64·127² < 2^21, n2 products
+    < 2^47, and the threshold terms < 2^47 — every intermediate is an
+    integer below 2^53, hence exactly representable and identical
+    under ANY summation order. That buys three things at once: the
+    qualifying pair SET is bit-identical across engines with no float
+    rounding anywhere; the Spark side can compute the same dots as a
+    BLAS float64 GEMM (numpy, per cell); and DuckDB's UNCHECKED double
+    arithmetic replaces per-op overflow-checked BIGINT math (measured
+    9.5 s → ~2 s at sf0.1). The threshold is the exact rational form
+    of quantized-cos ≥ 9/10 — `100·dotq² ≥ 81·n2a·n2b` with dotq > 0.
+    Same int8-cosine semantics as the `int8` brute-force branch of
+    sim_ann_lsh_quantized."""
+    idx = range(64) if spark else range(1, 65)
+    dotq = " + ".join(f"a.qd[{i}] * b.qd[{i}]" for i in idx)
+    # DuckDB: dotq is referenced by the filter (3×) and the score —
+    # inlined, the 64-term sum re-expands per reference (measured
+    # 13.8 s → 7.1 s materialized at sf0.1)
+    mat = "" if spark else "MATERIALIZED "
+    return f"""sd_pairs AS {mat}(
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dotq} AS dotq, a.n2q AS n2a, b.n2q AS n2b
+  FROM {lab} a JOIN {lab} b ON a.cid = b.cid AND b.vec_id < a.vec_id
+),
+sd_dups AS (
+  SELECT id_a, id_b, round(dotq / sqrt(n2a * n2b), 6) AS cos
+  FROM sd_pairs
+  WHERE dotq > 0 AND {SEMDEDUP_TAU_DEN ** 2} * dotq * dotq
+        >= {SEMDEDUP_TAU_NUM ** 2} * n2a * n2b
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT id_a, id_b, cos,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY id_b) AS rn
+  FROM sd_dups) r WHERE rn = 1"""
+
+
+def _semdedup_sql(spark: bool) -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as one SQL
+    statement — the DuckDB oracle formulation (and a valid, slower
+    Spark fallback): semantic dedup = embed → cluster → compare ONLY
+    within a cluster → drop all but one of each semantic-duplicate
+    group. The embedding is the certified hashing-trick relation
+    (`_embed_bk_sql`, same md5 bucket/sign builders as the
+    `embed_hash` branch) densified to EMBED_DIM=64; clustering is the
+    certified trained k-means (`_ivf_train_cte`, integer-quantized —
+    deterministic across engines); scoring/thresholding is integer
+    int8-cosine (`_semdedup_tail_sql`); the drop rule is "dominated by
+    a smaller id": doc a is dropped iff some same-cluster doc b with
+    b.id < a.id has quantized cosine ≥ SEMDEDUP_TAU, and the emitted
+    row names its smallest such keeper. Output: one row per DROPPED
+    doc over the near-dup corpus — a corpus-wide dedup DECISION, not
+    a top-k search (the `embed_hash`/`embedding_nn` branches are
+    searches).
+
+    Scale: the cluster is the pair-bounding device — within-cell
+    pairwise is O(n²/k) dot products, and k is the dial (the paper
+    trains k ∝ n so cells stay constant-sized; SEMDEDUP_K=32 here).
+    One shuffle to assign (1-row codebook cross join is a broadcast),
+    one shuffle on cid for the pairing; cross-CLUSTER duplicates are
+    missed by construction — the paper's documented recall trade,
+    inherited deliberately. The Spark side replaces the within-cell
+    pair JOIN with a per-cell numpy int64 GEMM (`_semdedup_spark_df`):
+    row-at-a-time join evaluation paid ~4 µs/pair (137 s at sf0.1)
+    where the Arrow-batched exact-integer matmul pays ~0.5 s — the
+    canonical "built-ins genuinely can't express it efficiently"
+    escape hatch, bit-identical by the integer argument above."""
+    p = _ivf_parts(spark)
+    # n2q over the INTEGER qv (64 checked-int ops per row, once) —
+    # over qd the inlined cast-transform would re-expand per term
+    n2q = _semdedup_n2q_expr(spark, "qv")
+    tmap = "transform" if spark else "list_transform"
+    qd = f"{tmap}(qv, x -> CAST(x AS DOUBLE))"
+    # sq feeds the training chain AND the assignment; lab feeds both
+    # pair sides — materialize them on the DuckDB side (the Spark
+    # side of the catalog entry goes through _semdedup_spark_df)
+    mat = "" if spark else "MATERIALIZED "
+    return f"""
+WITH sq AS {mat}({_semdedup_sq_sql(spark).strip()}),
+{_ivf_train_cte(spark, base='sq', k_cells=SEMDEDUP_K)},
+lab AS {mat}(
+  SELECT vec_id, {qd} AS qd, CAST({n2q} AS DOUBLE) AS n2q,
+         {p['argmax']} AS cid
+  FROM (SELECT vec_id, qv, {p['ds']('qv', 'cs')} AS ds
+        FROM sq CROSS JOIN cents1) t
+),
+{_semdedup_tail_sql(spark, 'lab')}
+"""
+
+
+def _semdedup_train_codebook(spark: SparkSession,
+                             vsq: str) -> list[list[int]]:
+    """Driver-side replica of `_ivf_train_cte(base=vsq,
+    k_cells=SEMDEDUP_K)` — collect the bounded sample (≤8192 rows of
+    64 ints, the same hash predicate + sorted LIMIT the SQL chain
+    uses) and run seed/assign/update in numpy + exact rationals:
+
+    - seeds = the first K sample rows (the sample IS sorted by the
+      seed order), assignment = first-argmax of exact integer dots —
+      both bit-identical to the SQL chain by integer arithmetic;
+    - the centroid update replicates `round(CAST(s AS DOUBLE) / n, 0)`
+      EXACTLY: the division runs in IEEE doubles (same operation), and
+      HALF-UP-on-the-double's-exact-value runs in Fractions
+      (floor(|x| + 1/2), ties away from zero — what both engines'
+      round() does). No float rounding heuristics anywhere.
+
+    Why: the inlined-CTE training chain inside one Spark statement
+    re-expands the sample subquery per reference and pays ~5M
+    interpreted HOF lambda steps for the sample assignment (measured
+    ~1.7 s at sf0.1; this path ~0.2 s). The DuckDB oracle still runs
+    the SQL chain, so `tests/test_certification_branches.py` pins this
+    replica against `SELECT cs FROM cents1` on driver data."""
+    from fractions import Fraction
+    from math import floor
+
+    import numpy as np
+
+    from ..functions.sampling import sample_order_expr, sample_pred
+
+    rows = spark.sql(
+        f"SELECT vec_id, qv FROM {vsq} "
+        f"WHERE {sample_pred('vec_id', True)} "
+        f"ORDER BY {sample_order_expr('vec_id', True)}, vec_id "
+        f"LIMIT 8192"
+    ).collect()
+    if not rows:
+        return []
+    q = np.array([list(r.qv) for r in rows], dtype=np.int64)
+    seeds = q[:SEMDEDUP_K]
+    cid = (q @ seeds.T).argmax(axis=1)  # first max, like array_position
+    out = []
+    for c in sorted(set(cid.tolist())):
+        members = q[cid == c]
+        n = len(members)
+        s = members.sum(axis=0)  # exact int64
+        cv = []
+        for si in s.tolist():
+            a = si / n  # the same IEEE double division avg() performs
+            f = Fraction(a)  # exact value of that double
+            r = floor(abs(f) + Fraction(1, 2))  # HALF_UP magnitude
+            cv.append(r if a >= 0 else -r)
+        out.append(cv)
+    return out
+
+
+# Loud ceiling for one cell's GEMM (cell_size² int64 scores): 20k rows
+# = 3.2 GB — far above any driver SF (max cell ≈ 2.2k at sf0.1) and a
+# clear signal that SEMDEDUP_K was not scaled with the corpus (the
+# k ∝ n contract), instead of an executor OOM.
+SEMDEDUP_CELL_HARD_CAP = 20_000
+
+
+def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
+    """Spark side of the semdedup branch over a materialized
+    (vec_id, nv, qv) view: train the k=SEMDEDUP_K codebook driver-side
+    (the q_sim_topk split), materialize the static-sum assignment with
+    the integer norm, then compute each cell's pairwise integer dots
+    as ONE numpy int64 matmul per cell inside applyInPandas — exact
+    integers, so the emitted (pair, dotq) set is bit-identical to the
+    oracle's SQL join (`_semdedup_tail_sql`'s argument). The division
+    and 6-dp rounding run as the SAME SQL expression afterwards."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_schema = ("id_a long, id_b long, dotq double, "
+                  "n2a double, n2b double")
+    cs = _semdedup_train_codebook(spark, vsq)
+    if not cs:  # empty corpus
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos double")
+    import numpy as np
+
+    # codebook in the closure (≤K×64 ints — the broadcast-an-index
+    # analog); assignment runs as one numpy int64 matmul per Arrow
+    # batch. np.argmax returns the FIRST max — identical tie-break to
+    # the SQL side's array_position(ds, array_max(ds)) — and both the
+    # dots and n2q are exact integers, so the assignment and norms
+    # are bit-identical to the oracle's HOF formulation (measured
+    # ~2 s of interpreted 2048-term static sums → ~0.1 s).
+    cb = np.array([[int(c) for c in cv] for cv in cs], dtype=np.int64)
+
+    def _assign(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in pdf["qv"].to_numpy()])
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": (q @ cb.T).argmax(axis=1) + 1,  # 1-based like
+                # the SQL array_position
+                "n2q": (q * q).sum(axis=1).astype(np.float64),
+                "qv": pdf["qv"],
+            })
+
+    lab = spark.table(vsq).mapInPandas(
+        _assign, "vec_id long, cid int, n2q double, qv array<bigint>")
+
+    def _cell(pdf):
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "dotq": pd.Series(dtype="float64"),
+                 "n2a": pd.Series(dtype="float64"),
+                 "n2b": pd.Series(dtype="float64")})
+        if len(pdf) > SEMDEDUP_CELL_HARD_CAP:
+            raise ValueError(
+                f"semdedup cell width {len(pdf)} exceeds "
+                f"{SEMDEDUP_CELL_HARD_CAP}; scale SEMDEDUP_K with the "
+                "corpus (k ∝ n keeps cells bounded)")
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        # float64 GEMM (BLAS): |qd[i]| ≤ 127, so every dot and every
+        # threshold term is an integer < 2^53 — exact under any
+        # summation order (the _semdedup_tail_sql argument)
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["qv"].to_numpy()[order]])
+        n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
+        g = q @ q.T
+        ii, jj = np.tril_indices(len(ids), k=-1)  # j < i ⇔ id_b < id_a
+        d = g[ii, jj]
+        ok = (d > 0) & (SEMDEDUP_TAU_DEN ** 2 * d * d
+                        >= SEMDEDUP_TAU_NUM ** 2 * n2[ii] * n2[jj])
+        return pd.DataFrame({
+            "id_a": ids[ii[ok]], "id_b": ids[jj[ok]], "dotq": d[ok],
+            "n2a": n2[ii[ok]], "n2b": n2[jj[ok]],
+        })
+
+    pairs = lab.groupBy("cid").applyInPandas(_cell, out_schema)
+    w = Window.partitionBy("id_a").orderBy("id_b")
+    return (
+        pairs
+        .withColumn("cos", F.expr(
+            "round(dotq / sqrt(n2a * n2b), 6)"))  # literally the
+        # oracle tail's expression over the same exact-integer doubles
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def _pairwise_scores_sql(spark: bool,
-                         longrun_base: str | None = None) -> str:
+                         longrun_base: str | None = None,
+                         semdedup_view: str | None = None) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
     original↔near-copy pairs) ∪ per-label embedding nearest neighbour
     ∪ train/test decontamination ∪ (round 6) exact-substring
-    longest-run ∪ (round 8) bounded-window Levenshtein — all emit
+    longest-run ∪ (round 8) bounded-window Levenshtein ∪ (round 11)
+    SemDeDup cluster-then-compare semantic dedup — all emit
     (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
@@ -2144,6 +2457,12 @@ SELECT 'levenshtein' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, CAST(lev AS DOUBLE) AS score,
        lev_near_dup AS near_dup
 FROM ({_levenshtein_sql(spark).strip()})
+UNION ALL
+SELECT 'semdedup' AS method, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, cos AS score,
+       CAST(TRUE AS BOOLEAN) AS near_dup
+FROM {semdedup_view if semdedup_view is not None
+      else '(' + _semdedup_sql(spark).strip() + ')'}
 """
 
 
@@ -2166,8 +2485,21 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
 """
     # lazy: only the final pairwise union reads this (see q_sim_ann)
     spark.sql(pa).localCheckpoint(eager=False).createOrReplaceTempView(vpa)
-    out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa))
+    # the semdedup branch: materialize the quantized relation (the
+    # training collect and the assignment both read it; inlining
+    # would re-run the embed chain per read), build the GEMM-backed
+    # decision DataFrame, and reference it from the union as a view
+    # (see _semdedup_spark_df)
+    vsq = f"_sd_sq_{_uuid.uuid4().hex[:8]}"
+    spark.sql(_semdedup_sq_sql(True)) \
+        .localCheckpoint(eager=False).createOrReplaceTempView(vsq)
+    vsd = f"_sd_out_{_uuid.uuid4().hex[:8]}"
+    _semdedup_spark_df(spark, vsq).createOrReplaceTempView(vsd)
+    out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
+                                         semdedup_view=vsd))
     spark.catalog.dropTempView(vpa)
+    spark.catalog.dropTempView(vsq)
+    spark.catalog.dropTempView(vsd)
     return out
 
 

@@ -254,3 +254,57 @@ def test_pq_adc_residual_branch_decomposition(spark):
         assert int(r["score"]) == want, (r, want)
         checked += 1
     assert checked == 20
+
+
+def test_semdedup_codebook_replica_matches_sql(spark):
+    """The driver-side numpy/Fraction trainer (`_semdedup_train_
+    codebook`) must be value-identical to the SQL training chain the
+    DuckDB oracle runs (`_ivf_train_cte` at k=SEMDEDUP_K): integer
+    seeds/assignment are exact by construction, and the centroid
+    update's round-half-away-from-zero-on-the-IEEE-average is
+    replicated in exact rationals. A drift here would silently split
+    the semdedup branch from its oracle."""
+    import uuid
+
+    from pqstream_spark.queries.llm import (
+        SEMDEDUP_K,
+        _ivf_train_cte,
+        _semdedup_sq_sql,
+        _semdedup_train_codebook,
+        register_views,
+    )
+
+    register_views(spark, SF_SMOKE)
+    vsq = f"_cb_pin_{uuid.uuid4().hex[:8]}"
+    spark.sql(_semdedup_sq_sql(True)) \
+        .localCheckpoint(eager=True).createOrReplaceTempView(vsq)
+    try:
+        sql_cs = spark.sql(
+            "WITH " + _ivf_train_cte(True, base=vsq, k_cells=SEMDEDUP_K)
+            + " SELECT cs FROM cents1").collect()[0][0]
+        np_cs = _semdedup_train_codebook(spark, vsq)
+    finally:
+        spark.catalog.dropTempView(vsq)
+    assert [[int(c) for c in cv] for cv in sql_cs] == np_cs
+
+
+def test_semdedup_branch_drops_planted_near_copies(spark):
+    """SemDeDup decision semantics on the near-dup corpus: every
+    emitted row is a DROP (id_b < id_a, quantized cosine ≥ τ), and the
+    planted 7-char-truncated copies are overwhelmingly dropped against
+    their own originals (the cross-cluster recall trade loses only the
+    copies that straddle a k-means boundary)."""
+    from pqstream_spark.queries.llm import SEMDEDUP_TAU, q_pairwise
+
+    rows = [r for r in q_pairwise(spark, SF_SMOKE).collect()
+            if r["method"] == "semdedup"]
+    assert rows, "branch emits"
+    for r in rows:
+        assert r["id_b"] < r["id_a"]
+        assert r["score"] >= SEMDEDUP_TAU
+        assert r["near_dup"] is True
+    planted = [r for r in rows
+               if r["id_a"] >= 100000 and r["id_b"] == r["id_a"] - 100000]
+    # 357/452 on the driver corpus; anything above half proves the
+    # pipeline pairs copies with THEIR originals, not just anything
+    assert len(planted) / len(rows) > 0.5, (len(planted), len(rows))

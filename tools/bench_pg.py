@@ -344,6 +344,32 @@ def main() -> None:
         shp.advance()
         assert n_one == n_sh == N_SH * W_ROWS, (n_one, n_sh)
 
+        # sharded ∘ spool-mode (round 11 composition): the same
+        # sharded volume through N parallel pg_recvlogical drains +
+        # ONE executor-side parse job (one partition per shard) —
+        # the full database→disk→Arrow path where envelope bytes
+        # never transit driver Python AND decode+parse are both N-way
+        import tempfile
+
+        spool_base = tempfile.mkdtemp(prefix="pq_bench_spool_")
+        shsp = ShardedPgOutputPoller.open_durable(
+            pg.conninfo("bench"), n_shards=N_SH, slot_prefix="bench_sh",
+            publication_prefix="bench_shpub", consumer="bench",
+            spill_dir=spool_base,
+            max_changes=16 * W_ROWS + 5000, max_peek=64 * W_ROWS + 20000,
+        )
+        for t in shard_tables.values():
+            wide_insert(t, 50, base=3_100_000)
+        shsp.read_batch_spool_distributed(spark)  # warm spool path
+        shsp.advance()
+        for t in shard_tables.values():
+            wide_insert(t, W_ROWS, base=4_000_000)
+        t0 = time.time()
+        _, n_shsp = shsp.read_batch_spool_distributed(spark)
+        t_shsp = time.time() - t0
+        shsp.advance()
+        assert n_shsp == N_SH * W_ROWS, n_shsp
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -390,6 +416,10 @@ def main() -> None:
             "wide_sharded4_speedup_x": round(t_one / t_shard, 2),
             "wide_sharded4_drain_mb_per_s": round(
                 n_sh * W_KB / 1024 / t_shard, 1),
+            "wide_sharded4_spool_drain_rows_per_s": round(
+                n_shsp / t_shsp),
+            "wide_sharded4_spool_drain_mb_per_s": round(
+                n_shsp * W_KB / 1024 / t_shsp, 1),
         }
         print(json.dumps(out))
     finally:
