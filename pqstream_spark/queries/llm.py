@@ -2309,11 +2309,13 @@ def _semdedup_train_codebook(spark: SparkSession,
     return out
 
 
-# Loud ceiling for one cell's GEMM (cell_size² int64 scores): 20k rows
-# = 3.2 GB — far above any driver SF (max cell ≈ 2.2k at sf0.1) and a
-# clear signal that SEMDEDUP_K was not scaled with the corpus (the
-# k ∝ n contract), instead of an executor OOM.
-SEMDEDUP_CELL_HARD_CAP = 20_000
+# Loud ceiling for one cell's pairwise work: the GEMM is TILED (row
+# blocks sized to ~512 MB of scores — memory is bounded at any cell
+# width), so the cap guards the QUADRATIC WORK of a mega-cell
+# (150k rows = 11G dot products), a clear signal that SEMDEDUP_K was
+# not scaled with the corpus (the k ∝ n contract), instead of a
+# silent hours-long task.
+SEMDEDUP_CELL_HARD_CAP = 150_000
 
 
 def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
@@ -2383,19 +2385,40 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()[order]
         # float64 GEMM (BLAS): |qd[i]| ≤ 127, so every dot and every
         # threshold term is an integer < 2^53 — exact under any
-        # summation order (the _semdedup_tail_sql argument)
+        # summation order (the _semdedup_tail_sql argument). TILED by
+        # row blocks so the score matrix never exceeds ~512 MB at any
+        # cell width (a 100k-row cell would otherwise need an 80 GB
+        # matrix + tril index arrays of the same order).
         q = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["qv"].to_numpy()[order]])
         n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
-        g = q @ q.T
-        ii, jj = np.tril_indices(len(ids), k=-1)  # j < i ⇔ id_b < id_a
-        d = g[ii, jj]
-        ok = (d > 0) & (SEMDEDUP_TAU_DEN ** 2 * d * d
-                        >= SEMDEDUP_TAU_NUM ** 2 * n2[ii] * n2[jj])
-        return pd.DataFrame({
-            "id_a": ids[ii[ok]], "id_b": ids[jj[ok]], "dotq": d[ok],
-            "n2a": n2[ii[ok]], "n2b": n2[jj[ok]],
-        })
+        n = len(ids)
+        tile = max(256, min(4096, (1 << 26) // n))
+        parts = []
+        for lo in range(1, n, tile):  # row 0 has no j < i partner
+            hi = min(lo + tile, n)
+            g = q[lo:hi] @ q[:hi].T  # (hi-lo, hi) block
+            jmask = (np.arange(hi)[None, :]
+                     < np.arange(lo, hi)[:, None])  # j < i
+            ok = jmask & (g > 0) & (
+                SEMDEDUP_TAU_DEN ** 2 * g * g
+                >= SEMDEDUP_TAU_NUM ** 2
+                * np.outer(n2[lo:hi], n2[:hi]))
+            bi, bj = np.nonzero(ok)
+            if len(bi):
+                parts.append(pd.DataFrame({
+                    "id_a": ids[bi + lo], "id_b": ids[bj],
+                    "dotq": g[bi, bj],
+                    "n2a": n2[bi + lo], "n2b": n2[bj],
+                }))
+        if not parts:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "dotq": pd.Series(dtype="float64"),
+                 "n2a": pd.Series(dtype="float64"),
+                 "n2b": pd.Series(dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
 
     pairs = lab.groupBy("cid").applyInPandas(_cell, out_schema)
     w = Window.partitionBy("id_a").orderBy("id_b")
