@@ -2226,7 +2226,7 @@ def _semdedup_sql(spark: bool) -> str:
     one shuffle on cid for the pairing; cross-CLUSTER duplicates are
     missed by construction — the paper's documented recall trade,
     inherited deliberately. The Spark side replaces the within-cell
-    pair JOIN with a per-cell numpy int64 GEMM (`_semdedup_spark_df`):
+    pair JOIN with a per-cell tiled BLAS GEMM (`_semdedup_spark_df`):
     row-at-a-time join evaluation paid ~4 µs/pair (137 s at sf0.1)
     where the Arrow-batched exact-integer matmul pays ~0.5 s — the
     canonical "built-ins genuinely can't express it efficiently"
@@ -2316,20 +2316,53 @@ def _semdedup_train_codebook(spark: SparkSession,
 # not scaled with the corpus (the k ∝ n contract), instead of a
 # silent hours-long task.
 SEMDEDUP_CELL_HARD_CAP = 150_000
+# Cells wider than this replicate into row-chunks (≤32) so one
+# skewed cell's quadratic pair work spreads across tasks instead of
+# serializing in a single python worker (see _semdedup_spark_df).
+SEMDEDUP_CHUNK_ROWS = 4_096
+
+
+def _limit_blas_threads() -> None:
+    """Pin the worker's OpenBLAS pool to ONE thread. Task parallelism
+    already saturates the machine (local[32] spawns 32 python
+    workers), so multithreaded BLAS inside each worker oversubscribes
+    catastrophically — measured 287 s of summed GEMM time (32 workers
+    × 32 BLAS threads thrashing) vs ~9 s pinned, for the identical
+    matmuls. numpy's bundled OpenBLAS reads OPENBLAS_NUM_THREADS only
+    at load time, which Spark workers inherit too late — the runtime
+    API is the reliable knob. Silently a no-op on non-OpenBLAS
+    builds (correctness never depends on it)."""
+    import ctypes
+    import glob
+    import os as _os
+
+    import numpy as _np
+
+    for p in glob.glob(_os.path.join(
+            _os.path.dirname(_np.__file__) + ".libs", "libopenblas*")):
+        try:
+            lib = ctypes.CDLL(p)
+            for fn in ("openblas_set_num_threads64_",
+                       "openblas_set_num_threads"):
+                if hasattr(lib, fn):
+                    getattr(lib, fn)(1)
+                    return
+        except OSError:
+            continue
 
 
 def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
     """Spark side of the semdedup branch over a materialized
-    (vec_id, nv, qv) view: train the k=SEMDEDUP_K codebook driver-side
-    (the q_sim_topk split), materialize the static-sum assignment with
-    the integer norm, then compute each cell's pairwise integer dots
-    as ONE numpy int64 matmul per cell inside applyInPandas — exact
-    integers, so the emitted (pair, dotq) set is bit-identical to the
-    oracle's SQL join (`_semdedup_tail_sql`'s argument). The division
-    and 6-dp rounding run as the SAME SQL expression afterwards."""
+    (vec_id, qv) view: train the k=SEMDEDUP_K codebook driver-side
+    (`_semdedup_train_codebook`, the q_sim_topk split), assign cells
+    with a numpy int64 matmul per Arrow batch, then compute each
+    cell's pairwise dots as a tiled BLAS float64 GEMM inside
+    applyInPandas — the values are integers < 2^53, so the emitted
+    (pair, dotq) set is bit-identical to the oracle's SQL join
+    (`_semdedup_tail_sql`'s argument). The division and 6-dp rounding
+    run as the SAME SQL expression afterwards."""
     import pandas as pd
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     out_schema = ("id_a long, id_b long, dotq double, "
@@ -2365,70 +2398,134 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
 
     lab = spark.table(vsq).mapInPandas(
         _assign, "vec_id long, cid int, n2q double, qv array<bigint>")
+    # Skew salting, counted-before-explode (the band_pairs/NN-cap
+    # discipline): k-means cells are data-skewed — a clone-heavy cell
+    # holds a quadratic share of the pair work, and one applyInPandas
+    # task would serialize it (measured: one 17.6k cell ≈ 40 GFLOP in
+    # a single worker dominated the sf1-synth run). Cells wider than
+    # SEMDEDUP_CHUNK_ROWS are replicated into ceil(w/target) chunks;
+    # each chunk's task holds the FULL cell (candidates span it) but
+    # decides only its owned rows (vec_id mod n_chunks == chunk), so
+    # the quadratic work spreads across tasks while every (i, j < i)
+    # pair is still computed exactly once. Replication is bounded by
+    # the 32-chunk cap: ≤ 32× the wide cells' bytes, only when wide.
+    widths = {int(r["cid"]): int(r["n"]) for r in
+              lab.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    if any(w > SEMDEDUP_CELL_HARD_CAP for w in widths.values()):
+        wid, w = max(widths.items(), key=lambda kv: kv[1])
+        raise ValueError(
+            f"semdedup cell {wid} width {w} exceeds "
+            f"{SEMDEDUP_CELL_HARD_CAP}; scale SEMDEDUP_K with the "
+            "corpus (k ∝ n keeps cells bounded)")
+    nch = {cid: min(32, -(-w // SEMDEDUP_CHUNK_ROWS))
+           for cid, w in widths.items()}
+    nch_case = ("CASE cid " + " ".join(
+        f"WHEN {cid} THEN {n}" for cid, n in sorted(nch.items()))
+        + " ELSE 1 END")
+    lab = lab.withColumn("chunk", F.explode(F.expr(
+        f"sequence(0, {nch_case} - 1)")))
 
     def _cell(pdf):
         import numpy as np
 
+        _limit_blas_threads()
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "dotq": pd.Series(dtype="float64"),
+             "n2a": pd.Series(dtype="float64"),
+             "n2b": pd.Series(dtype="float64")})
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "dotq": pd.Series(dtype="float64"),
-                 "n2a": pd.Series(dtype="float64"),
-                 "n2b": pd.Series(dtype="float64")})
-        if len(pdf) > SEMDEDUP_CELL_HARD_CAP:
-            raise ValueError(
-                f"semdedup cell width {len(pdf)} exceeds "
-                f"{SEMDEDUP_CELL_HARD_CAP}; scale SEMDEDUP_K with the "
-                "corpus (k ∝ n keeps cells bounded)")
+            return empty
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
-        # float64 GEMM (BLAS): |qd[i]| ≤ 127, so every dot and every
-        # threshold term is an integer < 2^53 — exact under any
-        # summation order (the _semdedup_tail_sql argument). TILED by
-        # row blocks so the score matrix never exceeds ~512 MB at any
-        # cell width (a 100k-row cell would otherwise need an 80 GB
-        # matrix + tril index arrays of the same order).
+        chunk = int(pdf["chunk"].iloc[0])
+        n_chunks = int(nch.get(int(pdf["cid"].iloc[0]), 1))
+        # owned rows: this chunk decides them; all rows are candidates
+        owned = np.nonzero(ids % n_chunks == chunk)[0]
+        owned = owned[owned > 0]  # row 0 has no j < i partner
+        if not len(owned):
+            return empty
+        # Two-phase block scan, exact by construction:
+        #   (1) PREFILTER with one normalized float32 GEMM per block —
+        #       |gemm − exact quantized cos| < 1e-5 for K=64 unit
+        #       vectors, so the 1e-5-widened margin yields a
+        #       guaranteed SUPERSET of qualifying pairs with exactly
+        #       TWO block temporaries at half width (the all-integer
+        #       block formulation needed ~7 full-size float64
+        #       temporaries — outer, g², masks — and this host's
+        #       GEMMs are memory-bandwidth-bound under 32-way task
+        #       concurrency, so bytes, not flops, are the budget);
+        #   (2) VERIFY candidates with exact integer math (the
+        #       _semdedup_tail_sql argument: every term an integer
+        #       < 2^53) — candidate rows ≈ dropped docs, so the exact
+        #       phase is linear in drops, not pairs.
         q = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["qv"].to_numpy()[order]])
         n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
-        n = len(ids)
-        tile = max(256, min(4096, (1 << 26) // n))
-        parts = []
-        for lo in range(1, n, tile):  # row 0 has no j < i partner
-            hi = min(lo + tile, n)
-            g = q[lo:hi] @ q[:hi].T  # (hi-lo, hi) block
-            jmask = (np.arange(hi)[None, :]
-                     < np.arange(lo, hi)[:, None])  # j < i
-            ok = jmask & (g > 0) & (
-                SEMDEDUP_TAU_DEN ** 2 * g * g
-                >= SEMDEDUP_TAU_NUM ** 2
-                * np.outer(n2[lo:hi], n2[:hi]))
-            bi, bj = np.nonzero(ok)
-            if len(bi):
-                parts.append(pd.DataFrame({
-                    "id_a": ids[bi + lo], "id_b": ids[bj],
-                    "dotq": g[bi, bj],
-                    "n2a": n2[bi + lo], "n2b": n2[bj],
-                }))
-        if not parts:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "dotq": pd.Series(dtype="float64"),
-                 "n2a": pd.Series(dtype="float64"),
-                 "n2b": pd.Series(dtype="float64")})
-        return pd.concat(parts, ignore_index=True)
+        # float32 prefilter: the block GEMM is memory-bandwidth-bound
+        # (its output is the only full-size temporary), so halving the
+        # element width halves the traffic; the error bound of a K=64
+        # float32 dot of unit-normalized vectors is < 1e-5, which the
+        # widened margin covers — still a guaranteed superset, still
+        # verified exactly below.
+        u = (q / np.sqrt(n2)[:, None]).astype(np.float32)
+        tau = SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN
+        den2 = float(SEMDEDUP_TAU_DEN ** 2)
+        num2 = float(SEMDEDUP_TAU_NUM ** 2)
+        tile = max(256, min(4096, (1 << 26) // len(ids)))
+        out_a, out_b, out_d = [], [], []
+        for t0 in range(0, len(owned), tile):
+            sel = owned[t0:t0 + tile]  # ascending (owned is sorted)
+            hi = int(sel[-1]) + 1
+            ub = u[sel] @ u[:hi].T  # (|sel|, hi) block
+            cand = ub >= tau - 1e-5
+            cand &= np.arange(hi)[None, :] < sel[:, None]  # j < i
+            rs = np.nonzero(cand.any(axis=1))[0]
+            if not len(rs):
+                continue
+            # vectorized keeper pick: the first candidate per row is
+            # the smallest qualifying j (margin ⇒ superset) UNLESS it
+            # is a margin false positive — verify it exactly in one
+            # einsum and route only verify-failures (pairs within
+            # 1e-5 of τ: rare) to the per-row scan. A
+            # per-row loop for every dropped doc re-scanned O(cell)
+            # bools per drop — quadratic again in the clone regime
+            # (measured 130 s at sf1-synth; ~8 s vectorized).
+            j1 = cand[rs].argmax(axis=1)  # first candidate per row
+            d1 = np.einsum("ij,ij->i", q[sel[rs]], q[j1])  # exact
+            ok1 = (d1 > 0) & (den2 * d1 * d1
+                              >= num2 * n2[j1] * n2[sel[rs]])
+            out_a.extend(int(x) for x in sel[rs[ok1]])
+            out_b.extend(int(x) for x in j1[ok1])
+            out_d.extend(float(x) for x in d1[ok1])
+            for r in rs[~ok1]:  # rare: first candidate failed verify
+                js = np.nonzero(cand[r])[0]  # ascending
+                i = int(sel[r])
+                d = q[js] @ q[i]  # exact integer dots
+                okj = (d > 0) & (den2 * d * d >= num2 * n2[js] * n2[i])
+                if okj.any():
+                    out_a.append(i)
+                    out_b.append(int(js[int(okj.argmax())]))
+                    out_d.append(float(d[int(okj.argmax())]))
+        if not out_a:
+            return empty
+        ia = np.array(out_a, dtype=np.int64)
+        ib = np.array(out_b, dtype=np.int64)
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "dotq": np.array(out_d, dtype=np.float64),
+            "n2a": n2[ia], "n2b": n2[ib],
+        })
 
-    pairs = lab.groupBy("cid").applyInPandas(_cell, out_schema)
-    w = Window.partitionBy("id_a").orderBy("id_b")
+    # _cell already emits exactly the smallest-keeper row per dropped
+    # doc (the SQL tail's ROW_NUMBER()=1 row), so no window is needed
+    # — only the oracle tail's literal score expression over the same
+    # exact-integer doubles
     return (
-        pairs
-        .withColumn("cos", F.expr(
-            "round(dotq / sqrt(n2a * n2b), 6)"))  # literally the
-        # oracle tail's expression over the same exact-integer doubles
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        lab.groupBy("cid", "chunk").applyInPandas(_cell, out_schema)
+        .withColumn("cos", F.expr("round(dotq / sqrt(n2a * n2b), 6)"))
         .select("id_a", "id_b", "cos")
     )
 
