@@ -2397,7 +2397,11 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
             })
 
     lab = spark.table(vsq).mapInPandas(
-        _assign, "vec_id long, cid int, n2q double, qv array<bigint>")
+        _assign, "vec_id long, cid int, n2q double, qv array<bigint>"
+    ).localCheckpoint(eager=False)  # two consumers: the width count
+    # below materializes it, the chunked pair scan reuses it — left
+    # as lineage, the assignment (and the vsq scan under it) would
+    # re-run once per consumer
     # Skew salting, counted-before-explode (the band_pairs/NN-cap
     # discipline): k-means cells are data-skewed — a clone-heavy cell
     # holds a quadratic share of the pair work, and one applyInPandas
