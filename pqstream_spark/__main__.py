@@ -887,13 +887,17 @@ def _run_postgres_logical_sharded(args, stop: threading.Event,
     # Each shard gets its own sentinel (a crash between shard k's
     # snapshot and shard k+1's resumes at k+1, never re-snapshots k).
     from .sources.outbox_pg import PG_OFFSET_TABLE, _quote_lit
-    from .sources.sharded_pg import _anchored_regexp
+    from .sources.sharded_pg import (
+        _anchored_regexp,
+        migrate_legacy_shard_markers,
+        shard_bootstrap_marker as _shard_marker,
+    )
 
     def _shard_slot(i: int) -> str:
         return f"{slot}_s{i}"
 
-    def _shard_marker(i: int) -> str:
-        return f"daemon@logical#bootstrap#s{i}@shard"
+    # rename any round-11 sentinel rows to the compact()-excluded form
+    migrate_legacy_shard_markers(runner)
 
     pre_assignment = cap.shards()
     rebooted: set[int] = set()
@@ -980,6 +984,21 @@ def _run_postgres_logical_sharded(args, stop: threading.Event,
         )
 
         n_sh = args.shards
+        if (args.bootstrap and args.out != "-"
+                and not any(pg_bootstrap_done(runner, _shard_marker(i))
+                            for i in pre_assignment)):
+            # a FRESH full bootstrap re-snapshots every shard: drop all
+            # stale snapshot files up front. The per-shard modulo decode
+            # below recovers shard ownership with the CURRENT --shards
+            # value, so files written under a DIFFERENT shard count
+            # decode to the wrong shard and would survive, leaving stale
+            # snapshot rows beside fresh ones (ADVICE r11 #3). Guarded
+            # on no shard marker being set: a crash-resume must NOT
+            # delete an already-snapshotted shard's files (its marker
+            # makes the loop skip re-emitting them).
+            for f in os.listdir(args.out):
+                if _re.fullmatch(r"batch-(-\d+)-(-\d+)\.jsonl", f):
+                    os.remove(os.path.join(args.out, f))
         for i, tables in sorted(pre_assignment.items()):
             if not (args.bootstrap or i in rebooted):
                 continue

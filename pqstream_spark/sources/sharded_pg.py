@@ -66,6 +66,41 @@ DEFAULT_SHARD_SLOT = "pqstream_shard"
 DEFAULT_SHARD_PUB = "pqstream_pub_shard"
 
 
+def shard_bootstrap_marker(i: int) -> str:
+    """Per-shard exactly-once bootstrap sentinel. MUST end with
+    '#bootstrap': both compact() implementations key outbox retention
+    on MIN(last_seq) over plain consumer rows and exclude sentinels by
+    suffix (NOT LIKE '%#bootstrap'). The round-11 spelling
+    'daemon@logical#bootstrap#s{i}@shard' matched no exclusion, so its
+    last_seq=1 row pinned the outbox low-water mark at 1 forever on any
+    database that ran a sharded logical bootstrap (ADVICE r11 #1)."""
+    return f"daemon@logical@s{i}#bootstrap"
+
+
+def migrate_legacy_shard_markers(runner: PsqlRunner) -> None:
+    """One-time idempotent rename of round-11 sentinel rows
+    ('daemon@logical#bootstrap#sN@shard') to the compact()-excluded
+    suffix form shard_bootstrap_marker emits. Rows whose new form
+    already exists are dropped instead of renamed (PK collision)."""
+    from .outbox_pg import PG_OFFSET_TABLE
+
+    legacy = "daemon@logical#bootstrap#s%@shard"
+
+    def _rename(col: str) -> str:
+        return (f"replace(replace({col}, 'daemon@logical#bootstrap#s',"
+                " 'daemon@logical@s'), '@shard', '#bootstrap')")
+
+    runner.sql(
+        f"DELETE FROM {PG_OFFSET_TABLE} o "
+        f"WHERE o.consumer LIKE '{legacy}' AND EXISTS ("
+        f"SELECT 1 FROM {PG_OFFSET_TABLE} n "
+        f"WHERE n.consumer = {_rename('o.consumer')});"
+        f"UPDATE {PG_OFFSET_TABLE} SET consumer = {_rename('consumer')} "
+        f"WHERE consumer LIKE '{legacy}';",
+        check=False,
+    )
+
+
 def shard_of(table: str, n_shards: int) -> int:
     """Stable table→shard assignment: first 8 bytes of sha256(name).
     Deterministic across processes/restarts (not Python's salted
@@ -401,13 +436,22 @@ class ShardedPgOutputPoller:
             }
             redrain = False
             total = 0
+            # per-shard advance targets accumulate LOCALLY and only arm
+            # the pollers after the whole round validates: arming inside
+            # the retry loop left shards with _pending set for rows that
+            # were never returned when a later shard forced a redrain
+            # and the next drain raised — a caller catching the error
+            # and then calling advance() would advance those slots past
+            # undelivered data and delete their spools (ADVICE r11 #2)
+            to_arm: dict[int, tuple] = {}
             for shard, p in sorted(self._pollers.items()):
                 meta = metas[shard]
                 base = int(meta["start_seq"])
                 n = counts.get(shard, 0)
                 if n == 0:
                     # idle/fully-filtered shard window: advance the
-                    # slot, clean, keep polling the others
+                    # slot, clean, keep polling the others (safe even
+                    # if the round redrains — this window held nothing)
                     p.advance_to(meta["endpos"],
                                  int(meta["endpos_big"]), base)
                     p._spool_cleanup()
@@ -420,9 +464,8 @@ class ShardedPgOutputPoller:
                     p._spool_cleanup()
                     redrain = True
                 else:
-                    p._pending = (meta["endpos"],
-                                  int(meta["endpos_big"]), base + n)
-                    p._pending_spool = True
+                    to_arm[shard] = (meta["endpos"],
+                                     int(meta["endpos_big"]), base + n)
                     total += n
             if redrain:
                 df.unpersist()
@@ -430,6 +473,10 @@ class ShardedPgOutputPoller:
             if total == 0:
                 df.unpersist()
                 return spark.createDataFrame([], OUTBOX_BATCH_SCHEMA), 0
+            for shard, target in to_arm.items():
+                p = self._pollers[shard]
+                p._pending = target
+                p._pending_spool = True
             self._batch_df = df
             return df, total
         raise PsqlError(

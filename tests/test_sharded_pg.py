@@ -534,3 +534,74 @@ def test_daemon_sharded_rebootstrap_recovers_lost_shards(tmp_path):
         assert main(argv + ["--remove"]) == 0
     finally:
         srv.destroy()
+
+
+# -- sharded bootstrap sentinel vs outbox compaction (ADVICE r11 #1) ------
+
+
+def test_shard_bootstrap_marker_excluded_from_compaction(pg):
+    """The per-shard bootstrap sentinel must not pin the outbox
+    low-water mark: compact() keys retention on MIN(last_seq) over
+    plain consumer rows and excludes sentinels by suffix, so the marker
+    must end with '#bootstrap'. The round-11 spelling
+    ('daemon@logical#bootstrap#sN@shard') matched no exclusion and
+    silently disabled compaction forever."""
+    from pqstream_spark.sources.outbox_pg import (
+        PG_OFFSET_TABLE,
+        PgCaptureManager,
+        PgOutboxPoller,
+    )
+    from pqstream_spark.sources.sharded_pg import shard_bootstrap_marker
+
+    r = pg.createdb("t_marker_compact")
+    r.sql("CREATE TABLE notes (id int PRIMARY KEY, note text);")
+    PgCaptureManager(r, table_regexp="notes").install()
+    r.sql("INSERT INTO notes SELECT g, 'n' || g "
+          "FROM generate_series(1, 20) g;")
+    p = PgOutboxPoller.open_durable(r, consumer="c1", max_rows=100)
+    # the new-form sentinel ends with '#bootstrap'
+    for i in range(4):
+        assert shard_bootstrap_marker(i).endswith("#bootstrap")
+        r.sql(f"INSERT INTO {PG_OFFSET_TABLE} (consumer, last_seq) "
+              f"VALUES ('{shard_bootstrap_marker(i)}', 1) "
+              "ON CONFLICT (consumer) DO NOTHING;")
+    p.rewind(20)  # consumer c1 durably consumed all 20 rows
+    # compaction prunes everything the one real consumer drained — the
+    # last_seq=1 sentinels must NOT hold the low-water mark at 1
+    assert p.compact() == 20
+    assert r.scalar("SELECT count(*) FROM pqstream_outbox") == "0"
+
+
+def test_legacy_shard_marker_migration(pg):
+    """migrate_legacy_shard_markers renames round-11 sentinel rows to
+    the compact()-excluded suffix form, drops collisions, and is
+    idempotent."""
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE
+    from pqstream_spark.sources.sharded_pg import (
+        migrate_legacy_shard_markers,
+        shard_bootstrap_marker,
+    )
+
+    r = pg.createdb("t_marker_migrate")
+    r.sql(f"CREATE TABLE {PG_OFFSET_TABLE} "
+          "(consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);")
+    # legacy rows for shards 0..2, plus a pre-existing NEW-form row for
+    # shard 1 (collision: legacy row must be dropped, new row kept)
+    for i in range(3):
+        r.sql(f"INSERT INTO {PG_OFFSET_TABLE} VALUES "
+              f"('daemon@logical#bootstrap#s{i}@shard', 1);")
+    r.sql(f"INSERT INTO {PG_OFFSET_TABLE} VALUES "
+          f"('{shard_bootstrap_marker(1)}', 1);")
+    # an unrelated consumer row must ride through untouched
+    r.sql(f"INSERT INTO {PG_OFFSET_TABLE} VALUES ('daemon', 42);")
+    migrate_legacy_shard_markers(r)
+    consumers = sorted(
+        row["consumer"] for row in
+        r.query_csv(f"SELECT consumer FROM {PG_OFFSET_TABLE}"))
+    assert consumers == sorted(
+        [shard_bootstrap_marker(i) for i in range(3)] + ["daemon"])
+    # idempotent: a second run changes nothing
+    migrate_legacy_shard_markers(r)
+    again = sorted(row["consumer"] for row in
+                   r.query_csv(f"SELECT consumer FROM {PG_OFFSET_TABLE}"))
+    assert again == consumers
