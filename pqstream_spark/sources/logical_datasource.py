@@ -272,7 +272,11 @@ class LogicalStreamReader(DataSourceStreamReader):
 class LogicalDataSource(DataSource):
     """spark.dataSource.register(LogicalDataSource); then
     readStream.format("pqstream_logical") for the commit-ordered,
-    transaction-aligned changelog stream."""
+    transaction-aligned changelog stream. With option `shards=N`
+    (pgoutput + spillDir required) the stream rides N publication-
+    scoped slots decoded in parallel with executor-side spool parse —
+    the daemon's round-11 scale-out on the engine-native surface
+    (sharded_datasource module docstring)."""
 
     @classmethod
     def name(cls) -> str:
@@ -281,5 +285,9 @@ class LogicalDataSource(DataSource):
     def schema(self) -> StructType:
         return OUTBOX_BATCH_SCHEMA
 
-    def streamReader(self, schema: StructType) -> LogicalStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self.options.get("shards") is not None:
+            from .sharded_datasource import ShardedLogicalStreamReader
+
+            return ShardedLogicalStreamReader(self.options)
         return LogicalStreamReader(self.options)

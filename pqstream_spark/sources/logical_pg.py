@@ -1000,10 +1000,13 @@ class PgLogicalPoller:
 
         return os.path.join(self._spool_dir(), "meta.json")
 
-    def _spool_drain(self) -> None:
+    def _spool_drain(self, start_seq: int | None = None) -> None:
         """Drain the slot's backlog into the next spool segment, up to
         a freshly-flushed endpos (resume-safe: reuses a leftover meta's
-        endpos so recovery converges instead of chasing new WAL)."""
+        endpos so recovery converges instead of chasing new WAL).
+        `start_seq` overrides the meta's numbering base (default: the
+        durable anchor) — the sharded DataSource chains spool
+        GENERATIONS whose bases run ahead of the committed anchor."""
         import os
 
         bin_ = shutil.which("pg_recvlogical")
@@ -1043,8 +1046,9 @@ class PgLogicalPoller:
             endpos = self.runner.scalar("SELECT pg_current_wal_lsn()::text")
             endpos_big = int(self.runner.scalar(
                 f"SELECT ('{endpos}'::pg_lsn - '0/0'::pg_lsn)::bigint"))
-            meta = {"start_seq": self.last_seq, "endpos": endpos,
-                    "endpos_big": endpos_big}
+            meta = {"start_seq": (self.last_seq if start_seq is None
+                                  else int(start_seq)),
+                    "endpos": endpos, "endpos_big": endpos_big}
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f)

@@ -533,10 +533,83 @@ class PgOutputPoller(PgLogicalPoller):
                 break
         return [(rel.schema, rel.table, op, row_id, payload, previous)]
 
-    def _parse_txns(self, rows: list[dict]) -> list[_Txn]:
+    def _envelopes_light(self, msg: bytes) -> list[tuple]:
+        """Counting-only twin of `_envelopes`: same (schema, table, op)
+        classification and Relation-registry upkeep, but NO tuple
+        decode and NO JSON rendering — the per-row work is a 4-byte
+        relation-id read. The sharded DataSource's latestOffset uses
+        this to learn a spool's row count and transaction boundaries
+        WITHOUT paying the envelope build (that runs once, on an
+        executor, in read()). Emits the same-shape 6-tuples with None
+        payloads so `_keep` and the txn machinery apply unchanged —
+        counts are equal to the full parse's by construction."""
+        kind = chr(msg[0])
+        r = _Reader(msg)
+        r.u8()
+        if kind == "R":
+            return self._envelopes(msg)  # registry upkeep (rare, cheap)
+        if kind == "T":
+            nrels = r.i32()
+            r.u8()
+            out = []
+            for _ in range(nrels):
+                rel = self._relations.get(r.i32())
+                if rel is not None:
+                    out.append((rel.schema, rel.table, "TRUNCATE",
+                                None, None, None))
+            return out
+        if kind not in ("I", "U", "D"):
+            return []
+        rel = self._relations.get(r.i32())
+        if rel is None:
+            return []
+        op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[kind]
+        return [(rel.schema, rel.table, op, None, None, None)]
+
+    def _spool_scan_light(self, seg_dir: str):
+        """Light spool scan → (n_rows, boundaries) where `boundaries`
+        maps cumulative row count (1-based, relative to the spool's
+        start_seq) → (commit_lsn_text, commit_lsn_big) for every
+        row-bearing transaction. Same structural reframing and
+        crash-redelivery xid dedup as `_spool_txns`, envelope build
+        skipped (`_envelopes_light`). Commit LSNs come from the Commit
+        message bodies (spool frames carry no peek-row LSN)."""
+        import os
+
+        frames: list[bytes] = []
+        for f in sorted(os.listdir(seg_dir)):
+            if not f.startswith("seg-"):
+                continue
+            with open(os.path.join(seg_dir, f), "rb") as fh:
+                frames += scan_pgoutput_frames(fh.read())
+        rows = [{"lsn": "", "lsn_big": 0, "data": fr.hex()}
+                for fr in frames]
+        relations_before = dict(self._relations)
+        try:
+            txns = self._parse_txns(rows, light=True)
+        finally:
+            self._relations = relations_before
+        seen: set[str] = set()
+        n = 0
+        bounds: dict[int, tuple[str, int]] = {}
+        for t in txns:
+            if t.xid is not None:
+                if t.xid in seen:
+                    continue
+                seen.add(t.xid)
+            if not t.changes:
+                continue
+            n += len(t.changes)
+            if t.commit_lsn > 0:
+                bounds[n] = (t.commit_lsn_text, t.commit_lsn)
+        return n, bounds
+
+    def _parse_txns(self, rows: list[dict],
+                    light: bool = False) -> list[_Txn]:
         import re as _re
         from datetime import datetime, timedelta
 
+        envelopes = self._envelopes_light if light else self._envelopes
         pat = _re.compile(self.table_regexp) if self.table_regexp else None
         pg_epoch = datetime(2000, 1, 1)
 
@@ -590,10 +663,18 @@ class PgOutputPoller(PgLogicalPoller):
                 # flags u8 at 5, commit_lsn q at 6, end_lsn q at 14,
                 # commit_ts q at 22
                 (ts_us,) = struct.unpack_from(">q", msg, 22)
+                lsn_text, lsn_big = row["lsn"], int(row["lsn_big"])
+                if lsn_big == 0:
+                    # spool pseudo-row (frames carry no peek LSN): the
+                    # Stream Commit body's end_lsn is the slot-advance
+                    # position for this transaction
+                    (end_lsn,) = struct.unpack_from(">q", msg, 14)
+                    lsn_big = end_lsn
+                    lsn_text = f"{end_lsn >> 32:X}/{end_lsn & 0xFFFFFFFF:X}"
                 aborted = stream_abort.pop(xid, set())
                 entries = stream_buf.pop(xid, [])
                 txns.append(_Txn(
-                    row["lsn"], int(row["lsn_big"]), _ts(ts_us),
+                    lsn_text, lsn_big, _ts(ts_us),
                     [ch for mx, ch in entries if mx not in aborted],
                     xid=str(xid),
                 ))
@@ -610,7 +691,7 @@ class PgOutputPoller(PgLogicalPoller):
                 # in-segment message: type byte + xid(4) + normal body —
                 # reframe and reuse the plain parser
                 (msg_xid,) = struct.unpack_from(">I", msg, 1)
-                for ch in self._envelopes(msg[:1] + msg[5:]):
+                for ch in envelopes(msg[:1] + msg[5:]):
                     if _keep(ch):
                         stream_buf[stream_top].append((msg_xid, ch))
                 continue
@@ -622,11 +703,18 @@ class PgOutputPoller(PgLogicalPoller):
                 (cur_xid,) = struct.unpack_from(">I", msg, 17)
                 cur_ts = _ts(ts_us)
             elif kind == "C":
-                txns.append(_Txn(row["lsn"], int(row["lsn_big"]),
+                lsn_text, lsn_big = row["lsn"], int(row["lsn_big"])
+                if lsn_big == 0:
+                    # spool pseudo-row: Commit body = flags u8 at 1,
+                    # commit_lsn q at 2, end_lsn q at 10, ts q at 18
+                    (end_lsn,) = struct.unpack_from(">q", msg, 10)
+                    lsn_big = end_lsn
+                    lsn_text = f"{end_lsn >> 32:X}/{end_lsn & 0xFFFFFFFF:X}"
+                txns.append(_Txn(lsn_text, lsn_big,
                                  cur_ts, cur, xid=str(cur_xid)))
                 cur, cur_ts = [], None
             else:
-                for ch in self._envelopes(msg):
+                for ch in envelopes(msg):
                     if _keep(ch):
                         cur.append(ch)
         return txns

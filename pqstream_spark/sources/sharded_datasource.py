@@ -1,0 +1,433 @@
+"""Sharded + spool capture on the engine-native Structured Streaming
+surface (round 12 lead item, VERDICT r11 next #1): the daemon-only
+round-11 scale-out — N pgoutput publications/slots decoded in parallel,
+executor-side spool parse — exposed through `pqstream_logical`:
+
+    spark.dataSource.register(LogicalDataSource)
+    spark.readStream.format("pqstream_logical")
+        .option("url", "postgres:host=/run/pg dbname=app user=pq")
+        .option("plugin", "pgoutput")
+        .option("shards", 4)
+        .option("slot", "my_shard")            # slot-name PREFIX
+        .option("publication", "my_pub")       # publication PREFIX
+        .option("spillDir", "/shared/spool")   # REQUIRED (see below)
+        .load()
+
+Install the sharded capture first (`python -m pqstream_spark
+--transport logical --plugin pgoutput --shards N ...` or
+`ShardedPgOutputCapture.install()`); this reader assumes the
+publications and slots exist.
+
+Execution shape — how the 2.3-2.5x sharded decode reaches readStream:
+
+1. `latestOffset` (driver): each shard drains new WAL via its own
+   `pg_recvlogical` subprocess into a fresh spool GENERATION — N
+   parallel C processes doing the serial-per-slot decode; PG -> disk
+   directly, the bytes never enter driver Python. The driver then runs
+   the LIGHT spool scan (`PgOutputPoller._spool_scan_light`):
+   structural frame walk reading 4-byte relation ids and Commit LSNs,
+   skipping tuple decode and JSON rendering entirely — yielding the
+   generation's row count and transaction boundaries at a small
+   fraction of the parse cost.
+2. `partitions` (driver): one InputPartition per (shard, generation)
+   overlapping the planned range — carrying the spool path and seq
+   window, not the rows.
+3. `read` (executor): the FULL parse (frame assembly, envelope JSON,
+   unchanged-TOAST P3 resolution against the database) runs once, in
+   the slice's own task — shards parse concurrently with no shared
+   GIL, the same placement as the daemon's `--spool-mode`.
+4. `commit` (driver): per-shard `advance_to` (offset anchor rows, then
+   slot advance) and deletion of fully-consumed generations.
+
+Why GENERATIONS: Structured Streaming calls `source.commit(N)` only
+when batch N+1 is constructed — commit always lags one batch. A design
+that cannot drain new WAL until the previous spool is retired therefore
+deadlocks (no new offset -> no new batch -> no commit; measured, round
+12). Generations decouple the cadences: each drain appends a new
+chained window (its numbering base = the previous generation's end,
+passed to `_spool_drain(start_seq=...)`), commit retires the consumed
+prefix, and in steady state at most ~2 generations are live per shard.
+`maxSpoolGens` (default 64) bounds the backlog a stalled query can
+spool to disk; past it the reader reports no new offsets and WAL
+accumulates server-side under the slot's own retention accounting.
+
+Offset model: the engine offset is a JSON object of PER-SHARD local
+seqs — `{"0": s0, "1": s1, ...}` — each shard's replay-stable dense
+numbering (PgLogicalPoller's invariant), always transaction-aligned
+(generation ends are flushed commit boundaries; intra-generation
+commits resolve through the light scan's per-transaction Commit LSNs).
+Output rows carry GLOBAL seqs under the interleaved encoding
+`global = (local - 1) * n_shards + shard + 1` (sharded_pg module
+docstring) — unique across shards, strictly monotone per shard hence
+per TABLE (tables hash-pin to one shard), the ordering domain CDC folds
+require.
+
+Crash contract (composes per shard, like the daemon's):
+- the spool drain moves the slot (pg_recvlogical confirms endpos), so
+  the generation files are the durable copy of the drained WAL — they
+  are deleted only in commit(), after the engine's own commit log says
+  the batch is done. `spillDir` must therefore be DURABLE and, on a
+  real cluster, shared storage reachable from driver and executors
+  (the same contract as the daemon's spool mode and `spool_scan`).
+- crash between offset-log write and commit: restart re-plans the
+  checkpointed range; partitions() rediscovers the intact generations
+  from their on-disk metas (each records its own chained start_seq,
+  written atomically BEFORE the drain starts) and re-slices
+  byte-identical rows.
+- crash mid-drain: the generation has meta but no `done` marker — the
+  next load resumes the drain to the SAME endpos; a generation torn
+  before its meta write numbered nothing and is discarded.
+- crash between a shard's advance_to and its generation deletion: the
+  consumed-prefix check (last_seq >= base + n) retires it on next load.
+- Spark re-calls source.commit for the restored committed offset on
+  restart, which retires whatever the pre-crash run finished.
+
+Reference anchor: completes SURVEY §3.4's S5 mapping
+(`server.go:98-109` -> checkpointed readStream) at the aggregate
+throughput the round-11 daemon proved."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+from .outbox_pg import PsqlError, PsqlRunner, _parse_pg_ts
+from .sharded_pg import (
+    DEFAULT_SHARD_PUB,
+    DEFAULT_SHARD_SLOT,
+    ShardedPgOutputPoller,
+)
+
+
+@dataclass
+class ShardSpoolPartition(InputPartition):
+    """One (shard, generation) slice of the micro-batch: a spool
+    DESCRIPTOR, not rows — the executor task does the full parse."""
+
+    shard: int = 0
+    n_shards: int = 1
+    seg_dir: str = ""
+    base: int = 0          # generation start_seq (local numbering)
+    lo: int = 0            # exclusive, local seqs
+    hi: int = 0            # inclusive, local seqs
+    poller: object = None  # pickled PgOutputPoller (parse + conninfo)
+
+
+class ShardedLogicalStreamReader(DataSourceStreamReader):
+    """N-slot sharded reader for `pqstream_logical` (module
+    docstring). Selected by the `shards` option; pgoutput-only (the
+    per-shard server-side decode scoping IS the scale-out) and
+    spool-based (`spillDir` required — the drain is what keeps envelope
+    bytes out of driver Python)."""
+
+    def __init__(self, options: dict) -> None:
+        url = options.get("url", "")
+        for scheme in ("postgresql:", "postgres:"):
+            if url.startswith(scheme):
+                conninfo = url[len(scheme):]
+                break
+        else:
+            raise ValueError(
+                "pqstream_logical requires option url=postgres:CONNINFO"
+            )
+        plugin = options.get("plugin", "pgoutput")
+        if plugin != "pgoutput":
+            raise ValueError(
+                "sharded pqstream_logical requires plugin=pgoutput — "
+                "publications are what scope each shard's decode "
+                "server-side; test_decoding has no table filter, so N "
+                "of its slots would each decode ALL tables (N x decode "
+                "cost for 1x throughput)"
+            )
+        spill_dir = options.get("spilldir") or None
+        if spill_dir is None:
+            raise ValueError(
+                "sharded pqstream_logical requires option spillDir — "
+                "the per-shard spool is the executor-parse transport "
+                "AND the durable copy of drained WAL (the drain "
+                "advances the slot). Use durable, executor-reachable "
+                "storage."
+            )
+        self._spill = spill_dir
+        self._max_gens = int(options.get("maxspoolgens", 64))
+        n_shards = int(options.get("shards", 1))
+        self._sp = ShardedPgOutputPoller.open_durable(
+            conninfo,
+            n_shards=n_shards,
+            slot_prefix=options.get("slot", DEFAULT_SHARD_SLOT),
+            publication_prefix=options.get(
+                "publication", DEFAULT_SHARD_PUB),
+            consumer=options.get("consumer", "datasource"),
+            streaming=str(options.get("streaming", "")
+                          ).lower() in ("1", "true", "yes"),
+        )
+        if not self._sp._pollers:
+            raise PsqlError(
+                f"no shard slots found with prefix "
+                f"{self._sp.slot_prefix!r}_s* — install the sharded "
+                "capture first (python -m pqstream_spark --transport "
+                "logical --plugin pgoutput --shards N)"
+            )
+        # per-shard list of live generations, each {"gen", "root",
+        # "base", "n", "bounds": {abs local seq -> (lsn_text,
+        # lsn_big)}, "meta"} in chained base order. Driver-only cache;
+        # rebuilt from the on-disk metas after a restart.
+        self._gens: dict[int, list[dict]] = {}
+
+    def __getstate__(self) -> dict:
+        # the reader is pickled into the executor read closure; the
+        # generation cache is driver bookkeeping read() never touches
+        state = self.__dict__.copy()
+        state["_gens"] = {}
+        return state
+
+    @staticmethod
+    def _trace(msg: str) -> None:
+        path = os.environ.get("PQSTREAM_SHARD_DS_TRACE")
+        if path:
+            with open(path, "a") as f:
+                f.write(f"[pid {os.getpid()}] {msg}\n")
+
+    # -- per-shard generation lifecycle --------------------------------------
+
+    def _shard_root(self, p) -> str:
+        return os.path.join(self._spill, p.slot)
+
+    def _load_gens(self, shard: int, p) -> list[dict]:
+        """Discover this shard's on-disk generations: resume torn
+        drains, drop row-free windows, retire consumed prefixes,
+        verify the chained numbering, light-scan the rest."""
+        root = self._shard_root(p)
+        os.makedirs(root, exist_ok=True)
+        out: list[dict] = []
+        prev_end: int | None = None
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("gen-"):
+                continue
+            gen_root = os.path.join(root, name)
+            p.spill_dir = gen_root
+            d = p._spool_dir()
+            meta_path = p._spool_meta_path()
+            if not os.path.isdir(d) or not os.path.exists(meta_path):
+                # torn creation: the meta (with the chained base) is
+                # written atomically BEFORE the drain starts, so a
+                # generation without one numbered nothing — discard
+                shutil.rmtree(gen_root, ignore_errors=True)
+                continue
+            if not os.path.exists(os.path.join(d, "done")):
+                p._spool_drain()  # crash resume: same meta endpos
+            meta = json.load(open(meta_path))
+            base = int(meta["start_seq"])
+            n, bounds = p._spool_scan_light(d)
+            if n == 0 or p.last_seq >= base + n:
+                # row-free window, or consumed in a prior run (crash
+                # between advance_to and deletion): slot insurance
+                # (GREATEST no-op when the drain already confirmed),
+                # then drop. end_seq=0 never touches the seq anchor —
+                # generations ahead of the anchor must not inflate it.
+                p.advance_to(meta["endpos"], int(meta["endpos_big"]), 0)
+                shutil.rmtree(gen_root, ignore_errors=True)
+                continue
+            if prev_end is not None and base != prev_end:
+                raise PsqlError(
+                    f"shard {shard}: spool generation chain broken at "
+                    f"{gen_root} (base {base}, expected {prev_end}) — "
+                    "was the spill directory modified externally?"
+                )
+            if prev_end is None and base > p.last_seq:
+                raise PsqlError(
+                    f"shard {shard}: first live spool generation "
+                    f"starts at {base} but the durable anchor is at "
+                    f"{p.last_seq} — an earlier generation was lost "
+                    "from the spill directory"
+                )
+            out.append({
+                "gen": int(name[4:]), "root": gen_root, "base": base,
+                "n": n, "meta": meta,
+                "bounds": {base + c: v for c, v in bounds.items()},
+            })
+            prev_end = base + n
+        return out
+
+    def _drain_new_gen(self, shard: int, p, gens: list[dict]) -> list[dict]:
+        """Append one fresh generation covering WAL up to now (unless
+        the backlog cap is reached); row-free windows are dropped
+        immediately."""
+        if len(gens) >= self._max_gens:
+            self._trace(f"shard {shard}: maxSpoolGens reached, "
+                        "skipping drain (backpressure)")
+            return gens
+        root = self._shard_root(p)
+        existing = [int(x[4:]) for x in os.listdir(root)
+                    if x.startswith("gen-") and x[4:].isdigit()]
+        nxt = max(existing, default=0) + 1
+        base = gens[-1]["base"] + gens[-1]["n"] if gens else p.last_seq
+        gen_root = os.path.join(root, f"gen-{nxt:06d}")
+        p.spill_dir = gen_root
+        p._spool_drain(start_seq=base)
+        d = p._spool_dir()
+        meta = json.load(open(p._spool_meta_path()))
+        n, bounds = p._spool_scan_light(d)
+        if n == 0:
+            p.advance_to(meta["endpos"], int(meta["endpos_big"]), 0)
+            shutil.rmtree(gen_root, ignore_errors=True)
+            return gens
+        gens.append({
+            "gen": nxt, "root": gen_root, "base": base, "n": n,
+            "meta": meta,
+            "bounds": {base + c: v for c, v in bounds.items()},
+        })
+        return gens
+
+    def _refresh_all(self, drain: bool) -> None:
+        items = sorted(self._sp._pollers.items())
+
+        def _one(kv):
+            shard, p = kv
+            gens = self._load_gens(shard, p)
+            if drain:
+                gens = self._drain_new_gen(shard, p, gens)
+            return shard, gens
+
+        with ThreadPoolExecutor(max_workers=len(items)) as ex:
+            self._gens = dict(ex.map(_one, items))
+
+    def _shard_high(self, shard: int) -> int:
+        gens = self._gens.get(shard) or []
+        if gens:
+            return gens[-1]["base"] + gens[-1]["n"]
+        return self._sp._pollers[shard].last_seq
+
+    # -- DataSourceStreamReader contract ------------------------------------
+
+    def initialOffset(self) -> dict:
+        off = {str(i): p.last_seq
+               for i, p in sorted(self._sp._pollers.items())}
+        self._trace(f"initialOffset -> {off}")
+        return off
+
+    def latestOffset(self) -> dict:
+        self._refresh_all(drain=True)
+        off = {str(i): self._shard_high(i)
+               for i in sorted(self._sp._pollers)}
+        self._trace(f"latestOffset -> {off}")
+        return off
+
+    def _covering_gens(self, shard: int, hi: int) -> list[dict]:
+        """This shard's generations, reloaded from disk if the cache
+        does not cover `hi` (restart replay). Raises when the spool
+        cannot reproduce the range."""
+        p = self._sp._pollers[shard]
+        gens = self._gens.get(shard)
+        if gens is None or self._shard_high(shard) < hi:
+            gens = self._load_gens(shard, p)
+            self._gens[shard] = gens
+        if not gens or gens[-1]["base"] + gens[-1]["n"] < hi:
+            raise RuntimeError(
+                f"pqstream_logical shard {shard}: cannot reconstruct "
+                f"local seqs up to {hi} from slot {p.slot!r} — was the "
+                "slot advanced externally, the spill directory "
+                "deleted, or the slot shared by another consumer?"
+            )
+        return gens
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[ShardSpoolPartition] = []
+        for i, p in sorted(self._sp._pollers.items()):
+            lo = int(start.get(str(i), p.last_seq))
+            hi = int(end.get(str(i), lo))
+            if hi <= lo:
+                continue
+            gens = self._covering_gens(i, hi)
+            if gens[0]["base"] > lo:
+                raise RuntimeError(
+                    f"pqstream_logical shard {i}: offset range "
+                    f"({lo}, {hi}] starts below the oldest live "
+                    f"generation's base {gens[0]['base']} — the spool "
+                    "holding those rows was already retired; restart "
+                    "from a fresh checkpoint"
+                )
+            for g in gens:
+                g_lo = max(lo, g["base"])
+                g_hi = min(hi, g["base"] + g["n"])
+                if g_hi <= g_lo:
+                    continue
+                p.spill_dir = g["root"]
+                parts.append(ShardSpoolPartition(
+                    shard=i, n_shards=self._sp.n_shards,
+                    seg_dir=p._spool_dir(), base=g["base"],
+                    lo=g_lo, hi=g_hi, poller=p,
+                ))
+        return parts or [ShardSpoolPartition()]
+
+    def read(self, partition: ShardSpoolPartition):
+        """Executor-side: full spool parse for ONE (shard, generation)
+        slice — plugin frame assembly, envelope JSON, unchanged-TOAST
+        resolution — emitting OUTBOX_BATCH_SCHEMA tuples with
+        interleaved GLOBAL seqs. Slices run as concurrent tasks (no
+        shared GIL)."""
+        if partition.hi <= partition.lo:
+            return
+        from .logical_pg import _Txn, resolve_unchanged_toast
+
+        p = partition.poller
+        runner = PsqlRunner(p.runner.conninfo)
+        shard, n_sh = partition.shard, partition.n_shards
+        seq = partition.base
+        for ts_text, changes in p._spool_txns_iter(partition.seg_dir):
+            if seq >= partition.hi:
+                break
+            t = _Txn("", 0, ts_text, changes)
+            resolve_unchanged_toast(runner, [t])
+            ts = _parse_pg_ts(t.commit_ts) if t.commit_ts else None
+            for (schema, table, op, row_id, payload, previous) in t.changes:
+                seq += 1
+                if partition.lo < seq <= partition.hi:
+                    yield ((seq - 1) * n_sh + shard + 1, ts, schema,
+                           table, op, row_id, payload, previous)
+
+    def commit(self, end: dict) -> None:
+        self._trace(f"commit {end}")
+        for i, p in sorted(self._sp._pollers.items()):
+            tgt = int(end.get(str(i), 0))
+            if tgt <= p.last_seq:
+                continue
+            gens = self._covering_gens(i, tgt)
+            keep: list[dict] = []
+            done = False
+            for g in gens:
+                g_end = g["base"] + g["n"]
+                if done:
+                    keep.append(g)
+                elif tgt >= g_end:
+                    # generation fully consumed: anchor the (seq, LSN)
+                    # pair at its endpos, then delete it
+                    p.advance_to(g["meta"]["endpos"],
+                                 int(g["meta"]["endpos_big"]), g_end)
+                    shutil.rmtree(g["root"], ignore_errors=True)
+                    if tgt == g_end:
+                        done = True
+                elif tgt in g["bounds"]:
+                    # intra-generation transaction boundary (a restored
+                    # checkpoint mid-window): advance to that commit's
+                    # LSN; the generation stays for the remainder
+                    lsn_text, lsn_big = g["bounds"][tgt]
+                    p.advance_to(lsn_text, lsn_big, tgt)
+                    keep.append(g)
+                    done = True
+                else:
+                    raise RuntimeError(
+                        f"pqstream_logical shard {i}: commit offset "
+                        f"{tgt} is not a transaction boundary the "
+                        "spool can reproduce — was the slot advanced "
+                        "externally?"
+                    )
+            self._gens[i] = keep
+
+    def lag(self) -> list[dict]:
+        return self._sp.lag()

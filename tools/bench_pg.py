@@ -370,6 +370,55 @@ def main() -> None:
         shsp.advance()
         assert n_shsp == N_SH * W_ROWS, n_shsp
 
+        # DataSource-path drain (round 12, VERDICT r11 #1): the SAME
+        # wide-row volume through REAL Structured Streaming queries —
+        # single-slot `pqstream_logical` (driver-side parse, one
+        # decoder) vs `shards=4` (N parallel pg_recvlogical drains,
+        # light driver scan, executor-side parse). Both queries are
+        # started and warmed on an empty backlog first, so the measured
+        # window is write-backlog -> processAllAvailable: the
+        # engine-native drain including trigger overhead, fair to both.
+        from pqstream_spark.sources.logical_datasource import (
+            LogicalDataSource,
+        )
+
+        spark.dataSource.register(LogicalDataSource)
+
+        def ds_drain(name: str, options: dict, insert_base: int) -> float:
+            ckpt = tempfile.mkdtemp(prefix=f"pq_bench_{name}_ckpt_")
+            q = (spark.readStream.format("pqstream_logical")
+                 .options(**options).load()
+                 .writeStream.format("memory").queryName(name)
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()  # warm: workers, slots, Arrow
+                for t in shard_tables.values():
+                    wide_insert(t, W_ROWS, base=insert_base)
+                t0 = time.time()
+                q.processAllAvailable()
+                dt = time.time() - t0
+                n = spark.sql(
+                    f"select count(*) from {name}").first()[0]
+                assert n >= N_SH * W_ROWS, (name, n)
+            finally:
+                q.stop()
+            return dt
+
+        t_ds_one = ds_drain(
+            "bench_ds_one",
+            {"url": "postgres:" + pg.conninfo("bench"),
+             "plugin": "pgoutput", "slot": "bench_one",
+             "publication": "bench_pub_one", "consumer": "dsbench",
+             "maxChangesPerBatch": str(16 * W_ROWS + 5000)},
+            insert_base=5_000_000)
+        t_ds_sh = ds_drain(
+            "bench_ds_sharded",
+            {"url": "postgres:" + pg.conninfo("bench"),
+             "shards": str(N_SH), "slot": "bench_sh",
+             "publication": "bench_shpub", "consumer": "dsbench",
+             "spillDir": tempfile.mkdtemp(prefix="pq_bench_ds_spool_")},
+            insert_base=6_000_000)
+
         out = {
             "metric": "pg_capture_path",
             "insert_rows": N_ROWS,
@@ -420,6 +469,13 @@ def main() -> None:
                 n_shsp / t_shsp),
             "wide_sharded4_spool_drain_mb_per_s": round(
                 n_shsp * W_KB / 1024 / t_shsp, 1),
+            "wide_ds_single_drain_rows_per_s": round(
+                N_SH * W_ROWS / t_ds_one),
+            "wide_ds_sharded4_drain_rows_per_s": round(
+                N_SH * W_ROWS / t_ds_sh),
+            "wide_ds_sharded4_drain_mb_per_s": round(
+                N_SH * W_ROWS * W_KB / 1024 / t_ds_sh, 1),
+            "wide_ds_sharded4_speedup_x": round(t_ds_one / t_ds_sh, 2),
         }
         print(json.dumps(out))
     finally:
