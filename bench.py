@@ -252,40 +252,62 @@ def main() -> None:
             # re-pays the entry's SHARED setup (codebook training,
             # checkpointed relations) every time, so raw branch numbers
             # sum past the entry total and mislead round-over-round
-            # decomposition. Time the shared floor once — the entry
-            # filtered to a method no branch emits, which
-            # constant-folds EVERY branch away but still executes the
-            # shared setup — and report branch_minus_shared.
-            def _min_time(frame_fn) -> float:
-                bruns = []
-                for _ in range(BRANCH_ITERS):
-                    t0 = time.perf_counter()
-                    frame_fn().count()
-                    bruns.append(round(time.perf_counter() - t0, 3))
-                return min(bruns)
-
+            # decomposition. The shared floor is the entry filtered to
+            # a method no branch emits — it constant-folds EVERY branch
+            # away but still executes the shared setup — and each
+            # branch reports branch_minus_shared.
+            #
+            # INTERLEAVED, not blocked (round 12, VERDICT r11 #1): r11
+            # measured the floor first and the branches after, so a
+            # host-contention shift between the blocks made every
+            # `branch - shared` clamp to zero exactly on the entry
+            # that grew that round. Each round-robin pass now times the
+            # floor and every branch back-to-back — one pass, one host
+            # regime — and the per-measurement min is taken across
+            # passes. Entries the main loop already measured as noisy
+            # (mean/min > 1.5) get extra passes automatically, and the
+            # artifact carries an additivity self-check so a diverged
+            # decomposition names itself instead of needing forensics.
             col = branch_col[n]
-            shared = _min_time(
-                lambda: queries[n](spark, SF_DIR).where(
-                    f"{col} = '__bench_shared_floor__'"
-                )
-            )
-            per_branch: dict[str, float] = {}
-            for m in branch_values[n]:
-                bt = _min_time(
-                    lambda m=m: queries[n](spark, SF_DIR).where(
-                        f"{col} = '{m}'"
-                    )
-                )
-                per_branch[m] = round(max(bt - shared, 0.0), 3)
+            b_iters = BRANCH_ITERS + (
+                2 if means[n] / max(timings[n], 1e-9) > 1.5 else 0)
+            floor_label = "__bench_shared_floor__"
+            labels = [floor_label] + branch_values[n]
+            samples: dict[str, list[float]] = {m: [] for m in labels}
+            for _ in range(b_iters):
+                for m in labels:
+                    t0 = time.perf_counter()
+                    queries[n](spark, SF_DIR).where(
+                        f"{col} = '{m}'").count()
+                    samples[m].append(
+                        round(time.perf_counter() - t0, 3))
+            shared = min(samples[floor_label])
+            standalone = {m: min(samples[m]) for m in branch_values[n]}
+            per_branch = {
+                m: round(max(standalone[m] - shared, 0.0), 3)
+                for m in branch_values[n]
+            }
+            additivity = round(
+                (shared + sum(per_branch.values()))
+                / max(timings[n], 1e-9), 3)
             branch_timings[n] = {
                 "shared_setup": shared,
                 "branch_minus_shared": per_branch,
-                "semantics": "branch = standalone run minus shared_setup; "
-                             "shared_setup + sum(branches) ~= entry total",
+                "branch_standalone_min": standalone,
+                "branch_raw": samples,
+                "iters": b_iters,
+                "additivity_vs_entry_min": additivity,
+                "semantics": "branch = standalone min minus shared_setup, "
+                             "all measured interleaved per pass; "
+                             "additivity_vs_entry_min = (shared + "
+                             "sum(branches)) / entry_min — ~1.0 when the "
+                             "attribution is clean, far from 1.0 means "
+                             "the passes straddled a host-speed shift "
+                             "(read branch_raw)",
             }
             print(f"    shared={shared}s branches-minus-shared: "
-                  f"{per_branch}", file=sys.stderr, flush=True)
+                  f"{per_branch} (additivity {additivity})",
+                  file=sys.stderr, flush=True)
 
     # second canary AFTER the query loop: this host has been observed
     # degrading MID-RUN (early entries fast, late entries 3×) — a

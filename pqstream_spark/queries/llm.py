@@ -2351,7 +2351,44 @@ def _limit_blas_threads() -> None:
             continue
 
 
-def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
+# SemDeDup driver-side memo (round 12, VERDICT r11 #2): the codebook
+# training and the cell-width count are two fixed driver round-trips
+# (a bounded sample collect + a groupBy collect) that
+# `_semdedup_spark_df` used to pay on EVERY invocation — again per
+# bench iteration and per catalog run, ~0.5-1 s/call of avoidable
+# latency in the entry that already dominates the bench. Both are
+# deterministic functions of the corpus, so they memoize per
+# (application, documents-plan) — the plan's semanticHash covers the
+# sf_dir (the parquet paths are in the plan) AND test-time
+# shadow_views substitutions (a shadowed `documents` is a different
+# plan), the trained-IVF branch's per-view identity discipline.
+_SEMDEDUP_MEMO: dict[tuple, tuple[list, dict]] = {}
+_SEMDEDUP_MEMO_CAP = 8
+
+
+def _semdedup_memo_key(spark: SparkSession) -> tuple | None:
+    try:
+        h = int(
+            spark.table("documents")._jdf.queryExecution()  # noqa: SLF001
+            .analyzed().semanticHash()
+        )
+        return (spark.sparkContext.applicationId, h)
+    except Exception:
+        return None  # catalog unavailable: just don't memoize
+
+
+def _semdedup_cell_widths(lab) -> dict[int, int]:
+    """cid -> member count of the assignment frame (one driver
+    round-trip; memoized by the caller)."""
+    from pyspark.sql import functions as F
+
+    return {int(r["cid"]): int(r["n"]) for r in
+            lab.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+
+
+def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
+                       memo_key: tuple | None = None) -> DataFrame:
     """Spark side of the semdedup branch over a materialized
     (vec_id, qv) view: train the k=SEMDEDUP_K codebook driver-side
     (`_semdedup_train_codebook`, the q_sim_topk split), assign cells
@@ -2360,14 +2397,37 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
     applyInPandas — the values are integers < 2^53, so the emitted
     (pair, dotq) set is bit-identical to the oracle's SQL join
     (`_semdedup_tail_sql`'s argument). The division and 6-dp rounding
-    run as the SAME SQL expression afterwards."""
+    run as the SAME SQL expression afterwards.
+
+    `nprobe=2` (round 12, VERDICT r11 #4) bounds the paper's silent
+    cross-cell recall trade: each vector ALSO lands in its second-best
+    cell (the `ivf_multiprobe` move applied to dedup), so two
+    near-duplicates straddling a k-means boundary — never compared at
+    nprobe=1, by construction — meet in whichever of their cells they
+    share. Pair work is bounded at ~2x (each vector is in exactly 2
+    cells); duplicate decisions from the doubled membership collapse
+    to ONE row per dropped doc (smallest keeper id, the same
+    tie-break as the in-cell scan). The certified catalog branch stays
+    nprobe=1 — the oracle's SQL formulation assigns one cell per
+    vector — so nprobe is a library flag with its own pinned test.
+
+    `memo_key` (round 12, VERDICT r11 #2): when the CALLER vouches
+    that `vsq` is a pure function of the key (q_pairwise passes its
+    corpus identity), the trained codebook and the cell widths are
+    memoized — they are deterministic, and retraining cost two driver
+    round-trips on every invocation. Direct library callers with
+    hand-built views keep the default None (no memoization)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
+    if nprobe not in (1, 2):
+        raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     out_schema = ("id_a long, id_b long, dotq double, "
                   "n2a double, n2b double")
-    cs = _semdedup_train_codebook(spark, vsq)
+    full_key = (*memo_key, nprobe) if memo_key else None
+    memo = _SEMDEDUP_MEMO.get(full_key) if full_key else None
+    cs = memo[0] if memo else _semdedup_train_codebook(spark, vsq)
     if not cs:  # empty corpus
         return spark.createDataFrame(
             [], "id_a long, id_b long, cos double")
@@ -2388,13 +2448,27 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
                 continue
             q = np.stack([np.asarray(v, dtype=np.int64)
                           for v in pdf["qv"].to_numpy()])
-            yield pd.DataFrame({
+            dots = q @ cb.T
+            best = dots.argmax(axis=1)  # first max, like array_position
+            n2q = (q * q).sum(axis=1).astype(np.float64)
+            out = pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(),
-                "cid": (q @ cb.T).argmax(axis=1) + 1,  # 1-based like
-                # the SQL array_position
-                "n2q": (q * q).sum(axis=1).astype(np.float64),
+                "cid": best + 1,  # 1-based like the SQL array_position
+                "n2q": n2q,
                 "qv": pdf["qv"],
             })
+            if nprobe >= 2 and cb.shape[0] > 1:
+                # second-best cell membership: mask the winner, argmax
+                # again (same first-max tie-break among the rest)
+                d2 = dots.copy()
+                d2[np.arange(len(d2)), best] = np.iinfo(np.int64).min
+                out = pd.concat([out, pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": d2.argmax(axis=1) + 1,
+                    "n2q": n2q,
+                    "qv": pdf["qv"],
+                })], ignore_index=True)
+            yield out
 
     lab = spark.table(vsq).mapInPandas(
         _assign, "vec_id long, cid int, n2q double, qv array<bigint>"
@@ -2413,9 +2487,11 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
     # the quadratic work spreads across tasks while every (i, j < i)
     # pair is still computed exactly once. Replication is bounded by
     # the 32-chunk cap: ≤ 32× the wide cells' bytes, only when wide.
-    widths = {int(r["cid"]): int(r["n"]) for r in
-              lab.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-              .collect()}
+    widths = memo[1] if memo else _semdedup_cell_widths(lab)
+    if full_key and memo is None:
+        while len(_SEMDEDUP_MEMO) >= _SEMDEDUP_MEMO_CAP:
+            _SEMDEDUP_MEMO.pop(next(iter(_SEMDEDUP_MEMO)))
+        _SEMDEDUP_MEMO[full_key] = (cs, widths)
     if any(w > SEMDEDUP_CELL_HARD_CAP for w in widths.values()):
         wid, w = max(widths.items(), key=lambda kv: kv[1])
         raise ValueError(
@@ -2527,11 +2603,22 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str) -> DataFrame:
     # doc (the SQL tail's ROW_NUMBER()=1 row), so no window is needed
     # — only the oracle tail's literal score expression over the same
     # exact-integer doubles
-    return (
+    out = (
         lab.groupBy("cid", "chunk").applyInPandas(_cell, out_schema)
         .withColumn("cos", F.expr("round(dotq / sqrt(n2a * n2b), 6)"))
         .select("id_a", "id_b", "cos")
     )
+    if nprobe >= 2:
+        # doubled membership can decide one doc in both of its cells,
+        # possibly against different keepers: collapse to one row per
+        # dropped doc, smallest keeper id (the in-cell tie-break,
+        # applied across cells)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id_a").orderBy("id_b")
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .where("_rn = 1").drop("_rn"))
+    return out
 
 
 def _pairwise_scores_sql(spark: bool,
@@ -2618,7 +2705,12 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
     spark.sql(_semdedup_sq_sql(True)) \
         .localCheckpoint(eager=False).createOrReplaceTempView(vsq)
     vsd = f"_sd_out_{_uuid.uuid4().hex[:8]}"
-    _semdedup_spark_df(spark, vsq).createOrReplaceTempView(vsd)
+    # memo vouch: vsq is a pure function of the documents view
+    # (_semdedup_sq_sql reads only the corpus CTE), so the codebook +
+    # cell widths memoize on the documents plan identity
+    _semdedup_spark_df(
+        spark, vsq, memo_key=_semdedup_memo_key(spark)
+    ).createOrReplaceTempView(vsd)
     out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
                                          semdedup_view=vsd))
     spark.catalog.dropTempView(vpa)

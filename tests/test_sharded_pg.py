@@ -605,3 +605,33 @@ def test_legacy_shard_marker_migration(pg):
     again = sorted(row["consumer"] for row in
                    r.query_csv(f"SELECT consumer FROM {PG_OFFSET_TABLE}"))
     assert again == consumers
+
+
+def test_sharded_lag_one_report(pg, capsys):
+    """`--lag --transport logical --shards N` (round 12, VERDICT r11
+    #6): ONE JSON object with per-shard backlog/health rows and an
+    unhealthy count — a missing shard slot counts as unhealthy (the
+    worst lag state), not as absence of data."""
+    from pqstream_spark.__main__ import main
+
+    r, cap = _setup(pg, "lagrep")
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (1, 'x');")
+    argv = ["--connect", f"postgres:{pg.conninfo('lagrep')}",
+            "--transport", "logical", "--plugin", "pgoutput",
+            "--lag", "--shards", str(N), "--slot", cap.slot_prefix]
+    assert main(argv) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["n_shards"] == N and rep["unhealthy"] == 0
+    assert [s["shard"] for s in rep["shards"]] == list(range(N))
+    for s in rep["shards"]:
+        assert s["slot"] == f"{cap.slot_prefix}_s{s['shard']}"
+        assert s["wal_bytes_pending"] > 0  # undrained insert
+        assert s["wal_status"] in (None, "reserved", "extended")
+    # drop one shard's slot: the report must flag it missing+unhealthy
+    r.sql(f"SELECT pg_drop_replication_slot('{cap.slot_prefix}_s2');")
+    assert main(argv) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip())
+    assert rep2["unhealthy"] == 1
+    assert rep2["shards"][2] == {
+        "shard": 2, "slot": f"{cap.slot_prefix}_s2", "missing": True}
