@@ -3104,6 +3104,24 @@ def assign_ivf_cells(df: DataFrame, codebook: list[list[int]]) -> DataFrame:
     )
 
 
+def semdedup_cell_expr(codebook: list[list[int]], col: str = "qv") -> str:
+    """1-based integer-argmax cell assignment for a QUANTIZED bigint
+    vector column over a literal codebook — the narrow/stream twin of
+    `_semdedup_spark_df`'s numpy assignment (array_position picks the
+    FIRST maximum, the same tie-break as np.argmax; every term is an
+    exact integer). Zero-norm rows are the caller's job to exclude.
+    One self-contained expression — no shuffle, no state — so it runs
+    identically on a batch frame and a stream (the ingest-gate path);
+    ds is referenced twice, 2·K·dim lambda evals per row, fine at
+    micro-batch width (the ivf_cell_expr note)."""
+    lit = "array(" + ", ".join(
+        "array(" + ", ".join(str(int(c)) for c in cv) + ")"
+        for cv in codebook) + ")"
+    ds = (f"transform({lit}, c -> aggregate(zip_with({col}, c, "
+          "(a, b) -> a * b), 0L, (acc, x) -> acc + x))")
+    return f"array_position({ds}, array_max({ds}))"
+
+
 def ivf_cell_expr(codebook: list[list[int]]) -> str:
     """Spark SQL expression assigning an `embedding` array column to
     its codebook cell (1-based; NULL for zero-norm vectors, whose

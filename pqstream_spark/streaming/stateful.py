@@ -153,6 +153,37 @@ def _band_rows(sig: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
+def semdedup_quantize(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (vec_id, qv: array<bigint>, n2q: bigint) — the
+    SemDeDup quantized embedding (hashing-trick embed, then
+    q = round(127·v/‖v‖) per component) over an ARBITRARY frame, the
+    DataFrame twin of `_semdedup_sq_sql`'s corpus-CTE form. Zero-norm
+    docs are dropped (unsearchable by cosine, excluded by every
+    SemDeDup path). Narrow after the embed aggregate; runs identically
+    on a batch frame and a micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..functions.embeddings import embed_documents
+
+    return (
+        embed_documents(docs)
+        .withColumn("_n2", F.expr(
+            "aggregate(zip_with(embedding, embedding, (a, b) -> a * b),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+        .where("_n2 > 0")
+        # try_divide, not /: ANSI evaluates the projection for the
+        # union's zero-vector rows before the filter prunes them
+        # (collapsed plan), and a plain divide-by-zero throws there
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(round(try_divide(x * 127,"
+            " sqrt(_n2)), 0) AS BIGINT)) AS qv")
+        .withColumn("n2q", F.expr(
+            "aggregate(zip_with(qv, qv, (a, b) -> a * b), 0L, "
+            "(acc, x) -> acc + x)"))
+    )
+
+
 def curate_ingest(
     doc_stream: DataFrame,
     corpus: DataFrame,
@@ -160,6 +191,7 @@ def curate_ingest(
     checkpoint_dir: str | None = None,
     lm_max_cost_mnats: int | None = None,
     lm_tables_dir: str | None = None,
+    semantic_dedup: bool = False,
 ):
     """Ingest-time curation gate — the streaming door of a training-data
     pipeline: each micro-batch of incoming (doc_id, lang, text)
@@ -193,6 +225,23 @@ def curate_ingest(
     (save_corpus_lm / `curate --lm-train`) instead of training from
     `corpus` at gate setup — the full train-once/score-many CCNet
     deployment; the n-gram order travels with the artifact.
+
+    `semantic_dedup` (round 12, VERDICT r11 #5): the band gate is
+    token-ORDER-sensitive (MinHash over shingles), so a paraphrase
+    that reuses a corpus doc's words in a different order sails
+    through it. With this flag the gate ALSO checks SemDeDup's
+    quantized-cosine threshold against the corpus cell index: at
+    setup, the corpus is quantized (`semdedup_quantize`), a k-means
+    codebook trains once (`_semdedup_train_codebook`), and the
+    (cid, qv) index checkpoints; per batch, incoming docs quantize,
+    assign their cell with one narrow integer-argmax expression
+    (`semdedup_cell_expr`), and a stream-static equi-join on `cid`
+    flags any within-cell quantized cosine ≥ SEMDEDUP_TAU — exact
+    integer arithmetic, zero streaming state, the
+    embedding_dedup_stream shape. Failing docs get `sem_dup=True` and
+    fail admission. At 100 TB the index persists bucketed by cid so
+    each batch reads only the cells it probes (DEPLOY §3's layout
+    note); cross-cell misses follow the paper's nprobe=1 trade.
 
     Returns the started StreamingQuery."""
     import uuid as _uuid
@@ -233,6 +282,29 @@ def curate_ingest(
                 uni0.localCheckpoint(eager=True),
                 vsz0,
             )
+    sem_index = None
+    sem_cell = None
+    if semantic_dedup:
+        from ..queries.llm import (
+            _semdedup_train_codebook,
+            semdedup_cell_expr,
+        )
+
+        cq = semdedup_quantize(
+            corpus.selectExpr("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        vtrain = f"_sem_gate_{_uuid.uuid4().hex[:8]}"
+        cq.createOrReplaceTempView(vtrain)
+        try:
+            cs = _semdedup_train_codebook(corpus.sparkSession, vtrain)
+        finally:
+            corpus.sparkSession.catalog.dropTempView(vtrain)
+        if cs:
+            sem_cell = semdedup_cell_expr(cs)
+            sem_index = cq.selectExpr(
+                "vec_id AS corpus_doc_id", f"{sem_cell} AS cid",
+                "qv AS cqv", "n2q AS cn2",
+            ).localCheckpoint(eager=True)
     view = f"_ingest_gate_{_uuid.uuid4().hex[:8]}"
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
@@ -274,6 +346,35 @@ def curate_ingest(
                 admit = "clf_keep AND NOT near_dup AND lm_ok"
             else:
                 admit = "clf_keep AND NOT near_dup"
+            if sem_index is not None:
+                from ..queries.llm import (
+                    SEMDEDUP_TAU_DEN,
+                    SEMDEDUP_TAU_NUM,
+                )
+
+                sem_hits = (
+                    semdedup_quantize(
+                        batch_df.selectExpr("doc_id", "text"))
+                    .selectExpr("vec_id AS doc_id",
+                                f"{sem_cell} AS cid", "qv", "n2q")
+                    .join(sem_index, "cid")
+                    .where("doc_id <> corpus_doc_id")
+                    .withColumn("dotq", F.expr(
+                        "aggregate(zip_with(qv, cqv, (a, b) -> a * b),"
+                        " 0L, (acc, x) -> acc + x)"))
+                    .where(
+                        f"dotq > 0 AND {SEMDEDUP_TAU_DEN ** 2} * dotq"
+                        f" * dotq >= {SEMDEDUP_TAU_NUM ** 2} * n2q * cn2")
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("sem_dup", F.lit(True))
+                )
+                kept = (
+                    kept.join(sem_hits, "doc_id", "left")
+                    .withColumn("sem_dup",
+                                F.coalesce("sem_dup", F.lit(False)))
+                )
+                admit += " AND NOT sem_dup"
             kept = kept.withColumn("admitted", F.expr(admit))
             emit(kept, epoch_id)
         finally:

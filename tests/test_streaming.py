@@ -790,3 +790,63 @@ def test_curate_ingest_gate(spark, tmp_path):
     # annotations came through the same projection as text_annotations
     assert rows[990000]["predicted_lang"] == "en"
     assert rows[990000]["n_tokens"] > 100
+
+
+def test_curate_ingest_semantic_dedup_gate(spark, tmp_path):
+    """Round 12 (VERDICT r11 #5): a PARAPHRASE-level duplicate — a
+    corpus doc's exact words in a different order — sails through the
+    band gate (MinHash over order-sensitive shingles) but must fail the
+    SemDeDup quantized-cosine gate (bag-of-tokens embedding: reordered
+    words give the IDENTICAL vector, cos = 1 ≥ τ). Novel quality text
+    still passes both. Without semantic_dedup the paraphrase is
+    admitted — the gap this flag closes."""
+    from pqstream_spark.sources.tables import load_table
+    from pqstream_spark.streaming.stateful import curate_ingest
+
+    corpus = load_table(spark, SF, "documents").selectExpr("doc_id", "text")
+    # deterministic word-shuffle paraphrases of 5 corpus docs: sort the
+    # words (a different order whenever the doc isn't already sorted)
+    para = corpus.where("doc_id < 5").selectExpr(
+        "doc_id + 900000 AS doc_id", "'en' AS lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text",
+    )
+    novel = spark.range(2).selectExpr(
+        "id + 990000 AS doc_id", "'en' AS lang",
+        "concat('qwxv zebra ', id, ' ', repeat('the a and of is ', 40))"
+        " AS text",
+    )
+    incoming = para.unionAll(novel)
+    inc_dir = str(tmp_path / "sem_gate_in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    def run(semantic: bool) -> dict:
+        got: list = []
+        stream = spark.readStream.schema(incoming.schema).parquet(inc_dir)
+        q = curate_ingest(stream, corpus,
+                          lambda df, ep: got.extend(df.collect()),
+                          semantic_dedup=semantic)
+        drain(q)
+        return {r["doc_id"]: r for r in got}
+
+    rows = run(semantic=True)
+    assert len(rows) == 7
+    paras = [rows[900000 + d] for d in range(5)]
+    # the band gate misses at least some paraphrases (order-sensitive
+    # shingles differ), but the semantic gate catches ALL of them
+    assert all(r["sem_dup"] for r in paras)
+    assert not any(r["admitted"] for r in paras)
+    band_missed = [r for r in paras if not r["near_dup"]]
+    assert band_missed, (
+        "every paraphrase band-matched — the fixture no longer "
+        "demonstrates the gap the semantic gate closes")
+    # novel quality text passes both gates
+    for d in (990000, 990001):
+        assert rows[d]["admitted"] and not rows[d]["sem_dup"]
+
+    # without the flag, the band-missed paraphrases are ADMITTED —
+    # the documented gap
+    rows0 = run(semantic=False)
+    assert "sem_dup" not in rows0[990000].asDict()
+    missed_ids = {r["doc_id"] for r in band_missed}
+    assert all(rows0[d]["admitted"] for d in missed_ids
+               if rows0[d]["clf_keep"])
