@@ -409,6 +409,7 @@ def embedding_dedup_stream(
     index: DataFrame,
     codebook: list[list[int]],
     threshold: float = 0.9,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Embedding-space ingest dedup — the vector analog of
     `dedup_against_corpus_stream`: each incoming embedding is assigned
@@ -420,19 +421,39 @@ def embedding_dedup_stream(
     never leaves the cell, exactly like the batch IVF search.
 
     Returns (vec_id, dup_of, cos) candidate rows, best-effort within
-    the probed cell (a near-dup whose twin landed in a neighboring
-    cell is missed at nprobe=1 — the same recall trade every IVF
-    search makes; widen with ivf_probe_cells_expr upstream if needed).
-    """
-    from ..queries.llm import _dot6_expr, _norm_vec_expr
+    the probed cells (a near-dup whose twin landed in a cell outside
+    the probe set is missed — the same recall trade every IVF search
+    makes). `nprobe` (round 12) widens the STREAM side to its best
+    `nprobe` cells via `ivf_probe_cells_expr` (the index side keeps
+    its single argmax cell, like every IVF query path here): a twin
+    straddling a cell boundary is caught once the probe set covers
+    its cell, at ~nprobe× the join work; no output duplicates arise
+    (the index holds each vector in exactly one cell, and the probe
+    list is distinct cells)."""
+    from ..queries.llm import (
+        _dot6_expr,
+        _norm_vec_expr,
+        ivf_probe_cells_expr,
+    )
 
     nv = _norm_vec_expr(True)
-    sn = assign_stream_to_cells(embed_stream, codebook).where(
-        "cell IS NOT NULL"
-    ).selectExpr("vec_id", f"{nv} AS qnv", "cell")
+    if nprobe <= 1:
+        sn = assign_stream_to_cells(embed_stream, codebook).where(
+            "cell IS NOT NULL"
+        ).selectExpr("vec_id", f"{nv} AS qnv", "cell")
+    else:
+        sn = embed_stream.selectExpr(
+            "vec_id", f"{nv} AS qnv",
+            f"{ivf_probe_cells_expr(codebook, nprobe)} AS cells",
+        ).where("cells IS NOT NULL").selectExpr(
+            "vec_id", "qnv", "explode(cells) AS cell")
     cn = index.where("cell IS NOT NULL").selectExpr(
         "vec_id AS dup_of", f"{nv} AS cnv", "cell"
     )
+    # no dedup needed even at nprobe>1: the index holds each vector in
+    # exactly ONE cell and the probe list is distinct cells, so a
+    # (vec_id, dup_of) pair can match in at most one probed cell — and
+    # a streaming dropDuplicates would have bought unbounded state
     return (
         sn.join(cn, "cell")
         .where("vec_id <> dup_of")

@@ -313,3 +313,48 @@ def test_multiprobe_branch_monotone(spark):
         r1 = len(exact & by["ivf_trained"].get(q, set()))
         r2 = len(exact & by["ivf_multiprobe"].get(q, set()))
         assert r2 >= r1, (q, r1, r2)
+
+
+def test_embedding_dedup_stream_nprobe_boundary(spark, tmp_path):
+    """Round 12: the stream-side probe widening. A near-copy whose
+    indexed twin sits across a cell boundary (stream vector's best
+    cell 1, twin indexed in cell 2, cos 0.99995) is MISSED at
+    nprobe=1 — within-cell only, by construction — and CAUGHT at
+    nprobe=2, exactly once (the index holds each vector in one cell,
+    so multi-cell probing cannot duplicate a pair)."""
+    from pqstream_spark.queries.llm import ivf_cell_expr
+    from pqstream_spark.streaming.stateful import embedding_dedup_stream
+
+    dim = 64
+    cb = [[127] + [0] * (dim - 1), [0, 127] + [0] * (dim - 2)]
+
+    def vec(a, b):
+        v = [0.0] * dim
+        v[0], v[1] = float(a), float(b)
+        return v
+
+    index = spark.createDataFrame(
+        [(5, vec(99, 100))], "vec_id long, embedding array<double>"
+    ).selectExpr("vec_id", "embedding", f"{ivf_cell_expr(cb)} AS cell")
+    assert index.collect()[0]["cell"] == 2
+    incoming = spark.createDataFrame(
+        [(900001, vec(100, 99))], "vec_id long, embedding array<double>")
+    src = str(tmp_path / "np_stream")
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run(nprobe):
+        stream = spark.readStream.schema(incoming.schema).parquet(src)
+        flagged = embedding_dedup_stream(
+            stream, index, cb, threshold=0.99, nprobe=nprobe)
+        name = f"vec_np{nprobe}"
+        q = (flagged.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    assert run(1) == []
+    rows = run(2)
+    assert len(rows) == 1
+    assert rows[0]["vec_id"] == 900001 and rows[0]["dup_of"] == 5
+    assert rows[0]["cos"] >= 0.99
