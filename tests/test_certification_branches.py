@@ -330,7 +330,9 @@ def test_semdedup_codebook_memoized_per_corpus(spark):
             for r in df.collect() if r["method"] == "semdedup")
 
     first = sd_rows(llm.q_pairwise(spark, SF_SMOKE))
-    assert first and len(llm._SEMDEDUP_MEMO) == 1
+    # one memo entry per probe width (nprobe=1 and the certified
+    # semdedup_np2 branch), same corpus key
+    assert first and len(llm._SEMDEDUP_MEMO) == 2
     orig_train = llm._semdedup_train_codebook
     orig_widths = llm._semdedup_cell_widths
 
