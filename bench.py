@@ -300,10 +300,15 @@ def main() -> None:
                 "semantics": "branch = standalone min minus shared_setup, "
                              "all measured interleaved per pass; "
                              "additivity_vs_entry_min = (shared + "
-                             "sum(branches)) / entry_min — ~1.0 when the "
-                             "attribution is clean, far from 1.0 means "
-                             "the passes straddled a host-speed shift "
-                             "(read branch_raw)",
+                             "sum(branches)) / entry_min. ~1.0 = clean "
+                             "serial decomposition; >1.2 = branches "
+                             "OVERLAP inside the entry run (concurrent "
+                             "stages hide behind the slowest branch, so "
+                             "the standalone sum double-counts hidden "
+                             "wall-clock — the slowest standalone branch "
+                             "then approximates the entry's critical "
+                             "path); <0.8 = the passes straddled a "
+                             "host-speed shift (read branch_raw)",
             }
             print(f"    shared={shared}s branches-minus-shared: "
                   f"{per_branch} (additivity {additivity})",
