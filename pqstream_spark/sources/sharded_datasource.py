@@ -104,6 +104,19 @@ from .sharded_pg import (
 )
 
 
+def _gen_dirs(root: str) -> list[str]:
+    """Live `gen-*` entries of one shard's spool root in NUMERIC order
+    (ADVICE r12 medium): a lexicographic sort puts 'gen-1000000' before
+    'gen-999999' once the counter outgrows the zero padding, which the
+    chained-base check would then report as a broken chain — permanent
+    stream death on a long-lived spill dir after ~1M drains per
+    shard."""
+    return sorted(
+        (n for n in os.listdir(root)
+         if n.startswith("gen-") and n[4:].isdigit()),
+        key=lambda x: int(x[4:]))
+
+
 @dataclass
 class ShardSpoolPartition(InputPartition):
     """One (shard, generation) slice of the micro-batch: a spool
@@ -206,9 +219,7 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         os.makedirs(root, exist_ok=True)
         out: list[dict] = []
         prev_end: int | None = None
-        for name in sorted(os.listdir(root)):
-            if not name.startswith("gen-"):
-                continue
+        for name in _gen_dirs(root):
             gen_root = os.path.join(root, name)
             p.spill_dir = gen_root
             d = p._spool_dir()
@@ -263,8 +274,7 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
                         "skipping drain (backpressure)")
             return gens
         root = self._shard_root(p)
-        existing = [int(x[4:]) for x in os.listdir(root)
-                    if x.startswith("gen-") and x[4:].isdigit()]
+        existing = [int(x[4:]) for x in _gen_dirs(root)]
         nxt = max(existing, default=0) + 1
         base = gens[-1]["base"] + gens[-1]["n"] if gens else p.last_seq
         gen_root = os.path.join(root, f"gen-{nxt:06d}")

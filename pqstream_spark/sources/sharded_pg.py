@@ -90,6 +90,14 @@ def migrate_legacy_shard_markers(runner: PsqlRunner) -> None:
         return (f"replace(replace({col}, 'daemon@logical#bootstrap#s',"
                 " 'daemon@logical@s'), '@shard', '#bootstrap')")
 
+    # Tolerate ONLY the expected failure mode — the offset table not
+    # existing yet (first-ever run) — by probing for it first; any real
+    # failure (permissions, lock timeout) must surface, or the round-11
+    # low-water-mark pinning bug this migration fixes silently persists
+    # (ADVICE r12 low).
+    if runner.scalar(
+            f"SELECT to_regclass('{PG_OFFSET_TABLE}') IS NOT NULL") != "t":
+        return
     runner.sql(
         f"DELETE FROM {PG_OFFSET_TABLE} o "
         f"WHERE o.consumer LIKE '{legacy}' AND EXISTS ("
@@ -97,7 +105,6 @@ def migrate_legacy_shard_markers(runner: PsqlRunner) -> None:
         f"WHERE n.consumer = {_rename('o.consumer')});"
         f"UPDATE {PG_OFFSET_TABLE} SET consumer = {_rename('consumer')} "
         f"WHERE consumer LIKE '{legacy}';",
-        check=False,
     )
 
 

@@ -296,3 +296,17 @@ def test_sharded_datasource_sigkill_exactly_once(spark, pg, tmp_path):
     for t in TABLES:
         per_table = [(op, i) for s, tb, op, i in rows if tb == t]
         assert per_table == expected[t], t
+
+
+def test_gen_dirs_numeric_order(tmp_path):
+    """ADVICE r12 medium: generation discovery must order gen dirs
+    NUMERICALLY — past gen-999999 the 7-digit name sorts first
+    lexicographically and the chained-base check would kill the stream
+    with 'spool generation chain broken' on a healthy spill dir."""
+    from pqstream_spark.sources.sharded_datasource import _gen_dirs
+
+    names = ["gen-999998", "gen-999999", "gen-1000000", "gen-1000001"]
+    for n in names + ["meta.json", "gen-junk", "gen-"]:
+        (tmp_path / n).mkdir() if n.startswith("gen-") and n[4:].isdigit() \
+            else (tmp_path / n).write_text("")
+    assert _gen_dirs(str(tmp_path)) == names

@@ -635,3 +635,29 @@ def test_sharded_lag_one_report(pg, capsys):
     assert rep2["unhealthy"] == 1
     assert rep2["shards"][2] == {
         "shard": 2, "slot": f"{cap.slot_prefix}_s2", "missing": True}
+
+
+def test_legacy_marker_migration_error_handling(pg):
+    """ADVICE r12 low: the migration tolerates ONLY the expected
+    failure (offset table absent — first-ever run) and surfaces real
+    failures instead of swallowing them with check=False."""
+    from pqstream_spark.sources.outbox_pg import PG_OFFSET_TABLE, PsqlError
+    from pqstream_spark.sources.sharded_pg import (
+        migrate_legacy_shard_markers,
+    )
+
+    # no offset table at all: a silent no-op, not an error
+    r = pg.createdb("t_marker_err")
+    migrate_legacy_shard_markers(r)
+    # a REAL failure during the rename must raise, not vanish
+    r.sql(f"CREATE TABLE {PG_OFFSET_TABLE} "
+          "(consumer TEXT PRIMARY KEY, last_seq BIGINT NOT NULL);"
+          f"INSERT INTO {PG_OFFSET_TABLE} VALUES "
+          "('daemon@logical#bootstrap#s0@shard', 1);"
+          "CREATE FUNCTION t_marker_block() RETURNS TRIGGER AS $$ "
+          "BEGIN RAISE EXCEPTION 'simulated failure'; END $$ "
+          "LANGUAGE plpgsql;"
+          f"CREATE TRIGGER t_block BEFORE UPDATE ON {PG_OFFSET_TABLE} "
+          "FOR EACH ROW EXECUTE FUNCTION t_marker_block();")
+    with pytest.raises(PsqlError, match="simulated failure"):
+        migrate_legacy_shard_markers(r)
