@@ -310,3 +310,169 @@ def test_gen_dirs_numeric_order(tmp_path):
         (tmp_path / n).mkdir() if n.startswith("gen-") and n[4:].isdigit() \
             else (tmp_path / n).write_text("")
     assert _gen_dirs(str(tmp_path)) == names
+
+
+# -- round 13: drain-time sidecar + seekable slices -------------------------
+
+
+def test_sidecar_matches_light_scan(pg, tmp_path):
+    """The subprocess-built sidecar must agree with the in-process
+    light scan on row count and every commit-LSN boundary (same
+    `_parse_txns` state machine, different process), and its seek
+    points must be well-formed: one per transaction, cumulative counts
+    nondecreasing from 0, frame indices strictly increasing."""
+    from pqstream_spark.sources.pgoutput_pg import build_spool_sidecar
+
+    r, cap = _setup(pg, "sidecar")
+    _write_workload(r, rounds=3)
+    p = ShardedPgOutputPoller.open_durable(
+        r.conninfo, n_shards=N, slot_prefix=cap.slot_prefix,
+        publication_prefix=cap.publication_prefix, consumer="c",
+        spill_dir=str(tmp_path / "spool"))
+    for shard, poller in sorted(p._pollers.items()):
+        poller._spool_drain()
+        d = poller._spool_dir()
+        n_light, bounds = poller._spool_scan_light(d)
+        sc = build_spool_sidecar(d, poller.table_regexp)
+        assert sc["n"] == n_light > 0, shard
+        assert {c: (lt, lb) for c, lt, lb in sc["bounds"]} == bounds
+        # plain workload => seekable: one resume point per transaction
+        cums = [e[0] for e in sc["resume"]]
+        assert cums and cums[0] == 0 and cums == sorted(cums)
+        fidxs = [e[3] for e in sc["resume"]]
+        assert fidxs == sorted(set(fidxs))
+        # every Relation frame is carried for prefix re-feed
+        assert all(bytes.fromhex(h)[:1] == b"R" for _, h in sc["segs"]
+                   and sc["rel_frames"])
+        # staleness guard data describes the on-disk segments
+        assert sc["segs"] == {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if f.startswith("seg-")}
+
+
+def test_driver_never_walks_spool_bytes(pg, tmp_path, monkeypatch):
+    """VERDICT r12 What's-wrong #1, the round-13 lead pin: the sharded
+    reader's driver path must not structurally walk WAL bytes in its
+    own process — `_spool_scan_light` is stubbed to raise and the full
+    offset->partitions->read->commit cycle still works, because counts
+    and boundaries come from the drain-time sidecar subprocess."""
+    from pqstream_spark.sources.pgoutput_pg import PgOutputPoller
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r, cap = _setup(pg, "noscan")
+    expected = _write_workload(r, rounds=2)
+    n_total = sum(len(v) for v in expected.values())
+
+    def _boom(self, seg_dir):
+        raise AssertionError(
+            "driver walked spool bytes: _spool_scan_light called "
+            "in-process")
+
+    monkeypatch.setattr(PgOutputPoller, "_spool_scan_light", _boom)
+    opts = {k.lower(): v for k, v in _ds_options(
+        pg, "noscan", cap, str(tmp_path / "spool")).items()}
+    reader = ShardedLogicalStreamReader(opts)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    rows = [row for part in parts for row in reader.read(part)]
+    assert len(rows) == n_total
+    assert len({row[0] for row in rows}) == n_total  # unique global seqs
+    got = sorted((row[3], row[4], row[5]) for row in rows)
+    want = sorted((t, op, i) for t, evs in expected.items()
+                  for op, i in evs)
+    assert got == want
+    reader.commit(end)
+    # idle poll after commit: still no driver byte walk, no new offsets
+    assert reader.latestOffset() == end
+
+
+def test_generation_slices_parse_each_txn_once(pg, tmp_path, monkeypatch):
+    """VERDICT r12 What's-wrong #2 / Next #5: a generation consumed in
+    three micro-batches must full-parse each transaction exactly once —
+    the sidecar seek window bounds every slice's parse to its own
+    transactions (counted via the envelope builder: one call per
+    change message overall, no prefix or tail re-parse)."""
+    from pqstream_spark.sources.pgoutput_pg import PgOutputPoller
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r, cap = _setup(pg, "slices")
+    expected = _write_workload(r, rounds=3)
+    n_total = sum(len(v) for v in expected.values())
+    opts = {k.lower(): v for k, v in _ds_options(
+        pg, "slices", cap, str(tmp_path / "spool")).items()}
+    reader = ShardedLogicalStreamReader(opts)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+
+    # three split points per shard, each a transaction boundary
+    def _splits(shard):
+        lo, hi = start[str(shard)], end[str(shard)]
+        keys = sorted(
+            k for g in reader._gens[shard] for k in g["bounds"]
+            if lo < k <= hi)
+        return (keys[len(keys) // 3] if keys else hi,
+                keys[2 * len(keys) // 3] if keys else hi)
+
+    mid1 = {s: _splits(int(s))[0] for s in end}
+    mid2 = {s: max(_splits(int(s))[1], mid1[s]) for s in end}
+
+    calls = {"iud": 0}
+    orig = PgOutputPoller._envelopes
+
+    def counting(self, msg):
+        if msg[:1] in (b"I", b"U", b"D"):
+            calls["iud"] += 1
+        return orig(self, msg)
+
+    monkeypatch.setattr(PgOutputPoller, "_envelopes", counting)
+    rows = []
+    for s, e in ((start, mid1), (mid1, mid2), (mid2, end)):
+        for part in reader.partitions(s, e):
+            rows.extend(reader.read(part))
+    assert len(rows) == n_total
+    assert len({row[0] for row in rows}) == n_total
+    got = sorted((row[3], row[4], row[5]) for row in rows)
+    want = sorted((t, op, i) for t, evs in expected.items()
+                  for op, i in evs)
+    assert got == want
+    # THE pin: one full envelope parse per change message, total —
+    # slice 2 re-parsed nothing of slice 1, slice 1 nothing of 2/3
+    assert calls["iud"] == n_total
+
+
+def test_driver_cpu_flat_in_wal_volume(pg, tmp_path):
+    """Done-criterion for VERDICT r12 Next #1: driver CPU per drained
+    GB ~flat in WAL volume. Two drains with identical transaction
+    counts but ~300x the payload bytes: the driver's own process CPU
+    around latestOffset (sidecar subprocess and pg_recvlogical CPU are
+    excluded by process_time) must not scale with the bytes."""
+    import time as _time
+
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    def _cpu(name, payload_chars):
+        r, cap = _setup(pg, name)
+        val = "x" * payload_chars
+        for k in range(10):
+            for t in TABLES:
+                r.sql(f"INSERT INTO {t} VALUES ({k + 1}, '{val}');")
+        opts = {k.lower(): v for k, v in _ds_options(
+            pg, name, cap, str(tmp_path / f"spool_{name}")).items()}
+        reader = ShardedLogicalStreamReader(opts)
+        t0 = _time.process_time()
+        end = reader.latestOffset()
+        cpu = _time.process_time() - t0
+        assert sum(end.values()) == 10 * len(TABLES)
+        return cpu
+
+    cpu_small = _cpu("cpu_s", 100)
+    cpu_big = _cpu("cpu_b", 30_000)
+    # generous: equal-shaped work plus absolute floor for timer noise
+    assert cpu_big < max(cpu_small * 4, 0.25), (cpu_small, cpu_big)
