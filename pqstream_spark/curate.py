@@ -50,6 +50,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--near-dedup", action="store_true",
                    help="also run the LSH near-dup pass (exact-dup "
                    "canonicalization always runs)")
+    p.add_argument("--semantic-dedup", action="store_true",
+                   help="also run SemDeDup semantic dedup (round 13, "
+                   "VERDICT r12 #2): quantized-embedding k-means cells "
+                   "+ within-cell quantized cosine >= 0.9 — catches "
+                   "word-order paraphrases the order-sensitive band "
+                   "gate admits. Batch: within-input, dominated-by-"
+                   "smaller-id drops (the certified "
+                   "dedup_pairwise_scores semdedup branch's rule). "
+                   "Stream: incoming docs check against the "
+                   "accumulated corpus cell index under a persisted "
+                   "codebook. Rejection cause: sem_dup")
     p.add_argument("--min-clf", type=float, default=0.0,
                    help="minimum classifier margin to keep (default 0.0 "
                    "= clf_keep; lower admits more)")
@@ -136,7 +147,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
            benchmark=None, lm_max_cost_mnats: int | None = None,
-           lm_order: int = 2, lm_tables=None):
+           lm_order: int = 2, lm_tables=None,
+           semantic_dedup: bool = False):
     """The composition, as a library call: returns the annotated frame
     with a `final_keep` column. `docs` needs (text) and optionally
     (doc_id, lang). `benchmark` (optional, (text) frame): reject docs
@@ -182,6 +194,61 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
         cur = cur.withColumn(
             "near_dup_keeper", F.lit(None).cast("long")
         ).withColumn("near_dup_kept", F.lit(True))
+    if semantic_dedup:
+        # within-input SemDeDup (round 13, VERDICT r12 #2): the SAME
+        # certified-chain pieces the catalog's semdedup branch and the
+        # ingest gate run — semdedup_quantize (hash embed -> int8
+        # quantize), the driver-side k-means codebook trainer, one
+        # narrow integer-argmax cell assignment, then the within-cell
+        # quantized-cosine >= tau decision in exact integer arithmetic
+        # with the branch's dominated-by-smaller-id drop rule. The
+        # cell equi-join bounds pair work to cells, never all pairs.
+        from .queries.llm import (
+            SEMDEDUP_TAU_DEN,
+            SEMDEDUP_TAU_NUM,
+            _semdedup_train_codebook,
+            semdedup_cell_expr,
+        )
+        from .streaming.stateful import semdedup_quantize
+
+        sq = semdedup_quantize(
+            docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        ).localCheckpoint(eager=True)
+        vtrain = f"_curate_sem_{_uuid.uuid4().hex[:8]}"
+        sq.createOrReplaceTempView(vtrain)
+        try:
+            cs = _semdedup_train_codebook(sess, vtrain)
+        finally:
+            sess.catalog.dropTempView(vtrain)
+        hits = None
+        if cs:
+            cell = semdedup_cell_expr(cs)
+            assigned = sq.selectExpr(
+                "vec_id AS doc_id", f"{cell} AS cid", "qv", "n2q"
+            ).localCheckpoint(eager=True)
+            hits = (
+                assigned
+                .join(assigned.selectExpr(
+                    "doc_id AS sem_b", "cid", "qv AS bqv",
+                    "n2q AS bn2"), "cid")
+                .where("sem_b < doc_id")
+                .withColumn("dotq", F.expr(
+                    "aggregate(zip_with(qv, bqv, (a, b) -> a * b), "
+                    "0L, (acc, x) -> acc + x)"))
+                .where(f"dotq > 0 AND {SEMDEDUP_TAU_DEN ** 2} * dotq "
+                       f"* dotq >= {SEMDEDUP_TAU_NUM ** 2} * n2q * bn2")
+                .groupBy("doc_id")
+                .agg(F.min("sem_b").alias("sem_dup_of"))
+            )
+        if hits is not None:
+            cur = cur.join(hits, "doc_id", "left")
+        else:
+            cur = cur.withColumn("sem_dup_of", F.lit(None).cast("long"))
+        cur = cur.withColumn("sem_dup", F.expr("sem_dup_of IS NOT NULL"))
+    else:
+        cur = cur.withColumn(
+            "sem_dup_of", F.lit(None).cast("long")
+        ).withColumn("sem_dup", F.lit(False))
     if benchmark is not None:
         flagged = (
             decontaminate(docs.select("doc_id", "text"), benchmark,
@@ -231,7 +298,8 @@ def curate(docs, near_dedup: bool = False, min_clf: float = 0.0,
     return cur.withColumn(
         "final_keep",
         F.expr(f"kept AND mix_keep AND clf_margin >= {min_clf} "
-               "AND near_dup_kept AND NOT contaminated AND lm_ok"),
+               "AND near_dup_kept AND NOT sem_dup AND NOT contaminated "
+               "AND lm_ok"),
     )
 
 
@@ -313,6 +381,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
             batch_selfdedup=args.batch_selfdedup,
             decontaminate_path=args.decontaminate,
             scrub_pii=args.scrub_pii,
+            semantic_dedup=args.semantic_dedup,
         )
         if args.once:
             q.processAllAvailable()
@@ -382,7 +451,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
     cur = curate(docs, near_dedup=args.near_dedup,
                  min_clf=args.min_clf, benchmark=benchmark,
                  lm_max_cost_mnats=args.lm_cap,
-                 lm_order=args.lm_order, lm_tables=lm_tables)
+                 lm_order=args.lm_order, lm_tables=lm_tables,
+                 semantic_dedup=args.semantic_dedup)
     # corpus/split=… holds ONLY the curated corpus (that is the
     # contract a training job relies on); every row — kept and
     # rejected, with full annotations and the rejection verdicts —
@@ -519,6 +589,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "WHEN kept IS NULL OR final_keep IS NULL THEN 'null_annotations' "
         "WHEN NOT kept THEN 'quality_or_exact_dup' "
         "WHEN NOT near_dup_kept THEN 'near_dup' "
+        "WHEN sem_dup THEN 'sem_dup' "
         "WHEN contaminated THEN 'contaminated' "
         "WHEN NOT lm_ok THEN 'lm_perplexity' "
         f"WHEN clf_margin < {args.min_clf} THEN 'classifier' "
@@ -582,9 +653,9 @@ def main(argv: list[str] | None = None, out=None) -> int:
         **extra,
         "rejected": {
             k: causes.get(k, 0)
-            for k in ("quality_or_exact_dup", "near_dup", "contaminated",
-                      "lm_perplexity", "classifier", "mixture_sampled_out",
-                      "null_annotations")
+            for k in ("quality_or_exact_dup", "near_dup", "sem_dup",
+                      "contaminated", "lm_perplexity", "classifier",
+                      "mixture_sampled_out", "null_annotations")
         },
         "kept_by_split": splits,
         "out": args.out,
@@ -602,6 +673,7 @@ def curate_stream(
     batch_selfdedup: bool = False,
     decontaminate_path: str | None = None,
     scrub_pii: bool = False,
+    semantic_dedup: bool = False,
 ):
     """Streaming curation daemon: watch `in_dir` for document parquet
     files; each micro-batch is annotated/classified (same pipeline as
@@ -632,14 +704,60 @@ def curate_stream(
     an n_pii count into every stored row — stream parity with the
     batch flag; the original text lives only in the input files.
 
+    `semantic_dedup` (CLI `--semantic-dedup`, round 13, VERDICT r12
+    #2): the band gate is token-ORDER-sensitive, so a paraphrase that
+    reuses an accepted doc's words in a different order sails through
+    it. With this flag each batch ALSO runs the SemDeDup check the
+    ingest gate certifies (`streaming.stateful.curate_ingest(
+    semantic_dedup=True)` mechanics, adapted to the ACCUMULATING
+    corpus): docs quantize (`semdedup_quantize`), assign a k-means
+    cell under a codebook trained ONCE from the first non-empty batch
+    and persisted as `OUT/semdedup_codebook.json` (replay-stable cell
+    assignment across restarts — the stored corpus carries cids under
+    that frozen codebook, exactly like the stored band columns), and
+    within-cell quantized cosine >= 0.9 against the stored corpus
+    rejects with cause `sem_dup`. Zero streaming state; the index
+    lives in the corpus layout (at 100 TB: bucket by `sem_cid` so
+    each batch reads the cells it probes).
+
     Returns the started StreamingQuery."""
     from pyspark.sql import functions as F
 
     from .queries.llm import _minhash_signatures
-    from .streaming.stateful import _band_rows
+    from .streaming.stateful import _band_rows, semdedup_quantize
 
     corpus_dir = os.path.join(out_dir, "corpus")
     audit_dir = os.path.join(out_dir, "audit")
+    sem_cb_path = os.path.join(out_dir, "semdedup_codebook.json")
+
+    def _sem_codebook(sq) -> list:
+        """Frozen persisted codebook: trained once (deterministically)
+        from the first non-empty batch's quantized vectors, reused for
+        every later batch and across restarts. An epoch-replay either
+        finds the file (same codebook) or retrains from the identical
+        replayed batch (deterministic trainer) — cell assignment is
+        replay-stable either way."""
+        import uuid as _uuid
+
+        from .queries.llm import _semdedup_train_codebook
+
+        if os.path.exists(sem_cb_path):
+            with open(sem_cb_path) as f:
+                return json.load(f)["codebook"]
+        sess = sq.sparkSession
+        vtrain = f"_sem_stream_{_uuid.uuid4().hex[:8]}"
+        sq.createOrReplaceTempView(vtrain)
+        try:
+            cs = _semdedup_train_codebook(sess, vtrain)
+        finally:
+            sess.catalog.dropTempView(vtrain)
+        if cs:
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = sem_cb_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"codebook": cs}, f)
+            os.replace(tmp, sem_cb_path)
+        return cs
 
     stream = spark.readStream.schema(
         "doc_id LONG, lang STRING, text STRING"
@@ -668,6 +786,9 @@ def curate_stream(
                 benchmark = reader.parquet(decontaminate_path)
         cur = curate(bdf, near_dedup=batch_selfdedup, min_clf=min_clf,
                      benchmark=benchmark)
+        # the stream's semantic verdict (vs the ACCUMULATED corpus)
+        # replaces curate()'s within-input placeholder columns
+        cur = cur.drop("sem_dup_of", "sem_dup")
         # ONE signature pass feeds both the dedup join and the stored
         # band columns (the two formulations are band-key-identical;
         # inside foreachBatch this is an ordinary batch frame, so the
@@ -675,24 +796,24 @@ def curate_stream(
         sig = _minhash_signatures(bdf).select(
             "doc_id", "b0", "b1", "b2", "b3"
         ).localCheckpoint(eager=True)
+        import glob as _glob
+        import re as _re
+
+        # replay guard: a crash after corpus/batch-N was written
+        # but before the checkpoint committed re-runs epoch N —
+        # batch-N's own (possibly partial) output must not serve
+        # as dedup history for its own replay, or accepted docs
+        # flag against their own stored copies and the replayed
+        # epoch writes DIFFERENT content than the first attempt
+        def _epoch(p: str) -> int:
+            m = _re.search(r"batch-(\d+)$", p)
+            return int(m.group(1)) if m else -1
+
+        prior = sorted(
+            p for p in _glob.glob(os.path.join(corpus_dir, "batch-*"))
+            if 0 <= _epoch(p) < epoch_id
+        )
         if near_dedup:
-            import glob as _glob
-            import re as _re
-
-            # replay guard: a crash after corpus/batch-N was written
-            # but before the checkpoint committed re-runs epoch N —
-            # batch-N's own (possibly partial) output must not serve
-            # as dedup history for its own replay, or accepted docs
-            # flag against their own stored copies and the replayed
-            # epoch writes DIFFERENT content than the first attempt
-            def _epoch(p: str) -> int:
-                m = _re.search(r"batch-(\d+)$", p)
-                return int(m.group(1)) if m else -1
-
-            prior = sorted(
-                p for p in _glob.glob(os.path.join(corpus_dir, "batch-*"))
-                if 0 <= _epoch(p) < epoch_id
-            )
             if prior:
                 stored = spark.read.parquet(*prior).select(
                     "doc_id", "b0", "b1", "b2", "b3"
@@ -720,6 +841,59 @@ def curate_stream(
                 "final_keep", F.expr("final_keep AND NOT stream_near_dup")
             )
         )
+        assigned = None
+        if semantic_dedup:
+            from .queries.llm import (
+                SEMDEDUP_TAU_DEN,
+                SEMDEDUP_TAU_NUM,
+                semdedup_cell_expr,
+            )
+
+            sq = semdedup_quantize(
+                bdf.selectExpr("doc_id", "text")
+            ).localCheckpoint(eager=True)
+            cs = _sem_codebook(sq)
+            sem_hits = None
+            if cs:
+                cell = semdedup_cell_expr(cs)
+                assigned = sq.selectExpr(
+                    "vec_id AS doc_id", f"{cell} AS sem_cid",
+                    "qv AS sem_qv", "n2q AS sem_n2q",
+                ).localCheckpoint(eager=True)
+                if prior:
+                    stored_all = spark.read.parquet(*prior)
+                    # history written before the flag was turned on
+                    # carries no sem columns — it simply cannot serve
+                    # as a semantic index (band dedup still covers it)
+                    if "sem_cid" in stored_all.columns:
+                        stored_sem = stored_all.selectExpr(
+                            "doc_id AS sem_corpus_id", "sem_cid",
+                            "sem_qv AS cqv", "sem_n2q AS cn2",
+                        ).where("sem_cid IS NOT NULL")
+                        sem_hits = (
+                            assigned.join(stored_sem, "sem_cid")
+                            .where("doc_id <> sem_corpus_id")
+                            .withColumn("dotq", F.expr(
+                                "aggregate(zip_with(sem_qv, cqv, "
+                                "(a, b) -> a * b), 0L, "
+                                "(acc, x) -> acc + x)"))
+                            .where(
+                                f"dotq > 0 AND {SEMDEDUP_TAU_DEN ** 2} "
+                                f"* dotq * dotq >= "
+                                f"{SEMDEDUP_TAU_NUM ** 2} * sem_n2q * cn2")
+                            .groupBy("doc_id")
+                            .agg(F.min("sem_corpus_id").alias("sem_dup_of"))
+                        )
+            if sem_hits is not None:
+                cur = cur.join(sem_hits, "doc_id", "left")
+            else:
+                cur = cur.withColumn("sem_dup_of", F.lit(None).cast("long"))
+        else:
+            cur = cur.withColumn("sem_dup_of", F.lit(None).cast("long"))
+        cur = (
+            cur.withColumn("sem_dup", F.expr("sem_dup_of IS NOT NULL"))
+            .withColumn("final_keep", F.expr("final_keep AND NOT sem_dup"))
+        )
         if scrub_pii:
             from .functions.pii import pii_count_expr, scrub_pii_expr
 
@@ -729,6 +903,11 @@ def curate_stream(
                 f"{scrub_pii_expr(True)} AS text",
             ).dropDuplicates(["doc_id"])
             cur = cur.join(pii, "doc_id", "left")
+        if assigned is not None:
+            # store the frozen-codebook cell + quantized vector beside
+            # the band columns: the corpus layout IS the semantic index
+            # later batches join against
+            cur = cur.join(assigned, "doc_id", "left")
         cur = cur.join(sig, "doc_id", "left").localCheckpoint(eager=True)
         # per-epoch overwrite dirs: replay-idempotent appends
         cur.write.mode("overwrite").parquet(

@@ -514,3 +514,121 @@ def test_lm_order_trigram_cli(spark, tmp_path):
 
     assert main(["--documents", inp, "--out", out_dir,
                  "--lm-cap", "1", "--lm-order", "1"]) == 2
+
+
+def test_curate_semantic_dedup_batch_cli(spark, tmp_path):
+    """Round 13 (VERDICT r12 #2): `--semantic-dedup` on the BATCH CLI.
+    Word-shuffled paraphrases (identical bag of tokens => identical
+    hashing-trick embedding, cos = 1) of corpus docs are all flagged
+    sem_dup and rejected under the certified dominated-by-smaller-id
+    rule; without the flag at least one sails through every other gate
+    — the gap the flag closes, now closed where users drive curation."""
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text")
+    para = docs.where("doc_id < 10").selectExpr(
+        "doc_id + 900000 AS doc_id", "lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text")
+    inp = str(tmp_path / "sem_in.parquet")
+    docs.where("doc_id < 60").unionAll(para).coalesce(1) \
+        .write.mode("overwrite").parquet(inp)
+
+    import io as _io
+    buf = _io.StringIO()
+    out_sem = str(tmp_path / "out_sem")
+    assert main(["--documents", inp, "--out", out_sem,
+                 "--semantic-dedup"], out=buf) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["rejected"]["sem_dup"] >= 1
+    assert stats["kept"] + sum(stats["rejected"].values()) == stats["docs"]
+    audit = spark.read.parquet(os.path.join(out_sem, "audit"))
+    paras = audit.where("doc_id >= 900000").collect()
+    assert len(paras) == 10
+    # identical embedding => same cell as the original, cos = 1 >= tau,
+    # original id smaller => every paraphrase is dominated
+    assert all(r["sem_dup"] for r in paras)
+    assert not any(r["final_keep"] for r in paras)
+    assert all(r["sem_dup_of"] == r["doc_id"] - 900000 for r in paras)
+
+    # without the flag: no sem_dup rejections, and the paraphrases that
+    # pass every OTHER gate are admitted — the demonstrated gap
+    buf0 = _io.StringIO()
+    out0 = str(tmp_path / "out_nosem")
+    assert main(["--documents", inp, "--out", out0], out=buf0) == 0
+    stats0 = json.loads(buf0.getvalue())
+    assert stats0["rejected"]["sem_dup"] == 0
+    audit0 = spark.read.parquet(os.path.join(out0, "audit"))
+    admitted0 = audit0.where("doc_id >= 900000 AND final_keep").count()
+    assert admitted0 >= 1, (
+        "no paraphrase passed the other gates — fixture no longer "
+        "demonstrates the gap --semantic-dedup closes")
+
+
+def test_curate_stream_semantic_dedup(spark, tmp_path):
+    """Round 13 (VERDICT r12 #2): `--semantic-dedup` in STREAM mode.
+    Batch 1's accepted docs become the semantic index (frozen persisted
+    codebook, sem_cid/sem_qv columns stored beside the band columns);
+    batch 2's word-shuffled paraphrases — which the order-sensitive
+    band gate misses at least partly — are rejected with sem_dup
+    naming the stored doc, while novel text is admitted."""
+    import glob
+    import shutil
+
+    from pqstream_spark.curate import curate_stream
+    from pqstream_spark.sources.tables import load_table
+
+    in_dir = str(tmp_path / "sem_stream_in")
+    out_dir = str(tmp_path / "sem_stream_out")
+    cp = str(tmp_path / "sem_stream_cp")
+    os.makedirs(in_dir)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text")
+
+    def drop(df, name):
+        stage = str(tmp_path / ("sem_stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(in_dir, name + ".parquet"))
+
+    drop(docs.where("doc_id < 50"), "b1")
+    q = curate_stream(spark, in_dir, out_dir, checkpoint_dir=cp,
+                      semantic_dedup=True)
+    q.processAllAvailable()
+    assert os.path.exists(os.path.join(out_dir, "semdedup_codebook.json"))
+    corpus_glob = os.path.join(out_dir, "corpus", "batch-*")
+    first = spark.read.parquet(*glob.glob(corpus_glob))
+    assert "sem_cid" in first.columns, "corpus carries the semantic index"
+    accepted = sorted(
+        r["doc_id"] for r in first.select("doc_id").collect())[:6]
+    assert accepted
+
+    ids = ", ".join(str(i) for i in accepted)
+    para = docs.where(f"doc_id IN ({ids})").selectExpr(
+        "doc_id + 800000 AS doc_id", "lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text")
+    novel = spark.range(1).selectExpr(
+        "id + 880000 AS doc_id", "'en' AS lang",
+        "concat('qzv gnu yak ', repeat('the a and of is to in ', 40))"
+        " AS text")
+    drop(para.unionAll(novel), "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    audit = spark.read.parquet(
+        *glob.glob(os.path.join(out_dir, "audit", "batch-*")))
+    paras = audit.where("doc_id >= 800000 AND doc_id < 880000").collect()
+    assert len(paras) == len(accepted)
+    assert all(r["sem_dup"] for r in paras)
+    assert not any(r["final_keep"] for r in paras)
+    # sem_dup_of names a STORED doc (min matching id — the canonical-
+    # keeper convention; another stored doc may sit within tau too, so
+    # it need not be this paraphrase's own original)
+    all_accepted = {r["doc_id"] for r in first.select("doc_id").collect()}
+    assert all(r["sem_dup_of"] in all_accepted for r in paras)
+    # the gap is real: the band gate alone missed at least one
+    assert any(not r["stream_near_dup"] for r in paras)
+    nov = audit.where("doc_id = 880000").collect()
+    assert nov and not nov[0]["sem_dup"]
