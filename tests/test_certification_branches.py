@@ -419,3 +419,69 @@ def test_semdedup_nprobe2_catches_boundary_pair(spark):
     # nprobe=2 drops the larger id against the smaller, exactly once
     assert (b, a) in got2
     assert len([p for p in got2 if p[0] == b]) == 1
+
+
+def test_semdedup_auto_k_bounds_cells(spark):
+    """Round 13 (VERDICT r12 #4): the k ∝ n contract is automated —
+    k = max(SEMDEDUP_K, ceil(n / SEMDEDUP_TARGET_CELL)) — so a larger
+    corpus gets proportionally more cells WITHOUT manual retuning, the
+    driver-SF k stays exactly SEMDEDUP_K (certified hashes unmoved),
+    and the memo key carries the (count, max id) corpus fingerprint
+    so in-place data changes under an unchanged plan retrain instead
+    of serving a stale codebook (ADVICE r12 low)."""
+    import uuid
+
+    from pqstream_spark.queries import llm
+
+    # the literal contract
+    assert llm.semdedup_auto_k(0) == llm.SEMDEDUP_K
+    assert llm.semdedup_auto_k(
+        llm.SEMDEDUP_K * llm.SEMDEDUP_TARGET_CELL) == llm.SEMDEDUP_K
+    assert llm.semdedup_auto_k(
+        llm.SEMDEDUP_K * llm.SEMDEDUP_TARGET_CELL + 1) == llm.SEMDEDUP_K + 1
+    assert llm.semdedup_auto_k(200 * llm.SEMDEDUP_TARGET_CELL) == 200
+
+    def build(n: int) -> str:
+        view = f"_autok_{uuid.uuid4().hex[:8]}"
+        spark.range(n).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63), i -> "
+            "CAST(pmod(xxhash64(id * 64 + i), 255) - 127 AS BIGINT))"
+            " AS qv",
+        ).localCheckpoint(eager=True).createOrReplaceTempView(view)
+        return view
+
+    n_small, n_big = 2_048, 24_576  # k floors at 32, then k = 48
+    counts = {"train": 0}
+    orig = llm._semdedup_train_codebook
+
+    def counting(spark_, vsq_, k=None):
+        counts["train"] += 1
+        counting.last_k = k
+        return orig(spark_, vsq_, k=k)
+
+    llm._semdedup_train_codebook = counting
+    try:
+        key = ("autok-test", 1)
+        v1 = build(n_small)
+        llm._semdedup_spark_df(spark, v1, memo_key=key)
+        assert counting.last_k == llm.SEMDEDUP_K
+        v2 = build(n_big)
+        # SAME vouched memo key, different data (the in-place-change
+        # shape): the fingerprint must force a retrain at the new k
+        llm._semdedup_spark_df(spark, v2, memo_key=key)
+        assert counts["train"] == 2
+        assert counting.last_k == llm.semdedup_auto_k(n_big) == 48
+        # cells stay bounded without manual K: widths live in the memo
+        fk = (*key, 1, n_big, n_big - 1)
+        cs, widths = llm._SEMDEDUP_MEMO[fk]
+        assert len(cs) > llm.SEMDEDUP_K, "auto-k grew the codebook"
+        assert max(widths.values()) < llm.SEMDEDUP_CELL_HARD_CAP
+        assert sum(widths.values()) == n_big
+        # same data again under the same key: memo hit, no retrain
+        llm._semdedup_spark_df(spark, v2, memo_key=key)
+        assert counts["train"] == 2
+    finally:
+        llm._semdedup_train_codebook = orig
+        for v in (v1, v2):
+            spark.catalog.dropTempView(v)
