@@ -37,7 +37,10 @@ the numbering anchor is committed before the slot advance."""
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -47,6 +50,145 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from .outbox_local import OUTBOX_BATCH_SCHEMA
+
+# -- bootstrap snapshot spool (round 13, VERDICT r12 #3) --------------------
+#
+# `option("bootstrap", true)` gives the DataSource the daemon's
+# `--bootstrap` capability: the initial table state arrives through the
+# stream as negative-seq INSERT rows BEFORE the changelog, with the
+# exactly-once switchover at the slot's consistent point. Mechanics:
+# when the slot does not exist yet, reader startup installs replica
+# identity (+ publication on pgoutput) first, creates the slot over the
+# walsender with an EXPORTED snapshot (SlotSnapshotSession — the
+# CREATE SUBSCRIPTION copy_data shape), and dumps every captured
+# table's rows UNDER that snapshot to a durable spool file; snapshot ∪
+# changelog then partition history disjointly. If the slot already
+# exists the snapshot falls back to read-committed (documented
+# at-least-once overlap, absorbed by seq-keyed idempotent sinks — the
+# daemon's stance). The dump is guarded by a consumer-scoped
+# '#bootstrap' sentinel row (compaction-excluded suffix), written only
+# AFTER the spool files are durably in place, so a crash anywhere
+# re-runs the dump; once any engine offset exists, the sentinel is
+# already set and the FILES are the replay source — a restarted query
+# re-slices byte-identical snapshot rows from disk.
+#
+# Offset model: snapshot rows occupy LOCAL seqs -(n-1)..0 (file line k
+# of n = local k-n), so `initialOffset` is -n and local 0 — "snapshot
+# fully consumed, changelog untouched" — coincides with the fresh
+# non-bootstrap origin; the changelog continues at 1 unchanged. Output
+# rows re-encode as the daemon's negative snapshot seqs:
+# global = (local-1)*n_shards - shard (single slot: -n..-1 exactly).
+
+SNAPSHOT_SUBDIR = "snapshot"
+
+
+def snapshot_spool_dir(spill_dir: str, slot: str) -> str:
+    return os.path.join(spill_dir, slot, SNAPSHOT_SUBDIR)
+
+
+def ensure_snapshot_spool(runner, spill_dir: str, slot: str, marker: str,
+                          table_regexp: str | None, plugin: str,
+                          install_fn) -> None:
+    """Idempotently produce the bootstrap snapshot spool for `slot`
+    (module comment above). `install_fn()` applies identity/publication
+    WITHOUT creating the slot — it runs only on the fresh-slot
+    (exactly-once) path, before the walsender export."""
+    from .logical_pg import SlotSnapshotSession
+    from .outbox_pg import (
+        PsqlError,
+        _quote_lit,
+        pg_bootstrap_done,
+        pg_mark_bootstrap_done,
+        pg_snapshot_rows,
+    )
+
+    if pg_bootstrap_done(runner, marker):
+        return
+    exists = int(runner.scalar(
+        "SELECT count(*) FROM pg_replication_slots "
+        f"WHERE slot_name = {_quote_lit(slot)}") or 0) > 0
+    sess = None
+    if not exists:
+        install_fn()
+        sess = SlotSnapshotSession(
+            runner.conninfo, slot, plugin=plugin).__enter__()
+    try:
+        rows = pg_snapshot_rows(
+            runner, table_regexp,
+            snapshot_name=sess.snapshot_name if sess else None)
+    finally:
+        if sess is not None:
+            sess.close()
+    d = snapshot_spool_dir(spill_dir, slot)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "rows.jsonl.tmp")
+    with open(tmp, "w") as f:
+        for (_seq, ts, schema, table, op, row_id, payload, _prev) in rows:
+            f.write(json.dumps(
+                [ts.isoformat() if ts is not None else None,
+                 schema, table, op, row_id, payload],
+                ensure_ascii=False) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, "rows.jsonl"))
+    mtmp = os.path.join(d, "meta.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump({"n": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, os.path.join(d, "meta.json"))
+    if not os.path.exists(os.path.join(d, "rows.jsonl")):
+        raise PsqlError(f"snapshot spool write failed under {d}")
+    pg_mark_bootstrap_done(runner, marker)
+
+
+def load_snapshot_spool(spill_dir: str, slot: str) -> dict | None:
+    """{"n": rows, "path": rows.jsonl} for a live (unconsumed)
+    snapshot spool, else None. A dir with rows but no meta is a torn
+    dump that never marked its sentinel — ignored (the next bootstrap
+    attempt overwrites it)."""
+    d = snapshot_spool_dir(spill_dir, slot)
+    meta = os.path.join(d, "meta.json")
+    rows = os.path.join(d, "rows.jsonl")
+    if not (os.path.exists(meta) and os.path.exists(rows)):
+        return None
+    with open(meta) as f:
+        n = int(json.load(f)["n"])
+    return {"n": n, "path": rows}
+
+
+def iter_snapshot_rows(path: str):
+    """Yield (k, ts, schema, table, op, id, payload) with k the
+    1-based file line number — local seq = k - n."""
+    with open(path) as f:
+        for k, line in enumerate(f, start=1):
+            ts_s, schema, table, op, row_id, payload = json.loads(line)
+            ts = datetime.fromisoformat(ts_s) if ts_s else None
+            yield k, ts, schema, table, op, row_id, payload
+
+
+@dataclass
+class SnapshotPartition(InputPartition):
+    """One bootstrap-snapshot slice: rows come from the durable
+    snapshot spool file, numbered by line (replay-stable)."""
+
+    shard: int = 0
+    n_shards: int = 1
+    path: str = ""
+    n: int = 0
+    lo: int = 0  # exclusive, local seqs (negative range)
+    hi: int = 0  # inclusive
+
+
+def read_snapshot_partition(p: SnapshotPartition):
+    """OUTBOX_BATCH_SCHEMA tuples for the slice — the daemon's
+    negative-seq encoding: global = (local-1)*n_shards - shard."""
+    for k, ts, schema, table, op, row_id, payload in \
+            iter_snapshot_rows(p.path):
+        local = k - p.n
+        if p.lo < local <= p.hi:
+            yield ((local - 1) * p.n_shards - p.shard, ts, schema,
+                   table, op, row_id, payload, None)
 
 
 @dataclass
@@ -116,6 +258,55 @@ class LogicalStreamReader(DataSourceStreamReader):
         self._poller.max_peek = int(
             options.get("maxpeek", self._poller.max_peek)
         )
+        # bootstrap (round 13, VERDICT r12 #3): see the module comment
+        self._slot = options.get("slot", None) or self._poller.slot
+        self._spill = options.get("spilldir") or None
+        self._snap: dict | None = None
+        if str(options.get("bootstrap", "")).lower() in ("1", "true", "yes"):
+            if self._spill is None:
+                raise ValueError(
+                    "bootstrap requires option spillDir — the snapshot "
+                    "spool is the durable replay copy of the initial "
+                    "state; use durable, executor-reachable storage"
+                )
+            runner = self._poller.runner
+            consumer = options.get("consumer", "datasource")
+            marker = f"{consumer}@ds@{self._slot}#bootstrap"
+            tre = options.get("tableregexp") or None
+            if plugin == "pgoutput":
+                from .pgoutput_pg import (
+                    DEFAULT_PUBLICATION,
+                    PgOutputCaptureManager,
+                )
+
+                mgr = PgOutputCaptureManager(
+                    runner, slot=self._slot,
+                    publication=options.get("publication",
+                                            DEFAULT_PUBLICATION),
+                    table_regexp=tre)
+                snap_plugin = "pgoutput"
+            else:
+                from .logical_pg import (
+                    DECODING_PLUGIN,
+                    PgLogicalCaptureManager,
+                )
+
+                mgr = PgLogicalCaptureManager(
+                    runner, slot=self._slot, table_regexp=tre)
+                snap_plugin = DECODING_PLUGIN
+            ensure_snapshot_spool(
+                runner, self._spill, self._slot, marker, tre,
+                snap_plugin, lambda: mgr.install(create_slot=False))
+            snap = load_snapshot_spool(self._spill, self._slot)
+            if snap and snap["n"] > 0:
+                if self._poller.last_seq > 0:
+                    raise ValueError(
+                        "bootstrap snapshot pending but consumer "
+                        f"{consumer!r} already has changelog history "
+                        f"(last_seq={self._poller.last_seq}); bootstrap "
+                        "a FRESH consumer, or delete the snapshot spool"
+                    )
+                self._snap = snap
         # staging from the most recent read_rows: seq-keyed rows and the
         # txn boundaries they can be committed at. Rebuilt on every
         # latestOffset (the peek re-reads the slot's unconfirmed window
@@ -137,6 +328,10 @@ class LogicalStreamReader(DataSourceStreamReader):
         return state
 
     def initialOffset(self) -> dict:
+        if self._snap is not None:
+            # snapshot locals -(n-1)..0: consuming through 0 lands on
+            # the fresh non-bootstrap origin, changelog continues at 1
+            return {"seq": -self._snap["n"]}
         return {"seq": self._poller.last_seq}
 
     def _stage(self, upto: int | None = None) -> None:
@@ -223,8 +418,27 @@ class LogicalStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["seq"]), int(end["seq"])
+        snap_parts: list = []
+        if lo < 0:
+            # bootstrap snapshot slice (negative locals) — replayed
+            # from the durable spool file on restart
+            snap = self._snap or (
+                load_snapshot_spool(self._spill, self._slot)
+                if self._spill else None)
+            if snap is None:
+                raise RuntimeError(
+                    f"pqstream_logical: offset range starts at {lo} "
+                    "(bootstrap snapshot) but the snapshot spool is "
+                    "gone — was the spill directory deleted?"
+                )
+            s_hi = min(hi, 0)
+            if s_hi > lo:
+                snap_parts.append(SnapshotPartition(
+                    shard=0, n_shards=1, path=snap["path"],
+                    n=snap["n"], lo=lo, hi=s_hi))
+            lo = 0
         if hi <= lo:
-            return [RowsPartition([])]
+            return snap_parts or [RowsPartition([])]
         rows = [r for r in self._staged_rows if lo < r[0] <= hi]
         if len(rows) != hi - lo:
             # restart replay: the checkpointed range predates this
@@ -241,15 +455,27 @@ class LogicalStreamReader(DataSourceStreamReader):
         # side parse/downstream work still spreads
         n = max(1, min(4, len(rows) // 2500 + 1))
         step = (len(rows) + n - 1) // n
-        return [
+        return snap_parts + ([
             RowsPartition(rows[i:i + step]) for i in range(0, len(rows), step)
-        ] or [RowsPartition([])]
+        ] or [RowsPartition([])])
 
-    def read(self, partition: RowsPartition):
+    def read(self, partition):
+        if isinstance(partition, SnapshotPartition):
+            yield from read_snapshot_partition(partition)
+            return
         yield from partition.rows
 
     def commit(self, end: dict) -> None:
         end_seq = int(end["seq"])
+        if end_seq >= 0 and self._spill is not None:
+            # the engine durably finished the snapshot range: retire
+            # the spool (idempotent — a restart re-commit no-ops)
+            d = snapshot_spool_dir(self._spill, self._slot)
+            if self._snap is not None or os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+                self._snap = None
         if end_seq <= self._poller.last_seq:
             return
         if end_seq not in self._boundaries:

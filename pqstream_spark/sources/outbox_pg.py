@@ -945,6 +945,17 @@ def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None
     snapshot here (SlotSnapshotSession) so snapshot ∪ changelog
     partition history disjointly; without it each table reads its own
     read-committed snapshot (the outbox path, which fences instead)."""
+    rows = pg_snapshot_rows(runner, table_regexp, snapshot_name)
+    return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
+
+
+def pg_snapshot_rows(runner: PsqlRunner, table_regexp: str | None = None,
+                     snapshot_name: str | None = None) -> list[tuple]:
+    """`pg_snapshot_batch`'s row gatherer, factored (round 13) so the
+    DataSource bootstrap — which runs where no SparkSession is
+    available (the Python DataSource worker) — can dump the same
+    synthetic INSERT rows to a durable spool instead of a DataFrame.
+    Seqs are -n..-1 in (table, payload) sort order."""
     mgr = PgCaptureManager(runner, table_regexp=table_regexp)
     tables = mgr.discover_tables()
     now = datetime.now(timezone.utc).replace(tzinfo=None)
@@ -965,8 +976,7 @@ def pg_snapshot_batch(runner: PsqlRunner, spark, table_regexp: str | None = None
         for r in recs:
             rows.append((0, now, "public", t, "INSERT", r["id"], r["payload"], None))
     n = len(rows)
-    rows = [(i - n, *r[1:]) for i, r in enumerate(rows)]
-    return spark.createDataFrame(rows, OUTBOX_BATCH_SCHEMA)
+    return [(i - n, *r[1:]) for i, r in enumerate(rows)]
 
 
 def pg_outbox_high_water(runner: PsqlRunner, fenced: bool = True,

@@ -476,3 +476,91 @@ def test_driver_cpu_flat_in_wal_volume(pg, tmp_path):
     cpu_big = _cpu("cpu_b", 30_000)
     # generous: equal-shaped work plus absolute floor for timer noise
     assert cpu_big < max(cpu_small * 4, 0.25), (cpu_small, cpu_big)
+
+
+# -- round 13: DataSource bootstrap (VERDICT r12 Next #3) --------------------
+
+
+def test_sharded_datasource_bootstrap_exactly_once(spark, pg, tmp_path):
+    """`option("bootstrap", true)` on the sharded reader: a populated
+    database with NO capture installed streams its full initial state
+    as negative-seq INSERTs (per-shard exported-snapshot slots — the
+    daemon's exactly-once switchover), then live changes with positive
+    seqs; a restart on the same checkpoint re-delivers nothing and
+    picks up writes that happened while the query was down."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+    from pqstream_spark.sources.outbox_pg import PsqlRunner
+
+    r = pg.createdb("dsboot")
+    r.sql(DDL)
+    pre = {}
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (901, 'pre1'), (902, 'pre2');")
+        pre[t] = [("INSERT", "901"), ("INSERT", "902")]
+    spark.dataSource.register(LogicalDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    spool = str(tmp_path / "spool")
+
+    def run_query():
+        stream = (
+            spark.readStream.format("pqstream_logical")
+            .option("url", f"postgres:{pg.conninfo('dsboot')}")
+            .option("shards", str(N))
+            .option("slot", "dsboot")
+            .option("publication", "dsbootpub")
+            .option("spillDir", spool)
+            .option("bootstrap", "true")
+            .option("tableRegexp", "^tbl")
+            .load()
+        )
+        return (stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start())
+
+    q = run_query()
+    try:
+        q.processAllAvailable()
+        rows1 = _sink_rows(spark, out)
+        # full initial state, negative seqs, shard-decodable encoding
+        assert len(rows1) == 2 * len(TABLES)
+        assert all(s < 0 and op == "INSERT" for s, _, op, _ in rows1)
+        for s, t, _, _ in rows1:
+            assert (-s) % N == shard_of(t, N), (s, t)
+        # live writes after the switchover arrive with positive seqs
+        changelog = {t: [] for t in TABLES}
+        for t in TABLES:
+            r.sql(f"INSERT INTO {t} VALUES (1, 'live');"
+                  f"UPDATE {t} SET note = 'live2' WHERE id = 901;")
+            changelog[t] += [("INSERT", "1"), ("UPDATE", "901")]
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the consumed snapshot spools were retired on commit
+    for i in range(N):
+        assert not os.path.exists(
+            os.path.join(spool, f"dsboot_s{i}", "snapshot"))
+
+    # writes while the query is down, then restart on the checkpoint
+    for t in TABLES:
+        r.sql(f"DELETE FROM {t} WHERE id = 902;")
+        changelog[t] += [("DELETE", "902")]
+    q = run_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = _sink_rows(spark, out)
+    assert len({s for s, *_ in rows}) == len(rows), "duplicate seqs"
+    got = sorted((t, op, i) for _, t, op, i in rows)
+    # snapshot (pre-state as INSERTs) + post-switchover changelog,
+    # each exactly once
+    want = sorted(
+        [(t, "INSERT", i) for t, evs in pre.items() for _, i in evs]
+        + [(t, op, i) for t, evs in changelog.items() for op, i in evs])
+    assert got == want, "bootstrap + changelog not exactly-once"
+    # per-table changelog order holds across the restart
+    for t in TABLES:
+        per_table = [(op, i) for s, tb, op, i in sorted(rows)
+                     if tb == t and s > 0]
+        assert per_table == changelog[t], t
