@@ -274,23 +274,65 @@ def main() -> None:
             floor_label = "__bench_shared_floor__"
             labels = [floor_label] + branch_values[n]
             samples: dict[str, list[float]] = {m: [] for m in labels}
-            for _ in range(b_iters):
+
+            def _one_pass():
                 for m in labels:
                     t0 = time.perf_counter()
                     queries[n](spark, SF_DIR).where(
                         f"{col} = '{m}'").count()
                     samples[m].append(
                         round(time.perf_counter() - t0, 3))
-            shared = min(samples[floor_label])
-            standalone = {m: min(samples[m]) for m in branch_values[n]}
-            per_branch = {
-                m: round(max(standalone[m] - shared, 0.0), 3)
-                for m in branch_values[n]
-            }
-            additivity = round(
-                (shared + sum(per_branch.values()))
-                / max(timings[n], 1e-9), 3)
+
+            def _decompose():
+                shared = min(samples[floor_label])
+                standalone = {m: min(samples[m])
+                              for m in branch_values[n]}
+                per_branch = {
+                    m: round(max(standalone[m] - shared, 0.0), 3)
+                    for m in branch_values[n]
+                }
+                additivity = round(
+                    (shared + sum(per_branch.values()))
+                    / max(timings[n], 1e-9), 3)
+                return shared, standalone, per_branch, additivity
+
+            for _ in range(b_iters):
+                _one_pass()
+            shared, standalone, per_branch, additivity = _decompose()
+            if additivity > 1.2:
+                # serialize-variants confirmation pass (round 13,
+                # VERDICT r12 #6): an out-of-band additivity claims
+                # OVERLAP — branches running concurrently inside the
+                # union hide wall-clock behind the slowest one. One
+                # extra interleaved pass firms the standalone mins,
+                # then the overlap_check below tests the claim: the
+                # union's wall-clock must sit between the critical
+                # path (slowest standalone branch) and the serialized
+                # sum, or the artifact names itself unexplained.
+                _one_pass()
+                b_iters += 1
+                shared, standalone, per_branch, additivity = _decompose()
+            slowest = max(standalone.values()) if standalone else 0.0
+            serial_sum = round(shared + sum(per_branch.values()), 3)
+            if additivity <= 1.2:
+                overlap_verdict = "clean_serial_decomposition"
+            elif (slowest <= timings[n] * 1.1
+                    and timings[n] <= serial_sum * 1.1):
+                overlap_verdict = "overlap_confirmed"
+            else:
+                overlap_verdict = "unexplained_check_branch_raw"
             branch_timings[n] = {
+                "overlap_check": {
+                    "entry_min": timings[n],
+                    "slowest_branch_standalone": round(slowest, 3),
+                    "serialized_sum": serial_sum,
+                    "verdict": overlap_verdict,
+                    "semantics": "additivity > 1.2 claims concurrent "
+                                 "branches overlap inside the union "
+                                 "run; confirmed iff slowest "
+                                 "standalone branch <= entry_min <= "
+                                 "serialized sum (1.1x tolerance)",
+                },
                 "shared_setup": shared,
                 "branch_minus_shared": per_branch,
                 "branch_standalone_min": standalone,
