@@ -342,8 +342,9 @@ def test_sidecar_matches_light_scan(pg, tmp_path):
         fidxs = [e[3] for e in sc["resume"]]
         assert fidxs == sorted(set(fidxs))
         # every Relation frame is carried for prefix re-feed
-        assert all(bytes.fromhex(h)[:1] == b"R" for _, h in sc["segs"]
-                   and sc["rel_frames"])
+        assert sc["rel_frames"]
+        assert all(bytes.fromhex(h)[:1] == b"R"
+                   for _, h in sc["rel_frames"])
         # staleness guard data describes the on-disk segments
         assert sc["segs"] == {
             f: os.path.getsize(os.path.join(d, f))
