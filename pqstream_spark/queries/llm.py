@@ -2294,13 +2294,17 @@ lab AS {mat}(
   SELECT vec_id, qd, n2q, {cid_sel} FROM labm {explode}
 )"""
     # the k ∝ n contract in SQL (round 13, VERDICT r12 #4): both
-    # engines derive k from the SAME relation's count — the literal
-    # twin is semdedup_auto_k(n)
-    k_expr = (f"SELECT GREATEST({SEMDEDUP_K}, CAST(ceil(n_sq / "
+    # engines derive k from the SAME cheap count — the near-dup corpus
+    # is documents ∪ one truncated copy per doc, so n = 2·|documents|
+    # (a narrow metadata-cheap aggregate; counting the quantized
+    # relation instead would serialize the whole embed chain in front
+    # of the Spark union — measured +5 s on the bench's hottest
+    # entry). The literal twin is semdedup_auto_k(2n).
+    k_expr = (f"SELECT GREATEST({SEMDEDUP_K}, CAST(ceil(2 * n_docs / "
               f"{SEMDEDUP_TARGET_CELL}.0) AS BIGINT)) FROM sdk")
     return f"""
 WITH sq AS {mat}({_semdedup_sq_sql(spark).strip()}),
-sdk AS (SELECT COUNT(*) AS n_sq FROM sq),
+sdk AS (SELECT COUNT(*) AS n_docs FROM documents),
 {_ivf_train_cte(spark, base='sq', k_cells_expr=k_expr)},
 {lab},
 {_semdedup_tail_sql(spark, 'lab')}
@@ -2426,12 +2430,26 @@ _SEMDEDUP_MEMO_CAP = 8
 
 
 def _semdedup_memo_key(spark: SparkSession) -> tuple | None:
+    """(appId, documents-plan semanticHash, row count, max doc_id).
+    The (count, max) pair is the cheap corpus fingerprint (ADVICE r12
+    low): an in-place data change under an UNCHANGED plan — parquet
+    rewritten at the same paths, rows appended to an external table
+    within one app — changes it and misses the memo instead of serving
+    a stale codebook. Deliberately an aggregate over the RAW documents
+    view (one narrow columnar scan), never over the quantized relation:
+    fingerprinting vsq would materialize the whole embed chain as a
+    serialized driver job on every call — measured +5 s on the bench's
+    hottest entry (round 13) — where the union action would otherwise
+    materialize it once, overlapped with the other branches."""
     try:
         h = int(
             spark.table("documents")._jdf.queryExecution()  # noqa: SLF001
             .analyzed().semanticHash()
         )
-        return (spark.sparkContext.applicationId, h)
+        n, mx = spark.sql(
+            "SELECT COUNT(*), MAX(doc_id) FROM documents").first()
+        return (spark.sparkContext.applicationId, h,
+                int(n or 0), int(mx or 0))
     except Exception:
         return None  # catalog unavailable: just don't memoize
 
@@ -2447,7 +2465,8 @@ def _semdedup_cell_widths(lab) -> dict[int, int]:
 
 
 def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
-                       memo_key: tuple | None = None) -> DataFrame:
+                       memo_key: tuple | None = None,
+                       k: int | None = None) -> DataFrame:
     """Spark side of the semdedup branch over a materialized
     (vec_id, qv) view: train the k=SEMDEDUP_K codebook driver-side
     (`_semdedup_train_codebook`, the q_sim_topk split), assign cells
@@ -2489,21 +2508,16 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
         raise ValueError(f"nprobe must be 1 or 2, got {nprobe}")
     out_schema = ("id_a long, id_b long, dotq double, "
                   "n2a double, n2b double")
-    # Cheap corpus fingerprint (round 13: ADVICE r12 low + VERDICT r12
-    # #4 in one aggregate): the count fixes k under the automated
-    # k ∝ n contract (semdedup_auto_k — the SQL sdk CTE's twin), and
-    # (count, max vec_id) folds into the memo key so an in-place data
-    # change under an UNCHANGED plan (parquet rewritten at the same
-    # paths, rows appended to an external table within one app) misses
-    # the memo instead of serving a stale codebook while the DuckDB
-    # oracle retrains per run. The aggregate reads the caller's
-    # checkpointed view, so it costs one bounded scan, not a re-run of
-    # the quantize chain.
-    n_corpus, max_id = spark.sql(
-        f"SELECT COUNT(*), MAX(vec_id) FROM {vsq}").first()
-    k = semdedup_auto_k(int(n_corpus or 0))
-    full_key = ((*memo_key, nprobe, int(n_corpus or 0), int(max_id or 0))
-                if memo_key else None)
+    # k under the automated k ∝ n contract (round 13, VERDICT r12 #4):
+    # callers that know the corpus (q_pairwise) pass k derived from a
+    # CHEAP corpus count — the sdk CTE's twin — so the hot path pays no
+    # extra job; library callers with hand-built views fall back to
+    # counting the view itself. The memo key already carries the
+    # (count, max id) corpus fingerprint via _semdedup_memo_key; k is
+    # folded in too so a k change always retrains.
+    if k is None:
+        k = semdedup_auto_k(int(spark.table(vsq).count()))
+    full_key = (*memo_key, nprobe, k) if memo_key else None
     memo = _SEMDEDUP_MEMO.get(full_key) if full_key else None
     cs = memo[0] if memo else _semdedup_train_codebook(spark, vsq, k=k)
     if not cs:  # empty corpus
@@ -2574,10 +2588,9 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
         wid, w = max(widths.items(), key=lambda kv: kv[1])
         raise ValueError(
             f"semdedup cell {wid} width {w} exceeds "
-            f"{SEMDEDUP_CELL_HARD_CAP} even at auto k={k} "
-            f"(n={int(n_corpus or 0)}): the corpus is extremely "
-            "clone-skewed in embedding space — exact-dedup it first, "
-            "or lower SEMDEDUP_TARGET_CELL")
+            f"{SEMDEDUP_CELL_HARD_CAP} even at auto k={k}: the corpus "
+            "is extremely clone-skewed in embedding space — "
+            "exact-dedup it first, or lower SEMDEDUP_TARGET_CELL")
     nch = {cid: min(32, -(-w // SEMDEDUP_CHUNK_ROWS))
            for cid, w in widths.items()}
     nch_case = ("CASE cid " + " ".join(
@@ -2801,11 +2814,13 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
     # (count, max vec_id) fingerprint _semdedup_spark_df computes —
     # an in-place rewrite of the same parquet paths within one app
     # changes the fingerprint and misses the memo (ADVICE r12 low)
+    mk = _semdedup_memo_key(spark)  # once: carries the fingerprint agg
+    k = semdedup_auto_k(2 * mk[2]) if mk else None
     _semdedup_spark_df(
-        spark, vsq, memo_key=_semdedup_memo_key(spark)
+        spark, vsq, memo_key=mk, k=k
     ).createOrReplaceTempView(vsd)
     _semdedup_spark_df(
-        spark, vsq, nprobe=2, memo_key=_semdedup_memo_key(spark)
+        spark, vsq, nprobe=2, memo_key=mk, k=k
     ).createOrReplaceTempView(vsd2)
     out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
                                          semdedup_view=vsd,

@@ -11,6 +11,8 @@ executor-side spool parse — exposed through `pqstream_logical`:
         .option("slot", "my_shard")            # slot-name PREFIX
         .option("publication", "my_pub")       # publication PREFIX
         .option("spillDir", "/shared/spool")   # REQUIRED (see below)
+        .option("maxChangesPerBatch", 100000)  # per-shard batch cap
+        .option("bootstrap", True)             # initial load (round 13)
         .load()
 
 Install the sharded capture first (`python -m pqstream_spark
@@ -187,6 +189,23 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
             )
         self._spill = spill_dir
         self._max_gens = int(options.get("maxspoolgens", 64))
+        # per-shard micro-batch cap (round 13): without it a large
+        # backlog — a first start against weeks of WAL, or a bootstrap
+        # snapshot of a populated database — becomes ONE micro-batch:
+        # unbounded task time, no incremental checkpoint progress.
+        # The cap clamps each shard's reported offset to the largest
+        # sidecar transaction boundary within the budget (or the
+        # smallest one past it — transaction atomicity wins over the
+        # cap, the single-slot reader's contract); snapshot rows chunk
+        # at exactly the budget (any row index is a valid snapshot
+        # boundary). 0 = unlimited.
+        self._max_changes = int(options.get("maxchangesperbatch", 0))
+        # offsets the ENGINE already owns (reported, planned, or
+        # committed): the rate limit must never report below these —
+        # a regressed offset would land in Spark's offset log and
+        # re-plan an already-consumed range. Rebuilt across restarts
+        # from the partitions()/commit() calls Spark replays.
+        self._floor: dict[int, int] = {}
         n_shards = int(options.get("shards", 1))
         self._consumer = options.get("consumer", "datasource")
         boot = str(options.get("bootstrap", "")
@@ -488,10 +507,43 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         self._trace(f"initialOffset -> {off}")
         return off
 
+    def _rate_limit(self, i: int, hi: int) -> int:
+        """Clamp shard i's reported offset to ~maxChangesPerBatch past
+        the last offset the engine owns, always landing on a
+        reproducible boundary (snapshot row index, or a sidecar
+        transaction boundary — an oversized transaction reports its
+        own boundary whole)."""
+        base = self._floor.get(i)
+        if base is None:
+            base = (-self._snap[i]["n"] if i in self._snap
+                    else self._sp._pollers[i].last_seq)
+        cap = base + self._max_changes
+        if hi <= cap:
+            return hi
+        if cap <= 0:
+            return cap  # mid-snapshot: every row index is a boundary
+        bounds = sorted(
+            k for g in self._gens.get(i) or [] for k in g["bounds"]
+            if base < k <= hi)
+        if base < 0:
+            bounds.insert(0, 0)  # the snapshot/changelog switchover
+        within = [k for k in bounds if k <= cap]
+        if within:
+            return within[-1]
+        bigger = [k for k in bounds if k > cap]
+        return bigger[0] if bigger else hi
+
     def latestOffset(self) -> dict:
         self._refresh_all(drain=True)
-        off = {str(i): self._shard_high(i)
-               for i in sorted(self._sp._pollers)}
+        off = {}
+        for i in sorted(self._sp._pollers):
+            hi = self._shard_high(i)
+            if self._max_changes > 0:
+                hi = self._rate_limit(i, hi)
+            # never report below an offset the engine already owns
+            hi = max(hi, self._floor.get(i, hi))
+            self._floor[i] = hi
+            off[str(i)] = hi
         self._trace(f"latestOffset -> {off}")
         return off
 
@@ -523,6 +575,9 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         for i, p in sorted(self._sp._pollers.items()):
             lo = int(start.get(str(i), p.last_seq))
             hi = int(end.get(str(i), lo))
+            # offsets Spark replays on restart re-seed the rate-limit
+            # floor (they are owned by the engine's offset log)
+            self._floor[i] = max(self._floor.get(i, hi), hi)
             if hi <= lo:
                 continue
             if lo < 0:
@@ -641,7 +696,10 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
 
         self._trace(f"commit {end}")
         for i, p in sorted(self._sp._pollers.items()):
-            tgt = int(end.get(str(i), 0))
+            if str(i) not in end:
+                continue
+            tgt = int(end[str(i)])
+            self._floor[i] = max(self._floor.get(i, tgt), tgt)
             if tgt >= 0:
                 # the engine durably finished the shard's snapshot
                 # range: retire its spool (idempotent on restart)

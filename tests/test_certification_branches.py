@@ -426,9 +426,12 @@ def test_semdedup_auto_k_bounds_cells(spark):
     k = max(SEMDEDUP_K, ceil(n / SEMDEDUP_TARGET_CELL)) — so a larger
     corpus gets proportionally more cells WITHOUT manual retuning, the
     driver-SF k stays exactly SEMDEDUP_K (certified hashes unmoved),
-    and the memo key carries the (count, max id) corpus fingerprint
-    so in-place data changes under an unchanged plan retrain instead
-    of serving a stale codebook (ADVICE r12 low)."""
+    k folds into the memo key (a k change always retrains), and
+    _semdedup_memo_key carries the (count, max doc_id) corpus
+    fingerprint — computed as one CHEAP aggregate over the raw
+    documents view, never the quantized relation — so in-place data
+    changes under an unchanged plan retrain instead of serving a
+    stale codebook (ADVICE r12 low)."""
     import uuid
 
     from pqstream_spark.queries import llm
@@ -467,13 +470,13 @@ def test_semdedup_auto_k_bounds_cells(spark):
         llm._semdedup_spark_df(spark, v1, memo_key=key)
         assert counting.last_k == llm.SEMDEDUP_K
         v2 = build(n_big)
-        # SAME vouched memo key, different data (the in-place-change
-        # shape): the fingerprint must force a retrain at the new k
+        # SAME vouched memo key, grown data (the in-place-change
+        # shape): the changed k must force a retrain
         llm._semdedup_spark_df(spark, v2, memo_key=key)
         assert counts["train"] == 2
         assert counting.last_k == llm.semdedup_auto_k(n_big) == 48
         # cells stay bounded without manual K: widths live in the memo
-        fk = (*key, 1, n_big, n_big - 1)
+        fk = (*key, 1, 48)
         cs, widths = llm._SEMDEDUP_MEMO[fk]
         assert len(cs) > llm.SEMDEDUP_K, "auto-k grew the codebook"
         assert max(widths.values()) < llm.SEMDEDUP_CELL_HARD_CAP
@@ -485,3 +488,18 @@ def test_semdedup_auto_k_bounds_cells(spark):
         llm._semdedup_train_codebook = orig
         for v in (v1, v2):
             spark.catalog.dropTempView(v)
+
+    # the q_pairwise-path fingerprint: _semdedup_memo_key aggregates
+    # (count, max doc_id) over the RAW documents view — the cheap
+    # in-place-change detector the vouched memo key rides on
+    from pqstream_spark.queries.llm import (
+        _semdedup_memo_key,
+        register_views,
+    )
+
+    register_views(spark, SF_SMOKE)
+    mk = _semdedup_memo_key(spark)
+    assert mk is not None and len(mk) == 4
+    n_docs = spark.table("documents").count()
+    max_id = spark.sql("SELECT MAX(doc_id) FROM documents").first()[0]
+    assert mk[2] == n_docs and mk[3] == int(max_id)

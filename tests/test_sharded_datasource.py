@@ -565,3 +565,68 @@ def test_sharded_datasource_bootstrap_exactly_once(spark, pg, tmp_path):
         per_table = [(op, i) for s, tb, op, i in sorted(rows)
                      if tb == t and s > 0]
         assert per_table == changelog[t], t
+
+
+def test_sharded_datasource_rate_limit(pg, tmp_path):
+    """Round 13: `maxChangesPerBatch` on the sharded reader — a large
+    backlog (bootstrap snapshot + changelog) consumes as a SEQUENCE of
+    bounded micro-batches instead of one giant one: per shard, each
+    batch carries at most the budget unless one transaction exceeds it
+    (atomicity wins), reported offsets land only on reproducible
+    boundaries, and the union of slices is loss-free and dup-free."""
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r = pg.createdb("dsrate")
+    r.sql(DDL)
+    pre_n = 7  # snapshot rows per table
+    for t in TABLES:
+        vals = ", ".join(f"({900 + k}, 'pre')" for k in range(pre_n))
+        r.sql(f"INSERT INTO {t} VALUES {vals};")
+    # changelog backlog: several small txns + one 9-row txn (exceeds
+    # the budget of 4 — must ride whole)
+    for t in TABLES:
+        for k in range(3):
+            r.sql(f"INSERT INTO {t} VALUES ({k}, 'a'), ({100 + k}, 'b');")
+        big = ", ".join(f"({200 + k}, 'big')" for k in range(9))
+        r.sql(f"INSERT INTO {t} VALUES {big};")
+    opts = {
+        "url": f"postgres:{pg.conninfo('dsrate')}",
+        "shards": str(N), "slot": "dsrate", "publication": "dsratepub",
+        "spilldir": str(tmp_path / "spool"),
+        "bootstrap": "true", "tableregexp": "^tbl",
+        "maxchangesperbatch": "4",
+    }
+    reader = ShardedLogicalStreamReader(opts)
+    start = reader.initialOffset()
+    assert all(int(v) == -pre_n for v in start.values())
+    rows, batches = [], 0
+    cur = start
+    while batches < 60:
+        nxt = reader.latestOffset()
+        if nxt == cur:
+            break
+        for i in map(str, range(N)):
+            # monotone, and bounded by budget unless one txn exceeds it
+            step = int(nxt[i]) - int(cur[i])
+            assert step >= 0
+            assert step <= 9, (cur, nxt)
+        batch_rows = [row for part in reader.partitions(cur, nxt)
+                      for row in reader.read(part)]
+        reader.commit(nxt)
+        rows.extend(batch_rows)
+        cur = nxt
+        batches += 1
+    # the backlog needed several batches (28 snapshot + 60 changelog
+    # rows across 4 shards at budget 4)
+    assert batches >= 4
+    assert len({row[0] for row in rows}) == len(rows), "duplicate seqs"
+    per_table = {}
+    for row in rows:
+        per_table.setdefault(row[3], []).append((row[4], row[5]))
+    for t in TABLES:
+        evs = per_table[t]
+        assert len(evs) == pre_n + 6 + 9, t
+        # snapshot INSERTs then changelog, each exactly once
+        assert all(op == "INSERT" for op, _ in evs)
