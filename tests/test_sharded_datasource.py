@@ -584,13 +584,6 @@ def test_sharded_datasource_rate_limit(pg, tmp_path):
     for t in TABLES:
         vals = ", ".join(f"({900 + k}, 'pre')" for k in range(pre_n))
         r.sql(f"INSERT INTO {t} VALUES {vals};")
-    # changelog backlog: several small txns + one 9-row txn (exceeds
-    # the budget of 4 — must ride whole)
-    for t in TABLES:
-        for k in range(3):
-            r.sql(f"INSERT INTO {t} VALUES ({k}, 'a'), ({100 + k}, 'b');")
-        big = ", ".join(f"({200 + k}, 'big')" for k in range(9))
-        r.sql(f"INSERT INTO {t} VALUES {big};")
     opts = {
         "url": f"postgres:{pg.conninfo('dsrate')}",
         "shards": str(N), "slot": "dsrate", "publication": "dsratepub",
@@ -601,6 +594,15 @@ def test_sharded_datasource_rate_limit(pg, tmp_path):
     reader = ShardedLogicalStreamReader(opts)
     start = reader.initialOffset()
     assert all(int(v) == -pre_n for v in start.values())
+    # changelog backlog AFTER the slots exist (writes before slot
+    # creation belong to the snapshot — the switchover contract):
+    # several small txns + one 9-row txn (exceeds the budget of 4 —
+    # atomicity must win and it rides whole)
+    for t in TABLES:
+        for k in range(3):
+            r.sql(f"INSERT INTO {t} VALUES ({k}, 'a'), ({100 + k}, 'b');")
+        big = ", ".join(f"({200 + k}, 'big')" for k in range(9))
+        r.sql(f"INSERT INTO {t} VALUES {big};")
     rows, batches = [], 0
     cur = start
     while batches < 60:
