@@ -392,8 +392,40 @@ def main(argv: list[str] | None = None, out=None) -> int:
             parts = _glob.glob(os.path.join(args.out, "corpus", "batch-*"))
             if parts:
                 n = spark.read.parquet(*parts).count()
-            print(json.dumps({"accepted_total": n, "out": args.out},
-                             separators=(",", ":")), file=out)
+            stats = {"accepted_total": n, "out": args.out}
+            # disjoint priority-ordered rejection causes from the
+            # written audit (round 13: stream parity with the batch
+            # stats line — includes the semantic-dedup cause); built
+            # from the columns actually present so older audit dirs
+            # written before a flag existed still aggregate
+            aparts = _glob.glob(os.path.join(args.out, "audit", "batch-*"))
+            if aparts:
+                a = spark.read.parquet(*aparts)
+                arms = ["WHEN final_keep THEN 'kept'",
+                        "WHEN kept IS NULL OR final_keep IS NULL "
+                        "THEN 'null_annotations'",
+                        "WHEN NOT kept THEN 'quality_or_exact_dup'"]
+                if "near_dup_kept" in a.columns:
+                    arms.append("WHEN NOT near_dup_kept THEN 'near_dup'")
+                if "stream_near_dup" in a.columns:
+                    arms.append(
+                        "WHEN stream_near_dup THEN 'stream_near_dup'")
+                if "sem_dup" in a.columns:
+                    arms.append("WHEN sem_dup THEN 'sem_dup'")
+                if "contaminated" in a.columns:
+                    arms.append("WHEN contaminated THEN 'contaminated'")
+                arms.append("ELSE 'classifier_or_mixture'")
+                cause = "CASE " + " ".join(arms) + " END"
+                causes = {
+                    r["c"]: r["n"]
+                    for r in a.selectExpr(f"{cause} AS c").groupBy("c")
+                    .agg(F.count("*").alias("n")).collect()
+                }
+                kept = causes.pop("kept", 0)
+                stats["docs"] = kept + sum(causes.values())
+                stats["kept"] = kept
+                stats["rejected"] = causes
+            print(json.dumps(stats, separators=(",", ":")), file=out)
             return 0
         q.awaitTermination()
         return 0

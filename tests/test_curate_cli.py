@@ -632,3 +632,53 @@ def test_curate_stream_semantic_dedup(spark, tmp_path):
     assert any(not r["stream_near_dup"] for r in paras)
     nov = audit.where("doc_id = 880000").collect()
     assert nov and not nov[0]["sem_dup"]
+
+
+def test_curate_stream_once_cli_stats(spark, tmp_path):
+    """Round 13: `--stream --once` prints a BALANCED stats line
+    (docs == kept + sum(rejected), accepted_total == kept) with
+    disjoint causes including sem_dup — the stream-side parity of the
+    batch stats contract, aggregated over every written audit epoch."""
+    import shutil
+
+    from pqstream_spark.curate import main
+    from pqstream_spark.sources.tables import load_table
+
+    in_dir = str(tmp_path / "so_in")
+    out_dir = str(tmp_path / "so_out")
+    cp = str(tmp_path / "so_cp")
+    os.makedirs(in_dir)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text")
+
+    def drop(df, name):
+        stage = str(tmp_path / ("so_stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(in_dir, name + ".parquet"))
+
+    argv = ["--documents", in_dir, "--out", out_dir, "--stream",
+            "--checkpoint", cp, "--once", "--semantic-dedup"]
+
+    drop(docs.where("doc_id < 40"), "b1")
+    buf = io.StringIO()
+    assert main(argv, out=buf) == 0
+    s1 = json.loads(buf.getvalue())
+    assert s1["docs"] == 40
+    assert s1["accepted_total"] == s1["kept"] > 0
+    assert s1["kept"] + sum(s1["rejected"].values()) == s1["docs"]
+
+    # second run on the same checkpoint: only the new file processes;
+    # paraphrases of batch-1 docs are sem_dup-rejected and the
+    # aggregated stats line names the cause
+    drop(docs.where("doc_id < 5").selectExpr(
+        "doc_id + 770000 AS doc_id", "lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text"), "b2")
+    buf2 = io.StringIO()
+    assert main(argv, out=buf2) == 0
+    s2 = json.loads(buf2.getvalue())
+    assert s2["docs"] == 45
+    assert s2["rejected"].get("sem_dup", 0) >= 1
+    assert s2["kept"] + sum(s2["rejected"].values()) == s2["docs"]
+    assert s2["accepted_total"] == s2["kept"]
