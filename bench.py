@@ -89,6 +89,27 @@ BRANCH_ITERS = 2
 _DISCRIMINATORS = ("method", "variant")
 
 
+def _reclaim(spark) -> None:
+    """Untimed inter-iteration reclamation (round 13): every catalog
+    invocation leaves localCheckpoint blocks and shuffle files whose
+    cleanup is driven by DRIVER GC — Python holds py4j proxies to the
+    plans, so neither Python nor the JVM collects promptly on its own,
+    and executor storage/disk pressure accumulates ACROSS iterations.
+    Measured on the heaviest entry at sf1-synth: without this,
+    back-to-back runs wander 35 -> 88 s within one session; with an
+    explicit collect after each run they sit flat at 32.5-33.6 s. The
+    bench measures the engine, not the session's garbage backlog, so
+    the collection runs OUTSIDE the timed region."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+    except Exception:
+        pass  # connect-mode / no JVM handle: Python GC alone still
+        # releases the py4j references that gate ContextCleaner
+
+
 def _calibrate(spark) -> dict[str, float]:
     """Host-speed canary: three fixed synthetic workloads, zero engine
     code, so round-over-round BENCH comparisons can be normalized for
@@ -189,11 +210,13 @@ def main() -> None:
         # cache, at-shape codegen) that are neither engine speed nor
         # host drift — timing it poisons both min and mean
         queries[n](spark, SF_DIR).count()
+        _reclaim(spark)
         for _ in range(N_ITERS):
             t0 = time.perf_counter()
             df = queries[n](spark, SF_DIR)
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
+            _reclaim(spark)
             # fixed-overhead split for streaming entries (VERDICT r8
             # #2): keep the snapshot of the FASTEST iteration so the
             # decomposition describes the same run the headline min
@@ -215,6 +238,7 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[n](spark, SF_DIR).count()
             runs.append(round(time.perf_counter() - t0, 3))
+            _reclaim(spark)
             extras += 1
         raw[n] = runs
         timings[n] = min(runs)
@@ -282,6 +306,7 @@ def main() -> None:
                         f"{col} = '{m}'").count()
                     samples[m].append(
                         round(time.perf_counter() - t0, 3))
+                    _reclaim(spark)
 
             def _decompose():
                 shared = min(samples[floor_label])

@@ -134,6 +134,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 cnt = queries[n](spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+                # untimed inter-iteration reclamation: py4j-held plan
+                # references defer the ContextCleaner, so checkpoint/
+                # shuffle garbage accumulates across this single long
+                # session and a late entry measures the backlog, not
+                # the engine — the first round-13 run recorded a 2.2x
+                # outlier on the heaviest entry this way
+                from bench import _reclaim
+
+                _reclaim(spark)
             times[n][sf] = round(min(runs), 3)
             rows[n][sf] = cnt
             print(f"  sf={sf} {n}: {times[n][sf]}s rows={cnt}", file=sys.stderr, flush=True)

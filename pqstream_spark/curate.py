@@ -60,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "dedup_pairwise_scores semdedup branch's rule). "
                    "Stream: incoming docs check against the "
                    "accumulated corpus cell index under a persisted "
-                   "codebook. Rejection cause: sem_dup")
+                   "codebook; add --batch-selfdedup to also run the "
+                   "within-batch pass. Rejection cause: sem_dup")
     p.add_argument("--min-clf", type=float, default=0.0,
                    help="minimum classifier margin to keep (default 0.0 "
                    "= clf_keep; lower admits more)")
@@ -410,6 +411,8 @@ def main(argv: list[str] | None = None, out=None) -> int:
                 if "stream_near_dup" in a.columns:
                     arms.append(
                         "WHEN stream_near_dup THEN 'stream_near_dup'")
+                if "batch_sem_dup" in a.columns:
+                    arms.append("WHEN batch_sem_dup THEN 'sem_dup'")
                 if "sem_dup" in a.columns:
                     arms.append("WHEN sem_dup THEN 'sem_dup'")
                 if "contaminated" in a.columns:
@@ -816,11 +819,17 @@ def curate_stream(
                     decontaminate_path)
             else:
                 benchmark = reader.parquet(decontaminate_path)
+        # within-batch semantic dedup rides --batch-selfdedup, exactly
+        # like the within-batch band pass (round-13 review fix: two
+        # same-batch paraphrases would otherwise BOTH be admitted and
+        # stored — the corpus check only sees prior epochs); its
+        # verdict columns are renamed so the stream's
+        # against-the-corpus verdict keeps the canonical names
         cur = curate(bdf, near_dedup=batch_selfdedup, min_clf=min_clf,
-                     benchmark=benchmark)
-        # the stream's semantic verdict (vs the ACCUMULATED corpus)
-        # replaces curate()'s within-input placeholder columns
-        cur = cur.drop("sem_dup_of", "sem_dup")
+                     benchmark=benchmark,
+                     semantic_dedup=semantic_dedup and batch_selfdedup)
+        cur = (cur.withColumnRenamed("sem_dup_of", "batch_sem_dup_of")
+               .withColumnRenamed("sem_dup", "batch_sem_dup"))
         # ONE signature pass feeds both the dedup join and the stored
         # band columns (the two formulations are band-key-identical;
         # inside foreachBatch this is an ordinary batch frame, so the
@@ -893,10 +902,19 @@ def curate_stream(
                     "qv AS sem_qv", "n2q AS sem_n2q",
                 ).localCheckpoint(eager=True)
                 if prior:
-                    stored_all = spark.read.parquet(*prior)
+                    # mergeSchema (round-13 review fix): with the
+                    # default schema inference, ONE sem-column-less
+                    # early batch dir (pre-flag history, or a first
+                    # batch whose hash sample was empty) could win
+                    # inference and silently hide sem_cid for the
+                    # whole history — semantic dedup would no-op
+                    # forever with no error
+                    stored_all = spark.read.option(
+                        "mergeSchema", "true").parquet(*prior)
                     # history written before the flag was turned on
-                    # carries no sem columns — it simply cannot serve
-                    # as a semantic index (band dedup still covers it)
+                    # carries no sem columns — those ROWS cannot serve
+                    # as a semantic index (band dedup still covers
+                    # them); sem-bearing batches still do
                     if "sem_cid" in stored_all.columns:
                         stored_sem = stored_all.selectExpr(
                             "doc_id AS sem_corpus_id", "sem_cid",

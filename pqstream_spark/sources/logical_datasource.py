@@ -137,16 +137,14 @@ def ensure_snapshot_spool(runner, spill_dir: str, slot: str, marker: str,
         f.flush()
         os.fsync(f.fileno())
     os.replace(mtmp, os.path.join(d, "meta.json"))
-    if not os.path.exists(os.path.join(d, "rows.jsonl")):
-        raise PsqlError(f"snapshot spool write failed under {d}")
     pg_mark_bootstrap_done(runner, marker)
 
 
 def load_snapshot_spool(spill_dir: str, slot: str) -> dict | None:
-    """{"n": rows, "path": rows.jsonl} for a live (unconsumed)
-    snapshot spool, else None. A dir with rows but no meta is a torn
-    dump that never marked its sentinel — ignored (the next bootstrap
-    attempt overwrites it)."""
+    """{"n": rows, "path": rows.jsonl, "consumed": last consumed local
+    seq} for a live (unconsumed) snapshot spool, else None. A dir with
+    rows but no meta is a torn dump that never marked its sentinel —
+    ignored (the next bootstrap attempt overwrites it)."""
     d = snapshot_spool_dir(spill_dir, slot)
     meta = os.path.join(d, "meta.json")
     rows = os.path.join(d, "rows.jsonl")
@@ -154,14 +152,87 @@ def load_snapshot_spool(spill_dir: str, slot: str) -> dict | None:
         return None
     with open(meta) as f:
         n = int(json.load(f)["n"])
-    return {"n": n, "path": rows}
+    out = {"n": n, "path": rows, "consumed": None}
+    cons = os.path.join(d, "consumed.json")
+    if os.path.exists(cons):
+        with open(cons) as f:
+            out["consumed"] = int(json.load(f)["local"])
+    return out
 
 
-def iter_snapshot_rows(path: str):
+def record_snapshot_progress(spill_dir: str, slot: str,
+                             local: int) -> None:
+    """Durably record the last engine-committed SNAPSHOT local seq
+    (round-13 review fix #1): the changelog phase's progress is
+    durable in the (seq, LSN) anchor rows, but a mid-snapshot commit
+    advanced nothing durable — a restart whose engine calls
+    latestOffset before replaying any partitions()/commit() would
+    rate-limit from the snapshot START and report an offset BEHIND
+    the checkpoint, re-planning (and re-emitting) committed snapshot
+    rows. This marker is the snapshot phase's anchor-row analog."""
+    d = snapshot_spool_dir(spill_dir, slot)
+    tmp = os.path.join(d, "consumed.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"local": int(local)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, "consumed.json"))
+
+
+def retire_snapshot_spool(spill_dir: str, slot: str) -> None:
+    """Delete a fully-consumed snapshot spool but leave a tombstone
+    (round-13 review fix #4): the bootstrap SENTINEL is durable in
+    Postgres while the spool is a file — if the spool is LOST (wiped
+    spill dir, ephemeral /tmp) before consumption, a restarted reader
+    would see sentinel-done + no spool and silently skip the entire
+    initial state. The tombstone lets reader init distinguish
+    'consumed and retired' (fine) from 'lost' (raise loudly)."""
+    import shutil
+
+    d = snapshot_spool_dir(spill_dir, slot)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "retired"), "w") as f:
+        f.write("consumed\n")
+
+
+def snapshot_spool_retired(spill_dir: str, slot: str) -> bool:
+    return os.path.exists(
+        os.path.join(snapshot_spool_dir(spill_dir, slot), "retired"))
+
+
+def check_snapshot_not_lost(spill_dir: str, slot: str, last_seq: int,
+                            snap: dict | None) -> None:
+    """Loud guard for the lost-spool window (review fix #4): the
+    sentinel says a snapshot was dumped, no live spool exists, no
+    tombstone says it was consumed, and the consumer has no changelog
+    history either — the initial state would silently vanish."""
+    if (snap is None and last_seq == 0
+            and not snapshot_spool_retired(spill_dir, slot)):
+        raise RuntimeError(
+            f"bootstrap snapshot spool for slot {slot!r} is GONE "
+            "(sentinel set, no spool files, no consumption tombstone) "
+            "— was the spill directory wiped? The initial state cannot "
+            "be delivered; restore the spool, or clear the "
+            "'#bootstrap' sentinel row to re-dump on a fresh consumer"
+        )
+
+
+def iter_snapshot_rows(path: str, lo_line: int = 0,
+                       hi_line: int | None = None):
     """Yield (k, ts, schema, table, op, id, payload) with k the
-    1-based file line number — local seq = k - n."""
+    1-based file line number — local seq = k - n. Lines at or below
+    `lo_line` are SKIPPED WITHOUT parsing and iteration stops past
+    `hi_line` (round-13 review fix #3: a rate-limited snapshot
+    consumed in B chunks would otherwise json-parse the whole file B
+    times — the same quadratic prefix pattern the WAL sidecar seek
+    removed)."""
     with open(path) as f:
         for k, line in enumerate(f, start=1):
+            if k <= lo_line:
+                continue
+            if hi_line is not None and k > hi_line:
+                return
             ts_s, schema, table, op, row_id, payload = json.loads(line)
             ts = datetime.fromisoformat(ts_s) if ts_s else None
             yield k, ts, schema, table, op, row_id, payload
@@ -182,13 +253,14 @@ class SnapshotPartition(InputPartition):
 
 def read_snapshot_partition(p: SnapshotPartition):
     """OUTBOX_BATCH_SCHEMA tuples for the slice — the daemon's
-    negative-seq encoding: global = (local-1)*n_shards - shard."""
-    for k, ts, schema, table, op, row_id, payload in \
-            iter_snapshot_rows(p.path):
+    negative-seq encoding: global = (local-1)*n_shards - shard.
+    Lines outside the slice are never json-parsed (local = line - n,
+    so the slice maps to an exact line window)."""
+    for k, ts, schema, table, op, row_id, payload in iter_snapshot_rows(
+            p.path, lo_line=p.lo + p.n, hi_line=p.hi + p.n):
         local = k - p.n
-        if p.lo < local <= p.hi:
-            yield ((local - 1) * p.n_shards - p.shard, ts, schema,
-                   table, op, row_id, payload, None)
+        yield ((local - 1) * p.n_shards - p.shard, ts, schema,
+               table, op, row_id, payload, None)
 
 
 @dataclass
@@ -298,6 +370,8 @@ class LogicalStreamReader(DataSourceStreamReader):
                 runner, self._spill, self._slot, marker, tre,
                 snap_plugin, lambda: mgr.install(create_slot=False))
             snap = load_snapshot_spool(self._spill, self._slot)
+            check_snapshot_not_lost(
+                self._spill, self._slot, self._poller.last_seq, snap)
             if snap and snap["n"] > 0:
                 if self._poller.last_seq > 0:
                     raise ValueError(
@@ -469,12 +543,11 @@ class LogicalStreamReader(DataSourceStreamReader):
         end_seq = int(end["seq"])
         if end_seq >= 0 and self._spill is not None:
             # the engine durably finished the snapshot range: retire
-            # the spool (idempotent — a restart re-commit no-ops)
-            d = snapshot_spool_dir(self._spill, self._slot)
-            if self._snap is not None or os.path.isdir(d):
-                import shutil
-
-                shutil.rmtree(d, ignore_errors=True)
+            # the spool, leaving the consumption tombstone (idempotent
+            # — a restart re-commit no-ops)
+            if (self._snap is not None
+                    or load_snapshot_spool(self._spill, self._slot)):
+                retire_snapshot_spool(self._spill, self._slot)
                 self._snap = None
         if end_seq <= self._poller.last_seq:
             return

@@ -238,10 +238,15 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         # live (unconsumed) per-shard bootstrap snapshots
         self._snap: dict[int, dict] = {}
         if boot:
-            from .logical_datasource import load_snapshot_spool
+            from .logical_datasource import (
+                check_snapshot_not_lost,
+                load_snapshot_spool,
+            )
 
             for i, p in sorted(self._sp._pollers.items()):
                 snap = load_snapshot_spool(self._spill, p.slot)
+                check_snapshot_not_lost(
+                    self._spill, p.slot, p.last_seq, snap)
                 if snap and snap["n"] > 0:
                     if p.last_seq > 0:
                         raise PsqlError(
@@ -515,8 +520,17 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         own boundary whole)."""
         base = self._floor.get(i)
         if base is None:
-            base = (-self._snap[i]["n"] if i in self._snap
-                    else self._sp._pollers[i].last_seq)
+            if i in self._snap:
+                # the durable mid-snapshot anchor (review fix #1): a
+                # restart whose engine asks for latestOffset before
+                # replaying any partitions()/commit() must not clamp
+                # from the snapshot START — that would report an
+                # offset BEHIND the checkpoint and re-plan committed
+                # snapshot rows
+                c = self._snap[i].get("consumed")
+                base = c if c is not None else -self._snap[i]["n"]
+            else:
+                base = self._sp._pollers[i].last_seq
         cap = base + self._max_changes
         if hi <= cap:
             return hi
@@ -692,7 +706,11 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
                            table, op, row_id, payload, previous)
 
     def commit(self, end: dict) -> None:
-        from .logical_datasource import snapshot_spool_dir
+        from .logical_datasource import (
+            load_snapshot_spool,
+            record_snapshot_progress,
+            retire_snapshot_spool,
+        )
 
         self._trace(f"commit {end}")
         for i, p in sorted(self._sp._pollers.items()):
@@ -702,11 +720,18 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
             self._floor[i] = max(self._floor.get(i, tgt), tgt)
             if tgt >= 0:
                 # the engine durably finished the shard's snapshot
-                # range: retire its spool (idempotent on restart)
-                d = snapshot_spool_dir(self._spill, p.slot)
-                if i in self._snap or os.path.isdir(d):
-                    shutil.rmtree(d, ignore_errors=True)
+                # range: retire its spool, leaving the consumption
+                # tombstone (idempotent on restart)
+                if (i in self._snap
+                        or load_snapshot_spool(self._spill, p.slot)):
+                    retire_snapshot_spool(self._spill, p.slot)
                     self._snap.pop(i, None)
+            elif i in self._snap:
+                # mid-snapshot commit: durably anchor the snapshot
+                # progress (the snapshot phase's analog of the
+                # changelog's (seq, LSN) anchor rows)
+                record_snapshot_progress(self._spill, p.slot, tgt)
+                self._snap[i]["consumed"] = tgt
             if tgt <= p.last_seq:
                 continue
             gens = self._covering_gens(i, tgt)

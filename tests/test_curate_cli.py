@@ -682,3 +682,82 @@ def test_curate_stream_once_cli_stats(spark, tmp_path):
     assert s2["rejected"].get("sem_dup", 0) >= 1
     assert s2["kept"] + sum(s2["rejected"].values()) == s2["docs"]
     assert s2["accepted_total"] == s2["kept"]
+
+
+def test_curate_stream_semantic_within_batch_and_mixed_history(
+        spark, tmp_path):
+    """Round-13 review fixes: (a) with --batch-selfdedup the semantic
+    gate ALSO runs within the batch — two same-batch paraphrases are
+    not both admitted; (b) prior corpus history that PREDATES the
+    semantic flag (no sem columns) must not hide the sem columns of
+    later batches (mergeSchema) — paraphrases of flag-era docs are
+    still caught."""
+    import glob
+    import shutil
+
+    from pqstream_spark.curate import curate_stream
+    from pqstream_spark.sources.tables import load_table
+
+    in_dir = str(tmp_path / "swb_in")
+    out_dir = str(tmp_path / "swb_out")
+    cp = str(tmp_path / "swb_cp")
+    os.makedirs(in_dir)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "lang", "text")
+
+    def drop(df, name):
+        stage = str(tmp_path / ("swb_stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(stage, part),
+                    os.path.join(in_dir, name + ".parquet"))
+
+    # epoch 0: flag OFF — corpus history without sem columns
+    drop(docs.where("doc_id < 20"), "b0")
+    q = curate_stream(spark, in_dir, out_dir, checkpoint_dir=cp)
+    q.processAllAvailable()
+    q.stop()
+
+    # epoch 1 (flag ON): novel docs + a SAME-BATCH paraphrase pair
+    pair_orig = docs.where("doc_id = 30").selectExpr(
+        "doc_id + 500000 AS doc_id", "lang", "text")
+    pair_para = docs.where("doc_id = 30").selectExpr(
+        "doc_id + 500001 AS doc_id", "lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text")
+    drop(docs.where("doc_id >= 20 AND doc_id < 40")
+         .unionAll(pair_orig).unionAll(pair_para), "b1")
+    q = curate_stream(spark, in_dir, out_dir, checkpoint_dir=cp,
+                      semantic_dedup=True, batch_selfdedup=True)
+    q.processAllAvailable()
+
+    audit_glob = os.path.join(out_dir, "audit", "batch-*")
+    audit = spark.read.option("mergeSchema", "true").parquet(
+        *glob.glob(audit_glob))
+    para_row = audit.where("doc_id = 500031").collect()  # 500001 + 30
+    assert para_row and para_row[0]["batch_sem_dup"] is True
+    assert para_row[0]["final_keep"] is False, (
+        "same-batch paraphrase admitted despite --batch-selfdedup "
+        "--semantic-dedup")
+
+    # epoch 2: paraphrases of FLAG-ERA accepted docs — the sem-less
+    # epoch-0 dirs are in `prior` too; mergeSchema must keep the index
+    corpus = spark.read.option("mergeSchema", "true").parquet(
+        *glob.glob(os.path.join(out_dir, "corpus", "batch-*")))
+    flag_era = sorted(
+        r["doc_id"] for r in corpus.where(
+            "sem_cid IS NOT NULL AND doc_id < 40")
+        .select("doc_id").collect())[:3]
+    assert flag_era, "no flag-era accepted docs with sem index"
+    ids = ", ".join(str(i) for i in flag_era)
+    drop(docs.where(f"doc_id IN ({ids})").selectExpr(
+        "doc_id + 600000 AS doc_id", "lang",
+        "array_join(array_sort(split(text, ' ')), ' ') AS text"), "b2")
+    q.processAllAvailable()
+    q.stop()
+    audit2 = spark.read.option("mergeSchema", "true").parquet(
+        *glob.glob(audit_glob))
+    paras = audit2.where("doc_id >= 600000").collect()
+    assert len(paras) == len(flag_era)
+    assert all(r["sem_dup"] for r in paras), (
+        "mixed-schema prior history hid the semantic index")
+    assert not any(r["final_keep"] for r in paras)

@@ -2067,8 +2067,11 @@ def test_logical_datasource_bootstrap(pg, spark, tmp_path):
                         for x in rows[:3])
     assert snap_notes == ["pre-a", "pre-b", "pre-c"]
     assert _json.loads(rows[3].payload_json)["note"] == "live"
-    # the consumed snapshot spool was retired on commit
-    assert not os.path.exists(os.path.join(spool, "pq_boot", "snapshot"))
+    # the consumed snapshot spool was retired on commit, leaving the
+    # consumption tombstone (distinguishes 'consumed' from 'lost')
+    snap_d = os.path.join(spool, "pq_boot", "snapshot")
+    assert not os.path.exists(os.path.join(snap_d, "rows.jsonl"))
+    assert os.path.exists(os.path.join(snap_d, "retired"))
     # the exported-snapshot switchover left REPLICA IDENTITY working:
     # the UPDATE carries its previous image
     assert rows[4].previous_json is not None

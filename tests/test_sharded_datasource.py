@@ -537,10 +537,12 @@ def test_sharded_datasource_bootstrap_exactly_once(spark, pg, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    # the consumed snapshot spools were retired on commit
+    # the consumed snapshot spools were retired on commit, each
+    # leaving the consumption tombstone
     for i in range(N):
-        assert not os.path.exists(
-            os.path.join(spool, f"dsboot_s{i}", "snapshot"))
+        d = os.path.join(spool, f"dsboot_s{i}", "snapshot")
+        assert not os.path.exists(os.path.join(d, "rows.jsonl")), i
+        assert os.path.exists(os.path.join(d, "retired")), i
 
     # writes while the query is down, then restart on the checkpoint
     for t in TABLES:
@@ -632,3 +634,111 @@ def test_sharded_datasource_rate_limit(pg, tmp_path):
         assert len(evs) == pre_n + 6 + 9, t
         # snapshot INSERTs then changelog, each exactly once
         assert all(op == "INSERT" for op, _ in evs)
+
+
+def test_rate_limit_restart_mid_snapshot_never_regresses(pg, tmp_path):
+    """Round-13 review fix #1: after a restart, a rate-limited reader
+    whose engine asks for latestOffset BEFORE replaying any
+    partitions()/commit() must clamp from the durable mid-snapshot
+    anchor, not the snapshot start — a regressed report would land in
+    the offset log and re-plan committed snapshot rows."""
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r = pg.createdb("dsrestart")
+    r.sql(DDL)
+    for t in TABLES:
+        vals = ", ".join(f"({900 + k}, 'pre')" for k in range(10))
+        r.sql(f"INSERT INTO {t} VALUES {vals};")
+    opts = {
+        "url": f"postgres:{pg.conninfo('dsrestart')}",
+        "shards": str(N), "slot": "dsrs", "publication": "dsrspub",
+        "spilldir": str(tmp_path / "spool"),
+        "bootstrap": "true", "tableregexp": "^tbl",
+        "maxchangesperbatch": "3",
+    }
+    reader = ShardedLogicalStreamReader(opts)
+    cur = reader.initialOffset()
+    assert all(int(v) == -10 for v in cur.values())
+    # consume two mid-snapshot chunks, committing each
+    for _ in range(2):
+        nxt = reader.latestOffset()
+        for part in reader.partitions(cur, nxt):
+            list(reader.read(part))
+        reader.commit(nxt)
+        cur = nxt
+    assert all(-10 < int(v) < 0 for v in cur.values()), cur
+    # restart: FRESH reader, latestOffset first (the adversarial
+    # ordering — no partitions/commit replay has re-seeded the floor)
+    reader2 = ShardedLogicalStreamReader(opts)
+    nxt2 = reader2.latestOffset()
+    for i in map(str, range(N)):
+        assert int(nxt2[i]) >= int(cur[i]), (cur, nxt2)
+    # and the stream still completes exactly-once from the checkpoint
+    rows = []
+    c = cur
+    for _ in range(30):
+        n2 = reader2.latestOffset()
+        if n2 == c:
+            break
+        for part in reader2.partitions(c, n2):
+            rows.extend(reader2.read(part))
+        reader2.commit(n2)
+        c = n2
+    got = sorted((row[3], row[5]) for row in rows)
+    # remaining snapshot rows: 10 per table minus the ones reader1
+    # consumed (its committed offsets)
+    remaining = sum(10 - (int(cur[str(i)]) + 10) for i in range(N))
+    assert len(rows) == remaining
+    assert len({row[0] for row in rows}) == len(rows)
+
+
+def test_bootstrap_lost_spool_raises_loudly(pg, tmp_path):
+    """Round-13 review fix #4: sentinel done + snapshot spool GONE
+    (no consumption tombstone) + no changelog history = the initial
+    state would silently vanish — reader init must raise. A RETIRED
+    (consumed) spool keeps starting fine."""
+    import shutil as _sh
+
+    from pqstream_spark.sources.logical_datasource import (
+        snapshot_spool_dir,
+    )
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r = pg.createdb("dslost")
+    r.sql(DDL)
+    for t in TABLES:
+        r.sql(f"INSERT INTO {t} VALUES (1, 'x');")
+    spool = str(tmp_path / "spool")
+    opts = {
+        "url": f"postgres:{pg.conninfo('dslost')}",
+        "shards": str(N), "slot": "dslost", "publication": "dslostpub",
+        "spilldir": spool, "bootstrap": "true", "tableregexp": "^tbl",
+    }
+    reader = ShardedLogicalStreamReader(opts)  # dumps + sentinels
+    assert reader._snap
+    # wipe one shard's snapshot dir entirely (no tombstone)
+    _sh.rmtree(snapshot_spool_dir(spool, "dslost_s0"))
+    with pytest.raises(RuntimeError, match="GONE"):
+        ShardedLogicalStreamReader(opts)
+    # normal consumption leaves a tombstone: init stays clean
+    del reader
+
+
+def test_iter_snapshot_rows_line_window_skips_parse(tmp_path):
+    """Round-13 review fix #3: lines outside the [lo, hi] window are
+    never json-parsed (pinned with invalid JSON outside the window) —
+    a rate-limited snapshot consumed in B chunks costs O(file lines)
+    per chunk, not O(rows x B) json work."""
+    from pqstream_spark.sources.logical_datasource import (
+        iter_snapshot_rows,
+    )
+
+    p = tmp_path / "rows.jsonl"
+    good = '["2026-01-01T00:00:00", "public", "t", "INSERT", "1", "{}"]'
+    p.write_text("GARBAGE\nGARBAGE\n" + good + "\n" + good + "\nGARBAGE\n")
+    out = list(iter_snapshot_rows(str(p), lo_line=2, hi_line=4))
+    assert [k for k, *_ in out] == [3, 4]
