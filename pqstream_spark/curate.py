@@ -777,8 +777,13 @@ def curate_stream(
         from .queries.llm import _semdedup_train_codebook
 
         if os.path.exists(sem_cb_path):
-            with open(sem_cb_path) as f:
-                return json.load(f)["codebook"]
+            try:
+                with open(sem_cb_path) as f:
+                    return json.load(f)["codebook"]
+            except (ValueError, KeyError):
+                # torn file from a pre-fsync crash: treat as absent
+                # and retrain (deterministic trainer — replay-stable)
+                pass
         sess = sq.sparkSession
         vtrain = f"_sem_stream_{_uuid.uuid4().hex[:8]}"
         sq.createOrReplaceTempView(vtrain)
@@ -791,6 +796,9 @@ def curate_stream(
             tmp = sem_cb_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"codebook": cs}, f)
+                f.flush()
+                os.fsync(f.fileno())  # durable like every other
+                # artifact this daemon replays from (ADVICE r13 low)
             os.replace(tmp, sem_cb_path)
         return cs
 

@@ -137,6 +137,16 @@ def ensure_snapshot_spool(runner, spill_dir: str, slot: str, marker: str,
         f.flush()
         os.fsync(f.fileno())
     os.replace(mtmp, os.path.join(d, "meta.json"))
+    # fsync the spool DIRECTORY before marking the Postgres-durable
+    # sentinel (ADVICE r13 low): the file contents are fsynced above,
+    # but the renames live in the directory — a host crash could lose
+    # them while the sentinel persists, turning the loud
+    # check_snapshot_not_lost recovery path into the only way out
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     pg_mark_bootstrap_done(runner, marker)
 
 
@@ -334,6 +344,14 @@ class LogicalStreamReader(DataSourceStreamReader):
         self._slot = options.get("slot", None) or self._poller.slot
         self._spill = options.get("spilldir") or None
         self._snap: dict | None = None
+        # True only when THIS query owns the snapshot range (planned
+        # it at bootstrap, or replayed a negative checkpoint start) —
+        # commit() must not retire a never-delivered spool just
+        # because files exist (ADVICE r13 medium: a crashed
+        # pre-delivery bootstrap followed by a non-bootstrap restart
+        # would tombstone the spool as 'consumed' and a later
+        # bootstrap=true run would silently skip the initial state)
+        self._snap_owned = False
         if str(options.get("bootstrap", "")).lower() in ("1", "true", "yes"):
             if self._spill is None:
                 raise ValueError(
@@ -372,6 +390,10 @@ class LogicalStreamReader(DataSourceStreamReader):
             snap = load_snapshot_spool(self._spill, self._slot)
             check_snapshot_not_lost(
                 self._spill, self._slot, self._poller.last_seq, snap)
+            # a bootstrap query owns whatever spool exists — including
+            # an n==0 dump, which has no rows to deliver but should
+            # still retire on the first durable commit
+            self._snap_owned = snap is not None
             if snap and snap["n"] > 0:
                 if self._poller.last_seq > 0:
                     raise ValueError(
@@ -499,6 +521,10 @@ class LogicalStreamReader(DataSourceStreamReader):
             snap = self._snap or (
                 load_snapshot_spool(self._spill, self._slot)
                 if self._spill else None)
+            # a replayed negative start means the checkpoint owns the
+            # snapshot range even if this reader was constructed
+            # without option bootstrap (fresh process, old checkpoint)
+            self._snap_owned = True
             if snap is None:
                 raise RuntimeError(
                     f"pqstream_logical: offset range starts at {lo} "
@@ -544,9 +570,12 @@ class LogicalStreamReader(DataSourceStreamReader):
         if end_seq >= 0 and self._spill is not None:
             # the engine durably finished the snapshot range: retire
             # the spool, leaving the consumption tombstone (idempotent
-            # — a restart re-commit no-ops)
+            # — a restart re-commit no-ops). Gated on ownership
+            # (ADVICE r13 medium): a query that never planned the
+            # snapshot must not tombstone somebody else's pending spool
             if (self._snap is not None
-                    or load_snapshot_spool(self._spill, self._slot)):
+                    or (self._snap_owned
+                        and load_snapshot_spool(self._spill, self._slot))):
                 retire_snapshot_spool(self._spill, self._slot)
                 self._snap = None
         if end_seq <= self._poller.last_seq:

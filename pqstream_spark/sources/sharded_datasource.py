@@ -237,6 +237,11 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
             )
         # live (unconsumed) per-shard bootstrap snapshots
         self._snap: dict[int, dict] = {}
+        # shards whose snapshot range THIS query owns (bootstrap
+        # planned it, or a replayed negative checkpoint start) —
+        # commit() must not retire a never-delivered spool just
+        # because files exist (ADVICE r13 medium)
+        self._snap_owned: set[int] = set()
         if boot:
             from .logical_datasource import (
                 check_snapshot_not_lost,
@@ -247,6 +252,10 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
                 snap = load_snapshot_spool(self._spill, p.slot)
                 check_snapshot_not_lost(
                     self._spill, p.slot, p.last_seq, snap)
+                if snap is not None:
+                    # includes n==0 dumps: nothing to deliver, but the
+                    # bootstrap query still owns (and retires) them
+                    self._snap_owned.add(i)
                 if snap and snap["n"] > 0:
                     if p.last_seq > 0:
                         raise PsqlError(
@@ -270,6 +279,7 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
         state = self.__dict__.copy()
         state["_gens"] = {}
         state["_snap"] = {}
+        state["_snap_owned"] = set()
         return state
 
     def _bootstrap_all(self, conninfo: str, options: dict,
@@ -596,7 +606,9 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
                 continue
             if lo < 0:
                 # bootstrap snapshot slice — replayed from the durable
-                # per-shard spool file on restart
+                # per-shard spool file on restart; the replayed
+                # negative start makes this query the spool's owner
+                self._snap_owned.add(i)
                 snap = self._snap.get(i) or load_snapshot_spool(
                     self._spill, p.slot)
                 if not snap:
@@ -721,9 +733,13 @@ class ShardedLogicalStreamReader(DataSourceStreamReader):
             if tgt >= 0:
                 # the engine durably finished the shard's snapshot
                 # range: retire its spool, leaving the consumption
-                # tombstone (idempotent on restart)
+                # tombstone (idempotent on restart). Ownership-gated
+                # (ADVICE r13 medium): a query that never planned the
+                # snapshot must not tombstone a pending spool
                 if (i in self._snap
-                        or load_snapshot_spool(self._spill, p.slot)):
+                        or (i in self._snap_owned
+                            and load_snapshot_spool(self._spill,
+                                                    p.slot))):
                     retire_snapshot_spool(self._spill, p.slot)
                     self._snap.pop(i, None)
             elif i in self._snap:

@@ -2075,3 +2075,52 @@ def test_logical_datasource_bootstrap(pg, spark, tmp_path):
     # the exported-snapshot switchover left REPLICA IDENTITY working:
     # the UPDATE carries its previous image
     assert rows[4].previous_json is not None
+
+
+def test_snapshot_spool_not_retired_by_non_owner(pg, tmp_path):
+    """ADVICE r14 medium: a bootstrap run that crashed PRE-delivery
+    leaves a pending spool; a later query constructed WITHOUT option
+    bootstrap (fresh checkpoint, start offsets >= 0) commits
+    non-negative offsets — it must NOT retire the spool and write a
+    'consumed' tombstone for a snapshot it never delivered, or the
+    next bootstrap=true run silently skips the entire initial state."""
+    from pqstream_spark.sources.logical_datasource import LogicalStreamReader
+
+    pg.createdb("boot_owner").sql(
+        NOTES_DDL + ";"
+        "INSERT INTO notes (created_at, note) VALUES (now(), 'pre-a'),"
+        " (now(), 'pre-b');")
+    conninfo = pg.conninfo("boot_owner")
+    spool = str(tmp_path / "ospool")
+    opts = {"url": f"postgres:{conninfo}", "slot": "pq_boot_owner",
+            "tableregexp": "notes", "spilldir": spool}
+
+    # bootstrap run dumps the spool, then "crashes" before delivering
+    # anything (no partitions, no commit)
+    boot = LogicalStreamReader({**opts, "bootstrap": "true"})
+    assert boot.initialOffset() == {"seq": -2}
+    snap_d = os.path.join(spool, "pq_boot_owner", "snapshot")
+    assert os.path.exists(os.path.join(snap_d, "rows.jsonl"))
+
+    # restart WITHOUT bootstrap on a fresh checkpoint: never plans the
+    # snapshot, commits a non-negative offset — the pending spool must
+    # survive untombstoned
+    plain = LogicalStreamReader(opts)
+    assert plain.initialOffset() == {"seq": 0}
+    plain.commit({"seq": 0})
+    assert os.path.exists(os.path.join(snap_d, "rows.jsonl")), (
+        "non-owner commit retired a pending bootstrap spool")
+    assert not os.path.exists(os.path.join(snap_d, "retired"))
+
+    # the initial state is still deliverable: a bootstrap=true reader
+    # picks the spool up (sentinel already set — no re-dump needed)
+    boot2 = LogicalStreamReader({**opts, "bootstrap": "true"})
+    assert boot2.initialOffset() == {"seq": -2}
+    parts = boot2.partitions({"seq": -2}, {"seq": 0})
+    rows = [r for p in parts for r in boot2.read(p)]
+    assert sorted(json.loads(r[6])["note"] for r in rows) == [
+        "pre-a", "pre-b"]
+    # ... and the OWNER's post-snapshot commit does retire it
+    boot2.commit({"seq": 0})
+    assert not os.path.exists(os.path.join(snap_d, "rows.jsonl"))
+    assert os.path.exists(os.path.join(snap_d, "retired"))
