@@ -191,10 +191,33 @@ def main() -> None:
             if col:
                 branch_col[n] = col
 
+    # calib gating (round 14, VERDICT r13 #5 / what's-wrong #3): a
+    # degraded host makes both the raw totals AND the normalized
+    # quotient unreliable (the canaries are not shaped like the
+    # entries, so value_norm OVERcorrects on a 2.6x-degraded host).
+    # When the pre-run canary lands outside the healthy band, wait and
+    # retry a few times so the measured window starts on a healthy
+    # host; if it never recovers, run anyway and label the artifact —
+    # the driver needs a BENCH line either way.
+    healthy = float(os.environ.get("BENCH_CALIB_HEALTHY", "1.6"))
+    retries = int(os.environ.get("BENCH_CALIB_RETRIES", "3"))
+    wait_s = float(os.environ.get("BENCH_CALIB_WAIT", "60"))
     calib = _calibrate(spark)
     calib_total = round(sum(calib.values()), 3)
     print(f"host calibration: {calib} (total {calib_total}s)",
           file=sys.stderr, flush=True)
+    for attempt in range(retries):
+        if calib_total <= healthy:
+            break
+        print(f"host degraded (calib {calib_total}s > {healthy}s): "
+              f"waiting {wait_s:.0f}s before retry "
+              f"{attempt + 1}/{retries}", file=sys.stderr, flush=True)
+        time.sleep(wait_s)
+        _reclaim(spark)
+        calib = _calibrate(spark)
+        calib_total = round(sum(calib.values()), 3)
+        print(f"host calibration (retry): {calib} "
+              f"(total {calib_total}s)", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
@@ -472,6 +495,16 @@ def main() -> None:
                 # value_norm round-over-round; `value` stays the raw
                 # wall total for same-host absolute throughput.
                 "value_norm": round(total_min / max(calib_total, 1.0), 3),
+                # normalization validity band (round 14, VERDICT r13
+                # what's-wrong #3): value_norm assumes engine time
+                # scales 1:1 with canary time, which holds near the
+                # healthy band and OVERcorrects far outside it. Only
+                # compare value_norm across rounds when both rounds
+                # are calib_band != "severe" (calib <= ~2x healthy).
+                "calib_band": (
+                    "healthy" if calib_total <= 1.6
+                    else "degraded" if calib_total <= 3.0
+                    else "severe"),
             }
         )
     )

@@ -411,6 +411,10 @@ class LogicalStreamReader(DataSourceStreamReader):
         self._staged_rows: list[tuple] = []
         self._boundaries: dict[int, tuple[str, int]] = {}
         self._reported = self._poller.last_seq
+        # snapshot-phase rate-limit floor (ADVICE r13 low #3): the
+        # largest snapshot offset this process has reported; seeds
+        # from the durable consumed.json via _snap["consumed"]
+        self._snap_reported = -(2 ** 63)
 
     def __getstate__(self) -> dict:
         """pyspark pickles the reader into the executor-side read
@@ -456,6 +460,24 @@ class LogicalStreamReader(DataSourceStreamReader):
         last report, the window escalates until it does (bounded by
         max_peek); an empty stage never escalates here (idle polls
         must stay one cheap peek)."""
+        if self._snap is not None:
+            # snapshot-phase rate limit (ADVICE r13 low #3): a large
+            # bootstrap consumes as bounded micro-batches with durable
+            # incremental progress instead of one unbounded first
+            # batch — any snapshot row index is a valid boundary, so
+            # rows chunk at exactly maxChangesPerBatch. The floor is
+            # rebuilt from consumed.json across restarts (the engine
+            # may call latestOffset before replaying partitions()).
+            c = self._snap.get("consumed")
+            base = max(c if c is not None else -self._snap["n"],
+                       self._snap_reported)
+            if base < 0:
+                nxt = min(0, base + self._poller.max_changes)
+                self._snap_reported = nxt
+                if nxt < 0:
+                    return {"seq": nxt}
+                # snapshot fully reported: fall through — the final
+                # chunk's batch also picks up any pending changelog
         self._stage()
         upto = self._poller.max_changes
         while (self._staged_rows
@@ -567,6 +589,14 @@ class LogicalStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         end_seq = int(end["seq"])
+        if (end_seq < 0 and self._spill is not None
+                and self._snap is not None):
+            # mid-snapshot commit: durably anchor the progress so a
+            # restarted engine's first latestOffset rate-limits from
+            # HERE, not the snapshot start (the sharded reader's
+            # round-13 fix, applied to the single-slot surface)
+            record_snapshot_progress(self._spill, self._slot, end_seq)
+            self._snap["consumed"] = end_seq
         if end_seq >= 0 and self._spill is not None:
             # the engine durably finished the snapshot range: retire
             # the spool, leaving the consumption tombstone (idempotent
@@ -618,4 +648,27 @@ class LogicalDataSource(DataSource):
             from .sharded_datasource import ShardedLogicalStreamReader
 
             return ShardedLogicalStreamReader(self.options)
+        if (self.options.get("plugin", "test_decoding") == "pgoutput"
+                and self.options.get("spilldir")):
+            # round 14 (VERDICT r13 #3): the shard-less pgoutput+spool
+            # surface rides the sharded machinery with shards=1 and
+            # EXACT slot/publication names — executor-side spool
+            # parse, drain-time sidecar, seekable slices, rate-limited
+            # snapshot/backlog chunking; the LAST driver-byte path
+            # (LogicalStreamReader's driver-side decode-and-ship,
+            # stated in the module docstring) is gone from the
+            # engine-native default. Legacy {"seq": n} checkpoints
+            # map to shard 0 (ShardedLogicalStreamReader._norm_off).
+            from .pgoutput_pg import DEFAULT_PUBLICATION
+            from .logical_pg import DEFAULT_SLOT
+            from .sharded_datasource import ShardedLogicalStreamReader
+
+            opts = dict(self.options)
+            opts.setdefault("slot", DEFAULT_SLOT)
+            opts.setdefault("publication", DEFAULT_PUBLICATION)
+            # the single-slot reader's default rate limit carries over
+            opts.setdefault("maxchangesperbatch", "100000")
+            opts["shards"] = "1"
+            opts["exactnames"] = "true"
+            return ShardedLogicalStreamReader(opts)
         return LogicalStreamReader(self.options)

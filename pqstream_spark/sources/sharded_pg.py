@@ -66,6 +66,16 @@ DEFAULT_SHARD_SLOT = "pqstream_shard"
 DEFAULT_SHARD_PUB = "pqstream_pub_shard"
 
 
+def shard_slot(prefix: str, i: int, exact: bool = False) -> str:
+    """Shard i's slot/publication name. `exact` (round 14, VERDICT
+    r13 #3) is the single-slot compatibility mode: the 'prefix' IS the
+    full name — shards=1 machinery driving a slot/publication a
+    single-slot deployment already installed (no `_s0` suffix), so the
+    single-slot DataSource surface can ride the sharded executor-side
+    spool/sidecar path without renaming anything."""
+    return prefix if exact else f"{prefix}_s{i}"
+
+
 def shard_bootstrap_marker(i: int) -> str:
     """Per-shard exactly-once bootstrap sentinel. MUST end with
     '#bootstrap': both compact() implementations key outbox retention
@@ -134,14 +144,18 @@ class ShardedPgOutputCapture:
     def __init__(self, runner: PsqlRunner, n_shards: int,
                  slot_prefix: str = DEFAULT_SHARD_SLOT,
                  publication_prefix: str = DEFAULT_SHARD_PUB,
-                 table_regexp: str | None = None) -> None:
+                 table_regexp: str | None = None,
+                 exact_names: bool = False) -> None:
         if n_shards < 1:
             raise ValueError("n_shards must be >= 1")
+        if exact_names and n_shards != 1:
+            raise ValueError("exact_names requires n_shards == 1")
         self.runner = runner
         self.n_shards = n_shards
         self.slot_prefix = slot_prefix
         self.publication_prefix = publication_prefix
         self.table_regexp = table_regexp
+        self.exact_names = exact_names
 
     def discover_tables(self) -> list[str]:
         rows = self.runner.query_csv(DISCOVER_TABLES_SQL)
@@ -159,8 +173,9 @@ class ShardedPgOutputCapture:
     def _manager(self, i: int, tables: list[str]) -> PgOutputCaptureManager:
         return PgOutputCaptureManager(
             self.runner,
-            slot=f"{self.slot_prefix}_s{i}",
-            publication=f"{self.publication_prefix}_s{i}",
+            slot=shard_slot(self.slot_prefix, i, self.exact_names),
+            publication=shard_slot(self.publication_prefix, i,
+                                   self.exact_names),
             table_regexp=_anchored_regexp(tables),
         )
 
@@ -179,8 +194,9 @@ class ShardedPgOutputCapture:
         for i in range(self.n_shards):
             mgr = PgOutputCaptureManager(
                 self.runner,
-                slot=f"{self.slot_prefix}_s{i}",
-                publication=f"{self.publication_prefix}_s{i}",
+                slot=shard_slot(self.slot_prefix, i, self.exact_names),
+                publication=shard_slot(self.publication_prefix, i,
+                                       self.exact_names),
                 # remove() resets replica identity on discovered
                 # tables; scope to this capture's regexp so shard 0's
                 # remove doesn't touch unrelated tables
@@ -216,6 +232,11 @@ class ShardedPgOutputPoller:
     # v2 streamed in-progress transactions per shard.
     spill_dir: str | None = None
     streaming: bool = False
+    # single-slot compatibility (round 14, VERDICT r13 #3): exact
+    # slot/publication names, optional client-side table filter —
+    # the single-slot DataSource surface riding this machinery
+    exact_names: bool = False
+    table_regexp: str | None = None
     shard_ids: tuple[int, ...] = ()
     _pollers: dict[int, PgOutputPoller] = field(default_factory=dict,
                                                 repr=False)
@@ -227,27 +248,39 @@ class ShardedPgOutputPoller:
         """`shard_ids` defaults to every shard whose slot exists (the
         install-time assignment may have skipped empty shards)."""
         p = cls(conninfo=conninfo, n_shards=n_shards, **kw)
+        if p.exact_names and p.n_shards != 1:
+            raise ValueError("exact_names requires n_shards == 1")
         if shard_ids is None:
             probe = PsqlRunner(conninfo)
-            rows = probe.query_csv(
-                "SELECT slot_name FROM pg_replication_slots "
-                f"WHERE slot_name LIKE "
-                f"'{p.slot_prefix}_s%' AND database = current_database()"
-            )
-            prefix = f"{p.slot_prefix}_s"
-            shard_ids = tuple(sorted(
-                int(r["slot_name"][len(prefix):]) for r in rows
-                if r["slot_name"].startswith(prefix)
-                and r["slot_name"][len(prefix):].isdigit()
-            ))
+            if p.exact_names:
+                n = probe.scalar(
+                    "SELECT count(*) FROM pg_replication_slots "
+                    f"WHERE slot_name = '{p.slot_prefix}' "
+                    "AND database = current_database()")
+                shard_ids = (0,) if int(n or 0) else ()
+            else:
+                rows = probe.query_csv(
+                    "SELECT slot_name FROM pg_replication_slots "
+                    f"WHERE slot_name LIKE "
+                    f"'{p.slot_prefix}_s%' "
+                    "AND database = current_database()"
+                )
+                prefix = f"{p.slot_prefix}_s"
+                shard_ids = tuple(sorted(
+                    int(r["slot_name"][len(prefix):]) for r in rows
+                    if r["slot_name"].startswith(prefix)
+                    and r["slot_name"][len(prefix):].isdigit()
+                ))
         p.shard_ids = tuple(shard_ids)
         for i in p.shard_ids:
             p._pollers[i] = PgOutputPoller.open_durable(
                 PsqlRunner(p.conninfo),  # one runner per shard: the
                 # parallel drain must not serialize on shared state
-                slot=f"{p.slot_prefix}_s{i}",
+                slot=shard_slot(p.slot_prefix, i, p.exact_names),
                 consumer=p.consumer,
-                publication=f"{p.publication_prefix}_s{i}",
+                publication=shard_slot(p.publication_prefix, i,
+                                       p.exact_names),
+                table_regexp=p.table_regexp,
                 max_changes=p.max_changes,
                 max_peek=p.max_peek,
                 spill_dir=p.spill_dir,

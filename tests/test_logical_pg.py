@@ -2124,3 +2124,106 @@ def test_snapshot_spool_not_retired_by_non_owner(pg, tmp_path):
     boot2.commit({"seq": 0})
     assert not os.path.exists(os.path.join(snap_d, "rows.jsonl"))
     assert os.path.exists(os.path.join(snap_d, "retired"))
+
+
+def test_single_slot_pgoutput_delegates_to_spool_path(pg, tmp_path,
+                                                      monkeypatch):
+    """Round 14 (VERDICT r13 #3): the shard-less `pqstream_logical`
+    surface with plugin=pgoutput + spillDir rides the sharded
+    spool+sidecar machinery (shards=1, EXACT slot/publication names) —
+    executor-side parse, driver never walks spool bytes (the stubbed
+    light scan proves the sidecar path carries it), and a legacy
+    single-slot {"seq": n} checkpoint offset maps to shard 0."""
+    from pqstream_spark.sources.logical_datasource import LogicalDataSource
+    from pqstream_spark.sources.pgoutput_pg import PgOutputCaptureManager, PgOutputPoller
+    from pqstream_spark.sources.sharded_datasource import (
+        ShardedLogicalStreamReader,
+    )
+
+    r = pg.createdb("uni_ds")
+    r.sql(NOTES_DDL + ";")
+    PgOutputCaptureManager(
+        r, slot="po_uni", publication="pub_uni",
+        table_regexp="notes").install()
+    r.sql("INSERT INTO notes (created_at, note) VALUES (now(), 'a'),"
+          " (now(), 'b'), (now(), 'c');")
+    opts = {"url": f"postgres:{pg.conninfo('uni_ds')}",
+            "plugin": "pgoutput", "slot": "po_uni",
+            "publication": "pub_uni", "consumer": "uni",
+            "spilldir": str(tmp_path / "uspool")}
+
+    def _boom(self, seg_dir):
+        raise AssertionError(
+            "driver walked spool bytes on the single-slot surface")
+
+    monkeypatch.setattr(PgOutputPoller, "_spool_scan_light", _boom)
+    reader = LogicalDataSource(options=opts).streamReader(None)
+    assert isinstance(reader, ShardedLogicalStreamReader), (
+        "single-slot pgoutput+spillDir did not delegate to the "
+        "spool path")
+    start = reader.initialOffset()
+    assert start == {"0": 0}
+    end = reader.latestOffset()
+    rows = [row for part in reader.partitions(start, end)
+            for row in reader.read(part)]
+    assert sorted(json.loads(x[6])["note"] for x in rows) == [
+        "a", "b", "c"]
+    assert [x[0] for x in rows] == [1, 2, 3]  # n_shards=1 == local seqs
+    reader.commit(end)
+
+    # legacy {"seq": n} offsets (a pre-round-14 single-slot
+    # checkpoint) normalize to shard 0 on replay AND commit
+    r.sql("INSERT INTO notes (created_at, note) VALUES (now(), 'd');")
+    end2 = reader.latestOffset()
+    rows2 = [row for part in reader.partitions({"seq": 3}, end2)
+             for row in reader.read(part)]
+    assert [json.loads(x[6])["note"] for x in rows2] == ["d"]
+    reader.commit({"seq": int(end2["0"])})
+
+
+def test_single_slot_snapshot_rate_limit(pg, tmp_path):
+    """ADVICE r14 low #3: single-slot bootstrap consumes the snapshot
+    as BOUNDED micro-batches under maxChangesPerBatch, with durable
+    mid-snapshot progress (consumed.json) so a restarted engine's
+    first latestOffset resumes from the anchor instead of re-planning
+    committed snapshot rows."""
+    from pqstream_spark.sources.logical_datasource import LogicalStreamReader
+
+    pg.createdb("chunk_boot").sql(
+        NOTES_DDL + ";"
+        "INSERT INTO notes (created_at, note) "
+        "SELECT now(), 'pre-' || g FROM generate_series(1, 5) g;")
+    spool = str(tmp_path / "cspool")
+    opts = {"url": f"postgres:{pg.conninfo('chunk_boot')}",
+            "slot": "pq_chunk_boot", "tableregexp": "notes",
+            "spilldir": spool, "bootstrap": "true",
+            "maxchangesperbatch": "2"}
+
+    reader = LogicalStreamReader(opts)
+    assert reader.initialOffset() == {"seq": -5}
+    assert reader.latestOffset() == {"seq": -3}  # first bounded chunk
+    rows = [r2 for p in reader.partitions({"seq": -5}, {"seq": -3})
+            for r2 in reader.read(p)]
+    assert len(rows) == 2
+    reader.commit({"seq": -3})
+    snap_d = os.path.join(spool, "pq_chunk_boot", "snapshot")
+    assert os.path.exists(os.path.join(snap_d, "consumed.json"))
+    assert reader.latestOffset() == {"seq": -1}
+
+    # restart mid-snapshot: the FIRST engine call is latestOffset —
+    # it must resume from the durable anchor, not the snapshot start
+    reader2 = LogicalStreamReader(opts)
+    off = reader2.latestOffset()
+    assert off == {"seq": -1}
+    rows = [r2 for p in reader2.partitions({"seq": -3}, {"seq": -1})
+            for r2 in reader2.read(p)]
+    assert len(rows) == 2
+    reader2.commit({"seq": -1})
+    off = reader2.latestOffset()
+    assert off["seq"] >= 0  # final chunk crosses into the changelog
+    rows = [r2 for p in reader2.partitions({"seq": -1}, off)
+            for r2 in reader2.read(p)]
+    assert len([x for x in rows if x[0] < 0]) == 1  # last snapshot row
+    reader2.commit(off)
+    assert not os.path.exists(os.path.join(snap_d, "rows.jsonl"))
+    assert os.path.exists(os.path.join(snap_d, "retired"))
