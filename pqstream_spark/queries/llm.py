@@ -329,15 +329,22 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     # (Pre-partitioning by the join key before the checkpoint would be
     # pointless: LogicalRDD drops partitioning info, so each round's
     # join re-shuffles the narrow edge list regardless.)
-    edges = edges.localCheckpoint()
-    # the checkpoint is already materialized, so this count is a cheap
-    # metadata-ish action — it buys the broadcast decision below (the
-    # LogicalRDD has no size stats, so AQE cannot make it for us; the
-    # label frame is bounded by the node count ≤ 2·edges)
+    # LAZY checkpoints throughout (round 14, guide §5): every frame
+    # here is immediately consumed by a 1-row driver aggregate (the
+    # count / the convergence sum), so eager=False folds the
+    # materialization into that aggregate's job — one driver-blocking
+    # job per round instead of two, same materialized blocks.
+    edges = edges.localCheckpoint(eager=False)
+    # this count materializes the checkpoint AND buys the broadcast
+    # decision below (the LogicalRDD has no size stats, so AQE cannot
+    # make it for us; the label frame is bounded by the node count
+    # ≤ 2·edges)
     small_graph = edges.count() <= PROPAGATE_BROADCAST_EDGES
     _maybe_b = F.broadcast if small_graph else (lambda df: df)
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint(
+        eager=False
+    )
     _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(_sum).collect()[0][0]
     converged = False
@@ -350,7 +357,7 @@ def propagate_min_labels(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
             labels.unionAll(propagated)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(_sum).collect()[0][0]
         if cur_sum == prev_sum:
@@ -432,17 +439,25 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
 
     from pyspark.sql import functions as F
 
+    # checkpoint the PAIRS once (lazily) and derive both nodes and
+    # edges from it: previously nodes and edges each materialized their
+    # own checkpoint directly over `pairs`, so the (possibly expensive)
+    # candidate-generation upstream executed TWICE — once per eager
+    # checkpoint job (round 14, guide §2.4: don't compute things twice).
+    # Lazy round checkpoints fold each round's materialization into its
+    # convergence-signature aggregate — one driver-blocking job per
+    # round instead of two.
+    pairs = pairs.localCheckpoint(eager=False)
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
-    edges = pairs.filter(F.col("doc_a") != F.col("doc_b")).localCheckpoint()
+    edges = pairs.filter(F.col("doc_a") != F.col("doc_b"))
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # convergence = edge multiset fixed point; count + order-free
         # hash-sum is one aggregation over the checkpointed frame (no
         # exceptAll shuffle). A 64-bit hash collision between rounds
@@ -554,11 +569,16 @@ def dedup_corpus(corpus: DataFrame) -> DataFrame:
     # materialized partitions across executors regardless of the
     # upstream file layout — the three downstream consumers then read
     # evenly-sized partitions.
+    # lazy (round 14): the first consumer is propagate_min_labels'
+    # edge-materializing count, which folds this materialization into
+    # its own job instead of paying a separate driver-blocking job at
+    # build time; the LogicalRDD barrier against CollapseProject
+    # re-inlining is identical either way.
     sh_raw = (
         corpus.selectExpr("doc_id", f"{TOK_SPARK} AS tok")
         .selectExpr("doc_id", f"{SHINGLE_SPARK} AS sh")
         .repartition("doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sig = (
         sh_raw.selectExpr("doc_id", "explode(sh) AS s")
@@ -772,7 +792,7 @@ def _dot6_expr(a: str, b: str, spark: bool) -> str:
             f"i -> {a}[i] * {b}[i])), 6)")
 
 
-def _nn_label_sql(spark: bool) -> str:
+def _nn_label_sql(spark: bool, base: str | None = None) -> str:
     """Per-vector nearest neighbour within its label cluster (embedding
     near-dup detection: flag if cosine >= 0.8).
 
@@ -795,10 +815,23 @@ def _nn_label_sql(spark: bool) -> str:
     nv = _norm_vec_expr(spark)
     n2 = _norm2_expr(spark)
     dot = _dot6_expr("a.nv", "b.nv", spark)
-    return f"""
-WITH nz AS (SELECT vec_id, label, embedding FROM embeddings WHERE {n2} > 0),
+    if base:
+        # Spark side (round 14): `base` is a MATERIALIZED
+        # (vec_id, label, nv, bucket) view — sg was previously inlined
+        # into BOTH join sides, computing normalize+hyperplane
+        # signature twice per corpus pass. (A static 64-term dot here
+        # was tried and REVERTED: library callers and tests shadow
+        # `embeddings` with other dims, and the fold is dim-agnostic.)
+        head = (f"WITH sg AS (SELECT vec_id, label, nv, bucket "
+                f"FROM {base}),\n"
+                "lw AS (SELECT label, COUNT(*) AS w FROM sg "
+                "GROUP BY label),")
+    else:
+        head = f"""WITH nz AS (SELECT vec_id, label, embedding FROM embeddings WHERE {n2} > 0),
 lw AS (SELECT label, COUNT(*) AS w FROM nz GROUP BY label),
-sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM nz),
+sg AS (SELECT vec_id, label, {nv} AS nv, {sig} AS bucket FROM nz),"""
+    return f"""
+{head}
 pairs AS (
   SELECT a.vec_id, b.vec_id AS nn_vec_id, a.label, {dot} AS cos
   FROM sg a JOIN lw ON lw.label = a.label AND lw.w <= {NN_LABEL_CAP}
@@ -1819,6 +1852,18 @@ SELECT doc_a, doc_b, {ham} AS hamming FROM sp
 """
 
 
+def _nn_sg_std(spark: bool) -> str:
+    """Standalone SELECT for the embedding_nn branch's normalized+
+    bucketed relation (vec_id, label, nv, bucket) — materialized by
+    q_pairwise (see `_nn_label_sql` base param)."""
+    sig = _hyperplane_sig_spark() if spark else _hyperplane_sig_duck()
+    nv = _norm_vec_expr(spark)
+    n2 = _norm2_expr(spark)
+    return (f"SELECT vec_id, label, {nv} AS nv, {sig} AS bucket "
+            f"FROM (SELECT vec_id, label, embedding FROM embeddings "
+            f"WHERE {n2} > 0) nz")
+
+
 # An n-gram in more than this many training docs is boilerplate, not
 # contamination signal — and each occurrence multiplies the
 # inverted-index join. Sized so genuinely-shared content survives the
@@ -1826,7 +1871,8 @@ SELECT doc_a, doc_b, {ham} AS hamming FROM sp
 DECON_DF_CAP = 50
 
 
-def _decontam_sql(spark: bool) -> str:
+def _decontam_sql(spark: bool, train_ex_src: str | None = None,
+                  test_ex_src: str | None = None) -> str:
     """Train/test decontamination — the benchmark-leakage sweep every
     pretraining pipeline runs before training: flag training documents
     whose n-grams CONTAIN a benchmark/test item (directional
@@ -1873,12 +1919,43 @@ WITH test_base AS (
   SELECT doc_id + 500000 AS test_id, substring(text, 1, 120) AS text
   FROM documents WHERE doc_id % 97 = 0
 ),
-{_decontam_core_sql(spark, train_src='documents', test_src='test_base')}"""
+{_decontam_core_sql(spark, train_src='documents', test_src='test_base',
+                    train_ex_src=train_ex_src, test_ex_src=test_ex_src)}"""
+
+
+def _decontam_train_ex_std(spark: bool) -> str:
+    """Standalone SELECT producing the catalog entry's exploded TRAIN
+    shingle relation (doc_id, s) — materialized by q_pairwise so the
+    boilerplate count and the rare-shingle side stop re-tokenizing the
+    corpus once each (Spark inlines CTEs). Must stay textually in step
+    with `_decontam_core_sql`'s train_tok/train_ex CTEs."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
+    distinct = "array_distinct" if spark else "list_distinct"
+    explode_fn = "explode" if spark else "unnest"
+    return (f"SELECT doc_id, {explode_fn}({distinct}({sh})) AS s "
+            f"FROM (SELECT doc_id, {tok} AS tok FROM documents) train_tok")
+
+
+def _decontam_test_ex_std(spark: bool) -> str:
+    """Standalone SELECT for the exploded synthetic TEST shingle
+    relation (test_id, s) — the `_decontam_sql` test_base chain."""
+    tok = TOK_SPARK if spark else TOK_DUCK
+    sh = SHINGLE_SPARK if spark else SHINGLE_DUCK
+    distinct = "array_distinct" if spark else "list_distinct"
+    explode_fn = "explode" if spark else "unnest"
+    return (f"SELECT test_id, {explode_fn}({distinct}({sh})) AS s "
+            f"FROM (SELECT test_id, {tok} AS tok FROM "
+            f"(SELECT doc_id + 500000 AS test_id, "
+            f"substring(text, 1, 120) AS text "
+            f"FROM documents WHERE doc_id % 97 = 0) test_base) test_tok")
 
 
 def _decontam_core_sql(spark: bool, train_src: str, test_src: str,
                        threshold: float = 0.5, min_shingles: int = 5,
-                       df_cap: int = DECON_DF_CAP) -> str:
+                       df_cap: int = DECON_DF_CAP,
+                       train_ex_src: str | None = None,
+                       test_ex_src: str | None = None) -> str:
     """The decontamination sweep over ARBITRARY train/test relations —
     `train_src` provides (doc_id, text), `test_src` (test_id, text).
     Emitted WITHOUT a leading WITH so callers prepend their own CTEs
@@ -1897,10 +1974,24 @@ def _decontam_core_sql(spark: bool, train_src: str, test_src: str,
     test_ex = (
         f"SELECT test_id, {explode_fn}({distinct}({sh})) AS s FROM test_tok"
     )
-    return f"""train_tok AS (SELECT doc_id, {tok} AS tok FROM {train_src}),
-train_ex AS ({train_ex}),
-test_tok AS (SELECT test_id, {tok} AS tok FROM {test_src}),
-test_ex AS ({test_ex}),
+    # materialized exploded relations (Spark side of the catalog
+    # entry, round 14): train_ex/test_ex are each read twice below
+    # (boilerplate count + the anti-joined rare side), and Spark
+    # inlines CTEs — the view form tokenizes each corpus once.
+    if train_ex_src:
+        train_block = f"train_ex AS (SELECT doc_id, s FROM {train_ex_src})"
+    else:
+        train_block = (
+            f"train_tok AS (SELECT doc_id, {tok} AS tok FROM {train_src}),\n"
+            f"train_ex AS ({train_ex})")
+    if test_ex_src:
+        test_block = f"test_ex AS (SELECT test_id, s FROM {test_ex_src})"
+    else:
+        test_block = (
+            f"test_tok AS (SELECT test_id, {tok} AS tok FROM {test_src}),\n"
+            f"test_ex AS ({test_ex})")
+    return f"""{train_block},
+{test_block},
 boiler AS (
   SELECT s FROM train_ex GROUP BY s HAVING COUNT(*) > {df_cap}
 ),
@@ -2429,6 +2520,25 @@ _SEMDEDUP_MEMO: dict[tuple, tuple[list, dict]] = {}
 _SEMDEDUP_MEMO_CAP = 8
 
 
+def _ivf_memo_key(spark: SparkSession) -> tuple | None:
+    """(appId, embeddings-plan semanticHash, row count, max vec_id) —
+    the `_semdedup_memo_key` discipline applied to the embeddings
+    corpus (round 14): plan identity covers sf_dir and shadow_views
+    substitutions, the (count, max) fingerprint catches in-place data
+    changes under an unchanged plan."""
+    try:
+        h = int(
+            spark.table("embeddings")._jdf.queryExecution()  # noqa: SLF001
+            .analyzed().semanticHash()
+        )
+        n, mx = spark.sql(
+            "SELECT COUNT(*), MAX(vec_id) FROM embeddings").first()
+        return (spark.sparkContext.applicationId, h,
+                int(n or 0), int(mx or 0))
+    except Exception:
+        return None  # catalog unavailable: just don't memoize
+
+
 def _semdedup_memo_key(spark: SparkSession) -> tuple | None:
     """(appId, documents-plan semanticHash, row count, max doc_id).
     The (count, max) pair is the cheap corpus fingerprint (ADVICE r12
@@ -2763,7 +2873,8 @@ def _semdedup_assign_df(df: DataFrame,
 
 
 def _semdedup_cross_df(spark: SparkSession, query_df: DataFrame,
-                       corpus_df: DataFrame) -> DataFrame:
+                       corpus_df: DataFrame,
+                       widths: dict | None = None) -> DataFrame:
     """Asymmetric SemDeDup decision (round 14, VERDICT r13 what's-wrong
     #1): for each QUERY row, the smallest CORPUS id sharing its cell
     with quantized cosine >= tau — the accumulated-corpus check the
@@ -2803,9 +2914,14 @@ def _semdedup_cross_df(spark: SparkSession, query_df: DataFrame,
 
     qcells = query_df.select("cell").distinct()
     pruned = corpus_df.join(F.broadcast(qcells), "cell", "left_semi")
-    widths = {r["cell"]: int(r["n"]) for r in
-              pruned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-              .collect()}
+    if widths is None:
+        # one eager driver round-trip; certified callers with a memo
+        # key pass the memoized dict instead (round 14 — this collect
+        # used to run the whole assign chain at BUILD time on every
+        # invocation of the semantic_cross catalog branch)
+        widths = {r["cell"]: int(r["n"]) for r in
+                  pruned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
     if not widths:
         return spark.createDataFrame([], "doc_id long, sem_dup_of long")
     over = {c: w for c, w in widths.items()
@@ -3017,20 +3133,48 @@ def _semantic_cross_spark_df(spark: SparkSession, vsq: str,
         return spark.createDataFrame(
             [], "id_a long, id_b long, cos double")
     shape = ("CAST(cid AS BIGINT) AS cell", "qv", "n2q")
-    return _semdedup_cross_df(
-        spark,
-        _semdedup_assign_df(sq.where("vec_id >= 100000"), cs)
-        .selectExpr("vec_id AS doc_id", *shape),
-        _semdedup_assign_df(corpus, cs)
-        .selectExpr("vec_id AS doc_id", *shape),
-    ).selectExpr("doc_id AS id_a", "sem_dup_of AS id_b", "cos")
+    # LAZY checkpoints on both assignment frames (round 14): each side
+    # is read twice downstream (query: distinct-cells broadcast + the
+    # chunk-replicated pair scan; corpus: width accounting + the owned
+    # rows) — without the barrier the mapInPandas assign chain re-runs
+    # per consumer inside the union action.
+    qdf = (_semdedup_assign_df(sq.where("vec_id >= 100000"), cs)
+           .selectExpr("vec_id AS doc_id", *shape)
+           .localCheckpoint(eager=False))
+    cdf = (_semdedup_assign_df(corpus, cs)
+           .selectExpr("vec_id AS doc_id", *shape)
+           .localCheckpoint(eager=False))
+    # widths memo (round 14, the _semdedup_spark_df discipline): the
+    # pruned-cell width dict is a deterministic function of the corpus
+    # key — computing it cost a BUILD-time eager collect (assign chain
+    # + groupBy) on every catalog invocation; warm calls now skip it
+    from pyspark.sql import functions as F
+
+    wkey = (*memo_key, "cross_widths", k) if memo_key else None
+    wmemo = _SEMDEDUP_MEMO.get(wkey) if wkey else None
+    widths = wmemo[1] if wmemo else None
+    if widths is None:
+        widths = {
+            r["cell"]: int(r["n"]) for r in
+            cdf.join(F.broadcast(qdf.select("cell").distinct()),
+                     "cell", "left_semi")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+        if wkey:
+            while len(_SEMDEDUP_MEMO) >= _SEMDEDUP_MEMO_CAP:
+                _SEMDEDUP_MEMO.pop(next(iter(_SEMDEDUP_MEMO)))
+            _SEMDEDUP_MEMO[wkey] = ([], widths)
+    return _semdedup_cross_df(spark, qdf, cdf, widths=widths).selectExpr(
+        "doc_id AS id_a", "sem_dup_of AS id_b", "cos")
 
 
 def _pairwise_scores_sql(spark: bool,
                          longrun_base: str | None = None,
                          semdedup_view: str | None = None,
                          semdedup_np2_view: str | None = None,
-                         semantic_cross_view: str | None = None) -> str:
+                         semantic_cross_view: str | None = None,
+                         nn_base: str | None = None,
+                         decon_train_ex: str | None = None,
+                         decon_test_ex: str | None = None) -> str:
     """n-gram Jaccard ∪ SimHash hamming (both over the documents
     original↔near-copy pairs) ∪ per-label embedding nearest neighbour
     ∪ train/test decontamination ∪ (round 6) exact-substring
@@ -3045,7 +3189,7 @@ def _pairwise_scores_sql(spark: bool,
         spark,
     )
     simhash = _simhash_pairs_sql(spark)
-    nn = _nn_label_sql(spark)
+    nn = _nn_label_sql(spark, base=nn_base)
     return f"""
 SELECT 'ngram_jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, jaccard AS score,
@@ -3065,7 +3209,8 @@ UNION ALL
 SELECT 'decontaminate' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, containment AS score,
        containment >= 0.8 AS near_dup
-FROM ({_decontam_sql(spark).strip()})
+FROM ({_decontam_sql(spark, train_ex_src=decon_train_ex,
+                     test_ex_src=decon_test_ex).strip()})
 UNION ALL
 SELECT 'longest_run' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b,
@@ -3151,15 +3296,39 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
         spark, vsq, k=semdedup_auto_k(mk[2]) if mk else None,
         memo_key=mk,
     ).createOrReplaceTempView(vxc)
+    # round 14: three more shared relations materialized (lazy
+    # localCheckpoint — they fold into the union action) so branches
+    # stop recomputing chains that Spark's CTE inlining duplicates AND
+    # that the count() action genuinely needs (column pruning cannot
+    # skip them — the nn cosine feeds the rn=1 filter, the decontam
+    # shingle sides feed the containment threshold): the embedding_nn
+    # normalized+bucketed relation (read by both join sides) and the
+    # decontam exploded train/test shingle
+    # relations (each read by the boilerplate count AND the rare
+    # side). The simhash fingerprint was deliberately NOT materialized:
+    # its score column is pruned away by a bare count/row action (the
+    # pair join needs only doc_id), so a checkpoint would FORCE ~20 s
+    # of fingerprint work the action never asks for — measured, and
+    # reverted (the round-14 lesson: a materialization barrier also
+    # disables column pruning through it).
+    vnn = f"_nn_sg_{_uuid.uuid4().hex[:8]}"
+    spark.sql(_nn_sg_std(True)) \
+        .localCheckpoint(eager=False).createOrReplaceTempView(vnn)
+    vdtr = f"_dc_tr_{_uuid.uuid4().hex[:8]}"
+    spark.sql(_decontam_train_ex_std(True)) \
+        .localCheckpoint(eager=False).createOrReplaceTempView(vdtr)
+    vdte = f"_dc_te_{_uuid.uuid4().hex[:8]}"
+    spark.sql(_decontam_test_ex_std(True)) \
+        .localCheckpoint(eager=False).createOrReplaceTempView(vdte)
     out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
                                          semdedup_view=vsd,
                                          semdedup_np2_view=vsd2,
-                                         semantic_cross_view=vxc))
-    spark.catalog.dropTempView(vpa)
-    spark.catalog.dropTempView(vsq)
-    spark.catalog.dropTempView(vsd)
-    spark.catalog.dropTempView(vsd2)
-    spark.catalog.dropTempView(vxc)
+                                         semantic_cross_view=vxc,
+                                         nn_base=vnn,
+                                         decon_train_ex=vdtr,
+                                         decon_test_ex=vdte))
+    for v in (vpa, vsq, vsd, vsd2, vxc, vnn, vdtr, vdte):
+        spark.catalog.dropTempView(v)
     return out
 
 
@@ -3859,10 +4028,30 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes it there — one less blocking job
     ).localCheckpoint(eager=False)
     base.createOrReplaceTempView(vbase)
-    rows = spark.sql(
-        "WITH " + _ivf_train_cte(True, base=vbase) + " SELECT cs FROM cents1"
-    ).collect()
-    cs = rows[0][0] if rows and rows[0][0] else []
+    # codebook memo (round 14, the _semdedup_spark_df discipline): the
+    # K=8 trained codebook is a deterministic function of the
+    # embeddings corpus, but every invocation re-paid the training
+    # job (sample scan + Lloyd step + collect, which also eagerly
+    # materialized vbase at build time). Key = embeddings plan
+    # identity + (count, max vec_id) fingerprint, so an in-place data
+    # change misses the memo; warm calls pay one narrow fingerprint
+    # aggregate instead of the training job, and vbase materializes
+    # inside the union action, overlapped with the other branches.
+    ik = _ivf_memo_key(spark)
+    ikey = (*ik, "ivf_trained8") if ik else None
+    imemo = _SEMDEDUP_MEMO.get(ikey) if ikey else None
+    if imemo is not None:
+        cs = imemo[0]
+    else:
+        rows = spark.sql(
+            "WITH " + _ivf_train_cte(True, base=vbase)
+            + " SELECT cs FROM cents1"
+        ).collect()
+        cs = rows[0][0] if rows and rows[0][0] else []
+        if ikey:
+            while len(_SEMDEDUP_MEMO) >= _SEMDEDUP_MEMO_CAP:
+                _SEMDEDUP_MEMO.pop(next(iter(_SEMDEDUP_MEMO)))
+            _SEMDEDUP_MEMO[ikey] = (cs, {})
     if cs:
         d_exprs = []
         for cv in cs:
@@ -3896,12 +4085,22 @@ WITH lab AS (SELECT vec_id, nv, cid FROM {vlab}),
         # and the checkpointed lab assignment, so the added cost is the
         # (still cell-pruned) wider candidate join only
         mpdot = _dot6_expr("q.nv", "c.nv", True)
+        # round 14: materialize the tiny query-side (vec_id, nv, ds)
+        # relation (≤10 rows) — `_probe_cells_frag` references `ds`
+        # twice (array_sort(zip_with(ds, …)) and the slice), and over
+        # lineage CollapseProject re-inlines the K×dim-term ds_lit
+        # static sum into BOTH references, doubling the already-large
+        # expression tree the analyzer/optimizer walks per invocation
+        vmp = f"_ivf_mp_{_uuid.uuid4().hex[:8]}"
+        spark.sql(
+            f"SELECT vec_id, nv, {ds_lit} AS ds FROM {vbase} "
+            f"WHERE vec_id < 10"
+        ).localCheckpoint(eager=False).createOrReplaceTempView(vmp)
         mp = f"""
 WITH mp AS (
   SELECT vec_id, nv,
          {_probe_cells_frag(True, MULTIPROBE_NPROBE)} AS cells
-  FROM (SELECT vec_id, nv, {ds_lit} AS ds FROM {vbase}
-        WHERE vec_id < 10) t
+  FROM {vmp}
 ),
 mpe AS (SELECT vec_id, nv, ex_cid FROM mp
         LATERAL VIEW explode(cells) t AS ex_cid),
@@ -3941,6 +4140,7 @@ UNION ALL
     spark.catalog.dropTempView(vbase)
     if cs:
         spark.catalog.dropTempView(vlab)
+        spark.catalog.dropTempView(vmp)
     return out
 
 
@@ -4017,9 +4217,8 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView(vres)
     out = spark.sql(_sim_ann_sql(True, pq_base=vpq, embed_bk=vbk,
                                  resid_base=vres))
-    spark.catalog.dropTempView(vpq)
-    spark.catalog.dropTempView(vbk)
-    spark.catalog.dropTempView(vres)
+    for v in (vpq, vbk, vres):
+        spark.catalog.dropTempView(v)
     return out
 
 

@@ -41,6 +41,11 @@ LAST_RUN_STATS: dict = {}
 def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Start df against a memory sink, drain all available input, stop,
     and return the sink table (frozen after stop)."""
+    import shutil
+    import tempfile
+
+    from ..session import _fast_local_dir
+
     name = f"pq_stream_sink_{next(_sink_ids)}"
     # recentProgress keeps only the last N entries (default 100); a
     # drain with more micro-batches would silently undercount the
@@ -49,13 +54,26 @@ def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     df.sparkSession.conf.set(
         "spark.sql.streaming.numRecentProgressUpdates", "10000"
     )
+    # ephemeral per-run checkpoint on the fast local dir (round 14,
+    # guide §5/§6): without an explicit location the memory sink puts
+    # its temp checkpoint under java.io.tmpdir (= /tmp, the throttled
+    # VM disk), so every micro-batch pays offset/commit-log fsyncs
+    # there while shuffle/spill already ride tmpfs. These drains are
+    # bounded throwaway queries — the checkpoint is deleted after the
+    # run; durable production checkpoints are the deployment's call
+    # (DEPLOY.md), not this harness's.
+    ckpt_root = _fast_local_dir()
+    ckpt = tempfile.mkdtemp(
+        prefix=f"ckpt_{name}_", dir=ckpt_root) if ckpt_root else None
     t0 = time.perf_counter()
-    q = (
+    w = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .start()
     )
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    q = w.start()
     start_sec = time.perf_counter() - t0
     progress: list[dict] = []
     try:
@@ -66,6 +84,8 @@ def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+        if ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     drain_sec = time.perf_counter() - t0 - start_sec
     add_batch_ms = trigger_ms = 0
     n_batches = 0

@@ -102,6 +102,24 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Constraint propagation OFF by default (round 14, guide §7.3
+        # "planning time itself can become the bottleneck"): the LLM
+        # union entries carry thousands-of-node expression trees (64-
+        # term static dot sums, ~128-term PQ encoders, 9-branch unions)
+        # and InferFiltersFromConstraints is quadratic-ish in tree
+        # width — measured on this host: sim_ann_lsh_quantized build
+        # (analysis + localCheckpoint toRdd planning) 4.0 s → 1.9 s,
+        # with identical results (the rule only ADDS inferred
+        # predicates; every pushed filter the plans rely on is written
+        # explicitly — test_plans pins l_shipdate/l_quantity pushdown
+        # stays green). Driver-side planning cost is scale-independent,
+        # so this is a cluster win too; deployments whose ad-hoc
+        # queries rely on transitive predicate inference can flip it
+        # back with SPARK_GRAFT_CONSTRAINT_PROP=true.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+        )
     )
     local_dir = _fast_local_dir()
     if local_dir:

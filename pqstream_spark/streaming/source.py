@@ -44,6 +44,15 @@ def _events_file_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_FILE_SCHEMA = _events_file_schema(T.LongType())
 
 
+# (path, mtime, size) → surfaced ts dtype: the footer peek is a driver
+# metadata job paid on EVERY stream/batch source construction; the
+# dtype is a property of the files, so it memoizes on the path's stat
+# signature (round 14) — a rewritten or appended-to path changes mtime
+# and misses, a fresh process starts empty. Never holds data, only a
+# dtype string.
+_TS_DTYPE_MEMO: dict[tuple, str] = {}
+
+
 def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
     """Surfaced dtype of `ts` for parquet at `path`, or the current-era
     default ("timestamp_ntz") when no parquet footer exists to read yet
@@ -76,9 +85,22 @@ def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
         )
         return "timestamp_ntz"
     try:
-        return dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _TS_DTYPE_MEMO:
+        return _TS_DTYPE_MEMO[key]
+    try:
+        dtype = dict(spark.read.parquet(path).dtypes).get(
+            "ts", "timestamp_ntz")
     except Exception:  # racing writers / partial files: use the era default
         return "timestamp_ntz"
+    if key is not None:
+        if len(_TS_DTYPE_MEMO) > 64:
+            _TS_DTYPE_MEMO.clear()
+        _TS_DTYPE_MEMO[key] = dtype
+    return dtype
 
 
 def _ts_type_for(ts_dtype: str) -> T.DataType:

@@ -332,8 +332,10 @@ def test_semdedup_codebook_memoized_per_corpus(spark):
     first = sd_rows(llm.q_pairwise(spark, SF_SMOKE))
     # one memo entry per probe width (nprobe=1 and the certified
     # semdedup_np2 branch) plus the round-14 semantic_cross branch's
-    # corpus-side codebook, all under the same corpus key
-    assert first and len(llm._SEMDEDUP_MEMO) == 3
+    # corpus-side codebook AND its pruned-cell width dict (the
+    # round-14 optimization: the cross widths collect no longer runs
+    # at build time on warm calls), all under the same corpus key
+    assert first and len(llm._SEMDEDUP_MEMO) == 4
     orig_train = llm._semdedup_train_codebook
     orig_widths = llm._semdedup_cell_widths
 
