@@ -89,7 +89,7 @@ BRANCH_ITERS = 2
 _DISCRIMINATORS = ("method", "variant")
 
 
-def _reclaim(spark) -> None:
+def _reclaim(spark, purge: bool = False) -> None:
     """Untimed inter-iteration reclamation (round 13): every catalog
     invocation leaves localCheckpoint blocks and shuffle files whose
     cleanup is driven by DRIVER GC — Python holds py4j proxies to the
@@ -99,7 +99,17 @@ def _reclaim(spark) -> None:
     back-to-back runs wander 35 -> 88 s within one session; with an
     explicit collect after each run they sit flat at 32.5-33.6 s. The
     bench measures the engine, not the session's garbage backlog, so
-    the collection runs OUTSIDE the timed region."""
+    the collection runs OUTSIDE the timed region.
+
+    `purge=True` (round 14) additionally unpersists every still-cached
+    RDD — the DEAD previous invocation's checkpoint blocks, which the
+    async ContextCleaner lags on under back-to-back invocations
+    (measured on dedup_pairwise_scores: plain GC wanders 6.8-7.6 s,
+    purge sits flat 5.5-6.1 s). ONLY legal where no earlier DataFrame
+    will be re-executed afterwards: a localCheckpoint's lineage is
+    truncated at materialization, so an unpersisted one cannot
+    recompute — the loop below never purges after the iteration whose
+    frame the plan audit and branch discovery re-execute."""
     import gc
 
     gc.collect()
@@ -108,6 +118,14 @@ def _reclaim(spark) -> None:
     except Exception:
         pass  # connect-mode / no JVM handle: Python GC alone still
         # releases the py4j references that gate ContextCleaner
+    if purge:
+        try:
+            rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()  # noqa: SLF001
+            it = rdds.iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass  # connect-mode: no JVM handle — plain GC reclaim only
 
 
 def _calibrate(spark) -> dict[str, float]:
@@ -233,13 +251,17 @@ def main() -> None:
         # cache, at-shape codegen) that are neither engine speed nor
         # host drift — timing it poisons both min and mean
         queries[n](spark, SF_DIR).count()
-        _reclaim(spark)
-        for _ in range(N_ITERS):
+        _reclaim(spark, purge=True)
+        for it_i in range(N_ITERS):
             t0 = time.perf_counter()
             df = queries[n](spark, SF_DIR)
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
-            _reclaim(spark)
+            # purge dead checkpoint blocks between iterations, but
+            # NEVER after the last one: the plan audit and branch
+            # discovery below re-execute that df, and an unpersisted
+            # localCheckpoint (truncated lineage) cannot recompute
+            _reclaim(spark, purge=it_i < N_ITERS - 1)
             # fixed-overhead split for streaming entries (VERDICT r8
             # #2): keep the snapshot of the FASTEST iteration so the
             # decomposition describes the same run the headline min
@@ -323,13 +345,16 @@ def main() -> None:
             samples: dict[str, list[float]] = {m: [] for m in labels}
 
             def _one_pass():
+                # purge is safe here: the main df's audit and branch
+                # discovery already ran, and each pass's frame is dead
+                # once its count returns
                 for m in labels:
                     t0 = time.perf_counter()
                     queries[n](spark, SF_DIR).where(
                         f"{col} = '{m}'").count()
                     samples[m].append(
                         round(time.perf_counter() - t0, 3))
-                    _reclaim(spark)
+                    _reclaim(spark, purge=True)
 
             def _decompose():
                 shared = min(samples[floor_label])
