@@ -2524,8 +2524,13 @@ def _ivf_memo_key(spark: SparkSession) -> tuple | None:
     """(appId, embeddings-plan semanticHash, row count, max vec_id) —
     the `_semdedup_memo_key` discipline applied to the embeddings
     corpus (round 14): plan identity covers sf_dir and shadow_views
-    substitutions, the (count, max) fingerprint catches in-place data
-    changes under an unchanged plan."""
+    substitutions; the (count, max) fingerprint catches in-place data
+    changes that alter the row count or the id range (ADVICE r14:
+    mutating embedding VALUES under an unchanged plan, count and id
+    range would still hit the memo — same caveat as
+    _semdedup_memo_key; Spark-style writers create new paths, and a
+    new path is a new plan hash, so the residual risk is an external
+    writer mutating parquet in place mid-application)."""
     try:
         h = int(
             spark.table("embeddings")._jdf.queryExecution()  # noqa: SLF001

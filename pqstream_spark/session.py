@@ -116,9 +116,14 @@ def get_spark(
         # so this is a cluster win too; deployments whose ad-hoc
         # queries rely on transitive predicate inference can flip it
         # back with SPARK_GRAFT_CONSTRAINT_PROP=true.
+        # env normalized to a strict true/false (ADVICE r14: a value
+        # like "1" would otherwise fail at session build)
         .config(
             "spark.sql.constraintPropagation.enabled",
-            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false")
+            .strip().lower() in ("1", "true", "yes", "on")
+            else "false",
         )
     )
     local_dir = _fast_local_dir()

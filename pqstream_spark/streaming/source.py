@@ -44,13 +44,44 @@ def _events_file_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_FILE_SCHEMA = _events_file_schema(T.LongType())
 
 
-# (path, mtime, size) → surfaced ts dtype: the footer peek is a driver
+# stat-signature → surfaced ts dtype: the footer peek is a driver
 # metadata job paid on EVERY stream/batch source construction; the
-# dtype is a property of the files, so it memoizes on the path's stat
-# signature (round 14) — a rewritten or appended-to path changes mtime
-# and misses, a fresh process starts empty. Never holds data, only a
-# dtype string.
+# dtype is a property of the files, so it memoizes on a stat signature
+# (round 14). For a single FILE the signature is (mtime_ns, size) — a
+# rewrite changes it and misses. For a DIRECTORY the top-level stat
+# only changes on direct-child add/remove/rename (ADVICE r14): an
+# in-place part-file rewrite, or files landing inside a partition
+# subdirectory, would leave it unchanged — so the directory signature
+# additionally folds in a recursive (part-file count, max mtime_ns)
+# over *.parquet (the same walk _has_parquet already pays). A fresh
+# process starts empty. Never holds data, only a dtype string.
 _TS_DTYPE_MEMO: dict[tuple, str] = {}
+
+
+def _stat_signature(path: str) -> tuple | None:
+    """Memo key for `path`: file → (path, mtime_ns, size); directory →
+    the same plus a recursive (count, max mtime_ns) over part-files,
+    so in-place rewrites and nested additions change the key."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key: tuple = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            n, mx = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        n += 1
+                        try:
+                            m = os.stat(os.path.join(root, f)).st_mtime_ns
+                        except OSError:
+                            return None  # racing writer: don't memoize
+                        mx = max(mx, m)
+            key = (*key, n, mx)
+        return key
+    except OSError:
+        return None
 
 
 def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
@@ -84,11 +115,7 @@ def _peek_ts_dtype(spark: SparkSession, path: str) -> str:
             path,
         )
         return "timestamp_ntz"
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
+    key = _stat_signature(path)
     if key is not None and key in _TS_DTYPE_MEMO:
         return _TS_DTYPE_MEMO[key]
     try:

@@ -850,3 +850,41 @@ def test_curate_ingest_semantic_dedup_gate(spark, tmp_path):
     missed_ids = {r["doc_id"] for r in band_missed}
     assert all(rows0[d]["admitted"] for d in missed_ids
                if rows0[d]["clf_keep"])
+
+
+def test_ts_dtype_memo_key_sees_inplace_part_rewrite(tmp_path):
+    """Round-15 fix (ADVICE r14 medium): the _peek_ts_dtype memo key
+    for a DIRECTORY must change when an existing part-file is
+    rewritten in place or a new file lands in a nested partition
+    subdirectory — the top-level stat alone misses both."""
+    import os
+    import time as _t
+
+    from pqstream_spark.streaming.source import _stat_signature
+
+    d = tmp_path / "outbox"
+    sub = d / "day=2031-01-01"
+    sub.mkdir(parents=True)
+    part = sub / "part-000.parquet"
+    part.write_bytes(b"x" * 16)
+    k1 = _stat_signature(str(d))
+    assert k1 is not None
+
+    # in-place rewrite of the SAME part-file: same name, same size,
+    # top-level dir mtime unchanged — only the recursive max mtime moves
+    _t.sleep(0.01)
+    part.write_bytes(b"y" * 16)
+    os.utime(d)  # normalize: even if the OS touched the dir, the
+    # part-file mtime alone must already differ
+    k2 = _stat_signature(str(d))
+    assert k2 != k1, "in-place part rewrite must change the memo key"
+
+    # new file inside the existing SUBdirectory (top-level dir entry
+    # list unchanged)
+    (sub / "part-001.parquet").write_bytes(b"z" * 16)
+    k3 = _stat_signature(str(d))
+    assert k3 != k2, "nested part addition must change the memo key"
+
+    # single FILE path keeps the plain (mtime, size) signature
+    kf = _stat_signature(str(part))
+    assert kf is not None and len(kf) == 3
