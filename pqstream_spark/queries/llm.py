@@ -2057,7 +2057,28 @@ def decontaminate(corpus_df: DataFrame, benchmark_df: DataFrame,
 LONGRUN_DF_CAP = 100
 
 
-def _longrun_sql(spark: bool, base: str | None = None) -> str:
+def _longrun_pa_filtered_sql(base: str) -> str:
+    """Spark-side helper (round 15, VERDICT r14 #5): the boiler-pruned
+    position relation over a materialized (doc_id, i, s) view `base`.
+    q_pairwise materializes THIS (lazy localCheckpoint) instead of the
+    raw positions: the `m` self-join below references `pa` twice and
+    Spark inlines CTEs, so the un-materialized form ran the boiler
+    GROUP BY s aggregate AND the anti-join TWICE per action — once per
+    join side (guide §2.4: don't compute things twice). Every column
+    (doc_id, i, s) feeds the join/window/aggregates, so the barrier
+    forces no prunable work (the round-14 simhash lesson)."""
+    return f"""
+SELECT p.doc_id, p.i, p.s FROM {base} p
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT s FROM {base} GROUP BY s HAVING COUNT(*) > {LONGRUN_DF_CAP}
+  ) b WHERE b.s = p.s
+)
+"""
+
+
+def _longrun_sql(spark: bool, base: str | None = None,
+                 base_filtered: bool = False) -> str:
     """Exact-substring dedup signal (the measure behind "deduplicating
     training data" exact-substring dedup, Lee et al. 2021, public
     method): the LONGEST run of consecutively matching 3-gram shingles
@@ -2095,27 +2116,42 @@ def _longrun_sql(spark: bool, base: str | None = None) -> str:
         pa = (f"SELECT doc_id, u.i AS i, sh[u.i] AS s FROM sh_t, "
               f"LATERAL (SELECT unnest(range(1, len(sh) + 1)) AS i) u")
     sh_cte = "" if spark else f"sh_t AS (SELECT doc_id, {sh} AS sh FROM toks),\n"
-    if base:
+    if base_filtered:
+        # Spark side (round 15): `base` is already the MATERIALIZED
+        # boiler-pruned relation (_longrun_pa_filtered_sql) — the
+        # boiler aggregate and anti-join ran once into the checkpoint
+        # instead of inlining into both join sides
+        assert base, "base_filtered requires a base view"
+        filter_ctes = f"pa AS (SELECT doc_id, i, s FROM {base}),\n"
+    elif base:
         # Spark side: `base` is a MATERIALIZED (doc_id, i, s) view —
         # pa0 is read four times below (boiler count, the filter, both
         # join sides) and Spark inlines CTEs, so the un-materialized
         # form re-runs tokenize+shingle+explode 4× (measured 2.5 s vs
         # ~1 s at sf0.1)
-        prefix = f"pa0 AS (SELECT doc_id, i, s FROM {base}),\n"
-    else:
-        prefix = f"""{CORPUS_CTE.strip()},
-toks AS (SELECT doc_id, {tok} AS tok FROM corpus),
-{sh_cte}pa0 AS ({pa}),
-"""
-    return f"""
-WITH {prefix}lr_boiler AS (
+        filter_ctes = f"""pa0 AS (SELECT doc_id, i, s FROM {base}),
+lr_boiler AS (
   SELECT s FROM pa0 GROUP BY s HAVING COUNT(*) > {LONGRUN_DF_CAP}
 ),
 pa AS (
   SELECT p.doc_id, p.i, p.s FROM pa0 p
   WHERE NOT EXISTS (SELECT 1 FROM lr_boiler b WHERE b.s = p.s)
 ),
-m AS (
+"""
+    else:
+        filter_ctes = f"""{CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {tok} AS tok FROM corpus),
+{sh_cte}pa0 AS ({pa}),
+lr_boiler AS (
+  SELECT s FROM pa0 GROUP BY s HAVING COUNT(*) > {LONGRUN_DF_CAP}
+),
+pa AS (
+  SELECT p.doc_id, p.i, p.s FROM pa0 p
+  WHERE NOT EXISTS (SELECT 1 FROM lr_boiler b WHERE b.s = p.s)
+),
+"""
+    return f"""
+WITH {filter_ctes}m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.i AS ia, b.i - a.i AS diag
   FROM pa a JOIN pa b ON b.doc_id = a.doc_id + 100000 AND a.s = b.s
@@ -2829,6 +2865,219 @@ def _semdedup_spark_df(spark: SparkSession, vsq: str, nprobe: int = 1,
     return out
 
 
+def _semdedup_spark_both_df(
+        spark: SparkSession, vsq: str,
+        memo_key: tuple | None = None,
+        k: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """ONE assignment pass + ONE cell GEMM pass emitting BOTH the
+    nprobe=1 and nprobe=2 decision sets (round 15, VERDICT r14 #3 —
+    guide §2.4: don't compute things twice). `q_pairwise` previously
+    called `_semdedup_spark_df` twice: each call ran its own
+    mapInPandas assignment chain over `vsq`, its own localCheckpoint,
+    its own cell-width collect (cold) and its own applyInPandas GEMM
+    stage — yet the np1 work is a strict SUBSET of the np2 work:
+
+    - the np2 assignment (each vector in its best AND second-best
+      cell) contains the np1 assignment as its rank-1 rows;
+    - within a cell, the np1 candidate pairs are the np2 candidate
+      pairs restricted to rank-1 rows on both sides, so one float32
+      prefilter GEMM block serves both branches with two mask
+      reductions.
+
+    Decision-for-decision identical to the separate calls (pinned by
+    test_semdedup_both_matches_separate): the pair values are the same
+    exact integers, the keeper pick is the same first-candidate scan
+    over ids ascending, and chunk ownership only partitions WORK,
+    never changes a decision — the np2-width chunking used here covers
+    every rank-1 row exactly once just as np1-width chunking did.
+
+    Returns (np1_df, np2_df); both read one lazily-checkpointed
+    combined decision frame, so the branch union materializes the
+    assignment and the GEMM exactly once."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    out_schema = ("branch string, id_a long, id_b long, dotq double, "
+                  "n2a double, n2b double")
+    if k is None:
+        k = semdedup_auto_k(int(spark.table(vsq).count()))
+    full_key = (*memo_key, "both", k) if memo_key else None
+    memo = _SEMDEDUP_MEMO.get(full_key) if full_key else None
+    cs = memo[0] if memo else _semdedup_train_codebook(spark, vsq, k=k)
+    if not cs:  # empty corpus
+        empty = spark.createDataFrame(
+            [], "id_a long, id_b long, cos double")
+        return empty, empty
+    import numpy as np
+
+    cb = np.array([[int(c) for c in cv] for cv in cs], dtype=np.int64)
+
+    def _assign(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in pdf["qv"].to_numpy()])
+            dots = q @ cb.T
+            best = dots.argmax(axis=1)  # first max, like array_position
+            n2q = (q * q).sum(axis=1).astype(np.float64)
+            out = pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": best + 1,  # 1-based like the SQL array_position
+                "rk": 1,
+                "n2q": n2q,
+                "qv": pdf["qv"],
+            })
+            if cb.shape[0] > 1:
+                # second-best cell membership (rank 2): mask the
+                # winner, argmax again — the np2 membership minus np1
+                d2 = dots.copy()
+                d2[np.arange(len(d2)), best] = np.iinfo(np.int64).min
+                out = pd.concat([out, pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": d2.argmax(axis=1) + 1,
+                    "rk": 2,
+                    "n2q": n2q,
+                    "qv": pdf["qv"],
+                })], ignore_index=True)
+            yield out
+
+    lab = spark.table(vsq).mapInPandas(
+        _assign,
+        "vec_id long, cid int, rk int, n2q double, qv array<bigint>",
+    ).localCheckpoint(eager=False)
+    # np2 (total-membership) widths drive chunking and the cap for
+    # both branches: they dominate the np1 widths, so the cap stays
+    # at least as strict and the chunk fan-out covers the bigger scan
+    widths = memo[1] if memo else _semdedup_cell_widths(lab)
+    if full_key and memo is None:
+        while len(_SEMDEDUP_MEMO) >= _SEMDEDUP_MEMO_CAP:
+            _SEMDEDUP_MEMO.pop(next(iter(_SEMDEDUP_MEMO)))
+        _SEMDEDUP_MEMO[full_key] = (cs, widths)
+    if any(w > SEMDEDUP_CELL_HARD_CAP for w in widths.values()):
+        wid, w = max(widths.items(), key=lambda kv: kv[1])
+        raise ValueError(
+            f"semdedup cell {wid} width {w} exceeds "
+            f"{SEMDEDUP_CELL_HARD_CAP} even at auto k={k}: the corpus "
+            "is extremely clone-skewed in embedding space — "
+            "exact-dedup it first, or lower SEMDEDUP_TARGET_CELL")
+    nch = {cid: min(32, -(-w // SEMDEDUP_CHUNK_ROWS))
+           for cid, w in widths.items()}
+    nch_case = ("CASE cid " + " ".join(
+        f"WHEN {cid} THEN {n}" for cid, n in sorted(nch.items()))
+        + " ELSE 1 END")
+    lab = lab.withColumn("chunk", F.explode(F.expr(
+        f"sequence(0, {nch_case} - 1)")))
+
+    def _cell(pdf):
+        import numpy as np
+
+        _limit_blas_threads()
+        empty = pd.DataFrame(
+            {"branch": pd.Series(dtype="object"),
+             "id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "dotq": pd.Series(dtype="float64"),
+             "n2a": pd.Series(dtype="float64"),
+             "n2b": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        rk1 = pdf["rk"].to_numpy()[order] == 1
+        chunk = int(pdf["chunk"].iloc[0])
+        n_chunks = int(nch.get(int(pdf["cid"].iloc[0]), 1))
+        owned = np.nonzero(ids % n_chunks == chunk)[0]
+        owned = owned[owned > 0]  # row 0 has no j < i partner
+        if not len(owned):
+            return empty
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["qv"].to_numpy()[order]])
+        n2 = pdf["n2q"].to_numpy()[order].astype(np.float64)
+        u = (q / np.sqrt(n2)[:, None]).astype(np.float32)
+        tau = SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN
+        den2 = float(SEMDEDUP_TAU_DEN ** 2)
+        num2 = float(SEMDEDUP_TAU_NUM ** 2)
+        tile = max(256, min(4096, (1 << 26) // len(ids)))
+        res = {"np1": ([], [], []), "np2": ([], [], [])}
+
+        def _emit(br, sel, cand):
+            # keeper pick + exact verify (the _semdedup_spark_df
+            # discipline, unchanged): first candidate per row is the
+            # smallest qualifying j unless it is a margin false
+            # positive; verify-failures (rare) go to the per-row scan
+            out_a, out_b, out_d = res[br]
+            rs = np.nonzero(cand.any(axis=1))[0]
+            if not len(rs):
+                return
+            j1 = cand[rs].argmax(axis=1)
+            d1 = np.einsum("ij,ij->i", q[sel[rs]], q[j1])  # exact
+            ok1 = (d1 > 0) & (den2 * d1 * d1
+                              >= num2 * n2[j1] * n2[sel[rs]])
+            out_a.extend(int(x) for x in sel[rs[ok1]])
+            out_b.extend(int(x) for x in j1[ok1])
+            out_d.extend(float(x) for x in d1[ok1])
+            for r in rs[~ok1]:  # rare: first candidate failed verify
+                js = np.nonzero(cand[r])[0]  # ascending
+                i = int(sel[r])
+                d = q[js] @ q[i]  # exact integer dots
+                okj = (d > 0) & (den2 * d * d >= num2 * n2[js] * n2[i])
+                if okj.any():
+                    out_a.append(i)
+                    out_b.append(int(js[int(okj.argmax())]))
+                    out_d.append(float(d[int(okj.argmax())]))
+
+        for t0 in range(0, len(owned), tile):
+            sel = owned[t0:t0 + tile]  # ascending (owned is sorted)
+            hi = int(sel[-1]) + 1
+            ub = u[sel] @ u[:hi].T  # ONE block GEMM for both branches
+            cand2 = ub >= tau - 1e-5
+            cand2 &= np.arange(hi)[None, :] < sel[:, None]  # j < i
+            _emit("np2", sel, cand2)
+            r1 = np.nonzero(rk1[sel])[0]
+            if len(r1):
+                # np1 = np2 restricted to rank-1 rows AND rank-1
+                # candidate columns — same GEMM values, two masks
+                _emit("np1", sel[r1], cand2[r1] & rk1[:hi][None, :])
+        frames = []
+        for br, (out_a, out_b, out_d) in res.items():
+            if not out_a:
+                continue
+            ia = np.array(out_a, dtype=np.int64)
+            ib = np.array(out_b, dtype=np.int64)
+            frames.append(pd.DataFrame({
+                "branch": br,
+                "id_a": ids[ia], "id_b": ids[ib],
+                "dotq": np.array(out_d, dtype=np.float64),
+                "n2a": n2[ia], "n2b": n2[ib],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    # LAZY checkpoint on the combined decision frame: both branch
+    # views (two consumers inside the union action) read it — left as
+    # lineage, the GEMM pass (and the assignment under it) would
+    # re-run once per branch. Everything the checkpoint computes is
+    # needed by the action (the decisions ARE the rows), so no pruned
+    # work is forced (the round-14 simhash lesson).
+    both = (lab.groupBy("cid", "chunk").applyInPandas(_cell, out_schema)
+            .localCheckpoint(eager=False))
+    base = both.withColumn(
+        "cos", F.expr("round(dotq / sqrt(n2a * n2b), 6)"))
+    np1 = base.where("branch = 'np1'").select("id_a", "id_b", "cos")
+    np2 = base.where("branch = 'np2'").select("id_a", "id_b", "cos")
+    # doubled membership can decide one doc in both of its cells,
+    # possibly against different keepers: collapse to one row per
+    # dropped doc, smallest keeper id (the in-cell tie-break,
+    # applied across cells)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy("id_b")
+    np2 = (np2.withColumn("_rn", F.row_number().over(w))
+           .where("_rn = 1").drop("_rn"))
+    return np1, np2
+
+
 def _semdedup_assign_df(df: DataFrame,
                         codebook: list[list[int]]) -> DataFrame:
     """First-argmax integer cell assignment under a literal codebook
@@ -3174,6 +3423,7 @@ def _semantic_cross_spark_df(spark: SparkSession, vsq: str,
 
 def _pairwise_scores_sql(spark: bool,
                          longrun_base: str | None = None,
+                         longrun_filtered: bool = False,
                          semdedup_view: str | None = None,
                          semdedup_np2_view: str | None = None,
                          semantic_cross_view: str | None = None,
@@ -3221,7 +3471,8 @@ SELECT 'longest_run' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b,
        CAST(longest_run_tokens AS DOUBLE) AS score,
        longest_run_tokens >= 20 AS near_dup
-FROM ({_longrun_sql(spark, base=longrun_base).strip()})
+FROM ({_longrun_sql(spark, base=longrun_base,
+                    base_filtered=longrun_filtered).strip()})
 UNION ALL
 SELECT 'levenshtein' AS method, CAST(doc_a AS BIGINT) AS id_a,
        CAST(doc_b AS BIGINT) AS id_b, CAST(lev AS DOUBLE) AS score,
@@ -3267,6 +3518,15 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
 """
     # lazy: only the final pairwise union reads this (see q_sim_ann)
     spark.sql(pa).localCheckpoint(eager=False).createOrReplaceTempView(vpa)
+    # round 15 (VERDICT r14 #5): ALSO materialize the boiler-PRUNED
+    # position relation — the longest-run self-join references it
+    # twice, and the inlined form re-ran the boiler GROUP BY s and the
+    # anti-join once per join side (the chain: vpa materializes one
+    # tokenize+posexplode pass; vlr materializes one boiler+anti-join
+    # pass over vpa's blocks; the join then reads vlr's blocks twice)
+    vlr = f"_lr_fp_{_uuid.uuid4().hex[:8]}"
+    spark.sql(_longrun_pa_filtered_sql(vpa)) \
+        .localCheckpoint(eager=False).createOrReplaceTempView(vlr)
     # the semdedup branch: materialize the quantized relation (the
     # training collect and the assignment both read it; inlining
     # would re-run the embed chain per read), build the GEMM-backed
@@ -3285,12 +3545,13 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
     # changes the fingerprint and misses the memo (ADVICE r12 low)
     mk = _semdedup_memo_key(spark)  # once: carries the fingerprint agg
     k = semdedup_auto_k(2 * mk[2]) if mk else None
-    _semdedup_spark_df(
-        spark, vsq, memo_key=mk, k=k
-    ).createOrReplaceTempView(vsd)
-    _semdedup_spark_df(
-        spark, vsq, nprobe=2, memo_key=mk, k=k
-    ).createOrReplaceTempView(vsd2)
+    # round 15 (VERDICT r14 #3): ONE assignment pass + ONE cell GEMM
+    # pass emit both probe widths' decisions — the np1 work is a
+    # subset of the np2 work, so the separate calls paid a second
+    # mapInPandas chain, checkpoint and GEMM stage for nothing
+    sd1, sd2 = _semdedup_spark_both_df(spark, vsq, memo_key=mk, k=k)
+    sd1.createOrReplaceTempView(vsd)
+    sd2.createOrReplaceTempView(vsd2)
     # the 9th branch (round 14): the streaming gate's ASYMMETRIC
     # decision — corpus-side codebook, cross GEMM scorer — certified
     # against its one-statement oracle; k derives from |documents|
@@ -3325,14 +3586,15 @@ LATERAL VIEW posexplode({SHINGLE_SPARK}) t AS pos, s
     vdte = f"_dc_te_{_uuid.uuid4().hex[:8]}"
     spark.sql(_decontam_test_ex_std(True)) \
         .localCheckpoint(eager=False).createOrReplaceTempView(vdte)
-    out = spark.sql(_pairwise_scores_sql(True, longrun_base=vpa,
+    out = spark.sql(_pairwise_scores_sql(True, longrun_base=vlr,
+                                         longrun_filtered=True,
                                          semdedup_view=vsd,
                                          semdedup_np2_view=vsd2,
                                          semantic_cross_view=vxc,
                                          nn_base=vnn,
                                          decon_train_ex=vdtr,
                                          decon_test_ex=vdte))
-    for v in (vpa, vsq, vsd, vsd2, vxc, vnn, vdtr, vdte):
+    for v in (vpa, vlr, vsq, vsd, vsd2, vxc, vnn, vdtr, vdte):
         spark.catalog.dropTempView(v)
     return out
 

@@ -330,12 +330,12 @@ def test_semdedup_codebook_memoized_per_corpus(spark):
             for r in df.collect() if r["method"] == "semdedup")
 
     first = sd_rows(llm.q_pairwise(spark, SF_SMOKE))
-    # one memo entry per probe width (nprobe=1 and the certified
-    # semdedup_np2 branch) plus the round-14 semantic_cross branch's
-    # corpus-side codebook AND its pruned-cell width dict (the
-    # round-14 optimization: the cross widths collect no longer runs
-    # at build time on warm calls), all under the same corpus key
-    assert first and len(llm._SEMDEDUP_MEMO) == 4
+    # one memo entry for the MERGED np1+np2 pass (round 15: both probe
+    # widths share one assignment + one GEMM, so one codebook/width
+    # entry) plus the round-14 semantic_cross branch's corpus-side
+    # codebook AND its pruned-cell width dict, all under the same
+    # corpus key
+    assert first and len(llm._SEMDEDUP_MEMO) == 3
     orig_train = llm._semdedup_train_codebook
     orig_widths = llm._semdedup_cell_widths
 
@@ -506,3 +506,88 @@ def test_semdedup_auto_k_bounds_cells(spark):
     n_docs = spark.table("documents").count()
     max_id = spark.sql("SELECT MAX(doc_id) FROM documents").first()[0]
     assert mk[2] == n_docs and mk[3] == int(max_id)
+
+
+def test_semdedup_both_matches_separate(spark):
+    """Round 15 (VERDICT r14 #3): the merged single-pass
+    `_semdedup_spark_both_df` must emit decision-for-decision the same
+    rows as the separate nprobe=1 and nprobe=2 calls — on (a) a
+    multi-cell hash corpus dense in within-cell clone decisions, and
+    (b) the axis-seeded boundary corpus where nprobe=2 adds
+    cross-cell-only decisions nprobe=1 cannot see."""
+    import uuid
+
+    from pqstream_spark.functions.sampling import (
+        A, B, DEFAULT_THRESHOLD, M,
+    )
+    from pqstream_spark.queries.llm import (
+        _semdedup_spark_both_df,
+        _semdedup_spark_df,
+    )
+
+    def both_vs_separate(vsq):
+        sep1 = {tuple(r) for r in
+                _semdedup_spark_df(spark, vsq).collect()}
+        sep2 = {tuple(r) for r in
+                _semdedup_spark_df(spark, vsq, nprobe=2).collect()}
+        got1_df, got2_df = _semdedup_spark_both_df(spark, vsq)
+        got1 = {tuple(r) for r in got1_df.collect()}
+        got2 = {tuple(r) for r in got2_df.collect()}
+        assert got1 == sep1
+        assert got2 == sep2
+        return sep1, sep2
+
+    # (a) hash-noise base + planted clone pairs across many cells
+    vsq = f"_both_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        "SELECT id AS vec_id, transform(sequence(0, 63), i -> "
+        "CAST(pmod(xxhash64(CAST(id / 2 AS BIGINT) * 64 + i), 200) - 100"
+        " + CASE WHEN id % 2 = 1 AND i = 0 THEN 1 ELSE 0 END AS BIGINT)"
+        ") AS qv FROM range(1, 1200)"
+    ).localCheckpoint().createOrReplaceTempView(vsq)
+    try:
+        sep1, _ = both_vs_separate(vsq)
+    finally:
+        spark.catalog.dropTempView(vsq)
+    assert sep1, "fixture (a) plants no np1 decisions — strengthen it"
+
+    # (b) two axis seeds -> two cells; straddler pairs tilt to
+    # different best cells (np2-only catches), clone pairs sit inside
+    # one cell (np1 catches)
+    def passes(i: int) -> bool:
+        return ((i % M) * A + B) % M < DEFAULT_THRESHOLD
+
+    in_sample = [i for i in range(1, 4000) if passes(i)][:2]
+    outs = iter(i for i in range(1, 4000) if not passes(i))
+    dim = 64
+
+    def vec(*pairs):
+        v = [0] * dim
+        for idx, val in pairs:
+            v[idx] = val
+        return v
+
+    rows = [
+        (in_sample[0], vec((0, 127))),
+        (in_sample[1], vec((1, 127))),
+    ]
+    for _ in range(6):  # six straddler pairs
+        a, b = next(outs), next(outs)
+        rows.append((a, vec((0, 100), (1, 99))))
+        rows.append((b, vec((0, 99), (1, 100))))
+    for _ in range(6):  # six in-cell clone pairs on axis 0
+        a, b = next(outs), next(outs)
+        rows.append((a, vec((0, 120), (2, 3))))
+        rows.append((b, vec((0, 120), (2, 4))))
+    vsq2 = f"_both_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        rows, "vec_id long, qv array<bigint>"
+    ).createOrReplaceTempView(vsq2)
+    try:
+        sep1b, sep2b = both_vs_separate(vsq2)
+    finally:
+        spark.catalog.dropTempView(vsq2)
+    assert sep1b, "fixture (b) plants no np1 decisions"
+    # np2 genuinely adds the straddler decisions, and the merged pass
+    # reproduced them (got2 == sep2 above)
+    assert sep2b - sep1b, "fixture (b) has no np2-only decisions"

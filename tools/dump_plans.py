@@ -1,5 +1,5 @@
 """Dump .explain('formatted') for every headline query into
-plans/r14/<name>_<tag>.txt (judge evidence for round 14).
+plans/<round>/<name>_<tag>.txt (judge evidence; round from PLANS_ROUND, default r15).
 
 Usage: python tools/dump_plans.py <tag> [name ...]
 """
@@ -28,7 +28,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dump_plans")
     queries, _ = build_catalog()
-    outdir = REPO / "plans" / "r14"
+    outdir = REPO / "plans" / __import__("os").environ.get("PLANS_ROUND", "r15")
     outdir.mkdir(parents=True, exist_ok=True)
     for n in HEADLINE:
         if only and n not in only:
