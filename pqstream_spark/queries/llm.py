@@ -33,6 +33,74 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.tables import register_views
 
 
+# --- builder-scoped AQE gate (round 15, guide §7.3 / §5) ---------------
+#
+# Under AQE, DataFrame.localCheckpoint(eager=False) is NOT lazy about
+# upstream shuffles: `queryExecution.toRdd` goes through
+# AdaptiveSparkPlanExec.getFinalPhysicalPlan(), which materializes
+# every intermediate shuffle stage SYNCHRONOUSLY before handing back
+# the RDD. A builder that stacks N "lazy" checkpointed views therefore
+# runs N chains of map stages as serial driver-blocking mini-jobs at
+# build time (measured on dedup_pairwise_scores at sf0.1: build 5.5-
+# 9.5 s with AQE on vs 2.0 s scoped off, entry total 14.8-19.6 s vs
+# 9.3-10.1 s in the same session). Scoping AQE OFF while the builder
+# constructs its checkpoints makes toRdd pure planning: the stage work
+# folds into the single timed action, where independent subtrees
+# overlap across the task slots instead of serializing build-side.
+#
+# The RESULT query is unaffected: only spark.sql() ANALYSIS happens
+# inside the scope; the outer query's physical plan (and its AQE
+# re-optimization) is decided at action time, after the conf is
+# restored. What the checkpointed SUBTREES give up is AQE partition
+# coalescing / skew-join splitting inside themselves — acceptable for
+# these bounded derived relations (their heavy fan-out is explicitly
+# chunk-managed), and deployments that want AQE inside builder
+# subtrees can set SPARK_GRAFT_BUILD_AQE=true.
+#
+# NOT thread-safe vs concurrent queries on the same session (the conf
+# is session-wide): the catalog builders run on the caller's thread
+# only, which is how bench.py and the driver invoke them.
+
+def _no_aqe_during_build(spark: SparkSession):
+    import contextlib
+    import os as _os
+
+    @contextlib.contextmanager
+    def _cm():
+        if _os.environ.get("SPARK_GRAFT_BUILD_AQE", "").strip().lower() \
+                in ("1", "true", "yes", "on"):
+            yield
+            return
+        key = "spark.sql.adaptive.enabled"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return _cm()
+
+
+def _aqe_scoped_builder(fn):
+    """Decorator form of `_no_aqe_during_build` for catalog builders
+    (spark, sf_dir) -> DataFrame that stack lazy localCheckpoints."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with _no_aqe_during_build(spark):
+            return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def _sql(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -556,6 +624,19 @@ def dedup_corpus(corpus: DataFrame) -> DataFrame:
     `dedup_pipeline_corpus` (whose synthetic near-copy corpus exists so
     the oracle has non-trivial clusters at every SF). The curate CLI
     runs this over user data. Returns (doc_id, cluster_keeper, kept)."""
+    with _no_aqe_during_build(corpus.sparkSession):
+        return _dedup_corpus_impl(corpus)
+
+
+def _dedup_corpus_impl(corpus: DataFrame) -> DataFrame:
+    """Body of `dedup_corpus`, run under the builder AQE scope (round
+    15): the lazy sh_raw checkpoint and every CC round's checkpoint +
+    convergence aggregate execute as ONE job each instead of paying an
+    extra synchronous AQE stage-materialization wait per toRdd. The
+    CC-round joins keep their explicit broadcast hints (the static
+    planner honors them); what the rounds give up is AQE skew-splitting
+    of the Jaccard-verify join, whose skew is already bounded by
+    LSH_BUCKET_CAP. SPARK_GRAFT_BUILD_AQE=true restores AQE here."""
     from pyspark.sql import functions as F
 
     # tokenize+shingle ONCE, materialized; both the MinHash signature
@@ -1154,10 +1235,19 @@ def _embed_hash_sql(spark: bool, bk: str | None = None) -> str:
     chain 3× (measured 2.7 s vs ~1 s at sf0.1)."""
     prefix = (f"bk AS (SELECT doc_id, bucket, v FROM {bk}),\n" if bk
               else f"bk AS ({_embed_bk_sql(spark).strip()}),\n")
+    # Spark side: BROADCAST the query side (round 15, guide §3.1) —
+    # it is pre-filtered to doc_id < 10 (a bounded handful of rows),
+    # but it reads from a localCheckpoint LogicalRDD whose size stats
+    # are UNKNOWN, so the planner never auto-broadcasts and both sides
+    # pay a bucket-key shuffle; under size-first AQE coalescing that
+    # tiny-byte exchange collapses to one partition and serializes the
+    # dot-product aggregate (measured: the embed_hash branch-minus-
+    # shared 1.26 s → 2.89 s). The hint removes the exchange outright.
+    bhint = "/*+ BROADCAST(a) */ " if spark else ""
     return f"""
 WITH {prefix}nrm AS (SELECT doc_id, SUM(v * v) AS n2 FROM bk GROUP BY doc_id),
 dots AS (
-  SELECT a.doc_id AS q_id, b.doc_id AS c_id, SUM(a.v * b.v) AS dot
+  SELECT {bhint}a.doc_id AS q_id, b.doc_id AS c_id, SUM(a.v * b.v) AS dot
   FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.doc_id <> a.doc_id
   WHERE a.doc_id < 10
   GROUP BY a.doc_id, b.doc_id
@@ -3499,6 +3589,7 @@ FROM {semantic_cross_view if semantic_cross_view is not None
 """
 
 
+@_aqe_scoped_builder
 def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of `dedup_pairwise_scores`: the longest-run branch's
     shingle-position relation materializes ONCE (localCheckpoint +
@@ -4256,6 +4347,7 @@ def search_ivf_index(
     )
 
 
+@_aqe_scoped_builder
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of `sim_topk_brute_ivf`, organized like a real vector
     pipeline: (1) materialize the narrow normalized+quantized base ONCE
@@ -4439,6 +4531,7 @@ FROM ({_embed_hash_sql(spark, bk=embed_bk).strip()})
 """
 
 
+@_aqe_scoped_builder
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of `sim_ann_lsh_quantized`. The first two branches
     run as plain SQL; the two certification branches get their shared

@@ -92,6 +92,32 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-first AQE coalescing (round 15, guide §2.2 "let AQE
+        # coalesce small partitions"): the default parallelismFirst=
+        # true pins post-shuffle partition count at defaultParallelism
+        # even when each partition holds a few KB — measured root cause
+        # of dedup_pairwise_scores running 2× SLOWER at 32 cores than
+        # at 8 (the entry crosses ~50 exchanges; 32 tiny partitions
+        # each = pure scheduling/fetch overhead; same-session A/B at
+        # local[32], sf0.1: 16.7 s → 7.2-7.9 s with size-first, equal
+        # to the 8-core time). Scale-adaptive by construction: AQE
+        # coalesces toward advisoryPartitionSizeInBytes, so partitions
+        # carrying real bytes (the 100 TB case) are never collapsed —
+        # only the tiny ones are. The known hazard is compute-dense
+        # stages whose per-byte cost is extreme (bytes-based coalescing
+        # can serialize them); the catalog's such stages (GEMM cells,
+        # minhash signatures) were re-measured per entry with this on
+        # (OPTIMIZATION_r15.md). Deployments can revert with
+        # SPARK_GRAFT_COALESCE_PARALLELISM_FIRST=true.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "true"
+            if os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "")
+            .strip().lower() in ("1", "true", "yes", "on")
+            else "false",
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
