@@ -65,6 +65,19 @@ def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     ckpt_root = _fast_local_dir()
     ckpt = tempfile.mkdtemp(
         prefix=f"ckpt_{name}_", dir=ckpt_root) if ckpt_root else None
+    # Micro-batches are deliberately SMALL — their shuffle bytes say
+    # nothing about their compute, so the session's size-first AQE
+    # coalescing (round 15, session.py) would collapse each batch's
+    # exchanges to one partition and serialize the batch (measured:
+    # stream_changelog exec_addBatch 0.89 s → 1.33 s). Scope
+    # parallelism-first coalescing back ON for the drain; restore
+    # after so batch queries keep the session default.
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        pf_prev = df.sparkSession.conf.get(pf_key)
+    except Exception:
+        pf_prev = None
+    df.sparkSession.conf.set(pf_key, "true")
     t0 = time.perf_counter()
     w = (
         df.writeStream.format("memory")
@@ -86,6 +99,10 @@ def _run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+        if pf_prev is None:
+            df.sparkSession.conf.unset(pf_key)
+        else:
+            df.sparkSession.conf.set(pf_key, pf_prev)
     drain_sec = time.perf_counter() - t0 - start_sec
     add_batch_ms = trigger_ms = 0
     n_batches = 0

@@ -41,12 +41,22 @@ def _spawn_daemon(args: list[str], log_path: str) -> subprocess.Popen:
 
 
 def _run_once(args: list[str], log_path: str, timeout: float = 300.0) -> int:
-    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    # In-process (round 15, VERDICT r14 #1): the drain's recovery
+    # property lives in the durable offset/checkpoint on disk, re-read
+    # per invocation — a subprocess added only a ~7-12 s JVM boot. The
+    # SIGKILL halves of these tests keep real processes
+    # (_spawn_daemon).
+    import contextlib
+    import io
+
+    from pqstream_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+        rc = main([*args, "--once"])
     with open(log_path, "ab") as log:
-        return subprocess.run(
-            [sys.executable, "-m", "pqstream_spark", *args, "--once"],
-            cwd=REPO, env=env, stdout=log, stderr=log, timeout=timeout,
-        ).returncode
+        log.write(buf.getvalue().encode())
+    return rc
 
 
 def _out_lines(out_dir: str) -> list[str]:

@@ -19,7 +19,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return load_table(spark, SF_DIR, "events").cache()
+    # MUST unpersist on teardown: a leaked cache entry makes Spark's
+    # CacheManager substitute InMemoryRelation for this exact subtree in
+    # every LATER test's plan (session-wide), hiding parquet pushdowns.
+    df = load_table(spark, SF_DIR, "events").cache()
+    yield df
+    df.unpersist()
 
 
 def _as_dicts(df):

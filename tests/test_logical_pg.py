@@ -673,9 +673,13 @@ def test_daemon_logical_sigkill_exactly_once(pg, tmp_path):
         daemon.kill()  # SIGKILL
         daemon.wait(timeout=30)
 
-    with open(log_path, "ab") as log:
-        rc = subprocess.run(argv + ["--once"], cwd=repo, env=env,
-                            stdout=log, stderr=log, timeout=300).returncode
+    # post-kill drain in-process (round 15, suite-budget): recovery
+    # state is the replication slot position in the DATABASE — a fresh
+    # poller re-reads it; the subprocess added only a JVM boot. The
+    # kill half above keeps the real daemon process.
+    from pqstream_spark.__main__ import main as _main
+
+    rc = _main(argv[3:] + ["--once"])
     assert rc == 0
 
     got = lines()
@@ -779,9 +783,9 @@ def test_daemon_logical_bootstrap_snapshot_plus_changelog(pg, tmp_path):
             "--bootstrap", "--once"]
 
     def run():
-        with open(log_path, "ab") as log:
-            return subprocess.run(argv, cwd=repo, env=env, stdout=log,
-                                  stderr=log, timeout=300).returncode
+        from pqstream_spark.__main__ import main as _main
+
+        return _main(argv[3:])
 
     def ids():
         got = set()
@@ -914,15 +918,12 @@ def test_logical_bootstrap_not_masked_by_outbox_marker(pg, tmp_path):
 
     out = str(tmp_path / "out")
     os.makedirs(out)
-    with open(str(tmp_path / "log"), "ab") as log:
-        rc = subprocess.run(
-            [sys.executable, "-m", "pqstream_spark",
-             "--connect", f"postgres:{conninfo}", "--transport", "logical",
-             "--slot", "pq_bootmask", "--tables", "notes", "--out", out,
-             "--bootstrap", "--once"],
-            cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
-            stdout=log, stderr=log, timeout=300,
-        ).returncode
+    from pqstream_spark.__main__ import main as _main
+
+    rc = _main(
+        ["--connect", f"postgres:{conninfo}", "--transport", "logical",
+         "--slot", "pq_bootmask", "--tables", "notes", "--out", out,
+         "--bootstrap", "--once"])
     assert rc == 0
     ids = set()
     for f in glob.glob(out + "/*.jsonl"):
@@ -1236,16 +1237,13 @@ def test_daemon_logical_bootstrap_continuous_writer_exactly_once(pg, tmp_path):
     t = threading.Thread(target=writer)
     t.start()
     try:
-        with open(str(tmp_path / "log"), "ab") as log:
-            rc = subprocess.run(
-                [sys.executable, "-m", "pqstream_spark",
-                 "--connect", f"postgres:{conninfo}",
-                 "--transport", "logical", "--slot", "pq_contw",
-                 "--tables", "notes", "--out", out,
-                 "--bootstrap", "--once"],
-                cwd=repo, env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
-                stdout=log, stderr=log, timeout=300,
-            ).returncode
+        from pqstream_spark.__main__ import main as _main
+
+        rc = _main(
+            ["--connect", f"postgres:{conninfo}",
+             "--transport", "logical", "--slot", "pq_contw",
+             "--tables", "notes", "--out", out,
+             "--bootstrap", "--once"])
     finally:
         stop_writer.set()
         t.join(timeout=60)
@@ -1876,9 +1874,13 @@ def test_daemon_spool_mode_sigkill_exactly_once(pg, tmp_path):
         daemon.kill()  # SIGKILL
         daemon.wait(timeout=30)
 
-    with open(log_path, "ab") as log:
-        rc = subprocess.run(argv + ["--once"], cwd=repo, env=env,
-                            stdout=log, stderr=log, timeout=300).returncode
+    # post-kill drain in-process (round 15, suite-budget): recovery
+    # state is the replication slot position in the DATABASE — a fresh
+    # poller re-reads it; the subprocess added only a JVM boot. The
+    # kill half above keeps the real daemon process.
+    from pqstream_spark.__main__ import main as _main
+
+    rc = _main(argv[3:] + ["--once"])
     assert rc == 0
 
     got = lines()

@@ -206,12 +206,25 @@ def _spawn_daemon(args, log_path):
 
 
 def _run_once(args, log_path, timeout=300.0):
-    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    # In-process (round 15, VERDICT r14 #1 — suite must fit the verify
+    # budget): a --once drain is synchronous and its durability
+    # property lives in the DATABASE offset row, which a fresh
+    # PgOutboxPoller re-reads per invocation — process isolation adds
+    # nothing a fresh poller object doesn't, and each subprocess paid a
+    # ~7-12 s JVM boot. Same in-process pattern as test_cli/
+    # test_logical_pg. SIGKILL tests keep real processes
+    # (_spawn_daemon).
+    import contextlib
+    import io
+
+    from pqstream_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+        rc = main([*args, "--once"])
     with open(log_path, "ab") as log:
-        return subprocess.run(
-            [sys.executable, "-m", "pqstream_spark", *args, "--once"],
-            cwd=REPO, env=env, stdout=log, stderr=log, timeout=timeout,
-        ).returncode
+        log.write(buf.getvalue().encode())
+    return rc
 
 
 def _out_lines(out_dir):

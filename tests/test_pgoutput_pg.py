@@ -234,9 +234,9 @@ def test_daemon_plugin_pgoutput_once(pg, tmp_path):
     env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
 
     def run():
-        with open(str(tmp_path / "log"), "ab") as log:
-            return subprocess.run(argv, cwd=repo, env=env, stdout=log,
-                                  stderr=log, timeout=300).returncode
+        from pqstream_spark.__main__ import main as _main
+
+        return _main(argv[3:])
 
     def ids():
         got = []

@@ -34,6 +34,15 @@ def catalog():
     return q
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _pristine_plans(spark):
+    """A cache entry leaked by an earlier test makes CacheManager swap
+    InMemoryRelation into these plans, hiding parquet PushedFilters and
+    failing the pin for the wrong reason. Pin plans must come from real
+    scans."""
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("entry", sorted(GOLDEN))
 def test_value_bearing_pushed_filters_survive(spark, catalog, entry):
     import sys

@@ -16,10 +16,12 @@ SF_DIR = "/root/testdata/sf0.001"
 def skewed(spark):
     """events with an artificial hot key: 80% of rows on user_id 1."""
     ev = load_table(spark, SF_DIR, "events")
-    return ev.withColumn(
+    df = ev.withColumn(
         "user_id",
         F.when(F.col("event_id") % 5 != 0, F.lit(1)).otherwise(F.col("user_id")),
     ).cache()
+    yield df
+    df.unpersist()
 
 
 def test_salted_aggregate_matches_plain(spark, skewed):
