@@ -26,6 +26,12 @@ def _synth_corpus(spark, copies: int = 16):
     base = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
         .selectExpr("vec_id",
                     "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    # NOTE (round 15): a crossJoin-with-range rewrite (one plan instead
+    # of a `copies`-way union) produces bit-identical rows and analyzes
+    # ~4 s faster — but its output inherits the single-partition base
+    # scan, which SERIALIZED the downstream parquet write + index build
+    # in the end-to-end tests (k_cells 26 → 51 s module-cold; measured,
+    # reverted). The union keeps one partition per copy.
     parts = []
     for k in range(copies):
         parts.append(base.select(

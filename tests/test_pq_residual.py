@@ -167,18 +167,30 @@ def test_residual_recall_beats_raw_on_clustered_corpus(spark):
     )
 
     base = _emb(spark).where("vec_id < 8")
-    copies = [
-        base.select(
-            (F.col("vec_id") + F.lit(k * 1000)).alias("vec_id"),
+    # ONE crossJoin plan instead of a 60-way union of transform
+    # branches: Catalyst spent ~10 s (driver-side) analyzing the union
+    # tree; the crossJoin evaluates the SAME Spark expressions per
+    # (row, k) — verified bit-identical output (round 15, suite
+    # budget). `%.3f` on the magnitude is reproduced by printf; the
+    # original formula's `vec_id` is the pre-offset id (< 1000 here).
+    ks = spark.range(60).select(
+        F.col("id").cast("int").alias("k"),
+        F.expr("CAST(printf('%.3f', CAST(0.05 + 0.03 * (id % 10) "
+               "AS DOUBLE)) AS DOUBLE)").alias("mag"),
+    )
+    corpus = (
+        base.crossJoin(ks)
+        .select(
+            (F.col("vec_id") + F.col("k").cast("long") * 1000)
+            .alias("vec_id"),
             F.expr(
-                f"transform(embedding, (x, i) -> x + "
-                f"cos(CAST(i * 17 + {k} * 29 + vec_id AS DOUBLE)) * "
-                f"{0.05 + 0.03 * (k % 10):.3f})"
+                "transform(embedding, (x, i) -> x + "
+                "cos(CAST(i * 17 + k * 29 + (vec_id % 1000) AS DOUBLE))"
+                " * mag)"
             ).alias("embedding"),
         )
-        for k in range(60)
-    ]
-    corpus = reduce(DataFrame.unionByName, copies).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     cb = train_ivf_codebook_from(corpus, k_cells=8)
 
     # raw-code IVF-PQ (the pre-round-7 path)
